@@ -1,0 +1,148 @@
+package graft.edfs
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Partitioning schemes for [[GraftCatalog.put]] — the Spark-native form of the
+  * reference's `put?partitions=N&hash=col` ingest
+  * (/root/reference/combined_flask.py:324-:436).
+  *
+  *  - [[HashPartition]] ≡ put with a hash attribute: one directory per distinct
+  *    key (reference: one block group per `groupby(hash_attr)` value).
+  *  - [[BucketedHashPartition]] — the 100 TB-safe variant for high-cardinality
+  *    keys: `pmod(hash(col), n)` directories, bounded fan-out.
+  *  - [[RangePartition]] ≡ put without a usable hash attribute: equi-width bins
+  *    over a numeric column (reference: `pd.cut`, combined_flask.py:412).
+  */
+sealed trait PartitionScheme
+case class HashPartition(column: String) extends PartitionScheme
+case class BucketedHashPartition(column: String, buckets: Int) extends PartitionScheme
+case class RangePartition(column: String, buckets: Int) extends PartitionScheme
+case object Unpartitioned extends PartitionScheme
+
+/** An emulated-DFS catalog re-expressed Spark-first.
+  *
+  * The reference emulates a namenode (MySQL/Firebase inode tables) + datanodes
+  * (block content rows) + 2× replication. On Spark the idiomatic equivalent is a
+  * Hive-style partitioned parquet layout on a real distributed filesystem:
+  * directories are the namespace, partition directories are the "blocks",
+  * replication/durability is the storage layer's job (HDFS/S3), and the
+  * "namenode lookup" is Catalyst partition discovery + pruning. All filesystem
+  * access goes through the Hadoop FileSystem API so the same code runs on
+  * local disk, HDFS, or s3a at any scale.
+  *
+  * Reference anchors: mkdir combined_flask.py:85, ls :140, rm :214, cat :270,
+  * put :324, getPartitionLocations :438, readPartition :492.
+  */
+class GraftCatalog(spark: SparkSession, root: String) {
+
+  private val BucketCol = "__graft_bucket"
+
+  private def fs: FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def abs(path: String): Path = {
+    val rel = path.stripPrefix("/")
+    if (rel.isEmpty) new Path(root) else new Path(root, rel)
+  }
+
+  /** mkdir -p — create a directory chain in the namespace. */
+  def mkdir(path: String): Boolean = fs.mkdirs(abs(path))
+
+  /** rm — remove a file/dir; like the reference, refuses non-empty directories
+    * unless `recursive`. */
+  def rm(path: String, recursive: Boolean = false): Boolean = {
+    val p = abs(path)
+    if (!fs.exists(p)) false
+    else if (!recursive && fs.getFileStatus(p).isDirectory &&
+      fs.listStatus(p).nonEmpty && !isTable(path)) false
+    else fs.delete(p, true)
+  }
+
+  /** ls — list a namespace directory: (name, type, size_bytes, modification
+    * present as a stable flag rather than a wall-clock, is_table). */
+  def ls(path: String): DataFrame = {
+    val p = abs(path)
+    val rows = fs.listStatus(p).toSeq
+      .filterNot(_.getPath.getName.startsWith("_"))
+      .map { st =>
+        Row(st.getPath.getName,
+          if (st.isDirectory) "d" else "-",
+          if (st.isDirectory) 0L else st.getLen,
+          isTable(s"$path/${st.getPath.getName}"))
+      }
+      .sortBy(_.getString(0))
+    val schema = StructType(Seq(
+      StructField("name", StringType), StructField("node_type", StringType),
+      StructField("size_bytes", LongType), StructField("is_table", BooleanType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  private def isTable(path: String): Boolean = fs.exists(new Path(abs(path), "_SUCCESS"))
+
+  /** put — ingest a DataFrame as a partitioned parquet table. The partition
+    * column layout gives readPartition/pruned-PMR their pruning for free. */
+  def put(df: DataFrame, path: String, scheme: PartitionScheme): Unit = {
+    val target = abs(path).toString
+    scheme match {
+      case Unpartitioned =>
+        df.write.mode("overwrite").parquet(target)
+      case HashPartition(c) =>
+        df.write.mode("overwrite").partitionBy(c).parquet(target)
+      case BucketedHashPartition(c, n) =>
+        df.withColumn(BucketCol, pmod(hash(col(c)), lit(n)))
+          .write.mode("overwrite").partitionBy(BucketCol).parquet(target)
+      case RangePartition(c, n) =>
+        // Equi-width bins like the reference's pd.cut: one extra pass for
+        // min/max (a metadata-only read when parquet stats suffice), then a
+        // deterministic bucket id. The top edge folds into the last bucket.
+        val Row(lo: Double, hi: Double) = df
+          .agg(min(col(c).cast("double")), max(col(c).cast("double"))).head()
+        val width = (hi - lo) / n
+        val bucket =
+          if (width == 0) lit(0)
+          else least(floor((col(c).cast("double") - lit(lo)) / lit(width)), lit(n - 1))
+        df.withColumn(BucketCol, bucket.cast("int"))
+          .write.mode("overwrite").partitionBy(BucketCol).parquet(target)
+    }
+  }
+
+  /** Does a written table already exist (committed)? */
+  def exists(path: String): Boolean = isTable(path)
+
+  /** cat — reassemble the full table. Partition discovery merges all partition
+    * directories; original row order is the caller's to restore via a sort key
+    * (the reference kept an explicit `index` column for the same reason). */
+  def cat(path: String): DataFrame = {
+    val df = spark.read.parquet(abs(path).toString)
+    df.drop(BucketCol) // internal bucketing column is not user data
+  }
+
+  /** readPartition — read ONE partition. Expressed as a filter on the partition
+    * column so Catalyst prunes to the single matching directory (check
+    * `.explain`'s PartitionFilters); no other data is touched, exactly like the
+    * reference's single-block read, but pushdown-composable. */
+  def readPartition(path: String, column: String, value: Any): DataFrame =
+    spark.read.parquet(abs(path).toString).filter(col(column) === lit(value))
+
+  /** getPartitionLocations — the partition manifest: value directory, file
+    * count, bytes. Driver-side metadata listing, same role as the reference's
+    * namenode block map. */
+  def partitionLocations(path: String): DataFrame = {
+    val base = abs(path)
+    val parts = fs.listStatus(base).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      .map { st =>
+        val files = fs.listStatus(st.getPath).filter(_.getPath.getName.endsWith(".parquet"))
+        Row(st.getPath.getName, files.length, files.map(_.getLen).sum)
+      }
+      .sortBy(_.getString(0))
+    val schema = StructType(Seq(
+      StructField("partition", StringType), StructField("num_files", IntegerType),
+      StructField("total_bytes", LongType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(parts, 1), schema)
+  }
+}

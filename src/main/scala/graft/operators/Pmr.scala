@@ -1,0 +1,246 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.edfs.{GraftCatalog, HashPartition, RangePartition}
+
+/** Partition-based Map-Reduce (PMR) analytics + the EDFS storage queries —
+  * SURVEY §2A. Mirrors the reference's getAvg/getMin/getMax
+  * (/root/reference/combined_flask.py:549,:599,:649), its `hash` partition
+  * pruning (:579), its debug explain (:713), and the named domain wrappers
+  * (fs_commands.py:396,:429; proj-firebase-flask.py:637,:671).
+  *
+  * Spark-first: the reference's map (per-partition partial) + reduce (weighted
+  * combine) IS Spark's partial-aggregation + shuffle-merge; we just declare the
+  * aggregate. The `hash=` pruning becomes a filter on the partition column,
+  * which Catalyst turns into directory-level partition pruning.
+  */
+object Pmr {
+
+  private def dec2(c: Column): Column = c.cast("decimal(12,2)")
+
+  /** Root for all catalog-backed tables; keyed by scale-factor dir so sf0.01
+    * verify runs and sf0.1 bench runs never collide. */
+  def catalogRoot(sfDir: String): String =
+    s"/root/repo/target/graft_edfs/${sfDir.replaceAll("[^A-Za-z0-9]+", "_")}"
+
+  def catalog(spark: SparkSession, sfDir: String): GraftCatalog =
+    new GraftCatalog(spark, catalogRoot(sfDir))
+
+  /** Write customer hash-partitioned by nation once per JVM/scale (idempotent;
+    * every PMR query runs against the partitioned layout, like the reference
+    * always reads EDFS blocks). */
+  def ensureCustomerByNation(spark: SparkSession, sfDir: String): GraftCatalog = {
+    val cat = catalog(spark, sfDir)
+    if (!cat.exists("warehouse/customer_by_nation")) {
+      cat.mkdir("warehouse")
+      cat.put(Tables.load(spark, sfDir, "customer"),
+        "warehouse/customer_by_nation", HashPartition("c_nationkey"))
+    }
+    cat
+  }
+
+  def ensureOrdersByPriceRange(spark: SparkSession, sfDir: String): GraftCatalog = {
+    val cat = catalog(spark, sfDir)
+    if (!cat.exists("warehouse/orders_by_price")) {
+      cat.mkdir("warehouse")
+      cat.put(Tables.load(spark, sfDir, "orders"),
+        "warehouse/orders_by_price", RangePartition("o_totalprice", 8))
+    }
+    cat
+  }
+
+  // ----- A1-A6: EDFS storage surface -----
+
+  /** A1 — hash-partitioned ingest, then full read-back (proves a lossless
+    * round-trip through the partitioned layout). */
+  def edfsPutHash(spark: SparkSession, sfDir: String): DataFrame = {
+    val cat = catalog(spark, sfDir)
+    cat.mkdir("warehouse")
+    cat.put(Tables.load(spark, sfDir, "customer"),
+      "warehouse/customer_by_nation", HashPartition("c_nationkey"))
+    cat.cat("warehouse/customer_by_nation")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey").cast("int"),
+        col("c_acctbal"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val edfsPutHashSql: String =
+    """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  /** A2 — range-partitioned ingest (equi-width bins ≡ reference pd.cut), then
+    * lossless read-back. */
+  def edfsPutRange(spark: SparkSession, sfDir: String): DataFrame = {
+    val cat = catalog(spark, sfDir)
+    cat.mkdir("warehouse")
+    cat.put(Tables.load(spark, sfDir, "orders"),
+      "warehouse/orders_by_price", RangePartition("o_totalprice", 8))
+    cat.cat("warehouse/orders_by_price")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_orderpriority"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val edfsPutRangeSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      | strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** A3 — cat: reassemble a partitioned table in key order. */
+  def edfsCat(spark: SparkSession, sfDir: String): DataFrame = {
+    val cat = catalog(spark, sfDir)
+    if (!cat.exists("warehouse/part_by_brand")) {
+      cat.mkdir("warehouse")
+      cat.put(Tables.load(spark, sfDir, "part"),
+        "warehouse/part_by_brand", HashPartition("p_brand"))
+    }
+    cat.cat("warehouse/part_by_brand")
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"),
+        col("p_size"), col("p_retailprice"))
+      .orderBy(col("p_partkey"))
+  }
+
+  val edfsCatSql: String =
+    """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** A4 — readPartition: one partition only; Catalyst prunes to the single
+    * `c_nationkey=7` directory. */
+  def edfsReadPartition(spark: SparkSession, sfDir: String): DataFrame = {
+    val cat = ensureCustomerByNation(spark, sfDir)
+    cat.readPartition("warehouse/customer_by_nation", "c_nationkey", 7)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey").cast("int"),
+        col("c_acctbal"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val edfsReadPartitionSql: String =
+    """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      |FROM customer WHERE c_nationkey = 7 ORDER BY c_custkey""".stripMargin
+
+  /** A5 — partition manifest (rows-only: byte sizes are environment-specific). */
+  def edfsPartitionLocations(spark: SparkSession, sfDir: String): DataFrame = {
+    val cat = ensureCustomerByNation(spark, sfDir)
+    cat.partitionLocations("warehouse/customer_by_nation")
+  }
+
+  /** A6 — namespace ops: mkdir chain + ls (rows-only). */
+  def edfsLs(spark: SparkSession, sfDir: String): DataFrame = {
+    val cat = ensureCustomerByNation(spark, sfDir)
+    cat.mkdir("staging/raw/batch1")
+    cat.ls("/")
+  }
+
+  // ----- A7-A12: PMR analytics -----
+
+  /** A7 — getAvg: decimal-exact distributed mean of a numeric column. */
+  def pmrAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    val cat = ensureCustomerByNation(spark, sfDir)
+    cat.cat("warehouse/customer_by_nation")
+      .agg((sum(dec2(col("c_acctbal"))).cast("double") / count(col("c_acctbal")))
+        .as("avg_val"), count(col("c_acctbal")).as("n"))
+  }
+
+  val pmrAvgSql: String =
+    """SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(c_acctbal) AS avg_val,
+      | COUNT(c_acctbal) AS n
+      |FROM customer""".stripMargin
+
+  /** A8 — getMin. */
+  def pmrMin(spark: SparkSession, sfDir: String): DataFrame = {
+    val cat = ensureCustomerByNation(spark, sfDir)
+    cat.cat("warehouse/customer_by_nation")
+      .agg(min(col("c_acctbal")).as("min_val"), count(col("c_acctbal")).as("n"))
+  }
+
+  val pmrMinSql: String =
+    "SELECT MIN(c_acctbal) AS min_val, COUNT(c_acctbal) AS n FROM customer"
+
+  /** A9 — getMax. */
+  def pmrMax(spark: SparkSession, sfDir: String): DataFrame = {
+    val cat = ensureCustomerByNation(spark, sfDir)
+    cat.cat("warehouse/customer_by_nation")
+      .agg(max(col("c_acctbal")).as("max_val"), count(col("c_acctbal")).as("n"))
+  }
+
+  val pmrMaxSql: String =
+    "SELECT MAX(c_acctbal) AS max_val, COUNT(c_acctbal) AS n FROM customer"
+
+  /** A10 — getAvg with `hash=` pruning: the partition-key predicate prunes to
+    * one directory before any data is read. */
+  def pmrAvgPruned(spark: SparkSession, sfDir: String): DataFrame = {
+    val cat = ensureCustomerByNation(spark, sfDir)
+    cat.readPartition("warehouse/customer_by_nation", "c_nationkey", 7)
+      .agg((sum(dec2(col("c_acctbal"))).cast("double") / count(col("c_acctbal")))
+        .as("avg_val"), count(col("c_acctbal")).as("n"))
+  }
+
+  val pmrAvgPrunedSql: String =
+    """SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(c_acctbal) AS avg_val,
+      | COUNT(c_acctbal) AS n
+      |FROM customer WHERE c_nationkey = 7""".stripMargin
+
+  /** A11 — debug/explain: the per-partition partial aggregates the reference
+    * surfaces with debug=true — here simply the partial-aggregate table keyed by
+    * the partition column. */
+  def pmrExplain(spark: SparkSession, sfDir: String): DataFrame = {
+    val cat = ensureCustomerByNation(spark, sfDir)
+    cat.cat("warehouse/customer_by_nation")
+      .groupBy(col("c_nationkey").cast("int").as("partition_key"))
+      .agg(sum(dec2(col("c_acctbal"))).cast("double").as("partial_sum"),
+        count(col("c_acctbal")).as("partial_n"))
+      .orderBy(col("partition_key"))
+  }
+
+  val pmrExplainSql: String =
+    """SELECT c_nationkey AS partition_key,
+      | CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS partial_sum,
+      | COUNT(c_acctbal) AS partial_n
+      |FROM customer GROUP BY c_nationkey ORDER BY partition_key""".stripMargin
+
+  /** A12 — named stat wrapper (≡ getAvgFamilyIncome et al.): a fixed metric over
+    * a fixed column, here over the range-partitioned orders table. */
+  def pmrNamedStat(spark: SparkSession, sfDir: String): DataFrame = {
+    val cat = ensureOrdersByPriceRange(spark, sfDir)
+    cat.cat("warehouse/orders_by_price")
+      .agg(lit("avg_order_totalprice").as("stat"),
+        (sum(dec2(col("o_totalprice"))).cast("double") / count(col("o_totalprice")))
+          .as("value"))
+  }
+
+  val pmrNamedStatSql: String =
+    """SELECT 'avg_order_totalprice' AS stat,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(o_totalprice) AS value
+      |FROM orders""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "edfs_put_hash" -> (edfsPutHash _),
+    "edfs_put_range" -> (edfsPutRange _),
+    "edfs_cat" -> (edfsCat _),
+    "edfs_read_partition" -> (edfsReadPartition _),
+    "edfs_partition_locations" -> (edfsPartitionLocations _),
+    "edfs_ls" -> (edfsLs _),
+    "pmr_avg" -> (pmrAvg _),
+    "pmr_min" -> (pmrMin _),
+    "pmr_max" -> (pmrMax _),
+    "pmr_avg_pruned" -> (pmrAvgPruned _),
+    "pmr_explain" -> (pmrExplain _),
+    "pmr_named_stat" -> (pmrNamedStat _))
+
+  val oracles: Map[String, String] = Map(
+    "edfs_put_hash" -> edfsPutHashSql,
+    "edfs_put_range" -> edfsPutRangeSql,
+    "edfs_cat" -> edfsCatSql,
+    "edfs_read_partition" -> edfsReadPartitionSql,
+    "pmr_avg" -> pmrAvgSql,
+    "pmr_min" -> pmrMinSql,
+    "pmr_max" -> pmrMaxSql,
+    "pmr_avg_pruned" -> pmrAvgPrunedSql,
+    "pmr_explain" -> pmrExplainSql,
+    "pmr_named_stat" -> pmrNamedStatSql)
+}

@@ -1,0 +1,354 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Relational analytics — the Spark-first generalization of the reference's
+  * partition-based map-reduce (PMR) analytics
+  * (/root/reference/combined_flask.py:549-:802). Where the reference hand-rolls
+  * map (per-partition partial aggregate) + reduce (weighted combine), we declare
+  * `groupBy().agg()` and let Catalyst/Tungsten do partial aggregation map-side,
+  * shuffle on the group keys, and final-merge — the same algorithm, picked
+  * automatically, and scaling to any number of executors.
+  *
+  * Determinism contract (for the DuckDB oracle hash-compare): money/mean math is
+  * done in DECIMAL (exact, order-independent) and cast back to DOUBLE at the end;
+  * every result has a total ORDER BY on a unique key; timestamps are emitted as
+  * formatted strings.
+  */
+object Relational {
+
+  /** Cast a 2-decimal double column to an exact decimal. Sums/products of these
+    * stay within decimal(38,_) and are bit-reproducible across engines. */
+  private def dec2(c: Column): Column = c.cast("decimal(12,2)")
+  /** Small-magnitude rate columns (discount/tax ∈ [0,1)). */
+  private def rate(c: Column): Column = c.cast("decimal(4,2)")
+  private val one = lit(1).cast("decimal(3,2)")
+
+  /** B1 — full aggregation suite (TPC-H Q1 shape): sum/avg/count grouped on a
+    * low-cardinality key. Map-side partial agg makes the shuffle carry only
+    * (3 flags × 2 statuses) rows per task regardless of input size — the 100 TB
+    * path is scan-bound, not shuffle-bound. */
+  def q1PricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = Tables.load(spark, sfDir, "lineitem")
+    l.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec2(col("l_extendedprice")) * (one - rate(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        sum(dec2(col("l_extendedprice")) * (one - rate(col("l_discount")))
+          * (one + rate(col("l_tax")))).cast("double").as("sum_charge"),
+        (sum(dec2(col("l_quantity"))).cast("double") / count(col("l_quantity")))
+          .as("avg_qty"),
+        (sum(dec2(col("l_extendedprice"))).cast("double") / count(col("l_extendedprice")))
+          .as("avg_price"),
+        (sum(rate(col("l_discount"))).cast("double") / count(col("l_discount")))
+          .as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+      | CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+      | COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** B2 — join + agg + top-N (TPC-H Q3 shape). The filtered customer dim is
+    * broadcast (no shuffle of the fact side for that join); orders⋈lineitem
+    * shuffles on orderkey with AQE coalescing. */
+  def q3ShippingPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.load(spark, sfDir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderdate") < lit("1996-06-30").cast("timestamp"))
+    val l = Tables.load(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") > lit("1996-06-30").cast("timestamp"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(dec2(col("l_extendedprice")) * (one - rate(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .select(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_orderpriority"), col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3Sql: String =
+    """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      | JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      | AND o_orderdate < TIMESTAMP '1996-06-30 00:00:00'
+      | AND l_shipdate > TIMESTAMP '1996-06-30 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** B3 — star join over 6 tables (TPC-H Q5 shape). region→nation→supplier is a
+    * broadcast chain (dims), facts shuffle once on orderkey. */
+  def q5LocalSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = Tables.load(spark, sfDir, "region").filter(col("r_name") === "ASIA")
+    val n = Tables.load(spark, sfDir, "nation")
+    val c = Tables.load(spark, sfDir, "customer")
+    val s = Tables.load(spark, sfDir, "supplier")
+    val o = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val l = Tables.load(spark, sfDir, "lineitem")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(c, col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec2(col("l_extendedprice")) * (one - rate(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q5Sql: String =
+    """SELECT n_name,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      | JOIN supplier ON l_suppkey = s_suppkey
+      | JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+      | JOIN nation ON s_nationkey = n_nationkey
+      | JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      | AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      | AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** B4 — selective scan (TPC-H Q6 shape): the predicate set must reach the
+    * parquet reader as PushedFilters; projection prunes to 3 columns. */
+  def qFilterPushdown(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = Tables.load(spark, sfDir, "lineitem")
+    l.filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(sum(dec2(col("l_extendedprice")) * rate(col("l_discount")))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  val qFilterPushdownSql: String =
+    """SELECT
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+      | COUNT(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      | AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      | AND l_discount BETWEEN 0.05 AND 0.07
+      | AND l_quantity < 24""".stripMargin
+
+  /** B5 — window top-N per group: rank customers by balance inside each market
+    * segment. One shuffle on the partition key; no driver-side loop. */
+  def qTopnWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.load(spark, sfDir, "customer")
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    c.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("c_mktsegment"), col("rank"), col("c_custkey"), col("c_acctbal"))
+      .orderBy(col("c_mktsegment"), col("rank"))
+  }
+
+  val qTopnWindowSql: String =
+    """SELECT c_mktsegment, rank, c_custkey, c_acctbal FROM (
+      | SELECT c_mktsegment, c_custkey, c_acctbal,
+      |  ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rank
+      | FROM customer) t
+      |WHERE rank <= 3
+      |ORDER BY c_mktsegment, rank""".stripMargin
+
+  /** B6 — rollup: multi-level aggregate in one pass (Spark expands grouping sets;
+    * still a single shuffle). NULL grouping keys are coalesced to 'ALL' so both
+    * engines order identically. */
+  def qRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = Tables.load(spark, sfDir, "lineitem")
+    l.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("sum_qty"), col("n_rows"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val qRollupSql: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+      | COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      | COUNT(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY 1, 2""".stripMargin
+
+  /** B7 — tumbling-window event aggregation (batch form of D1): 1-hour buckets
+    * per event type. */
+  def qEventsWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.load(spark, sfDir, "events")
+    e.groupBy(date_trunc("hour", col("ts")).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec2(col("value"))).cast("double").as("sum_value"))
+      .select(date_format(col("w"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  val qEventsWindowSql: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+      | event_type, COUNT(*) AS n_events,
+      | CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  /** B8 — gap-based sessionization: a session break is a >30 min silence per
+    * user. lag + running sum over a per-user window; single shuffle on user_id.
+    * (D2 re-expresses this with flatMapGroupsWithState for streams.) */
+  def qEventsSessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.load(spark, sfDir, "events")
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    e.withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val qEventsSessionizeSql: String =
+    """SELECT user_id, session_id, COUNT(*) AS n_events,
+      | strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+      | strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end
+      |FROM (
+      | SELECT user_id, ts,
+      |  SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      | FROM (
+      |  SELECT user_id, event_id, ts,
+      |   CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+      |  FROM (
+      |   SELECT user_id, event_id, ts,
+      |    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |   FROM events) a) b) c
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  /** B9 — anti join: customers that never ordered (left_anti = NOT EXISTS; no
+    * full materialization of the join, and the build side is the smaller
+    * distinct-keys set). */
+  def qAntiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.load(spark, sfDir, "customer")
+    val o = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val qAntiJoinSql: String =
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey
+      |  AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** B10 — exact distinct counts (the approx/HLL variant is `q_approx_distinct`,
+    * rows-only, since HLL estimates are engine-specific). */
+  def qDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = Tables.load(spark, sfDir, "lineitem")
+    l.agg(countDistinct(col("l_partkey")).as("n_parts"),
+      countDistinct(col("l_suppkey")).as("n_supps"),
+      countDistinct(col("l_orderkey")).as("n_orders"))
+  }
+
+  val qDistinctSql: String =
+    """SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+      | COUNT(DISTINCT l_suppkey) AS n_supps,
+      | COUNT(DISTINCT l_orderkey) AS n_orders
+      |FROM lineitem""".stripMargin
+
+  /** B10b — approx distinct via HLL++ (estimate; rows-only check). At 100 TB
+    * this replaces exact distinct wherever a ±2% answer is acceptable: no
+    * shuffle of raw keys, constant-size sketches merge map-side. */
+  def qApproxDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = Tables.load(spark, sfDir, "lineitem")
+    l.agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+      approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+  }
+
+  /** B11 — skew-resistant fact⋈fact join + agg. AQE (on by default) splits
+    * oversized shuffle partitions at runtime; no manual salting needed unless a
+    * single key dominates — see GraftConf for the skewJoin thresholds. */
+  def qSkewJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.load(spark, sfDir, "orders")
+    val l = Tables.load(spark, sfDir, "lineitem")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(dec2(col("l_extendedprice"))).cast("double").as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val qSkewJoinSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_rows,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** All relational queries + oracles, keyed per SURVEY §2B. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "q3_shipping_priority" -> (q3ShippingPriority _),
+    "q5_local_supplier" -> (q5LocalSupplier _),
+    "q_filter_pushdown" -> (qFilterPushdown _),
+    "q_topn_window" -> (qTopnWindow _),
+    "q_rollup" -> (qRollup _),
+    "q_events_window" -> (qEventsWindow _),
+    "q_events_sessionize" -> (qEventsSessionize _),
+    "q_anti_join" -> (qAntiJoin _),
+    "q_distinct" -> (qDistinct _),
+    "q_approx_distinct" -> (qApproxDistinct _),
+    "q_skew_join" -> (qSkewJoin _))
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" -> q1Sql,
+    "q3_shipping_priority" -> q3Sql,
+    "q5_local_supplier" -> q5Sql,
+    "q_filter_pushdown" -> qFilterPushdownSql,
+    "q_topn_window" -> qTopnWindowSql,
+    "q_rollup" -> qRollupSql,
+    "q_events_window" -> qEventsWindowSql,
+    "q_events_sessionize" -> qEventsSessionizeSql,
+    "q_anti_join" -> qAntiJoinSql,
+    "q_distinct" -> qDistinctSql,
+    "q_skew_join" -> qSkewJoinSql)
+}
