@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Pmr, Relational}
+import graft.operators.{Dedup, Multimodal, Pmr, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator inventory.
   * Every implemented operator has a `queries` entry; SQL-expressible ones also
@@ -15,10 +15,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Pmr.queries
+    Relational.queries ++ Pmr.queries ++ TextAnalysis.queries ++
+      Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
+      graft.streaming.Streams.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Pmr.oracles
+    Relational.oracles ++ Pmr.oracles ++ TextAnalysis.oracles ++
+      Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
+      graft.streaming.Streams.oracles
 }

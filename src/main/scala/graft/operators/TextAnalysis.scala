@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text analysis for training-data pipelines (SURVEY §2 C8-C11) over the
+  * `documents` table. All ops are pure `functions._` column pipelines — they
+  * stay inside whole-stage codegen, shuffle nothing (per-row transforms), and
+  * scale linearly with input splits.
+  *
+  * Cross-engine determinism: counts are exact integers; every ratio is a
+  * division of two exact integers (integer/integer promotes to double
+  * identically in Spark and DuckDB); regex patterns are restricted to syntax
+  * with identical semantics in Java regex and RE2.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count without split(): `len - len(sans-spaces) + 1` is
+    * exact and engine-portable. */
+  private def wsTokens(c: Column): Column =
+    (length(c) - length(regexp_replace(c, " ", "")) + lit(1)).as("ws_tokens")
+
+  private val BpePattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+  /** Stopword dictionaries for the language-ID heuristic. */
+  private val EnStops = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+  private val EsStops = Seq("el", "la", "de", "que", "y", "en", "un", "se", "no", "es")
+  private val DeStops = Seq("der", "die", "und", "den", "von", "zu", "das", "mit", "ist")
+  private val FrStops = Seq("le", "la", "de", "et", "un", "il", "ne", "je", "est", "que")
+
+  private def stopHits(c: Column, words: Seq[String]): Column =
+    size(filter(split(c, " "), t => t.isin(words.map(lit(_)): _*)))
+
+  private def stopHitsSql(words: Seq[String]): String =
+    s"len(list_filter(string_split(text, ' '), t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
+
+  /** C10 — token counting: raw chars, whitespace tokens, and a BPE-ish regex
+    * token count (letters runs / single digits / single punctuation — the
+    * GPT-2-style pre-tokenizer shape). */
+  def textTokens(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.load(spark, sfDir, "documents")
+    d.select(col("doc_id"), length(col("text")).as("n_chars_calc"),
+        wsTokens(col("text")),
+        size(regexp_extract_all(col("text"), lit(BpePattern), lit(0))).as("bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textTokensSql: String =
+    s"""SELECT doc_id, length(text) AS n_chars_calc,
+       | length(text) - length(regexp_replace(text, ' ', '', 'g')) + 1 AS ws_tokens,
+       | len(regexp_extract_all(text, '$BpePattern')) AS bpe_tokens
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** C9 — quality scoring: length/punctuation/stopword signals combined into a
+    * deterministic [0,1] score (all ratios are int/int → identical doubles). */
+  def textQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.load(spark, sfDir, "documents")
+    val nTok = length(col("text")) - length(regexp_replace(col("text"), " ", "")) + lit(1)
+    val nPunct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9 ]"), lit(0)))
+    val nStop = stopHits(col("text"), EnStops)
+    val base = d.select(col("doc_id"),
+      length(col("text")).as("n_chars_calc"), nTok.as("ws_tokens"),
+      nPunct.as("n_punct"), nStop.as("n_stopwords"))
+    base.select(col("doc_id"), col("n_chars_calc"), col("ws_tokens"),
+        (col("n_punct") / col("n_chars_calc")).as("punct_ratio"),
+        (col("n_stopwords") / col("ws_tokens")).as("stopword_ratio"),
+        (least(col("ws_tokens"), lit(200)) / lit(200)
+          - col("n_punct") / col("n_chars_calc")).as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textQualitySql: String =
+    s"""SELECT doc_id, n_chars_calc, ws_tokens,
+       | n_punct / n_chars_calc AS punct_ratio,
+       | n_stopwords / ws_tokens AS stopword_ratio,
+       | least(ws_tokens, 200) / 200 - n_punct / n_chars_calc AS quality_score
+       |FROM (
+       | SELECT doc_id, length(text) AS n_chars_calc,
+       |  length(text) - length(regexp_replace(text, ' ', '', 'g')) + 1 AS ws_tokens,
+       |  len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS n_punct,
+       |  ${stopHitsSql(EnStops)} AS n_stopwords
+       | FROM documents) t
+       |ORDER BY doc_id""".stripMargin
+
+  /** C8 — language-ID heuristic: stopword-dictionary votes + a CJK character
+    * probe; deterministic tie-break en > es > de > fr > und. */
+  def textLangid(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.load(spark, sfDir, "documents")
+    val scored = d.select(col("doc_id"),
+      stopHits(col("text"), EnStops).as("en_score"),
+      stopHits(col("text"), EsStops).as("es_score"),
+      stopHits(col("text"), DeStops).as("de_score"),
+      stopHits(col("text"), FrStops).as("fr_score"),
+      size(regexp_extract_all(col("text"), lit("[\\x{4e00}-\\x{9fff}]"), lit(0)))
+        .as("cjk_chars"))
+    scored.select(col("doc_id"),
+        when(col("cjk_chars") > 0, "zh")
+          .when(col("en_score") === 0 && col("es_score") === 0 &&
+            col("de_score") === 0 && col("fr_score") === 0, "und")
+          .when(col("en_score") >= col("es_score") &&
+            col("en_score") >= col("de_score") &&
+            col("en_score") >= col("fr_score"), "en")
+          .when(col("es_score") >= col("de_score") &&
+            col("es_score") >= col("fr_score"), "es")
+          .when(col("de_score") >= col("fr_score"), "de")
+          .otherwise("fr").as("predicted_lang"),
+        col("en_score"), col("es_score"), col("de_score"), col("fr_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textLangidSql: String =
+    s"""SELECT doc_id,
+       | CASE WHEN cjk_chars > 0 THEN 'zh'
+       |  WHEN en_score = 0 AND es_score = 0 AND de_score = 0 AND fr_score = 0 THEN 'und'
+       |  WHEN en_score >= es_score AND en_score >= de_score AND en_score >= fr_score THEN 'en'
+       |  WHEN es_score >= de_score AND es_score >= fr_score THEN 'es'
+       |  WHEN de_score >= fr_score THEN 'de'
+       |  ELSE 'fr' END AS predicted_lang,
+       | en_score, es_score, de_score, fr_score
+       |FROM (
+       | SELECT doc_id,
+       |  ${stopHitsSql(EnStops)} AS en_score,
+       |  ${stopHitsSql(EsStops)} AS es_score,
+       |  ${stopHitsSql(DeStops)} AS de_score,
+       |  ${stopHitsSql(FrStops)} AS fr_score,
+       |  len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS cjk_chars
+       | FROM documents) t
+       |ORDER BY doc_id""".stripMargin
+
+  /** C11 — document fingerprinting: an order-sensitive polynomial rolling hash
+    * over tokens (xxhash64 per token folded with a 31-multiplier). Rows-only:
+    * the exact constant isn't SQL-portable, but it is stable across runs —
+    * DedupSpec pins known values. */
+  def textFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.load(spark, sfDir, "documents")
+    d.select(col("doc_id"),
+        aggregate(split(col("text"), " "), lit(0L),
+          (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), lit(1000000007L)),
+            lit(1000000007L))).as("fingerprint"),
+        wsTokens(col("text")))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tokens" -> (textTokens _),
+    "text_quality" -> (textQuality _),
+    "text_langid" -> (textLangid _),
+    "text_fingerprint" -> (textFingerprint _))
+
+  val oracles: Map[String, String] = Map(
+    "text_tokens" -> textTokensSql,
+    "text_quality" -> textQualitySql,
+    "text_langid" -> textLangidSql)
+}

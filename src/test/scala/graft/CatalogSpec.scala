@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.edfs.{GraftCatalog, HashPartition, RangePartition, BucketedHashPartition}
+
+class CatalogSpec extends SparkSpec {
+
+  private def freshCatalog(name: String): GraftCatalog = {
+    val root = s"/root/repo/target/test_edfs/$name"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    new GraftCatalog(spark, root)
+  }
+
+  test("mkdir/ls/rm namespace semantics") {
+    val cat = freshCatalog("ns")
+    assert(cat.mkdir("a/b/c"))
+    val names = cat.ls("a").collect().map(_.getString(0)).toSeq
+    assert(names == Seq("b"))
+    // rm refuses non-empty dir without recursive (reference rm behavior)
+    assert(!cat.rm("a"))
+    assert(cat.rm("a/b/c"))
+    assert(cat.rm("a", recursive = true))
+  }
+
+  test("hash-partitioned put/cat round trip is lossless") {
+    val cat = freshCatalog("roundtrip")
+    val src = Tables.load(spark, sfDir, "customer")
+    cat.put(src, "t", HashPartition("c_nationkey"))
+    val back = cat.cat("t")
+    assert(back.count() == src.count())
+    assert(back.select(sum("c_custkey")).head().getLong(0) ==
+      src.select(sum("c_custkey")).head().getLong(0))
+  }
+
+  test("readPartition prunes to the single matching directory") {
+    val cat = freshCatalog("prune")
+    cat.put(Tables.load(spark, sfDir, "customer"), "t", HashPartition("c_nationkey"))
+    val part = cat.readPartition("t", "c_nationkey", 3)
+    assert(part.select("c_nationkey").distinct().collect().map(_.get(0)).toSeq == Seq(3))
+    // partition pruning must show up in the physical plan
+    val plan = part.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("c_nationkey"),
+      s"expected partition filters in plan:\n$plan")
+  }
+
+  test("range partitioning buckets cover all rows and bound each bucket") {
+    val cat = freshCatalog("range")
+    val src = Tables.load(spark, sfDir, "orders")
+    cat.put(src, "t", RangePartition("o_totalprice", 8))
+    assert(cat.cat("t").count() == src.count())
+    val nParts = cat.partitionLocations("t").count()
+    assert(nParts >= 1 && nParts <= 8, s"got $nParts range buckets")
+  }
+
+  test("bucketed hash partitioning bounds fan-out for high-cardinality keys") {
+    val cat = freshCatalog("bucketed")
+    val src = Tables.load(spark, sfDir, "orders")
+    cat.put(src, "t", BucketedHashPartition("o_orderkey", 16))
+    assert(cat.partitionLocations("t").count() <= 16)
+    assert(cat.cat("t").count() == src.count())
+    // internal bucket column must not leak into user data
+    assert(!cat.cat("t").columns.exists(_.startsWith("__graft")))
+  }
+}

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+class OperatorsSpec extends SparkSpec {
+
+  test("q1 aggregates group on the (returnflag, linestatus) domain") {
+    val rows = Relational.q1PricingSummary(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 6)
+    assert(rows.forall(r => r.getLong(r.fieldIndex("count_order")) > 0))
+  }
+
+  test("topn window never exceeds 3 per segment") {
+    val df = Relational.qTopnWindow(spark, sfDir)
+    val maxPerSeg = df.groupBy("c_mktsegment").count().agg(max("count")).head().getLong(0)
+    assert(maxPerSeg <= 3)
+  }
+
+  test("pmr avg equals direct computation and pruned avg only sees one partition") {
+    val avg = Pmr.pmrAvg(spark, sfDir).head()
+    val direct = Tables.load(spark, sfDir, "customer")
+      .agg(sum(col("c_acctbal").cast("decimal(12,2)")).cast("double") / count(lit(1)))
+      .head().getDouble(0)
+    assert(avg.getDouble(0) == direct)
+    val pruned = Pmr.pmrAvgPruned(spark, sfDir).head()
+    assert(pruned.getLong(1) < avg.getLong(1))
+  }
+
+  test("exact dedup keeps one representative per distinct text") {
+    val d = Tables.load(spark, sfDir, "documents")
+    val nDistinct = d.select("text").distinct().count()
+    assert(Dedup.dedupExact(spark, sfDir).count() == nDistinct)
+  }
+
+  test("minhash emits one decision row per doc; flagged dups cite a lower id") {
+    val out = Dedup.dedupMinhash(spark, sfDir).collect()
+    assert(out.length == Tables.load(spark, sfDir, "documents").count())
+    out.filter(_.getBoolean(3)).foreach { r =>
+      assert(r.getLong(1) < r.getLong(0), s"dup_of must be a lower id: $r")
+      assert(r.getDouble(2) >= 0.5)
+    }
+  }
+
+  test("simhash signatures are deterministic and near-pairs have small hamming") {
+    val a = Dedup.dedupSimhash(spark, sfDir).collect()
+    val b = Dedup.dedupSimhash(spark, sfDir).collect()
+    assert(a.map(_.getLong(1)).toSeq == b.map(_.getLong(1)).toSeq)
+  }
+
+  test("jaccard verify ranks exact similarity over minhash candidates") {
+    val pairs = Dedup.dedupJaccard(spark, sfDir).collect()
+    assert(pairs.nonEmpty)
+    val js = pairs.map(_.getDouble(2))
+    assert(js.forall(j => j >= 0.0 && j <= 1.0))
+    assert(js.sameElements(js.sortBy(-_: Double)), "pairs must be sorted by jaccard desc")
+  }
+
+  test("brute-force topk returns 10 ranked neighbors with valid cosines") {
+    val top = Similarity.simTopk(spark, sfDir).collect()
+    assert(top.length == 10)
+    val sims = top.map(_.getDouble(1))
+    assert(sims.forall(s => s >= -1.0 && s <= 1.0))
+    assert(sims.sameElements(sims.sortBy(-_: Double)))
+  }
+
+  test("ANN sims agree with brute force for shared ids (bucketing only filters)") {
+    val brute = Similarity.simTopk(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ann = Similarity.simAnn(spark, sfDir).collect()
+    assert(ann.nonEmpty)
+    ann.foreach { r =>
+      val id = r.getLong(0)
+      if (brute.contains(id)) assert(brute(id) == r.getDouble(2))
+    }
+  }
+
+  test("text metrics are internally consistent") {
+    val t = TextAnalysis.textTokens(spark, sfDir).collect()
+    t.foreach { r =>
+      assert(r.getInt(2) >= 1) // ws_tokens
+      assert(r.getInt(3) >= r.getInt(2) - 1) // bpe tokens at least token runs
+    }
+    val q = TextAnalysis.textQuality(spark, sfDir).collect()
+    q.foreach { r =>
+      assert(r.getDouble(3) >= 0 && r.getDouble(3) <= 1) // punct_ratio
+      assert(r.getDouble(5) <= 1.0) // quality_score
+    }
+    val langs = TextAnalysis.textLangid(spark, sfDir)
+      .select("predicted_lang").distinct().collect().map(_.getString(0)).toSet
+    assert(langs.subsetOf(Set("en", "es", "de", "fr", "zh", "und")))
+  }
+
+  test("fingerprints are stable across runs and within modulus") {
+    val a = TextAnalysis.textFingerprint(spark, sfDir).collect()
+    val b = TextAnalysis.textFingerprint(spark, sfDir).collect()
+    assert(a.map(_.getLong(1)).toSeq == b.map(_.getLong(1)).toSeq)
+    assert(a.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 1000000007L))
+  }
+
+  test("multimodal pipeline decodes deterministically with faithful byte lengths") {
+    val out = Multimodal.mmPipeline(spark, sfDir)
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id").as("media_id"), length(col("text")).as("n"))
+    val joined = out.join(docs, "media_id")
+    assert(joined.filter(col("byte_len") =!= col("n")).count() == 0)
+    val twice = Multimodal.mmPipeline(spark, sfDir).collect()
+    assert(twice.sameElements(Multimodal.mmPipeline(spark, sfDir).collect()))
+  }
+}
