@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session tuning for graft workloads — the knobs that matter at 100 TB,
+  * applied consistently by Verify/Bench/tests. Values are cluster-relative:
+  * `shufflePartitions` should be ~2-3× total executor cores in production (the
+  * local harness passes the core count).
+  */
+object GraftConf {
+
+  /** Apply graft defaults to a session builder. AQE stays ON (runtime
+    * coalescing + skew-join splitting are the first line of defense against
+    * skew at scale); broadcast threshold is left at Spark's default — the
+    * explicit `broadcast()` hints in operators mark the joins we KNOW are
+    * dim-sized, which survives stale statistics. */
+  def apply(b: SparkSession.Builder, shufflePartitions: String): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.sql.parquet.aggregatePushdown", "true")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+}

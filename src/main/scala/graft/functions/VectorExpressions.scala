@@ -1,0 +1,113 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.call_function
+
+/** Native Catalyst expression for cosine similarity over `array<double>`.
+  *
+  * Why a custom Expression (SURVEY §3 preference (b)): the composed form —
+  * `aggregate(zip_with(a,b,*)) / (sqrt(aggregate(...)) * sqrt(aggregate(...)))`
+  * — walks both arrays three times through higher-order-function closures and
+  * allocates an intermediate product array. This expression makes ONE fused
+  * pass with primitive accumulators, participates in whole-stage codegen via
+  * `doGenCode`, and keeps the exact left-to-right fold order, so results are
+  * bit-identical to the composed form (and to the DuckDB list_reduce oracle).
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"graft_cosine expects (array<double>, array<double>), got ($l, $r)")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getDouble(i); val yi = y.getDouble(i)
+      dot += xi * yi; nx += xi * xi; ny += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final double $xi = $a.getDouble($i);
+         |  final double $yi = $b.getDouble($i);
+         |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+    newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registration for graft's native functions — both via SparkSessionExtensions
+  * (`spark.sql.extensions=graft.functions.GraftExtensions`) and imperatively
+  * for sessions built without the config. */
+object GraftFunctions {
+
+  val cosineInfo = new ExpressionInfo(
+    classOf[CosineSimilarity].getName, "graft_cosine")
+
+  private val cosineBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => CosineSimilarity(a, b)
+    case other => throw new IllegalArgumentException(
+      s"graft_cosine expects 2 arguments, got ${other.size}")
+  }
+
+  /** Idempotently register into an existing session (works regardless of how
+    * the session was built — e.g. a driver-owned session without extensions). */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    val id = FunctionIdentifier("graft_cosine")
+    if (!registry.functionExists(id)) {
+      registry.registerFunction(id, cosineInfo, cosineBuilder)
+    }
+  }
+
+  /** Column-API entry point: `cosine(a, b)`. */
+  def cosine(spark: SparkSession, a: Column, b: Column): Column = {
+    ensureRegistered(spark)
+    call_function("graft_cosine", a, b)
+  }
+}
+
+/** Extensions entry point: `--conf spark.sql.extensions=graft.functions.GraftExtensions`. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("graft_cosine"),
+      GraftFunctions.cosineInfo,
+      { case Seq(a, b) => CosineSimilarity(a, b) }: Seq[Expression] => Expression))
+  }
+}

@@ -252,13 +252,11 @@ object Dedup {
     val bucket = planes.zipWithIndex.map { case (p, i) =>
       when(dot(col("v"), p) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
-    val sigs = e.select(col("vec_id"), col("v"), bucket.as("bucket"),
-      norm.as("nrm")).cache()
+    val sigs = e.select(col("vec_id"), col("v"), bucket.as("bucket")).cache()
     val pairs = sigs.as("x").join(sigs.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
       .withColumn("cosine",
-        aggregate(zip_with(col("x.v"), col("y.v"), (a, b) => a * b), lit(0.0),
-          (acc, z) => acc + z) / (col("x.nrm") * col("y.nrm")))
+        graft.functions.GraftFunctions.cosine(spark, col("x.v"), col("y.v")))
       .filter(col("cosine") >= 0.45)
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"), col("cosine"))
     val dupOf = pairs.groupBy(col("vec_b").as("vec_id"))

@@ -31,12 +31,11 @@ object Similarity {
   def simTopk(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.load(spark, sfDir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val probe = e.filter(col("vec_id") === 0)
-      .select(col("v").as("p"), norm(col("v")).as("pn"))
+    val probe = e.filter(col("vec_id") === 0).select(col("v").as("p"))
     e.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(probe))
       .select(col("vec_id"),
-        (dotSeq(col("v"), col("p")) / (norm(col("v")) * col("pn"))).as("sim"))
+        graft.functions.GraftFunctions.cosine(spark, col("v"), col("p")).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(10)
       .select(col("vec_id"), round(col("sim"), 6).as("sim_r"))
@@ -73,13 +72,13 @@ object Similarity {
     }.reduce(_ + _)
     val withBucket = e.select(col("vec_id"), col("v"), bucket.as("bucket"))
     val probe = withBucket.filter(col("vec_id") === 0)
-      .select(col("v").as("p"), norm(col("v")).as("pn"), col("bucket").as("pbucket"))
+      .select(col("v").as("p"), col("bucket").as("pbucket"))
     val nearBuckets = udfFreeNeighborSet(col("pbucket"))
     withBucket.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(probe))
       .filter(array_contains(nearBuckets, col("bucket")))
       .select(col("vec_id"), col("bucket"),
-        (dotSeq(col("v"), col("p")) / (norm(col("v")) * col("pn"))).as("sim"))
+        graft.functions.GraftFunctions.cosine(spark, col("v"), col("p")).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(10)
       .select(col("vec_id"), col("bucket"), round(col("sim"), 6).as("sim_r"))

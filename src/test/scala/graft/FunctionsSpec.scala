@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+class FunctionsSpec extends SparkSpec {
+
+  test("graft_cosine matches the composed column form bit-for-bit") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)),
+      (Array(0.5, -1.0, 2.5), Array(-0.5, 1.0, -2.5)),
+      (Array(1.0, 0.0), Array(0.0, 1.0))
+    ).toDF("a", "b")
+    val composed = df.select(
+      (aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0.0), (s, z) => s + z) /
+        (sqrt(aggregate(transform(col("a"), x => x * x), lit(0.0), (s, z) => s + z)) *
+          sqrt(aggregate(transform(col("b"), x => x * x), lit(0.0), (s, z) => s + z))))
+        .as("c")).collect().map(_.getDouble(0))
+    val native = df.select(GraftFunctions.cosine(spark, col("a"), col("b")).as("c"))
+      .collect().map(_.getDouble(0))
+    assert(native.toSeq == composed.toSeq)
+    assert(math.abs(native(2)) < 1e-15) // orthogonal vectors
+  }
+
+  test("graft_cosine is callable from SQL after registration") {
+    import spark.implicits._
+    GraftFunctions.ensureRegistered(spark)
+    Seq((Array(1.0, 0.0), Array(1.0, 0.0))).toDF("a", "b").createOrReplaceTempView("vecs")
+    val r = spark.sql("SELECT graft_cosine(a, b) AS c FROM vecs").head().getDouble(0)
+    assert(r == 1.0)
+  }
+
+  test("graft_cosine propagates nulls and rejects wrong types at analysis") {
+    import spark.implicits._
+    GraftFunctions.ensureRegistered(spark)
+    val withNull = Seq((Some(Array(1.0, 2.0)), Option.empty[Array[Double]]))
+      .toDF("a", "b")
+      .select(GraftFunctions.cosine(spark, col("a"), col("b")).as("c"))
+    assert(withNull.head().isNullAt(0))
+    Seq(("x", 1)).toDF("a", "b").createOrReplaceTempView("bad_vecs")
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_cosine(a, b) FROM bad_vecs").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("cosine") ||
+      err.getMessage.toLowerCase.contains("data type"))
+  }
+}
