@@ -324,6 +324,45 @@ object Relational {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** B12 — semi-structured JSON props on events: extract + aggregate. The
+    * extraction is a codegen'd path expression (get_json_object), not a UDF;
+    * at scale pair it with a columnarized props table for hot keys. */
+  def qEventsProps(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.load(spark, sfDir, "events")
+    e.select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_with_k"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+  }
+
+  val qEventsPropsSql: String =
+    """SELECT event_type, COUNT(k) AS n_with_k, SUM(k) AS sum_k,
+      | MIN(k) AS min_k, MAX(k) AS max_k
+      |FROM (SELECT event_type,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events) t
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** B13 — exact percentiles (R-7 interpolation) per group, rounded to absorb
+    * engine-specific interpolation arithmetic order. */
+  def qPercentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = Tables.load(spark, sfDir, "lineitem")
+    l.groupBy(col("l_returnflag"))
+      .agg(round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val qPercentilesSql: String =
+    """SELECT l_returnflag,
+      | ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+      | ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+      | ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** All relational queries + oracles, keyed per SURVEY §2B. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
@@ -337,7 +376,9 @@ object Relational {
     "q_anti_join" -> (qAntiJoin _),
     "q_distinct" -> (qDistinct _),
     "q_approx_distinct" -> (qApproxDistinct _),
-    "q_skew_join" -> (qSkewJoin _))
+    "q_skew_join" -> (qSkewJoin _),
+    "q_events_props" -> (qEventsProps _),
+    "q_percentiles" -> (qPercentiles _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -350,5 +391,7 @@ object Relational {
     "q_events_sessionize" -> qEventsSessionizeSql,
     "q_anti_join" -> qAntiJoinSql,
     "q_distinct" -> qDistinctSql,
-    "q_skew_join" -> qSkewJoinSql)
+    "q_skew_join" -> qSkewJoinSql,
+    "q_events_props" -> qEventsPropsSql,
+    "q_percentiles" -> qPercentilesSql)
 }
