@@ -84,7 +84,10 @@ class GraftCatalog(spark: SparkSession, root: String) {
   private def isTable(path: String): Boolean = fs.exists(new Path(abs(path), "_SUCCESS"))
 
   /** put — ingest a DataFrame as a partitioned parquet table. The partition
-    * column layout gives readPartition/pruned-PMR their pruning for free. */
+    * column layout gives readPartition/pruned-PMR their pruning for free.
+    * A `_graft.json` sidecar records schema + scheme + permissions — the
+    * namenode-metadata analog (reference keeps these in the Namenode table /
+    * Firebase inodes). */
   def put(df: DataFrame, path: String, scheme: PartitionScheme): Unit = {
     val target = abs(path).toString
     scheme match {
@@ -108,10 +111,58 @@ class GraftCatalog(spark: SparkSession, root: String) {
         df.withColumn(BucketCol, bucket.cast("int"))
           .write.mode("overwrite").partitionBy(BucketCol).parquet(target)
     }
+    // after the data write: overwrite mode clears the directory first
+    writeMeta(path, df, scheme)
   }
 
   /** Does a written table already exist (committed)? */
   def exists(path: String): Boolean = isTable(path)
+
+  private val MetaFile = "_graft.json"
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+
+  private def writeMeta(path: String, df: DataFrame, scheme: PartitionScheme): Unit = {
+    val (kind, column, buckets) = scheme match {
+      case Unpartitioned => ("none", "", 0)
+      case HashPartition(c) => ("hash", c, 0)
+      case BucketedHashPartition(c, n) => ("bucketed_hash", c, n)
+      case RangePartition(c, n) => ("range", c, n)
+    }
+    val json =
+      s"""{"schema": ${df.schema.json},
+         | "scheme": {"kind": ${jsonStr(kind)}, "column": ${jsonStr(column)}, "buckets": $buckets},
+         | "permission": "644",
+         | "format": "parquet"}""".stripMargin
+    val p = new Path(abs(path), MetaFile)
+    fs.mkdirs(abs(path))
+    val out = fs.create(p, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** describe — the table's catalog metadata as (key, value) rows: the ls -l /
+    * namenode-inode view of a table. */
+  def describe(path: String): DataFrame = {
+    val p = new Path(abs(path), MetaFile)
+    val raw = if (fs.exists(p)) {
+      val in = fs.open(p)
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+    } else "{}"
+    val kind = "\"kind\": \"([^\"]*)\"".r.findFirstMatchIn(raw).map(_.group(1)).getOrElse("?")
+    val column = "\"column\": \"([^\"]*)\"".r.findFirstMatchIn(raw).map(_.group(1)).getOrElse("")
+    val rows = Seq(
+      Row("path", path), Row("scheme", kind), Row("partition_column", column),
+      Row("committed", isTable(path).toString),
+      Row("num_partitions", partitionLocations(path).count().toString))
+    val schema = StructType(Seq(
+      StructField("key", StringType), StructField("value", StringType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
 
   /** cat — reassemble the full table. Partition discovery merges all partition
     * directories; original row order is the caller's to restore via a sort key

@@ -53,6 +53,16 @@ class CatalogSpec extends SparkSpec {
     assert(nParts >= 1 && nParts <= 8, s"got $nParts range buckets")
   }
 
+  test("describe exposes the metadata sidecar of a written table") {
+    val cat = freshCatalog("meta")
+    cat.put(Tables.load(spark, sfDir, "customer"), "t", HashPartition("c_nationkey"))
+    val kv = cat.describe("t").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(kv("scheme") == "hash")
+    assert(kv("partition_column") == "c_nationkey")
+    assert(kv("committed") == "true")
+    assert(kv("num_partitions").toInt > 1)
+  }
+
   test("bucketed hash partitioning bounds fan-out for high-cardinality keys") {
     val cat = freshCatalog("bucketed")
     val src = Tables.load(spark, sfDir, "orders")
