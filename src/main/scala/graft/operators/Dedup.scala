@@ -120,17 +120,23 @@ object Dedup {
     * signature agreement over band-collision candidates; a doc is a duplicate
     * if a lower-id candidate matches at ≥ 0.5. Emits one row per doc (500 at
     * sf0.01) so the result shape is stable even on a dup-free corpus. */
-  def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Candidate pairs with their signature-estimated Jaccard at/above τ —
+    * the shared "near-dup edge set" of C2 and C5b. */
+  private def nearDupEdges(spark: SparkSession, sfDir: String, tau: Double): DataFrame = {
     val sigs = withSig(spark, sfDir)
-    val cands = bandCandidates(sigs)
-    val est = cands
+    bandCandidates(sigs)
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       .withColumn("est_jaccard",
         aggregate(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => when(x === y, 1).otherwise(0)), lit(0),
           (acc, v) => acc + v).cast("double") / lit(NumHashes))
-      .filter(col("est_jaccard") >= 0.5)
+      .filter(col("est_jaccard") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+  }
+
+  def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val est = nearDupEdges(spark, sfDir, 0.5)
     val dupOf = est.groupBy(col("doc_b").as("doc_id"))
       .agg(min(col("doc_a")).as("dup_of"), max(col("est_jaccard")).as("max_est_jaccard"))
     Tables.load(spark, sfDir, "documents").select(col("doc_id"))
@@ -138,6 +144,34 @@ object Dedup {
       .select(col("doc_id"), col("dup_of"),
         coalesce(col("max_est_jaccard"), lit(0.0)).as("max_est_jaccard"),
         col("dup_of").isNotNull.as("is_duplicate"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** C5b — near-dup cluster extraction: connected components of the near-dup
+    * edge graph via min-label propagation, so every document maps to the
+    * smallest doc_id in its cluster (the canonical "which copy do we keep").
+    * Each round is one join + one aggregate; `localCheckpoint` cuts the
+    * iterative lineage so plans stay flat. Near-dup components are shallow in
+    * practice (duplicates of duplicates), so a fixed round count converges;
+    * DedupSpec asserts the fixpoint (every edge's endpoints share a label). */
+  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents").select(col("doc_id"))
+    val est = nearDupEdges(spark, sfDir, 0.5)
+    val edges = est.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(est.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
+    for (_ <- 1 to 6) {
+      val msgs = edges
+        .join(labels.withColumnRenamed("doc_id", "src"), "src")
+        .select(col("dst").as("doc_id"), col("label"))
+      labels = labels.union(msgs)
+        .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+    }
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("doc_id"), col("label").as("cluster_rep"), col("cluster_size"))
       .orderBy(col("doc_id"))
   }
 
@@ -272,6 +306,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash" -> (dedupMinhash _),
+    "dedup_clusters" -> (dedupClusters _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_jaccard" -> (dedupJaccard _),
     "dedup_embedding" -> (dedupEmbedding _))

@@ -89,9 +89,50 @@ object Similarity {
   private def udfFreeNeighborSet(pbucket: Column): Column =
     array(pbucket +: (0 until 8).map(i => pbucket.bitwiseXOR(lit(1 << i))): _*)
 
+  /** C7b — IVF ANN: coarse quantization by nearest-centroid assignment, probe
+    * searches the `nProbe` closest inverted lists. Centroids here are a
+    * deterministic seed sample (vec_id < 16 — in production, k-means trained
+    * offline and broadcast, exactly as this broadcasts the centroid table).
+    * At 100 TB the centroid id doubles as the storage partition key, so a
+    * probe reads nProbe/K of the corpus. */
+  def simIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = 16
+    val nProbe = 4
+    val e = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val centroids = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    // assign: nearest centroid per vector (K small → broadcast + per-row argmax)
+    val byVec = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
+    val assigned = e.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("v"), col("cid"),
+        graft.functions.GraftFunctions.cosine(spark, col("v"), col("cv")).as("csim"))
+      .withColumn("rk", row_number().over(byVec))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("v"), col("cid"))
+    // probe: the query vector's nProbe closest centroids
+    val probeVec = e.filter(col("vec_id") === 0).select(col("v").as("p"))
+    val probeLists = centroids.crossJoin(broadcast(probeVec))
+      .select(col("cid"),
+        graft.functions.GraftFunctions.cosine(spark, col("cv"), col("p")).as("csim"))
+      .orderBy(col("csim").desc, col("cid"))
+      .limit(nProbe)
+      .select(col("cid"))
+    assigned.join(broadcast(probeLists), "cid")
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probeVec))
+      .select(col("vec_id"), col("cid"),
+        graft.functions.GraftFunctions.cosine(spark, col("v"), col("p")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"), col("cid"), round(col("sim"), 6).as("sim_r"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk" -> (simTopk _),
-    "sim_ann" -> (simAnn _))
+    "sim_ann" -> (simAnn _),
+    "sim_ivf" -> (simIvf _))
 
   val oracles: Map[String, String] = Map(
     "sim_topk" -> simTopkSql)

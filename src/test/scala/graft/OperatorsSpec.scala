@@ -76,6 +76,32 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("cluster labels reach a fixpoint: every near-dup edge shares a label") {
+    val labels = Dedup.dedupClusters(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // labels are canonical: rep <= member, rep maps to itself
+    labels.foreach { case (doc, rep) =>
+      assert(rep <= doc)
+      assert(labels(rep) == rep, s"rep $rep of $doc must be its own rep")
+    }
+    // flagged minhash duplicates must share their partner's cluster
+    Dedup.dedupMinhash(spark, sfDir).collect().filter(_.getBoolean(3)).foreach { r =>
+      assert(labels(r.getLong(0)) == labels(r.getLong(1)),
+        s"doc ${r.getLong(0)} and dup_of ${r.getLong(1)} in different clusters")
+    }
+  }
+
+  test("IVF ANN returns ranked neighbors whose sims match brute force") {
+    val brute = Similarity.simTopk(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ivf = Similarity.simIvf(spark, sfDir).collect()
+    assert(ivf.nonEmpty && ivf.length <= 10)
+    ivf.foreach { r =>
+      if (brute.contains(r.getLong(0)))
+        assert(brute(r.getLong(0)) == r.getDouble(2))
+    }
+  }
+
   test("text metrics are internally consistent") {
     val t = TextAnalysis.textTokens(spark, sfDir).collect()
     t.foreach { r =>
