@@ -161,13 +161,23 @@ object Dedup {
       .union(est.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
     var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
-    for (_ <- 1 to 6) {
+    // Min-label propagation strictly decreases sum(label) until the fixpoint,
+    // so an unchanged sum is an exact convergence test (one cheap agg per
+    // round); the round cap only bounds pathological chain-shaped components.
+    var prevSum = -1L
+    var converged = false
+    var round = 0
+    while (!converged && round < 10) {
       val msgs = edges
         .join(labels.withColumnRenamed("doc_id", "src"), "src")
         .select(col("dst").as("doc_id"), col("label"))
       labels = labels.union(msgs)
         .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
         .localCheckpoint()
+      val s = labels.agg(sum(col("label"))).head().getLong(0)
+      converged = s == prevSum
+      prevSum = s
+      round += 1
     }
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "label")
