@@ -164,12 +164,32 @@ class GraftCatalog(spark: SparkSession, root: String) {
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 
+  private val IndexCol = "__graft_index"
+
+  /** putCsv — ingest a CSV file (the reference's actual put input,
+    * combined_flask.py:324: header row, schema inference) with an ingest-order
+    * index column, so `catOrdered` can reproduce the original file order the
+    * way the reference's `index` column does (:313). */
+  def putCsv(csvPath: String, path: String, scheme: PartitionScheme): Unit = {
+    val df = spark.read
+      .option("header", "true").option("inferSchema", "true")
+      .csv(csvPath)
+      .withColumn(IndexCol, org.apache.spark.sql.functions.monotonically_increasing_id())
+    put(df, path, scheme)
+  }
+
   /** cat — reassemble the full table. Partition discovery merges all partition
     * directories; original row order is the caller's to restore via a sort key
     * (the reference kept an explicit `index` column for the same reason). */
   def cat(path: String): DataFrame = {
     val df = spark.read.parquet(abs(path).toString)
     df.drop(BucketCol) // internal bucketing column is not user data
+  }
+
+  /** cat in original ingest order — for tables written via putCsv. */
+  def catOrdered(path: String): DataFrame = {
+    val df = spark.read.parquet(abs(path).toString)
+    df.orderBy(col(IndexCol)).drop(BucketCol, IndexCol)
   }
 
   /** readPartition — read ONE partition. Expressed as a filter on the partition

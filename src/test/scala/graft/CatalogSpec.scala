@@ -53,6 +53,21 @@ class CatalogSpec extends SparkSpec {
     assert(nParts >= 1 && nParts <= 8, s"got $nParts range buckets")
   }
 
+  test("putCsv ingests a headered CSV and catOrdered restores file order") {
+    val cat = freshCatalog("csv")
+    val csvDir = "/root/repo/target/test_edfs/csv_src"
+    Tables.load(spark, sfDir, "region")
+      .orderBy("r_regionkey")
+      .coalesce(1)
+      .write.mode("overwrite").option("header", "true").csv(csvDir)
+    cat.putCsv(csvDir, "t", HashPartition("r_regionkey"))
+    val back = cat.catOrdered("t").collect()
+    assert(back.length == 5)
+    // ingest order restored despite hash-partitioned storage
+    assert(back.map(_.getAs[Any]("r_regionkey").toString.toInt).toSeq == Seq(0, 1, 2, 3, 4))
+    assert(!back.head.schema.fieldNames.exists(_.startsWith("__graft")))
+  }
+
   test("describe exposes the metadata sidecar of a written table") {
     val cat = freshCatalog("meta")
     cat.put(Tables.load(spark, sfDir, "customer"), "t", HashPartition("c_nationkey"))
