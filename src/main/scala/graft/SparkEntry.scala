@@ -17,12 +17,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Pmr.queries ++ TextAnalysis.queries ++
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
-      Joins.queries ++ graft.streaming.Streams.queries
+      Joins.queries ++ graft.sources.JsonBackend.queries ++
+      graft.streaming.Streams.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Pmr.oracles ++ TextAnalysis.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
-      Joins.oracles ++ graft.streaming.Streams.oracles
+      Joins.oracles ++ graft.sources.JsonBackend.oracles ++
+      graft.streaming.Streams.oracles
 }

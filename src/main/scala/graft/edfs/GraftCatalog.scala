@@ -36,7 +36,11 @@ case object Unpartitioned extends PartitionScheme
   * Reference anchors: mkdir combined_flask.py:85, ls :140, rm :214, cat :270,
   * put :324, getPartitionLocations :438, readPartition :492.
   */
-class GraftCatalog(spark: SparkSession, root: String) {
+class GraftCatalog(spark: SparkSession, root: String,
+  val format: String = "parquet") {
+
+  require(format == "parquet" || format == "json",
+    s"unsupported storage format: $format")
 
   private val BucketCol = "__graft_bucket"
 
@@ -92,12 +96,12 @@ class GraftCatalog(spark: SparkSession, root: String) {
     val target = abs(path).toString
     scheme match {
       case Unpartitioned =>
-        df.write.mode("overwrite").parquet(target)
+        df.write.mode("overwrite").format(format).save(target)
       case HashPartition(c) =>
-        df.write.mode("overwrite").partitionBy(c).parquet(target)
+        df.write.mode("overwrite").partitionBy(c).format(format).save(target)
       case BucketedHashPartition(c, n) =>
         df.withColumn(BucketCol, pmod(hash(col(c)), lit(n)))
-          .write.mode("overwrite").partitionBy(BucketCol).parquet(target)
+          .write.mode("overwrite").partitionBy(BucketCol).format(format).save(target)
       case RangePartition(c, n) =>
         // Equi-width bins like the reference's pd.cut: one extra pass for
         // min/max (a metadata-only read when parquet stats suffice), then a
@@ -109,7 +113,7 @@ class GraftCatalog(spark: SparkSession, root: String) {
           if (width == 0) lit(0)
           else least(floor((col(c).cast("double") - lit(lo)) / lit(width)), lit(n - 1))
         df.withColumn(BucketCol, bucket.cast("int"))
-          .write.mode("overwrite").partitionBy(BucketCol).parquet(target)
+          .write.mode("overwrite").partitionBy(BucketCol).format(format).save(target)
     }
     // after the data write: overwrite mode clears the directory first
     writeMeta(path, df, scheme)
@@ -137,7 +141,7 @@ class GraftCatalog(spark: SparkSession, root: String) {
       s"""{"schema": ${df.schema.json},
          | "scheme": {"kind": ${jsonStr(kind)}, "column": ${jsonStr(column)}, "buckets": $buckets},
          | "permission": "644",
-         | "format": "parquet"}""".stripMargin
+         | "format": ${jsonStr(format)}}""".stripMargin
     val p = new Path(abs(path), MetaFile)
     fs.mkdirs(abs(path))
     val out = fs.create(p, true)
@@ -182,13 +186,13 @@ class GraftCatalog(spark: SparkSession, root: String) {
     * directories; original row order is the caller's to restore via a sort key
     * (the reference kept an explicit `index` column for the same reason). */
   def cat(path: String): DataFrame = {
-    val df = spark.read.parquet(abs(path).toString)
+    val df = spark.read.format(format).load(abs(path).toString)
     df.drop(BucketCol) // internal bucketing column is not user data
   }
 
   /** cat in original ingest order — for tables written via putCsv. */
   def catOrdered(path: String): DataFrame = {
-    val df = spark.read.parquet(abs(path).toString)
+    val df = spark.read.format(format).load(abs(path).toString)
     df.orderBy(col(IndexCol)).drop(BucketCol, IndexCol)
   }
 
@@ -197,7 +201,7 @@ class GraftCatalog(spark: SparkSession, root: String) {
     * `.explain`'s PartitionFilters); no other data is touched, exactly like the
     * reference's single-block read, but pushdown-composable. */
   def readPartition(path: String, column: String, value: Any): DataFrame =
-    spark.read.parquet(abs(path).toString).filter(col(column) === lit(value))
+    spark.read.format(format).load(abs(path).toString).filter(col(column) === lit(value))
 
   /** getPartitionLocations — the partition manifest: value directory, file
     * count, bytes. Driver-side metadata listing, same role as the reference's
@@ -207,7 +211,8 @@ class GraftCatalog(spark: SparkSession, root: String) {
     val parts = fs.listStatus(base).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.contains("="))
       .map { st =>
-        val files = fs.listStatus(st.getPath).filter(_.getPath.getName.endsWith(".parquet"))
+        val files = fs.listStatus(st.getPath)
+          .filter(f => !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
         Row(st.getPath.getName, files.length, files.map(_.getLen).sum)
       }
       .sortBy(_.getString(0))

@@ -363,6 +363,47 @@ object Relational {
       | ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** B14 — pivot: one column per linestatus, decimal-exact sums. Spark's
+    * `pivot` with explicit values compiles to the same conditional aggregation
+    * the portable oracle SQL spells out — one shuffle, no transpose. */
+  def qPivot(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = Tables.load(spark, sfDir, "lineitem")
+    l.groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum(dec2(col("l_quantity"))).cast("double"))
+      .select(col("l_returnflag"),
+        coalesce(col("F"), lit(0.0)).as("qty_f"),
+        coalesce(col("O"), lit(0.0)).as("qty_o"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val qPivotSql: String =
+    """SELECT l_returnflag,
+      | COALESCE(CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE), 0.0) AS qty_f,
+      | COALESCE(CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE), 0.0) AS qty_o
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** B6b — cube: all grouping-set combinations in one pass. */
+  def qCube(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.load(spark, sfDir, "orders")
+    o.cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("sum_price"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+        col("n_orders"), col("sum_price"))
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+  }
+
+  val qCubeSql: String =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+      | COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+      | COUNT(*) AS n_orders,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY 1, 2""".stripMargin
+
   /** All relational queries + oracles, keyed per SURVEY §2B. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
@@ -378,7 +419,9 @@ object Relational {
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_skew_join" -> (qSkewJoin _),
     "q_events_props" -> (qEventsProps _),
-    "q_percentiles" -> (qPercentiles _))
+    "q_percentiles" -> (qPercentiles _),
+    "q_pivot" -> (qPivot _),
+    "q_cube" -> (qCube _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -393,5 +436,7 @@ object Relational {
     "q_distinct" -> qDistinctSql,
     "q_skew_join" -> qSkewJoinSql,
     "q_events_props" -> qEventsPropsSql,
-    "q_percentiles" -> qPercentilesSql)
+    "q_percentiles" -> qPercentilesSql,
+    "q_pivot" -> qPivotSql,
+    "q_cube" -> qCubeSql)
 }

@@ -1,0 +1,39 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.edfs.{GraftCatalog, HashPartition}
+import graft.operators.Pmr
+
+/** JSON document storage backend for the catalog — the analog of the
+  * reference's second EDFS backend (Firebase realtime DB stores blocks as JSON
+  * documents; proj-firebase-flask.py:371 firebase_put). Same catalog API, same
+  * partition pruning; only the leaf file format changes. Parquet remains the
+  * 100 TB default (columnar, predicate pushdown); JSON is the interchange path.
+  */
+object JsonBackend {
+
+  /** A-json — ingest into a JSON-backed catalog table and read it back
+    * losslessly (schema re-asserted on read since JSON infers widened types). */
+  def edfsPutJson(spark: SparkSession, sfDir: String): DataFrame = {
+    val cat = new GraftCatalog(spark, Pmr.catalogRoot(sfDir), format = "json")
+    cat.put(Tables.load(spark, sfDir, "nation"),
+      "warehouse/nation_json", HashPartition("n_regionkey"))
+    cat.cat("warehouse/nation_json")
+      .select(col("n_nationkey").cast("int"), col("n_name"),
+        col("n_regionkey").cast("int"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  val edfsPutJsonSql: String =
+    """SELECT n_nationkey, n_name, n_regionkey
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "edfs_put_json" -> (edfsPutJson _))
+
+  val oracles: Map[String, String] = Map(
+    "edfs_put_json" -> edfsPutJsonSql)
+}
