@@ -218,7 +218,35 @@ object Pmr {
       | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(o_totalprice) AS value
       |FROM orders""".stripMargin
 
+  /** A13 — the reference's two-level reduce made explicit: per-partition
+    * partials (exact cent sums + counts) merged by a typed Aggregator
+    * (functions.PartialCombine ≡ combineAverages, combined_flask.py:762).
+    * The oracle is the plain global mean — proving the partial/merge path is
+    * exactly equivalent. */
+  def pmrCombinePartials(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.PartialCombine
+    val cat = ensureCustomerByNation(spark, sfDir)
+    val partials = cat.cat("warehouse/customer_by_nation")
+      .groupBy(col("c_nationkey"))
+      .agg(sum(round(col("c_acctbal") * 100).cast("long")).as("sumCents"),
+        count(lit(1)).as("n"))
+      .select(col("sumCents"), col("n"))
+      .as[PartialCombine.Partial]
+    partials.select(
+        PartialCombine.weightedMean.toColumn.name("avg_val"))
+      .withColumn("stat", lit("combined_partial_mean"))
+      .select(col("stat"), col("avg_val"))
+  }
+
+  val pmrCombinePartialsSql: String =
+    """SELECT 'combined_partial_mean' AS stat,
+      | CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0
+      |   / COUNT(c_acctbal) AS avg_val
+      |FROM customer""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pmr_combine_partials" -> (pmrCombinePartials _),
     "edfs_put_hash" -> (edfsPutHash _),
     "edfs_put_range" -> (edfsPutRange _),
     "edfs_cat" -> (edfsCat _),
@@ -233,6 +261,7 @@ object Pmr {
     "pmr_named_stat" -> (pmrNamedStat _))
 
   val oracles: Map[String, String] = Map(
+    "pmr_combine_partials" -> pmrCombinePartialsSql,
     "edfs_put_hash" -> edfsPutHashSql,
     "edfs_put_range" -> edfsPutRangeSql,
     "edfs_cat" -> edfsCatSql,

@@ -404,6 +404,28 @@ object Relational {
       |GROUP BY CUBE (o_orderstatus, o_orderpriority)
       |ORDER BY 1, 2""".stripMargin
 
+  /** B15 — set operations: customers active in BOTH 1995 and 2000 (INTERSECT),
+    * via Spark's intersect (compiles to a left-semi aggregate join). */
+  def qSetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.load(spark, sfDir, "orders")
+    def activeIn(year: Int) = o
+      .filter(col("o_orderdate") >= lit(f"$year-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit(f"${year + 1}-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    activeIn(1995).intersect(activeIn(2000))
+      .orderBy(col("o_custkey"))
+  }
+
+  val qSetOpsSql: String =
+    """SELECT o_custkey FROM orders
+      | WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |   AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+      |INTERSECT
+      |SELECT o_custkey FROM orders
+      | WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+      |   AND o_orderdate < TIMESTAMP '2001-01-01 00:00:00'
+      |ORDER BY o_custkey""".stripMargin
+
   /** All relational queries + oracles, keyed per SURVEY §2B. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
@@ -421,7 +443,8 @@ object Relational {
     "q_events_props" -> (qEventsProps _),
     "q_percentiles" -> (qPercentiles _),
     "q_pivot" -> (qPivot _),
-    "q_cube" -> (qCube _))
+    "q_cube" -> (qCube _),
+    "q_set_ops" -> (qSetOps _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -438,5 +461,6 @@ object Relational {
     "q_events_props" -> qEventsPropsSql,
     "q_percentiles" -> qPercentilesSql,
     "q_pivot" -> qPivotSql,
-    "q_cube" -> qCubeSql)
+    "q_cube" -> qCubeSql,
+    "q_set_ops" -> qSetOpsSql)
 }

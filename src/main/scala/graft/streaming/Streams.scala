@@ -141,9 +141,40 @@ object Streams {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** D3 — streaming sink into the catalog: the windowed aggregate lands as
+    * partitioned parquet under the EDFS root (partitioned by event_type so the
+    * sink layout is query-prunable), then is read back through the batch path.
+    * This is the full source→transform→catalog-sink loop a production
+    * ingest pipeline runs continuously. */
+  def streamToCatalog(spark: SparkSession, sfDir: String): DataFrame = {
+    val outDir = s"${graft.operators.Pmr.catalogRoot(sfDir)}/warehouse/events_hourly"
+    val cp = new java.io.File(checkpointDir(sfDir, "stream_to_catalog"))
+    org.apache.commons.io.FileUtils.deleteQuietly(cp)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outDir))
+    val agg = eventsStream(spark, sfDir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_events"))
+    val q = agg.writeStream
+      .format("parquet")
+      .partitionBy("event_type")
+      .option("path", outDir)
+      .option("checkpointLocation", cp.getAbsolutePath)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+      .select(col("window_start"), col("event_type"), col("n_events"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window" -> (streamWindow _),
-    "stream_sessions" -> (streamSessions _))
+    "stream_sessions" -> (streamSessions _),
+    "stream_to_catalog" -> (streamToCatalog _))
 
   /** stream_sessions replays the same sessions as the batch form, so it shares
     * its oracle; stream_window emits only watermark-finalized windows (a strict
