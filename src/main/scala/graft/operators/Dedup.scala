@@ -162,9 +162,13 @@ object Dedup {
     * DedupSpec asserts the fixpoint (every edge's endpoints share a label). */
   def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents").select(col("doc_id"))
+    // both directions in ONE pass over the candidate pipeline (a union of two
+    // selects would recompute banding+est twice), cached for the iteration
     val est = nearDupEdges(spark, sfDir, 0.5)
-    val edges = est.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(est.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val edges = est.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .cache()
     // Active-vertex restriction: only documents that appear in an edge can
     // ever change label; the (typically vast) isolated majority keeps its

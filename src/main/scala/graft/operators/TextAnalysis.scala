@@ -130,18 +130,31 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
 
   /** C11 — document fingerprinting: an order-sensitive polynomial rolling hash
-    * over tokens (xxhash64 per token folded with a 31-multiplier). Rows-only:
-    * the exact constant isn't SQL-portable, but it is stable across runs —
-    * DedupSpec pins known values. */
+    * over tokens. Per-token hash = first 8 hex chars of md5 (portable: both
+    * engines agree on md5), folded with a 31-multiplier mod 1e9+7 — modular so
+    * Spark 4's ANSI mode can't overflow, and SQL-expressible so the DuckDB
+    * oracle covers it. */
   def textFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.load(spark, sfDir, "documents")
+    val tokenHash: Column => Column =
+      t => conv(substring(md5(t.cast("binary")), 1, 8), 16, 10).cast("long")
     d.select(col("doc_id"),
         aggregate(split(col("text"), " "), lit(0L),
-          (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), lit(1000000007L)),
-            lit(1000000007L))).as("fingerprint"),
+          (acc, t) => pmod(acc * lit(31L) + tokenHash(t), lit(1000000007L)))
+          .as("fingerprint"),
         wsTokens(col("text")))
       .orderBy(col("doc_id"))
   }
+
+  val textFingerprintSql: String =
+    """SELECT doc_id,
+      | list_reduce(
+      |   list_prepend(CAST(0 AS BIGINT),
+      |     list_transform(string_split(text, ' '),
+      |       t -> CAST(CAST(('0x' || substr(md5(t), 1, 8)) AS INT64) AS BIGINT))),
+      |   (acc, h) -> (acc * 31 + h) % 1000000007) AS fingerprint,
+      | length(text) - length(regexp_replace(text, ' ', '', 'g')) + 1 AS ws_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens" -> (textTokens _),
@@ -152,5 +165,6 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "text_tokens" -> textTokensSql,
     "text_quality" -> textQualitySql,
-    "text_langid" -> textLangidSql)
+    "text_langid" -> textLangidSql,
+    "text_fingerprint" -> textFingerprintSql)
 }
