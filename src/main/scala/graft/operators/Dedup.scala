@@ -331,6 +331,40 @@ object Dedup {
       .orderBy(col("vec_id"))
   }
 
+  /** Generated DuckDB oracle for C5: the hyperplane literals are inlined from
+    * the same seeded array the Spark side uses, and every float fold is
+    * sequential (list_reduce with a prepended 0 ≡ Spark's aggregate/native
+    * single-pass), so buckets and cosines are bit-identical across engines. */
+  def dedupEmbeddingSql: String = {
+    val planes = hyperplanes(8, 64)
+    def lst(p: Array[Double]) = p.mkString("[", ", ", "]")
+    def dot(vec: String, p: Array[Double]) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> $vec[i] * (${lst(p)})[i])), (a, b) -> a + b)"
+    val bucket = planes.zipWithIndex.map { case (p, i) =>
+      s"CASE WHEN ${dot("v", p)} > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    }.mkString(" + ")
+    def sq(vec: String) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> $vec[i] * $vec[i])), (a, b) -> a + b)"
+    def dotv(a: String, b: String) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> $a[i] * $b[i])), (a, b) -> a + b)"
+    val cosine = s"${dotv("x.v", "y.v")} / (sqrt(${sq("x.v")}) * sqrt(${sq("y.v")}))"
+    s"""WITH e AS (
+       | SELECT vec_id, list_transform(embedding, z -> CAST(z AS DOUBLE)) AS v
+       | FROM embeddings),
+       |b AS (SELECT vec_id, v, $bucket AS bucket FROM e),
+       |pairs AS (
+       | SELECT y.vec_id AS vec_id, x.vec_id AS va, $cosine AS cosine
+       | FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+       |agg AS (
+       | SELECT vec_id, MIN(va) AS dup_of, MAX(cosine) AS max_cosine
+       | FROM pairs WHERE cosine >= 0.45 GROUP BY vec_id)
+       |SELECT b.vec_id, b.bucket, a.dup_of,
+       | COALESCE(a.max_cosine, 0.0) AS max_cosine,
+       | a.dup_of IS NOT NULL AS is_duplicate
+       |FROM b LEFT JOIN agg a ON b.vec_id = a.vec_id
+       |ORDER BY b.vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash" -> (dedupMinhash _),
@@ -340,5 +374,6 @@ object Dedup {
     "dedup_embedding" -> (dedupEmbedding _))
 
   val oracles: Map[String, String] = Map(
-    "dedup_exact" -> dedupExactSql)
+    "dedup_exact" -> dedupExactSql,
+    "dedup_embedding" -> dedupEmbeddingSql)
 }

@@ -129,11 +129,41 @@ object Similarity {
       .select(col("vec_id"), col("cid"), round(col("sim"), 6).as("sim_r"))
   }
 
+  /** Generated DuckDB oracle for C7 (same technique as Dedup.dedupEmbeddingSql:
+    * seeded hyperplane literals inlined, sequential folds → bit parity). */
+  def simAnnSql: String = {
+    val planes = Dedup.hyperplanes(8, 64)
+    def lst(p: Array[Double]) = p.mkString("[", ", ", "]")
+    def dot(vec: String, p: Array[Double]) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> $vec[i] * (${lst(p)})[i])), (a, b) -> a + b)"
+    val bucket = planes.zipWithIndex.map { case (p, i) =>
+      s"CASE WHEN ${dot("v", p)} > 0 THEN ${1 << i} ELSE 0 END"
+    }.mkString(" + ")
+    def sq(vec: String) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> $vec[i] * $vec[i])), (a, b) -> a + b)"
+    def dotv(a: String, b: String) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> $a[i] * $b[i])), (a, b) -> a + b)"
+    val cosine = s"${dotv("c.v", "p.pv")} / (sqrt(${sq("c.v")}) * sqrt(${sq("p.pv")}))"
+    val neighborCond = (Seq("c.bucket = p.pb") ++
+      (0 until 8).map(i => s"c.bucket = xor(p.pb, ${1 << i})")).mkString(" OR ")
+    s"""WITH e AS (
+       | SELECT vec_id, list_transform(embedding, z -> CAST(z AS DOUBLE)) AS v
+       | FROM embeddings),
+       |b AS (SELECT vec_id, v, $bucket AS bucket FROM e),
+       |p AS (SELECT v AS pv, bucket AS pb FROM b WHERE vec_id = 0),
+       |cand AS (
+       | SELECT c.vec_id, c.bucket, $cosine AS sim
+       | FROM b c, p WHERE c.vec_id <> 0 AND ($neighborCond))
+       |SELECT vec_id, bucket, ROUND(sim, 6) AS sim_r FROM cand
+       |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk" -> (simTopk _),
     "sim_ann" -> (simAnn _),
     "sim_ivf" -> (simIvf _))
 
   val oracles: Map[String, String] = Map(
-    "sim_topk" -> simTopkSql)
+    "sim_topk" -> simTopkSql,
+    "sim_ann" -> simAnnSql)
 }
