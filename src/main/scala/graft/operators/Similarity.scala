@@ -163,7 +163,37 @@ object Similarity {
     "sim_ann" -> (simAnn _),
     "sim_ivf" -> (simIvf _))
 
+  /** Oracle for C7b — centroids are data rows (vec_id < 16), so the whole IVF
+    * flow (assignment argmax, probe-list top-4, final top-10) is plain SQL with
+    * the same sequential-fold cosine. */
+  val simIvfSql: String = {
+    def sq(vec: String) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> $vec[i] * $vec[i])), (a, b) -> a + b)"
+    def dotv(a: String, b: String) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> $a[i] * $b[i])), (a, b) -> a + b)"
+    def cos(a: String, b: String) = s"${dotv(a, b)} / (sqrt(${sq(a)}) * sqrt(${sq(b)}))"
+    s"""WITH e AS (
+       | SELECT vec_id, list_transform(embedding, z -> CAST(z AS DOUBLE)) AS v
+       | FROM embeddings),
+       |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+       |asn AS (
+       | SELECT vec_id, v, cid,
+       |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rk
+       | FROM (SELECT x.vec_id, x.v, c.cid, ${cos("x.v", "c.cv")} AS csim FROM e x, c) t),
+       |assigned AS (SELECT vec_id, v, cid FROM asn WHERE rk = 1),
+       |p AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+       |pl AS (
+       | SELECT cid FROM (SELECT c.cid, ${cos("c.cv", "p.pv")} AS csim FROM c, p) t
+       | ORDER BY csim DESC, cid LIMIT 4)
+       |SELECT vec_id, cid, ROUND(sim, 6) AS sim_r FROM (
+       | SELECT a.vec_id, a.cid, ${cos("a.v", "p.pv")} AS sim
+       | FROM assigned a JOIN pl USING (cid) CROSS JOIN p
+       | WHERE a.vec_id <> 0) t
+       |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "sim_topk" -> simTopkSql,
-    "sim_ann" -> simAnnSql)
+    "sim_ann" -> simAnnSql,
+    "sim_ivf" -> simIvfSql)
 }
