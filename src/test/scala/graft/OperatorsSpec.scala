@@ -12,6 +12,15 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(r.fieldIndex("count_order")) > 0))
   }
 
+  test("selective scan pushes its predicates into the parquet reader") {
+    val df = Relational.qFilterPushdown(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"expected pushed filters in:\n${plan.take(1500)}")
+    val schema = "ReadSchema: [^\\n]+".r.findFirstIn(plan).getOrElse("")
+    assert(!schema.contains("l_orderkey"), s"scan should prune unused columns: $schema")
+  }
+
   test("topn window never exceeds 3 per segment") {
     val df = Relational.qTopnWindow(spark, sfDir)
     val maxPerSeg = df.groupBy("c_mktsegment").count().agg(max("count")).head().getLong(0)
