@@ -167,7 +167,7 @@ object Relational {
     val c = Tables.load(spark, sfDir, "customer")
     val w = Window.partitionBy(col("c_mktsegment"))
       .orderBy(col("c_acctbal").desc, col("c_custkey"))
-    c.withColumn("rank", row_number().over(w))
+    c.withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= 3)
       .select(col("c_mktsegment"), col("rank"), col("c_custkey"), col("c_acctbal"))
       .orderBy(col("c_mktsegment"), col("rank"))
@@ -249,8 +249,8 @@ object Relational {
       | strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end
       |FROM (
       | SELECT user_id, ts,
-      |  SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       | FROM (
       |  SELECT user_id, event_id, ts,
       |   CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
@@ -338,7 +338,7 @@ object Relational {
   }
 
   val qEventsPropsSql: String =
-    """SELECT event_type, COUNT(k) AS n_with_k, SUM(k) AS sum_k,
+    """SELECT event_type, COUNT(k) AS n_with_k, CAST(SUM(k) AS BIGINT) AS sum_k,
       | MIN(k) AS min_k, MAX(k) AS max_k
       |FROM (SELECT event_type,
       |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events) t

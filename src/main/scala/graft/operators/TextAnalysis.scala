@@ -18,9 +18,11 @@ import graft.Tables
 object TextAnalysis {
 
   /** Whitespace token count without split(): `len - len(sans-spaces) + 1` is
-    * exact and engine-portable. */
+    * exact and engine-portable. BIGINT so the dtype matches DuckDB's int64
+    * (the driver's hash distinguishes value representations). */
   private def wsTokens(c: Column): Column =
-    (length(c) - length(regexp_replace(c, " ", "")) + lit(1)).as("ws_tokens")
+    (length(c) - length(regexp_replace(c, " ", "")) + lit(1))
+      .cast("bigint").as("ws_tokens")
 
   private val BpePattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
 
@@ -41,9 +43,10 @@ object TextAnalysis {
     * GPT-2-style pre-tokenizer shape). */
   def textTokens(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.load(spark, sfDir, "documents")
-    d.select(col("doc_id"), length(col("text")).as("n_chars_calc"),
+    d.select(col("doc_id"), length(col("text")).cast("bigint").as("n_chars_calc"),
         wsTokens(col("text")),
-        size(regexp_extract_all(col("text"), lit(BpePattern), lit(0))).as("bpe_tokens"))
+        size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+          .cast("bigint").as("bpe_tokens"))
       .orderBy(col("doc_id"))
   }
 
@@ -61,7 +64,8 @@ object TextAnalysis {
     val nPunct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9 ]"), lit(0)))
     val nStop = stopHits(col("text"), EnStops)
     val base = d.select(col("doc_id"),
-      length(col("text")).as("n_chars_calc"), nTok.as("ws_tokens"),
+      length(col("text")).cast("bigint").as("n_chars_calc"),
+      nTok.cast("bigint").as("ws_tokens"),
       nPunct.as("n_punct"), nStop.as("n_stopwords"))
     base.select(col("doc_id"), col("n_chars_calc"), col("ws_tokens"),
         (col("n_punct") / col("n_chars_calc")).as("punct_ratio"),
@@ -89,10 +93,10 @@ object TextAnalysis {
   def textLangid(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.load(spark, sfDir, "documents")
     val scored = d.select(col("doc_id"),
-      stopHits(col("text"), EnStops).as("en_score"),
-      stopHits(col("text"), EsStops).as("es_score"),
-      stopHits(col("text"), DeStops).as("de_score"),
-      stopHits(col("text"), FrStops).as("fr_score"),
+      stopHits(col("text"), EnStops).cast("bigint").as("en_score"),
+      stopHits(col("text"), EsStops).cast("bigint").as("es_score"),
+      stopHits(col("text"), DeStops).cast("bigint").as("de_score"),
+      stopHits(col("text"), FrStops).cast("bigint").as("fr_score"),
       size(regexp_extract_all(col("text"), lit("[\\x{4e00}-\\x{9fff}]"), lit(0)))
         .as("cjk_chars"))
     scored.select(col("doc_id"),

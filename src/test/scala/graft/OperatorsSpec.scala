@@ -114,8 +114,8 @@ class OperatorsSpec extends SparkSpec {
   test("text metrics are internally consistent") {
     val t = TextAnalysis.textTokens(spark, sfDir).collect()
     t.foreach { r =>
-      assert(r.getInt(2) >= 1) // ws_tokens
-      assert(r.getInt(3) >= r.getInt(2) - 1) // bpe tokens at least token runs
+      assert(r.getLong(2) >= 1) // ws_tokens
+      assert(r.getLong(3) >= r.getLong(2) - 1) // bpe tokens at least token runs
     }
     val q = TextAnalysis.textQuality(spark, sfDir).collect()
     q.foreach { r =>
