@@ -6,9 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
-import graft.Tables
-
-/** Structured Streaming over the events table (SURVEY §2 D1-D2).
+/** Structured Streaming over the events table (SURVEY §2 D1-D3).
   *
   * The parquet testdata stands in for a real stream: `readStream` over the
   * events directory with `Trigger.AvailableNow` processes the backlog exactly
@@ -16,15 +14,33 @@ import graft.Tables
   * store, micro-batch planning). In production the source line changes to
   * Kafka/Kinesis and nothing else does.
   *
-  * StreamingSpec asserts batch-equivalence: D1 ≡ Relational.qEventsWindow and
-  * D2 ≡ Relational.qEventsSessionize on the same input.
+  * Finite-backlog draining: a real stream's watermark keeps advancing as new
+  * events arrive, closing windows and timing out idle sessions. A finite
+  * backlog stops, so whatever the watermark hasn't passed would stay in state
+  * forever. The staging step therefore appends ONE sentinel row with an event
+  * time far past the real data (the streaming analog of an end-of-stream
+  * marker). The sentinel advances the watermark past every real window/session,
+  * the engine's no-data micro-batch then finalizes them, and the sentinel
+  * itself is filtered out of every query (its own window/session stays open and
+  * is never emitted). This makes all three queries EXACTLY batch-equivalent,
+  * so they share the batch queries' DuckDB oracles.
   */
-object Streams {
+object Streams extends Serializable {
+
+  /** Sentinel marker: event_id/user_id -1, this event_type. */
+  private val SentinelType = "__graft_eos"
+
+  private val EventsSchema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+    "event_type STRING, value DOUBLE, props STRING"
 
   /** The events stream: same NANOS-timestamp normalization as the batch loader
-    * (Tables.events), via readStream with an explicit schema. The file-stream
-    * source monitors a directory, so the single testdata file is staged into
-    * one (in production this is the landing directory new files arrive in). */
+    * (Tables.events), via readStream with an explicit schema (ts read as raw
+    * nanos BIGINT, converted after). The file-stream source monitors a
+    * directory, so the testdata file plus the end-of-stream sentinel are staged
+    * into one (in production this is the landing directory new files arrive
+    * in). Callers apply `withWatermark` and then filter the sentinel out —
+    * the sentinel must pass through the EventTimeWatermark operator to advance
+    * the watermark, so the filter has to come after it. */
   private def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val stageDir = new java.io.File(
@@ -35,10 +51,29 @@ object Streams {
       java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
         staged.toPath)
     }
-    val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
-      "event_type STRING, value DOUBLE, props STRING"
-    spark.readStream.schema(schema).parquet(stageDir.getAbsolutePath)
+    val sentinel = new java.io.File(stageDir, "z_sentinel.parquet")
+    if (!sentinel.exists()) writeSentinel(spark, staged, sentinel)
+    spark.readStream.schema(EventsSchema).parquet(stageDir.getAbsolutePath)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Write the end-of-stream sentinel: one row whose event time clears every
+    * real window end (≤ maxTs+1h) and session timeout (≤ maxTs+30min) even
+    * after the 2h watermark delay is subtracted. 8h total margin. */
+  private def writeSentinel(spark: SparkSession, staged: java.io.File,
+    sentinel: java.io.File): Unit = {
+    import spark.implicits._
+    val maxTs = spark.read.schema(EventsSchema)
+      .parquet(staged.getAbsolutePath)
+      .agg(max(col("ts"))).head().getLong(0)
+    val eosTs = maxTs + 8L * 3600 * 1000 * 1000 * 1000 // +8h in nanos
+    val tmp = new java.io.File(sentinel.getParentFile.getParentFile, "sentinel_tmp")
+    Seq((-1L, eosTs, -1L, SentinelType, 0.0d, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(part.toPath, sentinel.toPath)
+    org.apache.commons.io.FileUtils.deleteQuietly(tmp)
   }
 
   private def checkpointDir(sfDir: String, name: String): String =
@@ -60,15 +95,21 @@ object Streams {
   }
 
   /** D1 — watermarked tumbling-window aggregation: 1-hour windows per event
-    * type, 2-hour watermark bounding state. Complete-mode-free: append output
-    * emits only finalized windows; state is bounded by the watermark horizon
-    * regardless of stream length — the property that matters on an unbounded
-    * 100 TB/day stream. */
+    * type, 2-hour watermark bounding state. Append output emits only finalized
+    * windows; state is bounded by the watermark horizon regardless of stream
+    * length — the property that matters on an unbounded 100 TB/day stream.
+    * The sentinel finalizes every real window, so the result equals the batch
+    * form (B7) exactly and shares its oracle. */
   def streamWindow(spark: SparkSession, sfDir: String): DataFrame = {
     // fresh checkpoint per run: deterministic replay of the full backlog
     val cp = new java.io.File(checkpointDir(sfDir, "stream_window"))
     org.apache.commons.io.FileUtils.deleteQuietly(cp)
     spark.catalog.dropTempView("stream_window")
+    // NOTE: no sentinel filter inside the streaming plan — Catalyst would push
+    // it below the EventTimeWatermark node (the predicate doesn't touch ts),
+    // hiding the sentinel from watermark tracking. The sentinel's own window
+    // can never finalize (its end is past the final watermark), so append mode
+    // never emits it; the post-sink filter is a pure safety net.
     val agg = eventsStream(spark, sfDir)
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -77,6 +118,7 @@ object Streams {
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
     runToMemory(spark, agg, "stream_window", sfDir, OutputMode.Append())
+      .filter(col("event_type") =!= SentinelType)
       .orderBy(col("window_start"), col("event_type"))
   }
 
@@ -84,11 +126,12 @@ object Streams {
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long)
   case class SessionState(sessionId: Long, nEvents: Long, start: Timestamp,
-    last: Timestamp, emitted: List[Session])
+    last: Timestamp)
   case class Session(user_id: Long, session_id: Long, n_events: Long,
     session_start: Timestamp, session_end: Timestamp)
 
   private val GapMicros = 30L * 60 * 1000 * 1000
+  private val GapMillis = 30L * 60 * 1000
 
   /** Microsecond-precision epoch — Timestamp.getTime truncates to ms, which
     * would disagree with the batch form's full-precision interval compare. */
@@ -96,11 +139,15 @@ object Streams {
     t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
 
   /** D2 — stateful per-key processing with flatMapGroupsWithState: the
-    * streaming form of gap-based sessionization. State per user is O(1)
-    * (current session only); closed sessions are emitted and dropped. With
-    * AvailableNow over a finite backlog each user's events arrive in one sorted
-    * group, so results equal the batch window-function form (asserted in
-    * StreamingSpec). */
+    * streaming form of gap-based sessionization. State per user is O(1) (the
+    * current open session only); a session closes either when a later event
+    * exceeds the 30-min gap (emitted inline) or when the event-time watermark
+    * passes its gap horizon (EventTimeTimeout → emitted on timeout). Sessions
+    * spanning micro-batch boundaries are therefore merged correctly no matter
+    * how the source slices the data (maxFilesPerTrigger, Kafka batch sizing);
+    * nothing is emitted per-batch that could still grow. The sentinel advances
+    * the watermark past every real session, so on a finite backlog the result
+    * equals the batch window-function form (B8) and shares its oracle. */
   def streamSessions(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val cp = new java.io.File(checkpointDir(sfDir, "stream_sessions"))
@@ -109,30 +156,54 @@ object Streams {
 
     def sessionize(userId: Long, events: Iterator[Event],
       state: GroupState[SessionState]): Iterator[Session] = {
-      val sorted = events.toSeq.sortBy(e => (micros(e.ts), e.event_id))
-      var st = state.getOption.getOrElse(SessionState(0L, 0L, null, null, Nil))
-      var out = List.empty[Session]
-      sorted.foreach { e =>
-        if (st.start == null) {
-          st = SessionState(1L, 1L, e.ts, e.ts, Nil)
-        } else if (micros(e.ts) > micros(st.last) + GapMicros) {
-          out = Session(userId, st.sessionId, st.nEvents, st.start, st.last) :: out
-          st = SessionState(st.sessionId + 1, 1L, e.ts, e.ts, Nil)
-        } else {
-          st = st.copy(nEvents = st.nEvents + 1, last = e.ts)
+      if (state.hasTimedOut) {
+        // Watermark passed the open session's gap horizon: it can never grow.
+        val st = state.get
+        state.remove()
+        Iterator.single(Session(userId, st.sessionId, st.nEvents, st.start, st.last))
+      } else {
+        // Within a batch arrival order is not guaranteed: sort by event time.
+        // The sentinel (event_id<0) is dropped HERE, not with a DataFrame
+        // filter: a filter not referencing ts would be pushed below the
+        // EventTimeWatermark node and hide the sentinel from the watermark.
+        val sorted = events.toSeq.filter(_.event_id >= 0)
+          .sortBy(e => (micros(e.ts), e.event_id))
+        var st = state.getOption.getOrElse(SessionState(0L, 0L, null, null))
+        var out = List.empty[Session]
+        sorted.foreach { e =>
+          if (st.start == null) {
+            st = SessionState(st.sessionId + 1, 1L, e.ts, e.ts)
+          } else if (micros(e.ts) > micros(st.last) + GapMicros) {
+            out = Session(userId, st.sessionId, st.nEvents, st.start, st.last) :: out
+            st = SessionState(st.sessionId + 1, 1L, e.ts, e.ts)
+          } else {
+            st = st.copy(nEvents = st.nEvents + 1, last = e.ts)
+          }
+        }
+        if (st.start == null) Iterator.empty // no state and no events
+        else {
+          // +1ms: setTimeoutTimestamp is ms-granular, micros(last)+gap rounds up
+          val timeoutMs = micros(st.last) / 1000 + GapMillis + 1
+          if (timeoutMs <= state.getCurrentWatermarkMs()) {
+            // Gap horizon already behind the watermark: close immediately.
+            out = Session(userId, st.sessionId, st.nEvents, st.start, st.last) :: out
+            state.remove()
+          } else {
+            state.update(st)
+            state.setTimeoutTimestamp(timeoutMs)
+          }
+          out.reverse.iterator
         }
       }
-      // Finite-backlog mode: the group is complete, close the open session.
-      val all = (Session(userId, st.sessionId, st.nEvents, st.start, st.last) :: out).reverse
-      state.remove()
-      all.iterator
     }
 
     val sessions = eventsStream(spark, sfDir)
+      .withWatermark("ts", "2 hours")
       .select(col("event_id"), col("ts"), col("user_id"))
       .as[Event]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(sessionize)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(sessionize)
       .toDF()
     runToMemory(spark, sessions, "stream_sessions", sfDir, OutputMode.Append())
       .select(col("user_id"), col("session_id"), col("n_events"),
@@ -145,12 +216,14 @@ object Streams {
     * partitioned parquet under the EDFS root (partitioned by event_type so the
     * sink layout is query-prunable), then is read back through the batch path.
     * This is the full source→transform→catalog-sink loop a production
-    * ingest pipeline runs continuously. */
+    * ingest pipeline runs continuously. Sentinel-finalized like D1, so the
+    * read-back equals the batch hourly count and carries a sql oracle. */
   def streamToCatalog(spark: SparkSession, sfDir: String): DataFrame = {
     val outDir = s"${graft.operators.Pmr.catalogRoot(sfDir)}/warehouse/events_hourly"
     val cp = new java.io.File(checkpointDir(sfDir, "stream_to_catalog"))
     org.apache.commons.io.FileUtils.deleteQuietly(cp)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outDir))
+    // Same no-in-plan-filter rule as D1; the sentinel window is never emitted.
     val agg = eventsStream(spark, sfDir)
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -167,6 +240,7 @@ object Streams {
       .start()
     q.awaitTermination()
     spark.read.parquet(outDir)
+      .filter(col("event_type") =!= SentinelType)
       .select(col("window_start"), col("event_type"), col("n_events"))
       .orderBy(col("window_start"), col("event_type"))
   }
@@ -176,9 +250,17 @@ object Streams {
     "stream_sessions" -> (streamSessions _),
     "stream_to_catalog" -> (streamToCatalog _))
 
-  /** stream_sessions replays the same sessions as the batch form, so it shares
-    * its oracle; stream_window emits only watermark-finalized windows (a strict
-    * subset of the batch result), so it gets the rows-only check + spec. */
+  /** With sentinel-driven finalization all three streaming queries are exactly
+    * batch-equivalent on a finite backlog, so each carries a sql oracle:
+    * stream_window ≡ B7, stream_sessions ≡ B8, stream_to_catalog ≡ B7 minus
+    * the value sum. */
   val oracles: Map[String, String] = Map(
-    "stream_sessions" -> graft.operators.Relational.qEventsSessionizeSql)
+    "stream_window" -> graft.operators.Relational.qEventsWindowSql,
+    "stream_sessions" -> graft.operators.Relational.qEventsSessionizeSql,
+    "stream_to_catalog" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        | event_type, COUNT(*) AS n_events
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin)
 }

@@ -3,6 +3,9 @@ package graft
 import graft.operators.Relational
 import graft.streaming.Streams
 
+/** The end-of-stream sentinel (Streams scaladoc) advances the watermark past
+  * all real data, so every streaming query must equal its batch counterpart
+  * EXACTLY on a finite backlog — the strongest check a stream can carry. */
 class StreamingSpec extends SparkSpec {
 
   test("streaming sessionization equals the batch window-function form") {
@@ -12,14 +15,19 @@ class StreamingSpec extends SparkSpec {
       s"stream/batch divergence: ${(streamed diff batch).take(3)} vs ${(batch diff streamed).take(3)}")
   }
 
-  test("streaming windowed agg emits a watermark-finalized subset of batch windows") {
+  test("streaming windowed agg equals the batch tumbling-window form") {
     val streamed = Streams.streamWindow(spark, sfDir).collect().map(_.toSeq).toSet
     val batch = Relational.qEventsWindow(spark, sfDir).collect().map(_.toSeq).toSet
     assert(streamed.nonEmpty)
-    assert(streamed.subsetOf(batch),
-      s"streamed windows must match batch values: ${(streamed diff batch).take(3)}")
-    // only the tail beyond the watermark horizon may be withheld
-    assert(batch.size - streamed.size <= 48, // ≤ 2h horizon × event types + slack
-      s"too many withheld windows: batch=${batch.size} streamed=${streamed.size}")
+    assert(streamed == batch,
+      s"stream/batch divergence: ${(streamed diff batch).take(3)} vs ${(batch diff streamed).take(3)}")
+  }
+
+  test("streaming catalog sink read-back equals the batch hourly counts") {
+    val streamed = Streams.streamToCatalog(spark, sfDir).collect().map(_.toSeq).toSet
+    val batch = Relational.qEventsWindow(spark, sfDir)
+      .select("window_start", "event_type", "n_events").collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      s"stream/batch divergence: ${(streamed diff batch).take(3)} vs ${(batch diff streamed).take(3)}")
   }
 }
