@@ -22,13 +22,18 @@ object Bench {
     } catch { case e: Throwable => System.err.println(s"[bench] warmup: ${e.getMessage}") }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // noop sink: every column and the output ordering are actually computed —
+      // count() would let the optimizer drop final sorts and prune all columns
+      // (parquet count-star pushdown), understating real query cost.
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    operators.Dedup.clear()
     spark.stop()
   }
 }

@@ -106,13 +106,18 @@ class GraftCatalog(spark: SparkSession, root: String,
         // Equi-width bins like the reference's pd.cut: one extra pass for
         // min/max (a metadata-only read when parquet stats suffice), then a
         // deterministic bucket id. The top edge folds into the last bucket.
-        val Row(lo: Double, hi: Double) = df
-          .agg(min(col(c).cast("double")), max(col(c).cast("double"))).head()
-        val width = (hi - lo) / n
+        // An empty/all-null column has no range: everything (i.e. nothing, or
+        // the null rows) lands in bucket 0 instead of a MatchError.
+        val bounds = df.agg(min(col(c).cast("double")), max(col(c).cast("double"))).head()
         val bucket =
-          if (width == 0) lit(0)
-          else least(floor((col(c).cast("double") - lit(lo)) / lit(width)), lit(n - 1))
-        df.withColumn(BucketCol, bucket.cast("int"))
+          if (bounds.isNullAt(0) || bounds.isNullAt(1)) lit(0)
+          else {
+            val (lo, hi) = (bounds.getDouble(0), bounds.getDouble(1))
+            val width = (hi - lo) / n
+            if (width == 0) lit(0)
+            else least(floor((col(c).cast("double") - lit(lo)) / lit(width)), lit(n - 1))
+          }
+        df.withColumn(BucketCol, coalesce(bucket.cast("int"), lit(0)))
           .write.mode("overwrite").partitionBy(BucketCol).format(format).save(target)
     }
     // after the data write: overwrite mode clears the directory first
@@ -182,26 +187,46 @@ class GraftCatalog(spark: SparkSession, root: String,
     put(df, path, scheme)
   }
 
+  /** Read the table's data; an empty table (no data files — e.g. an empty
+    * DataFrame was put) falls back to the sidecar's recorded schema instead of
+    * failing schema inference, so cat of an empty table is an empty DataFrame
+    * with the right columns. */
+  private def loadTable(path: String): DataFrame =
+    try spark.read.format(format).load(abs(path).toString)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+        if e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sidecarSchema(path))
+    }
+
+  /** The schema recorded in the `_graft.json` sidecar at put time. */
+  private def sidecarSchema(path: String): StructType = {
+    val p = new Path(abs(path), MetaFile)
+    val in = fs.open(p)
+    val raw = try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+    finally in.close()
+    // sidecar layout is fixed (written by writeMeta): schema json up to "scheme"
+    val json = raw.substring(raw.indexOf("{\"schema\": ") + "{\"schema\": ".length,
+      raw.lastIndexOf("\"scheme\"")).trim.stripSuffix(",")
+    DataType.fromJson(json).asInstanceOf[StructType]
+  }
+
   /** cat — reassemble the full table. Partition discovery merges all partition
     * directories; original row order is the caller's to restore via a sort key
     * (the reference kept an explicit `index` column for the same reason). */
-  def cat(path: String): DataFrame = {
-    val df = spark.read.format(format).load(abs(path).toString)
-    df.drop(BucketCol) // internal bucketing column is not user data
-  }
+  def cat(path: String): DataFrame =
+    loadTable(path).drop(BucketCol) // internal bucketing column is not user data
 
   /** cat in original ingest order — for tables written via putCsv. */
-  def catOrdered(path: String): DataFrame = {
-    val df = spark.read.format(format).load(abs(path).toString)
-    df.orderBy(col(IndexCol)).drop(BucketCol, IndexCol)
-  }
+  def catOrdered(path: String): DataFrame =
+    loadTable(path).orderBy(col(IndexCol)).drop(BucketCol, IndexCol)
 
   /** readPartition — read ONE partition. Expressed as a filter on the partition
     * column so Catalyst prunes to the single matching directory (check
     * `.explain`'s PartitionFilters); no other data is touched, exactly like the
     * reference's single-block read, but pushdown-composable. */
   def readPartition(path: String, column: String, value: Any): DataFrame =
-    spark.read.format(format).load(abs(path).toString).filter(col(column) === lit(value))
+    loadTable(path).filter(col(column) === lit(value))
 
   /** getPartitionLocations — the partition manifest: value directory, file
     * count, bytes. Driver-side metadata listing, same role as the reference's

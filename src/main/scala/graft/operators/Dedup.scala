@@ -87,6 +87,15 @@ object Dedup {
     withSig(spark, sfDir); ()
   }
 
+  /** Evict every cached signature table. Long-lived applications that touch
+    * many scale dirs call this between corpora (Bench/Verify call it at end of
+    * run) so executor storage memory is bounded by one corpus, not the union
+    * of all ever seen. */
+  def clear(): Unit = {
+    sigStore.values().forEach(df => df.unpersist(false))
+    sigStore.clear()
+  }
+
   private def withSig(spark: SparkSession, sfDir: String): DataFrame =
     sigStore.computeIfAbsent(s"${spark.sparkContext.applicationId}:$sfDir", { _ =>
       val base = Tables.load(spark, sfDir, "documents")
@@ -194,6 +203,9 @@ object Dedup {
       prevSum = s
       round += 1
     }
+    // labels is localCheckpoint'd (materialized, lineage cut), so the edge
+    // cache can be released before the final lazy joins run
+    edges.unpersist(false)
     // re-attach the isolated documents as singleton clusters
     val allLabels = docs.join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("label"))

@@ -53,6 +53,16 @@ class CatalogSpec extends SparkSpec {
     assert(nParts >= 1 && nParts <= 8, s"got $nParts range buckets")
   }
 
+  test("range partitioning survives empty and all-null inputs") {
+    val cat = freshCatalog("range_edge")
+    val src = Tables.load(spark, sfDir, "orders")
+    cat.put(src.filter(lit(false)), "empty", RangePartition("o_totalprice", 8))
+    assert(cat.cat("empty").count() == 0)
+    val nulls = src.limit(7).withColumn("o_totalprice", lit(null).cast("double"))
+    cat.put(nulls, "nulls", RangePartition("o_totalprice", 8))
+    assert(cat.cat("nulls").count() == 7)
+  }
+
   test("putCsv ingests a headered CSV and catOrdered restores file order") {
     val cat = freshCatalog("csv")
     val csvDir = "/root/repo/target/test_edfs/csv_src"
