@@ -278,7 +278,6 @@ object Dedup {
     * Emits the top-50 pairs by exact Jaccard (stable tie-break on ids). */
   def dedupJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.load(spark, sfDir, "documents")
-    val sh = d.select(col("doc_id"), shingles(col("text")).as("sh"))
     val sigs = withSig(spark, sfDir)
     val cands = bandCandidates(sigs)
     // stage 1: rank all candidates by the signature estimate (cheap)
@@ -291,7 +290,16 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("est"))
       .orderBy(col("est").desc, col("doc_a"), col("doc_b"))
       .limit(500)
-    // stage 2: exact verify only the shortlist (bounded work)
+      .cache() // ≤500 rows, read three times below
+    // stage 2: exact verify only the shortlist (bounded work). Shingle sets
+    // are computed ONLY for the ≤1000 shortlisted documents — a broadcast
+    // semi-join prunes the corpus scan, so exact-verify cost is bounded by
+    // the shortlist size, not the corpus size (the property that matters at
+    // 100 TB: the expensive exact pass never touches the full corpus).
+    val shortIds = shortlist
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
+    val sh = d.join(broadcast(shortIds), "doc_id")
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
     shortlist
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
