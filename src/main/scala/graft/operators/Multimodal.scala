@@ -38,12 +38,17 @@ object Multimodal {
 
   /** Deterministic fake codec: derives "decoded" properties from the payload
     * bytes only. Replaces `???` so the pipeline is runnable end-to-end; the
-    * real-codec integration point is this one method. */
+    * real-codec integration point is this one method. The fake properties
+    * derive from the first 4 bytes of the payload's md5 (not CRC32) so the
+    * whole pipeline is portable SQL — the DuckDB oracle below reproduces every
+    * feature bit-exactly, turning C12 from a rows-only check into a full
+    * value-level gate. */
   object StubCodec extends MediaCodec {
     def decode(row: MediaRow): MediaFeatures = {
-      val crc = new java.util.zip.CRC32
-      crc.update(row.media)
-      val h = crc.getValue
+      val d = java.security.MessageDigest.getInstance("MD5").digest(row.media)
+      // first 8 hex chars of md5, as an unsigned 32-bit value in a long
+      val h = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+        ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
       MediaFeatures(
         media_id = row.media_id,
         byte_len = row.media.length,
@@ -83,5 +88,23 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_pipeline" -> (mmPipeline _))
 
-  val oracles: Map[String, String] = Map.empty
+  /** DuckDB replica of the media fabrication + StubCodec feature math: the
+    * payload is the document's UTF-8 bytes in both engines, md5 agrees on
+    * them, and every derived feature is integer/constant arithmetic. */
+  val mmPipelineSql: String =
+    """WITH m AS (
+      | SELECT doc_id AS media_id,
+      |  octet_length(CAST(text AS BLOB)) AS byte_len,
+      |  (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS format,
+      |  CAST(('0x' || substr(md5(text), 1, 8)) AS INT64) AS h
+      | FROM documents)
+      |SELECT media_id, byte_len, format,
+      | CAST(h % 640 AS INT) + 1 AS width,
+      | CAST((h >> 16) % 480 AS INT) + 1 AS height,
+      | CASE WHEN format = 'video' THEN CAST(byte_len % 30 AS INT) + 1 ELSE 1 END AS n_frames,
+      | (h % 100000) / 100000.0 AS feature_norm
+      |FROM m ORDER BY media_id""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "mm_pipeline" -> mmPipelineSql)
 }

@@ -346,13 +346,17 @@ object Relational {
       |ORDER BY event_type""".stripMargin
 
   /** B13 — exact percentiles (R-7 interpolation) per group, rounded to absorb
-    * engine-specific interpolation arithmetic order. */
+    * engine-specific interpolation arithmetic order. ONE array-percentile
+    * aggregate: three scalar percentile() calls would each keep their own
+    * per-group value buffer (3× the aggregation state and sort work). */
   def qPercentiles(spark: SparkSession, sfDir: String): DataFrame = {
     val l = Tables.load(spark, sfDir, "lineitem")
     l.groupBy(col("l_returnflag"))
-      .agg(round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"))
+      .agg(expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("ps"))
+      .select(col("l_returnflag"),
+        round(col("ps").getItem(0), 4).as("p25"),
+        round(col("ps").getItem(1), 4).as("p50"),
+        round(col("ps").getItem(2), 4).as("p75"))
       .orderBy(col("l_returnflag"))
   }
 
