@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Joins, Multimodal, Pmr, Relational, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Joins, Multimodal, PipelineOps, Pmr, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator inventory.
   * Every implemented operator has a `queries` entry; SQL-expressible ones also
@@ -17,14 +17,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Pmr.queries ++ TextAnalysis.queries ++
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
-      Joins.queries ++ graft.sources.JsonBackend.queries ++
-      graft.streaming.Streams.queries
+      Joins.queries ++ PipelineOps.queries ++
+      graft.sources.JsonBackend.queries ++ graft.streaming.Streams.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Pmr.oracles ++ TextAnalysis.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
-      Joins.oracles ++ graft.sources.JsonBackend.oracles ++
-      graft.streaming.Streams.oracles
+      Joins.oracles ++ PipelineOps.oracles ++
+      graft.sources.JsonBackend.oracles ++ graft.streaming.Streams.oracles
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -53,9 +53,105 @@ object Joins {
       |GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin
 
+  private val MicroFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+  /** B16 — as-of join ("last click before purchase" attribution): each
+    * purchase event is joined to the user's most recent click at-or-before its
+    * timestamp.
+    *
+    * Spark-first shape: NOT a per-probe range scan (quadratic) and NOT a
+    * custom physical operator — a union of the two tagged streams, one
+    * shuffle+sort on (user, time), and a running `last(_, ignoreNulls)` window
+    * that each probe row reads its answer from. One pass, linear, AQE-friendly;
+    * the same plan shape at 100 TB. Build-side ties on (user, ts) are
+    * pre-collapsed to max(event_id) so the match is deterministic; at equal
+    * timestamps the build row sorts first (is_probe secondary key), giving the
+    * ASOF `>=` inclusive semantics the oracle uses. */
+  def qAsofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    val probe = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("is_probe"),
+        col("event_id").as("probe_id"), lit(null).cast("bigint").as("click_id"))
+    val build = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("click_id"))
+      .select(col("user_id"), col("ts"), lit(0).as("is_probe"),
+        lit(null).cast("bigint").as("probe_id"), col("click_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("is_probe"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    probe.unionByName(build)
+      .withColumn("asof_click", last(col("click_id"), ignoreNulls = true).over(w))
+      .withColumn("asof_ts",
+        last(when(col("is_probe") === 0, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("is_probe") === 1)
+      .select(col("probe_id"), col("user_id"),
+        date_format(col("ts"), MicroFmt).as("probe_ts"),
+        col("asof_click").as("click_id"),
+        date_format(col("asof_ts"), MicroFmt).as("click_ts"))
+      .orderBy(col("probe_id"))
+  }
+
+  val qAsofJoinSql: String =
+    """SELECT p.event_id AS probe_id, p.user_id,
+      | strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS probe_ts,
+      | b.click_id,
+      | strftime(b.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (
+      | SELECT user_id, ts, MAX(event_id) AS click_id
+      | FROM events WHERE event_type = 'click' GROUP BY user_id, ts) b
+      |ON p.user_id = b.user_id AND p.ts >= b.ts
+      |ORDER BY probe_id""".stripMargin
+
+  /** B17 — bucketed range join: views per user within the 30 minutes before
+    * each purchase.
+    *
+    * A naive interval join is a near-cartesian shuffle; the scalable shape is
+    * time-bucketing: both sides get a 30-min bucket id, the build side is
+    * duplicated into (bucket, bucket+1) so every probe's look-back window is
+    * covered by ONE equi-join on (user, bucket), and the exact interval
+    * predicate filters the small candidate set after the join. Shuffle volume
+    * is 2× the build side — independent of the time-range selectivity. */
+  def qRangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    def bucket(c: Column): Column = floor(unix_micros(c) / lit(1800000000L))
+    val probe = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("probe_id"), col("user_id"), col("ts"),
+        bucket(col("ts")).as("bkt"))
+    val build = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("b_user"), col("ts").as("view_ts"))
+      .select(col("b_user"), col("view_ts"),
+        explode(array(bucket(col("view_ts")), bucket(col("view_ts")) + 1)).as("bkt"))
+    probe.join(build,
+        probe("user_id") === build("b_user") && probe("bkt") === build("bkt") &&
+        col("view_ts") >= col("ts") - expr("INTERVAL 30 MINUTES") &&
+        col("view_ts") <= col("ts"), "left")
+      .groupBy(col("probe_id"), col("user_id"), col("ts"))
+      .agg(count(col("view_ts")).as("n_views_30m"))
+      .select(col("probe_id"), col("user_id"),
+        date_format(col("ts"), MicroFmt).as("probe_ts"), col("n_views_30m"))
+      .orderBy(col("probe_id"))
+  }
+
+  val qRangeJoinSql: String =
+    """SELECT p.event_id AS probe_id, p.user_id,
+      | strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS probe_ts,
+      | COUNT(b.ts) AS n_views_30m
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') b
+      | ON p.user_id = b.user_id
+      | AND b.ts >= p.ts - INTERVAL 30 MINUTE AND b.ts <= p.ts
+      |GROUP BY 1, 2, 3
+      |ORDER BY probe_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_salted_join" -> (qSaltedJoin _))
+    "q_salted_join" -> (qSaltedJoin _),
+    "q_asof_join" -> (qAsofJoin _),
+    "q_range_join" -> (qRangeJoin _))
 
   val oracles: Map[String, String] = Map(
-    "q_salted_join" -> qSaltedJoinSql)
+    "q_salted_join" -> qSaltedJoinSql,
+    "q_asof_join" -> qAsofJoinSql,
+    "q_range_join" -> qRangeJoinSql)
 }

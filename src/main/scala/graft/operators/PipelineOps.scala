@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus-preparation operators a large-scale training-data pipeline needs
+  * beyond dedup/similarity (SURVEY §2 C13-C15): deterministic stratified
+  * sampling (data mixing), corpus n-gram statistics (vocabulary/frequency
+  * analysis), and benchmark-contamination checking. All are pure column
+  * pipelines + one aggregation — no UDFs, no driver-side loops.
+  */
+object PipelineOps {
+
+  /** Portable per-row hash in [0, 2^32): first 8 hex chars of md5 of the id's
+    * decimal string — both engines agree byte-for-byte (same construction as
+    * the text fingerprint), so sampling decisions are reproducible across the
+    * engine and the oracle. A seeded rand() would NOT be: its sequence depends
+    * on partitioning. */
+  private def idHash(c: Column): Column =
+    conv(substring(md5(c.cast("string").cast("binary")), 1, 8), 16, 10).cast("long")
+
+  /** C13 — deterministic stratified sampling: language-balanced data mixing.
+    * English is downsampled to 10%, every other language kept at 50% — the
+    * "rebalance web-scale English against low-resource languages" move. The
+    * keep decision is a pure function of doc_id, so the sample is stable
+    * across runs, partitionings, and engines; at 100 TB this is a single
+    * filter pushed to the scan, no shuffle at all. */
+  def sampleStratified(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.load(spark, sfDir, "documents")
+    val pct = when(col("lang") === "en", 10).otherwise(50)
+    d.filter(pmod(idHash(col("doc_id")), lit(100)) < pct)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  val sampleStratifiedSql: String =
+    """SELECT doc_id, lang, source FROM documents
+      |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS INT64) % 100
+      |  < CASE WHEN lang = 'en' THEN 10 ELSE 50 END
+      |ORDER BY doc_id""".stripMargin
+
+  /** C14 — corpus n-gram statistics: top-50 word bigrams by frequency.
+    * explode → groupBy(count) is the canonical distributed shape: map-side
+    * partial counts shrink the shuffle to one row per distinct bigram per
+    * task, and the global top-k is a TakeOrdered (no full sort). Tie-broken
+    * on the bigram so rank-boundary ties are deterministic. */
+  def ngramTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.load(spark, sfDir, "documents")
+    val t = split(col("text"), " ")
+    val bigrams = when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1),
+        i => concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    d.select(explode(bigrams).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(50)
+  }
+
+  val ngramTopkSql: String =
+    """SELECT bigram, COUNT(*) AS n FROM (
+      | SELECT t.bigram
+      | FROM (SELECT string_split(text, ' ') AS toks FROM documents) d,
+      | LATERAL unnest(list_transform(range(1, len(toks)),
+      |   i -> toks[i] || ' ' || toks[i + 1])) AS t(bigram))
+      |GROUP BY bigram
+      |ORDER BY n DESC, bigram
+      |LIMIT 50""".stripMargin
+
+  /** Word 5-grams, distinct per document; sub-5-token docs fall back to the
+    * whole text as a single gram. */
+  private def fiveGrams(text: Column): Column = {
+    val t = split(text, " ")
+    array_distinct(
+      when(size(t) >= 5,
+        transform(sequence(lit(1), size(t) - 4),
+          i => concat_ws(" ", element_at(t, i), element_at(t, i + 1),
+            element_at(t, i + 2), element_at(t, i + 3), element_at(t, i + 4))))
+        .otherwise(array(text)))
+  }
+
+  /** C15 — benchmark-contamination check: per-document fraction of distinct
+    * word 5-grams that also appear in a benchmark set (here: every 97th doc
+    * stands in for an eval suite). Shape that matters at 100 TB: the
+    * benchmark's gram set is SMALL (eval suites are), so the membership test
+    * is a broadcast semi-join against the exploded corpus grams — the corpus
+    * is streamed once, never shuffled on the gram key. */
+  def contamination(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.load(spark, sfDir, "documents")
+    val grams = d.select(col("doc_id"), fiveGrams(col("text")).as("gs"))
+    val bench = grams.filter(col("doc_id") % 97 === 0)
+      .select(explode(col("gs")).as("g")).distinct()
+    val corpus = grams.filter(col("doc_id") % 97 =!= 0)
+    val hits = corpus.select(col("doc_id"), explode(col("gs")).as("g"))
+      .join(broadcast(bench), "g")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+    corpus.select(col("doc_id"), size(col("gs")).cast("bigint").as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        (coalesce(col("n_contaminated"), lit(0L)) / col("n_grams"))
+          .as("contamination_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  val contaminationSql: String =
+    """WITH grams AS (
+      | SELECT doc_id,
+      |  CASE WHEN len(string_split(text, ' ')) >= 5
+      |   THEN list_distinct(list_transform(
+      |     range(1, len(string_split(text, ' ')) - 3),
+      |     i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]
+      |       || ' ' || string_split(text, ' ')[i + 2] || ' ' || string_split(text, ' ')[i + 3]
+      |       || ' ' || string_split(text, ' ')[i + 4]))
+      |   ELSE [text] END AS gs
+      | FROM documents),
+      |bench AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 97 = 0),
+      |corpus AS (SELECT * FROM grams WHERE doc_id % 97 != 0),
+      |hits AS (
+      | SELECT e.doc_id, COUNT(*) AS n_contaminated
+      | FROM (SELECT doc_id, unnest(gs) AS g FROM corpus) e
+      | JOIN bench b ON e.g = b.g
+      | GROUP BY e.doc_id)
+      |SELECT c.doc_id, CAST(len(c.gs) AS BIGINT) AS n_grams,
+      | COALESCE(h.n_contaminated, 0) AS n_contaminated,
+      | COALESCE(h.n_contaminated, 0) / len(c.gs) AS contamination_ratio
+      |FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
+      |ORDER BY c.doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_stratified" -> (sampleStratified _),
+    "ngram_topk" -> (ngramTopk _),
+    "contamination" -> (contamination _))
+
+  val oracles: Map[String, String] = Map(
+    "sample_stratified" -> sampleStratifiedSql,
+    "ngram_topk" -> ngramTopkSql,
+    "contamination" -> contaminationSql)
+}

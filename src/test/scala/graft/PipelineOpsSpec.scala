@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Joins, PipelineOps}
+
+class PipelineOpsSpec extends SparkSpec {
+
+  test("as-of join matches a brute-force latest-click-at-or-before computation") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("probe_id"), col("user_id").as("pu"), col("ts").as("pts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"))
+    // brute force: max click ts at-or-before each purchase (small sf only)
+    val brute = purchases.join(clicks,
+        col("pu") === col("cu") && col("cts") <= col("pts"), "left")
+      .groupBy(col("probe_id")).agg(max(col("cts")).as("want_ts"))
+      .select(col("probe_id"),
+        date_format(col("want_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("want_ts"))
+    val got = Joins.qAsofJoin(spark, sfDir).select(col("probe_id"), col("click_ts"))
+    val joined = got.join(brute, "probe_id")
+    assert(joined.count() > 0)
+    val diff = joined.filter(
+      !(col("click_ts") <=> col("want_ts"))).count()
+    assert(diff == 0, s"$diff as-of rows disagree with brute force")
+  }
+
+  test("range join counts match a brute-force interval join") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("probe_id"), col("user_id").as("pu"), col("ts").as("pts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("vu"), col("ts").as("vts"))
+    val brute = purchases.join(views,
+        col("pu") === col("vu") &&
+        col("vts") >= col("pts") - expr("INTERVAL 30 MINUTES") &&
+        col("vts") <= col("pts"), "left")
+      .groupBy(col("probe_id")).agg(count(col("vts")).as("want_n"))
+    val got = Joins.qRangeJoin(spark, sfDir).select(col("probe_id"), col("n_views_30m"))
+    val diff = got.join(brute, "probe_id")
+      .filter(col("n_views_30m") =!= col("want_n")).count()
+    assert(diff == 0, s"$diff range-join counts disagree with brute force")
+  }
+
+  test("stratified sample is deterministic and rebalances en vs the rest") {
+    val a = PipelineOps.sampleStratified(spark, sfDir).collect()
+    val b = PipelineOps.sampleStratified(spark, sfDir).collect()
+    assert(a.map(_.getLong(0)).toSeq == b.map(_.getLong(0)).toSeq) // stable
+    val docs = Tables.load(spark, sfDir, "documents")
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = a.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    val enRate = sampled.getOrElse("en", 0).toDouble / docs("en")
+    val deRate = sampled.getOrElse("de", 0).toDouble / docs("de")
+    assert(enRate < deRate, s"en rate $enRate should be below de rate $deRate")
+  }
+
+  test("ngram top-k is sorted by count desc with deterministic tie-break") {
+    val rows = PipelineOps.ngramTopk(spark, sfDir).collect()
+    assert(rows.length == 50)
+    val pairs = rows.map(r => (r.getLong(1), r.getString(0)))
+    assert(pairs.sameElements(pairs.sortBy { case (n, bg) => (-n, bg) }))
+    assert(rows.forall(_.getString(0).contains(" ")))
+  }
+
+  test("contamination excludes benchmark docs and bounds the ratio") {
+    val rows = PipelineOps.contamination(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(0) % 97 != 0))
+    assert(rows.forall { r =>
+      val ratio = r.getDouble(3)
+      ratio >= 0.0 && ratio <= 1.0 && r.getLong(2) <= r.getLong(1)
+    })
+  }
+}
