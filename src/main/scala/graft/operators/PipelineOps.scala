@@ -41,6 +41,28 @@ object PipelineOps {
       |  < CASE WHEN lang = 'en' THEN 10 ELSE 50 END
       |ORDER BY doc_id""".stripMargin
 
+  /** Word n-grams as (doc_id, g) rows: tokens are exploded ONCE, then grams
+    * assembled with window `lead`s over (doc, pos).
+    *
+    * Why not `transform(sequence(...), i => ...element_at(toks, i)...)`:
+    * higher-order-function lambdas are interpreted (CodegenFallback) and
+    * re-evaluate their body per element, and CollapseProject inlines the
+    * `split` into that body — n element_at references × ~200 positions ≈
+    * 1000 full-text splits PER DOCUMENT (measured: 27 s for the 5-gram
+    * contamination pass at sf0.1; 2.5 s this way). The window's doc_id
+    * shuffle is reused by every downstream per-doc aggregation. */
+  private def ngramRows(docs: DataFrame, n: Int): DataFrame = {
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val w = byDoc.orderBy("pos")
+    val gram = concat_ws(" ",
+      col("t") +: (1 until n).map(j => lead(col("t"), j).over(w)): _*)
+    docs.select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "t")))
+      .withColumn("n_toks", count(lit(1)).over(byDoc))
+      .withColumn("g", gram)
+      .filter(col("pos") <= col("n_toks") - n)
+      .select(col("doc_id"), col("g"))
+  }
+
   /** C14 — corpus n-gram statistics: top-50 word bigrams by frequency.
     * explode → groupBy(count) is the canonical distributed shape: map-side
     * partial counts shrink the shuffle to one row per distinct bigram per
@@ -48,13 +70,8 @@ object PipelineOps {
     * on the bigram so rank-boundary ties are deterministic. */
   def ngramTopk(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.load(spark, sfDir, "documents")
-    val t = split(col("text"), " ")
-    val bigrams = when(size(t) >= 2,
-      transform(sequence(lit(1), size(t) - 1),
-        i => concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
-      .otherwise(array().cast("array<string>"))
-    d.select(explode(bigrams).as("bigram"))
-      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+    ngramRows(d, 2)
+      .groupBy(col("g").as("bigram")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram"))
       .limit(50)
   }
@@ -69,39 +86,33 @@ object PipelineOps {
       |ORDER BY n DESC, bigram
       |LIMIT 50""".stripMargin
 
-  /** Word 5-grams, distinct per document; sub-5-token docs fall back to the
-    * whole text as a single gram. */
-  private def fiveGrams(text: Column): Column = {
-    val t = split(text, " ")
-    array_distinct(
-      when(size(t) >= 5,
-        transform(sequence(lit(1), size(t) - 4),
-          i => concat_ws(" ", element_at(t, i), element_at(t, i + 1),
-            element_at(t, i + 2), element_at(t, i + 3), element_at(t, i + 4))))
-        .otherwise(array(text)))
+  /** Distinct word 5-grams per document; sub-5-token docs fall back to the
+    * whole text as a single gram (so every document owns ≥1 gram). */
+  private def fiveGramSet(docs: DataFrame): DataFrame = {
+    val fallback = docs.filter(size(split(col("text"), " ")) < 5)
+      .select(col("doc_id"), col("text").as("g"))
+    ngramRows(docs, 5).union(fallback).distinct()
   }
 
   /** C15 — benchmark-contamination check: per-document fraction of distinct
     * word 5-grams that also appear in a benchmark set (here: every 97th doc
     * stands in for an eval suite). Shape that matters at 100 TB: the
-    * benchmark's gram set is SMALL (eval suites are), so the membership test
-    * is a broadcast semi-join against the exploded corpus grams — the corpus
-    * is streamed once, never shuffled on the gram key. */
+    * benchmark's gram set is SMALL (eval suites are) and is the only side
+    * that's collected — the corpus grams stream once through a broadcast
+    * LEFT join whose hit marker feeds the same per-doc aggregation that
+    * counts total grams, so corpus grams are computed and shuffled exactly
+    * once. The doc%97 filter is pushed into the gram pipeline, so benchmark
+    * grams are built from 1% of the corpus, not derived from the full pass. */
   def contamination(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.load(spark, sfDir, "documents")
-    val grams = d.select(col("doc_id"), fiveGrams(col("text")).as("gs"))
-    val bench = grams.filter(col("doc_id") % 97 === 0)
-      .select(explode(col("gs")).as("g")).distinct()
-    val corpus = grams.filter(col("doc_id") % 97 =!= 0)
-    val hits = corpus.select(col("doc_id"), explode(col("gs")).as("g"))
-      .join(broadcast(bench), "g")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
-    corpus.select(col("doc_id"), size(col("gs")).cast("bigint").as("n_grams"))
-      .join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_grams"),
-        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
-        (coalesce(col("n_contaminated"), lit(0L)) / col("n_grams"))
-          .as("contamination_ratio"))
+    val bench = fiveGramSet(d.filter(col("doc_id") % 97 === 0))
+      .select(col("g")).distinct().withColumn("hit", lit(1))
+    fiveGramSet(d.filter(col("doc_id") % 97 =!= 0))
+      .join(broadcast(bench), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_contaminated"))
+      .select(col("doc_id"), col("n_grams"), col("n_contaminated"),
+        (col("n_contaminated") / col("n_grams")).as("contamination_ratio"))
       .orderBy(col("doc_id"))
   }
 
