@@ -98,9 +98,13 @@ object Dedup {
 
   private def withSig(spark: SparkSession, sfDir: String): DataFrame =
     sigStore.computeIfAbsent(s"${spark.sparkContext.applicationId}:$sfDir", { _ =>
-      val base = Tables.load(spark, sfDir, "documents")
-        .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
-        .select(col("doc_id"), xxhash64(col("s")).as("b"))
+      // 3-shingle rows come from the window-lead gram builder (explode once,
+      // lead×2), NOT explode(shingles(...)): the array-lambda form re-splits
+      // the text per element (interpreted HOF + CollapseProject inlining).
+      // Same strings → same xxhash64 → identical signatures.
+      val base = PipelineOps.gramSet(
+          Tables.load(spark, sfDir, "documents"), 3)
+        .select(col("doc_id"), xxhash64(col("g")).as("b"))
       val mins = (0 until NumHashes).map(i => min(xxhash64(col("b"), lit(i))).as(s"m$i"))
       val sigs = base.groupBy(col("doc_id"))
         .agg(mins.head, mins.tail: _*)

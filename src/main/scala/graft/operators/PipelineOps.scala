@@ -51,7 +51,7 @@ object PipelineOps {
     * 1000 full-text splits PER DOCUMENT (measured: 27 s for the 5-gram
     * contamination pass at sf0.1; 2.5 s this way). The window's doc_id
     * shuffle is reused by every downstream per-doc aggregation. */
-  private def ngramRows(docs: DataFrame, n: Int): DataFrame = {
+  private[operators] def ngramRows(docs: DataFrame, n: Int): DataFrame = {
     val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
     val w = byDoc.orderBy("pos")
     val gram = concat_ws(" ",
@@ -86,12 +86,13 @@ object PipelineOps {
       |ORDER BY n DESC, bigram
       |LIMIT 50""".stripMargin
 
-  /** Distinct word 5-grams per document; sub-5-token docs fall back to the
-    * whole text as a single gram (so every document owns ≥1 gram). */
-  private def fiveGramSet(docs: DataFrame): DataFrame = {
-    val fallback = docs.filter(size(split(col("text"), " ")) < 5)
+  /** Distinct word n-grams per document; sub-n-token docs fall back to the
+    * whole text as a single gram (so every document owns ≥1 gram). Shared by
+    * contamination (n=5) and the MinHash shingle pipeline (n=3). */
+  private[operators] def gramSet(docs: DataFrame, n: Int): DataFrame = {
+    val fallback = docs.filter(size(split(col("text"), " ")) < n)
       .select(col("doc_id"), col("text").as("g"))
-    ngramRows(docs, 5).union(fallback).distinct()
+    ngramRows(docs, n).union(fallback).distinct()
   }
 
   /** C15 — benchmark-contamination check: per-document fraction of distinct
@@ -105,9 +106,9 @@ object PipelineOps {
     * grams are built from 1% of the corpus, not derived from the full pass. */
   def contamination(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.load(spark, sfDir, "documents")
-    val bench = fiveGramSet(d.filter(col("doc_id") % 97 === 0))
+    val bench = gramSet(d.filter(col("doc_id") % 97 === 0), 5)
       .select(col("g")).distinct().withColumn("hit", lit(1))
-    fiveGramSet(d.filter(col("doc_id") % 97 =!= 0))
+    gramSet(d.filter(col("doc_id") % 97 =!= 0), 5)
       .join(broadcast(bench), Seq("g"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_contaminated"))
