@@ -23,5 +23,6 @@ object GraftConf {
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.warehouse.dir", "/root/repo/target/graft_warehouse")
       .config("spark.ui.enabled", "false")
 }

@@ -145,13 +145,55 @@ object Joins {
       |GROUP BY 1, 2, 3
       |ORDER BY probe_id""".stripMargin
 
+  /** B18 — bucketed co-located join: both tables are written `bucketBy` the
+    * join key (8 buckets, sorted), so the join reads bucket i against bucket i
+    * with NO shuffle exchange on either side — at 100 TB this turns the
+    * nightly fact-fact join from the cluster's dominant shuffle into a local
+    * merge per bucket. The bucketed write is part of the query (a storage-
+    * layout decision, like the EDFS put family); repeat joins amortize it.
+    * JoinsSpec pins the plan: both scans select 8/8 buckets and at most the
+    * final aggregation exchanges. */
+  def qBucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val slug = sfDir.replaceAll("[^A-Za-z0-9]+", "_")
+    val oTbl = s"orders_bkt$slug"
+    val cTbl = s"customer_bkt$slug"
+    // A table directory left by a previous session is unknown to this
+    // session's in-memory catalog; clear it or saveAsTable refuses the
+    // location (LOCATION_ALREADY_EXISTS).
+    def ensure(tbl: String, build: => DataFrame, key: String): Unit =
+      if (!spark.catalog.tableExists(tbl)) {
+        val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh, tbl))
+        build.write.bucketBy(8, key).sortBy(key).mode("overwrite").saveAsTable(tbl)
+      }
+    ensure(oTbl, Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")), "o_custkey")
+    ensure(cTbl, Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment")), "c_custkey")
+    spark.table(oTbl)
+      .join(spark.table(cTbl), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("sum_price"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val qBucketedJoinSql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_orders,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_salted_join" -> (qSaltedJoin _),
     "q_asof_join" -> (qAsofJoin _),
-    "q_range_join" -> (qRangeJoin _))
+    "q_range_join" -> (qRangeJoin _),
+    "q_bucketed_join" -> (qBucketedJoin _))
 
   val oracles: Map[String, String] = Map(
     "q_salted_join" -> qSaltedJoinSql,
     "q_asof_join" -> qAsofJoinSql,
-    "q_range_join" -> qRangeJoinSql)
+    "q_range_join" -> qRangeJoinSql,
+    "q_bucketed_join" -> qBucketedJoinSql)
 }

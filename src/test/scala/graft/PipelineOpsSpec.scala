@@ -64,6 +64,35 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows.forall(_.getString(0).contains(" ")))
   }
 
+  test("bucketed join matches plain-join values and avoids shuffle exchanges") {
+    val df = Joins.qBucketedJoin(spark, sfDir)
+    val got = df.collect().map(_.toSeq)
+    val ev = Tables.load(spark, sfDir, "orders")
+      .join(Tables.load(spark, sfDir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("sum_price"))
+      .orderBy(col("c_mktsegment")).collect().map(_.toSeq)
+    assert(got.toSeq == ev.toSeq)
+    df.count() // finalize the adaptive plan before inspecting it
+    // AQE's toString prints final AND initial plans — inspect only the final
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("SelectedBucketsCount: 8 out of 8"),
+      s"expected bucketed scans in:\n${plan.take(2000)}")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles <= 1, // only the final groupBy may hash-exchange
+      s"bucketed join should not shuffle its inputs; got $shuffles exchanges:\n${plan.take(2000)}")
+  }
+
+  test("as-of join plan is join-free (union + one window) and range join is an equi-join") {
+    val asof = Joins.qAsofJoin(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!asof.contains("Join"), s"as-of should be union+window:\n${asof.take(1500)}")
+    val range = Joins.qRangeJoin(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!range.contains("CartesianProduct") && !range.contains("BroadcastNestedLoop"),
+      s"range join must stay an equi-join:\n${range.take(1500)}")
+  }
+
   test("contamination excludes benchmark docs and bounds the ratio") {
     val rows = PipelineOps.contamination(spark, sfDir).collect()
     assert(rows.nonEmpty)
