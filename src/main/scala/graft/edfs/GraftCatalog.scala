@@ -228,6 +228,58 @@ class GraftCatalog(spark: SparkSession, root: String,
   def readPartition(path: String, column: String, value: Any): DataFrame =
     loadTable(path).filter(col(column) === lit(value))
 
+  /** The raw sidecar text, if present. */
+  private def readMetaRaw(path: String): Option[String] = {
+    val p = new Path(abs(path), MetaFile)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8"))
+      finally in.close()
+    }
+  }
+
+  /** The physical partition column of a table, from its sidecar: the user's
+    * column for hash layout, the internal bucket column for bucketed/range,
+    * none for unpartitioned. */
+  private def physicalPartitionColumn(path: String): Option[String] =
+    readMetaRaw(path).flatMap { raw =>
+      val kind = "\"kind\": \"([^\"]*)\"".r.findFirstMatchIn(raw).map(_.group(1))
+      val column = "\"column\": \"([^\"]*)\"".r.findFirstMatchIn(raw).map(_.group(1))
+      kind match {
+        case Some("hash") => column
+        case Some("bucketed_hash") | Some("range") => Some(BucketCol)
+        case _ => None
+      }
+    }
+
+  /** compact — rewrite the table so every partition directory holds exactly
+    * one file. Many small files per partition are the steady state of
+    * incremental ingest (every micro-batch/put appends its own); at 100 TB the
+    * namenode/list overhead and per-file open cost dominate reads long before
+    * data volume does, so periodic compaction is a first-class catalog op.
+    * `repartition(partitionCol)` routes each value to exactly one task, so
+    * `partitionBy` emits exactly one file per directory; the rewrite lands in
+    * a temp dir and swaps in atomically (rename), sidecar preserved. */
+  def compact(path: String): Unit = {
+    val base = abs(path)
+    val meta = readMetaRaw(path)
+    val df = loadTable(path)
+    val tmp = new Path(base.getParent, base.getName + "__compacting")
+    fs.delete(tmp, true)
+    val writer = physicalPartitionColumn(path) match {
+      case Some(c) => df.repartition(col(c)).write.partitionBy(c)
+      case None => df.coalesce(1).write
+    }
+    writer.mode("overwrite").format(format).save(tmp.toString)
+    fs.delete(base, true)
+    fs.rename(tmp, base)
+    meta.foreach { raw =>
+      val out = fs.create(new Path(base, MetaFile), true)
+      try out.write(raw.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
   /** getPartitionLocations — the partition manifest: value directory, file
     * count, bytes. Driver-side metadata listing, same role as the reference's
     * namenode block map. */

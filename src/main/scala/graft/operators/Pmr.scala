@@ -109,6 +109,27 @@ object Pmr {
     """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
       |FROM part ORDER BY p_partkey""".stripMargin
 
+  /** A14 — compact: collapse the many-small-files state incremental ingest
+    * leaves behind (here fabricated by an 8-way pre-repartition before the
+    * put, so every nation directory holds up to 8 files) into exactly one
+    * file per partition, then prove the rewrite is lossless by full
+    * read-back. CatalogSpec additionally pins the file counts. */
+  def edfsCompact(spark: SparkSession, sfDir: String): DataFrame = {
+    val cat = catalog(spark, sfDir)
+    cat.mkdir("warehouse")
+    cat.put(Tables.load(spark, sfDir, "supplier").repartition(8),
+      "warehouse/supplier_by_nation", HashPartition("s_nationkey"))
+    cat.compact("warehouse/supplier_by_nation")
+    cat.cat("warehouse/supplier_by_nation")
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey").cast("int"),
+        col("s_acctbal"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val edfsCompactSql: String =
+    """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+      |FROM supplier ORDER BY s_suppkey""".stripMargin
+
   /** A4 — readPartition: one partition only; Catalyst prunes to the single
     * `c_nationkey=7` directory. */
   def edfsReadPartition(spark: SparkSession, sfDir: String): DataFrame = {
@@ -250,6 +271,7 @@ object Pmr {
     "edfs_put_hash" -> (edfsPutHash _),
     "edfs_put_range" -> (edfsPutRange _),
     "edfs_cat" -> (edfsCat _),
+    "edfs_compact" -> (edfsCompact _),
     "edfs_read_partition" -> (edfsReadPartition _),
     "edfs_partition_locations" -> (edfsPartitionLocations _),
     "edfs_ls" -> (edfsLs _),
@@ -265,6 +287,7 @@ object Pmr {
     "edfs_put_hash" -> edfsPutHashSql,
     "edfs_put_range" -> edfsPutRangeSql,
     "edfs_cat" -> edfsCatSql,
+    "edfs_compact" -> edfsCompactSql,
     "edfs_read_partition" -> edfsReadPartitionSql,
     "pmr_avg" -> pmrAvgSql,
     "pmr_min" -> pmrMinSql,

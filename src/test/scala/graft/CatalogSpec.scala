@@ -63,6 +63,23 @@ class CatalogSpec extends SparkSpec {
     assert(cat.cat("nulls").count() == 7)
   }
 
+  test("compact collapses multi-file partitions to one file, losslessly") {
+    val cat = freshCatalog("compact")
+    val src = Tables.load(spark, sfDir, "customer")
+    cat.put(src.repartition(4), "t", HashPartition("c_nationkey"))
+    val before = cat.partitionLocations("t").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(before.values.exists(_ > 1), s"fixture should start multi-file: $before")
+    cat.compact("t")
+    val after = cat.partitionLocations("t").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(after.keySet == before.keySet, "partition set must be preserved")
+    assert(after.values.forall(_ == 1), s"expected 1 file per partition: $after")
+    assert(cat.cat("t").count() == src.count())
+    assert(cat.describe("t").collect().map(r => r.getString(0) -> r.getString(1))
+      .toMap.apply("scheme") == "hash") // sidecar survived the swap
+  }
+
   test("putCsv ingests a headered CSV and catOrdered restores file order") {
     val cat = freshCatalog("csv")
     val csvDir = "/root/repo/target/test_edfs/csv_src"
