@@ -199,9 +199,11 @@ object Dedup {
       val msgs = edges
         .join(labels.withColumnRenamed("doc_id", "src"), "src")
         .select(col("dst").as("doc_id"), col("label"))
+      // lazy checkpoint: the convergence-test action below materializes it,
+      // so each round runs ONE job, not a checkpoint job plus a sum job
       labels = labels.union(msgs)
         .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val s = labels.agg(sum(col("label"))).head().getLong(0)
       converged = s == prevSum
       prevSum = s
