@@ -92,7 +92,12 @@ object PipelineOps {
   private[operators] def gramSet(docs: DataFrame, n: Int): DataFrame = {
     val fallback = docs.filter(size(split(col("text"), " ")) < n)
       .select(col("doc_id"), col("text").as("g"))
-    ngramRows(docs, n).union(fallback).distinct()
+    // distinct BEFORE the union: the window's hash(doc_id) partitioning
+    // satisfies the (doc_id, g) clustering requirement, so this distinct is
+    // exchange-free; after the union that information is lost and Spark
+    // would re-shuffle every gram row. The fallback side is disjoint
+    // (sub-n-token docs emit no window grams) and already unique.
+    ngramRows(docs, n).distinct().union(fallback)
   }
 
   /** C15 — benchmark-contamination check: per-document fraction of distinct
