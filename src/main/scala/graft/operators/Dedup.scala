@@ -133,6 +133,35 @@ object Dedup {
     """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
       |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
 
+  /** C16 — incremental dedup: the production ingest shape, where a NEW batch
+    * (here: doc_id % 10 == 9 stands in for today's crawl) is deduplicated
+    * against the already-ingested corpus rather than all-pairs against
+    * itself. Join on the content digest; the new batch is the small side, so
+    * its shuffle is negligible and the corpus side streams once — in
+    * production the corpus digest table would be bucketed by hash, making
+    * this a co-located join with no corpus shuffle at all (see B18). */
+  def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.load(spark, sfDir, "documents")
+    val newBatch = d.filter(col("doc_id") % 10 === 9)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+    val corpus = d.filter(col("doc_id") % 10 =!= 9)
+      .select(col("doc_id").as("corpus_id"), md5(col("text").cast("binary")).as("h"))
+    newBatch.join(corpus, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(min(col("corpus_id")).as("dup_of"))
+      .select(col("doc_id"), col("dup_of"), col("dup_of").isNotNull.as("is_duplicate"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupIncrementalSql: String =
+    """SELECT n.doc_id, MIN(c.doc_id) AS dup_of,
+      | MIN(c.doc_id) IS NOT NULL AS is_duplicate
+      |FROM (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 = 9) n
+      |LEFT JOIN (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 != 9) c
+      | USING (h)
+      |GROUP BY n.doc_id
+      |ORDER BY n.doc_id""".stripMargin
+
   // ----- C2: MinHash + LSH -----
 
   /** C2 — MinHash/LSH near-dedup decision per document: estimated Jaccard from
@@ -393,6 +422,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
+    "dedup_incremental" -> (dedupIncremental _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -401,5 +431,6 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
+    "dedup_incremental" -> dedupIncrementalSql,
     "dedup_embedding" -> dedupEmbeddingSql)
 }

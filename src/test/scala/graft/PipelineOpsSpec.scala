@@ -93,6 +93,16 @@ class PipelineOpsSpec extends SparkSpec {
       s"range join must stay an equi-join:\n${range.take(1500)}")
   }
 
+  test("incremental dedup only reports new-batch docs against corpus dups") {
+    val rows = graft.operators.Dedup.dedupIncremental(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(0) % 10 == 9)) // only new-batch docs
+    rows.filter(!_.isNullAt(1)).foreach { r =>
+      assert(r.getLong(1) % 10 != 9, "dup_of must point into the corpus")
+      assert(r.getBoolean(2))
+    }
+  }
+
   test("contamination excludes benchmark docs and bounds the ratio") {
     val rows = PipelineOps.contamination(spark, sfDir).collect()
     assert(rows.nonEmpty)
