@@ -146,13 +146,40 @@ object PipelineOps {
       |FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
       |ORDER BY c.doc_id""".stripMargin
 
+  /** C17 — per-language corpus report: doc counts, token volume, and median
+    * length — the summary every data-mixing decision starts from. One
+    * groupBy; the exact median uses the same R-7 percentile the B13 oracle
+    * proved cross-engine. */
+  def corpusStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.load(spark, sfDir, "documents")
+    val ws = (length(col("text")) - length(regexp_replace(col("text"), " ", ""))
+      + lit(1)).cast("bigint")
+    d.select(col("lang"), ws.as("ws"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ws")).as("total_tokens"),
+        round(expr("percentile(ws, 0.5)"), 4).as("p50_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  val corpusStatsSql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      | CAST(SUM(ws) AS BIGINT) AS total_tokens,
+      | ROUND(quantile_cont(ws, 0.5), 4) AS p50_tokens
+      |FROM (SELECT lang,
+      |  length(text) - length(regexp_replace(text, ' ', '', 'g')) + 1 AS ws
+      | FROM documents) t
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> (sampleStratified _),
     "ngram_topk" -> (ngramTopk _),
-    "contamination" -> (contamination _))
+    "contamination" -> (contamination _),
+    "corpus_stats" -> (corpusStats _))
 
   val oracles: Map[String, String] = Map(
     "sample_stratified" -> sampleStratifiedSql,
     "ngram_topk" -> ngramTopkSql,
-    "contamination" -> contaminationSql)
+    "contamination" -> contaminationSql,
+    "corpus_stats" -> corpusStatsSql)
 }

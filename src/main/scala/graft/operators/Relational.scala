@@ -430,8 +430,52 @@ object Relational {
       |   AND o_orderdate < TIMESTAMP '2001-01-01 00:00:00'
       |ORDER BY o_custkey""".stripMargin
 
+  /** B19 — event funnel: signup → first view after it → first purchase after
+    * that view, per user. Three chained per-user minima computed as stacked
+    * window aggregates over ONE user_id partitioning — a single shuffle, no
+    * self-joins (the naive form joins events against itself once per stage).
+    * Output is the 3-stage conversion count. */
+  def qFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.load(spark, sfDir, "events")
+    val byUser = Window.partitionBy(col("user_id"))
+    val staged = e
+      .withColumn("s_ts",
+        min(when(col("event_type") === "signup", col("ts"))).over(byUser))
+      .withColumn("v_ts",
+        min(when(col("event_type") === "view" && col("ts") > col("s_ts"), col("ts")))
+          .over(byUser))
+      .withColumn("p_ts",
+        min(when(col("event_type") === "purchase" && col("ts") > col("v_ts"), col("ts")))
+          .over(byUser))
+      .select(col("user_id"), col("s_ts"), col("v_ts"), col("p_ts"))
+      .distinct()
+    staged.agg(count(col("s_ts")).as("n_signup"),
+      count(col("v_ts")).as("n_viewed_after"),
+      count(col("p_ts")).as("n_purchased_after"))
+  }
+
+  val qFunnelSql: String =
+    """WITH s AS (
+      | SELECT user_id, ts, event_type,
+      |  MIN(CASE WHEN event_type = 'signup' THEN ts END)
+      |    OVER (PARTITION BY user_id) AS s_ts
+      | FROM events),
+      |v AS (
+      | SELECT *, MIN(CASE WHEN event_type = 'view' AND ts > s_ts THEN ts END)
+      |    OVER (PARTITION BY user_id) AS v_ts
+      | FROM s),
+      |p AS (
+      | SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > v_ts THEN ts END)
+      |    OVER (PARTITION BY user_id) AS p_ts
+      | FROM v),
+      |u AS (SELECT DISTINCT user_id, s_ts, v_ts, p_ts FROM p)
+      |SELECT COUNT(s_ts) AS n_signup, COUNT(v_ts) AS n_viewed_after,
+      | COUNT(p_ts) AS n_purchased_after
+      |FROM u""".stripMargin
+
   /** All relational queries + oracles, keyed per SURVEY §2B. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel" -> (qFunnel _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q5_local_supplier" -> (q5LocalSupplier _),
@@ -451,6 +495,7 @@ object Relational {
     "q_set_ops" -> (qSetOps _))
 
   val oracles: Map[String, String] = Map(
+    "q_funnel" -> qFunnelSql,
     "q1_pricing_summary" -> q1Sql,
     "q3_shipping_priority" -> q3Sql,
     "q5_local_supplier" -> q5Sql,

@@ -93,6 +93,18 @@ class PipelineOpsSpec extends SparkSpec {
       s"range join must stay an equi-join:\n${range.take(1500)}")
   }
 
+  test("funnel stages are monotonically non-increasing; corpus stats cover all langs") {
+    val f = graft.operators.Relational.qFunnel(spark, sfDir).head()
+    val (s, v, p) = (f.getLong(0), f.getLong(1), f.getLong(2))
+    assert(s >= v && v >= p, s"funnel must narrow: $s >= $v >= $p")
+    assert(s > 0)
+    val stats = PipelineOps.corpusStats(spark, sfDir).collect()
+    val langs = Tables.load(spark, sfDir, "documents")
+      .select("lang").distinct().count()
+    assert(stats.length == langs)
+    stats.foreach(r => assert(r.getLong(1) > 0 && r.getLong(2) >= r.getLong(1)))
+  }
+
   test("incremental dedup only reports new-batch docs against corpus dups") {
     val rows = graft.operators.Dedup.dedupIncremental(spark, sfDir).collect()
     assert(rows.nonEmpty)
