@@ -124,6 +124,36 @@ class GraftCatalog(spark: SparkSession, root: String,
     writeMeta(path, df, scheme)
   }
 
+  /** append — add a batch to an existing table (the incremental-ingest write
+    * path; `put` is the full rewrite). The batch may carry NEW columns —
+    * parquet's per-file schema plus a merged-schema read makes that a
+    * metadata-only evolution, no rewrite of old files (the property that
+    * matters when the table is 100 TB and the schema grows a column). The
+    * sidecar schema is refreshed to the union so `cat` of an empty-after-rm
+    * table still knows the full shape. Partition layout must match the
+    * original scheme; the same scheme column is reused. */
+  def append(df: DataFrame, path: String): Unit = {
+    require(isTable(path), s"append target $path is not a committed table")
+    val target = abs(path).toString
+    val raw = readMetaRaw(path)
+    val writer = physicalPartitionColumn(path) match {
+      case Some(c) if c != BucketCol => df.write.partitionBy(c)
+      case _ => df.write
+    }
+    writer.mode("append").format(format).save(target)
+    // refresh the sidecar schema to the merged shape
+    raw.foreach { old =>
+      val merged = spark.read.option("mergeSchema", "true")
+        .format(format).load(target).schema
+      val updated = old.replaceFirst(
+        java.util.regex.Pattern.quote(old.substring(old.indexOf("{\"schema\": ") + 11,
+          old.lastIndexOf("\"scheme\"")).trim.stripSuffix(",")),
+        java.util.regex.Matcher.quoteReplacement(merged.json))
+      val out = fs.create(new Path(abs(path), MetaFile), true)
+      try out.write(updated.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
   /** Does a written table already exist (committed)? */
   def exists(path: String): Boolean = isTable(path)
 
@@ -192,7 +222,11 @@ class GraftCatalog(spark: SparkSession, root: String,
     * failing schema inference, so cat of an empty table is an empty DataFrame
     * with the right columns. */
   private def loadTable(path: String): DataFrame =
-    try spark.read.format(format).load(abs(path).toString)
+    // mergeSchema: an appended batch may have evolved the schema (new
+    // columns); the union-of-footers read surfaces them with nulls for old
+    // files. (In production the sidecar schema would be authoritative and
+    // footer-merging skipped; locally the cost is negligible.)
+    try spark.read.option("mergeSchema", "true").format(format).load(abs(path).toString)
     catch {
       case e: org.apache.spark.sql.AnalysisException
         if e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>

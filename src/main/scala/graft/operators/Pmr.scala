@@ -130,6 +130,32 @@ object Pmr {
     """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
       |FROM supplier ORDER BY s_suppkey""".stripMargin
 
+  /** A15 — append + schema evolution: the incremental-ingest write path. A
+    * second batch arrives carrying a NEW column; parquet per-file schemas +
+    * a merged read make that a metadata-only evolution (old files are never
+    * rewritten — the property that matters when the table is 100 TB and the
+    * schema grows a column). Old rows surface the new column as null. */
+  def edfsAppendEvolve(spark: SparkSession, sfDir: String): DataFrame = {
+    val cat = catalog(spark, sfDir)
+    cat.mkdir("warehouse")
+    val nation = Tables.load(spark, sfDir, "nation")
+    cat.put(nation, "warehouse/nation_evolve", HashPartition("n_regionkey"))
+    cat.append(nation.withColumn("n_flag", col("n_nationkey") * 10),
+      "warehouse/nation_evolve")
+    cat.cat("warehouse/nation_evolve")
+      .select(col("n_nationkey").cast("int"), col("n_name"),
+        col("n_regionkey").cast("int"), col("n_flag").cast("int"))
+      .orderBy(col("n_nationkey"), col("n_flag").asc_nulls_first)
+  }
+
+  val edfsAppendEvolveSql: String =
+    """SELECT n_nationkey, n_name, n_regionkey, CAST(NULL AS INT) AS n_flag
+      |FROM nation
+      |UNION ALL
+      |SELECT n_nationkey, n_name, n_regionkey, n_nationkey * 10 AS n_flag
+      |FROM nation
+      |ORDER BY n_nationkey, n_flag NULLS FIRST""".stripMargin
+
   /** A4 — readPartition: one partition only; Catalyst prunes to the single
     * `c_nationkey=7` directory. */
   def edfsReadPartition(spark: SparkSession, sfDir: String): DataFrame = {
@@ -272,6 +298,7 @@ object Pmr {
     "edfs_put_range" -> (edfsPutRange _),
     "edfs_cat" -> (edfsCat _),
     "edfs_compact" -> (edfsCompact _),
+    "edfs_append_evolve" -> (edfsAppendEvolve _),
     "edfs_read_partition" -> (edfsReadPartition _),
     "edfs_partition_locations" -> (edfsPartitionLocations _),
     "edfs_ls" -> (edfsLs _),
@@ -288,6 +315,7 @@ object Pmr {
     "edfs_put_range" -> edfsPutRangeSql,
     "edfs_cat" -> edfsCatSql,
     "edfs_compact" -> edfsCompactSql,
+    "edfs_append_evolve" -> edfsAppendEvolveSql,
     "edfs_read_partition" -> edfsReadPartitionSql,
     "pmr_avg" -> pmrAvgSql,
     "pmr_min" -> pmrMinSql,

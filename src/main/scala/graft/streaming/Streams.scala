@@ -224,11 +224,19 @@ object Streams extends Serializable {
     * This is the full source→transform→catalog-sink loop a production
     * ingest pipeline runs continuously. Sentinel-finalized like D1, so the
     * read-back equals the batch hourly count and carries a sql oracle. */
-  def streamToCatalog(spark: SparkSession, sfDir: String): DataFrame = {
+  def streamToCatalog(spark: SparkSession, sfDir: String): DataFrame =
+    streamToCatalog(spark, sfDir, fresh = true)
+
+  /** `fresh = false` resumes from the existing checkpoint instead of
+    * replaying — with no new source files this is a no-op batch, and the sink
+    * gains NOTHING: the exactly-once property StreamingSpec pins. */
+  def streamToCatalog(spark: SparkSession, sfDir: String, fresh: Boolean): DataFrame = {
     val outDir = s"${graft.operators.Pmr.catalogRoot(sfDir)}/warehouse/events_hourly"
     val cp = new java.io.File(checkpointDir(sfDir, "stream_to_catalog"))
-    org.apache.commons.io.FileUtils.deleteQuietly(cp)
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outDir))
+    if (fresh) {
+      org.apache.commons.io.FileUtils.deleteQuietly(cp)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outDir))
+    }
     // Same no-in-plan-filter rule as D1; the sentinel window is never emitted.
     val agg = eventsStream(spark, sfDir)
       .withWatermark("ts", "2 hours")

@@ -30,4 +30,11 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch,
       s"stream/batch divergence: ${(streamed diff batch).take(3)} vs ${(batch diff streamed).take(3)}")
   }
+
+  test("resuming the catalog sink from its checkpoint adds nothing (exactly-once)") {
+    val first = Streams.streamToCatalog(spark, sfDir).count()
+    val resumed = Streams.streamToCatalog(spark, sfDir, fresh = false).count()
+    assert(resumed == first,
+      s"resume re-emitted rows: first=$first resumed=$resumed")
+  }
 }
