@@ -227,7 +227,9 @@ object Dedup {
     // Min-label propagation strictly decreases sum(label) until the fixpoint,
     // so an unchanged sum is an exact convergence test (one cheap agg per
     // round); the round cap only bounds pathological chain-shaped components.
-    var prevSum = -1L
+    // DECIMAL(38,0) sum: with 64-bit ids over billions of documents a long
+    // sum would overflow (and Spark's ANSI mode throws on it).
+    var prevSum = ""
     var converged = false
     var round = 0
     while (!converged && round < 10) {
@@ -239,7 +241,8 @@ object Dedup {
       labels = labels.union(msgs)
         .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
         .localCheckpoint(false)
-      val s = labels.agg(sum(col("label"))).head().getLong(0)
+      val s = labels.agg(sum(col("label").cast("decimal(38,0)")))
+        .head().getDecimal(0).toPlainString
       converged = s == prevSum
       prevSum = s
       round += 1
