@@ -307,7 +307,7 @@ class GraftCatalog(spark: SparkSession, root: String,
     }
     writer.mode("overwrite").format(format).save(tmp.toString)
     fs.delete(base, true)
-    fs.rename(tmp, base)
+    require(fs.rename(tmp, base), s"compact: rename $tmp -> $base failed")
     meta.foreach { raw =>
       val out = fs.create(new Path(base, MetaFile), true)
       try out.write(raw.getBytes("UTF-8")) finally out.close()

@@ -171,13 +171,54 @@ object PipelineOps {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  /** C18 — the composed corpus-preparation pipeline, end to end in ONE
+    * declarative plan: quality gate (C9's score ≥ 0.2) → exact dedup keep-min
+    * (C1, as a window over the content digest — no extra join) → 50%
+    * deterministic sample (C13's portable hash). This is the query a user of
+    * this library actually ships; Catalyst fuses the three stages into a
+    * scan + one hash-partition exchange on the digest. Every stage is
+    * SQL-expressible, so the WHOLE pipeline carries one value-level oracle. */
+  def prepareCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.load(spark, sfDir, "documents")
+    val ws = length(col("text")) - length(regexp_replace(col("text"), " ", "")) + lit(1)
+    val nPunct = length(translate(col("text"), Alnum, ""))
+    val quality = least(ws, lit(200)) / lit(200) - nPunct / length(col("text"))
+    val byDigest = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text").cast("binary")))
+    d.select(col("doc_id"), col("lang"), col("text"), quality.as("quality_score"))
+      .filter(col("quality_score") >= 0.2)
+      .withColumn("rep", min(col("doc_id")).over(byDigest))
+      .filter(col("doc_id") === col("rep"))
+      .filter(pmod(idHash(col("doc_id")), lit(100)) < 50)
+      .select(col("doc_id"), col("lang"), col("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val Alnum =
+    ('A' to 'Z').mkString + ('a' to 'z').mkString + ('0' to '9').mkString + " "
+
+  val prepareCorpusSql: String =
+    """WITH scored AS (
+      | SELECT doc_id, lang, text,
+      |  least(length(text) - length(regexp_replace(text, ' ', '', 'g')) + 1, 200) / 200
+      |   - len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) / length(text) AS quality_score
+      | FROM documents),
+      |f AS (SELECT * FROM scored WHERE quality_score >= 0.2),
+      |k AS (SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep FROM f)
+      |SELECT doc_id, lang, quality_score FROM k
+      |WHERE doc_id = rep
+      | AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS INT64) % 100 < 50
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "prepare_corpus" -> (prepareCorpus _),
     "sample_stratified" -> (sampleStratified _),
     "ngram_topk" -> (ngramTopk _),
     "contamination" -> (contamination _),
     "corpus_stats" -> (corpusStats _))
 
   val oracles: Map[String, String] = Map(
+    "prepare_corpus" -> prepareCorpusSql,
     "sample_stratified" -> sampleStratifiedSql,
     "ngram_topk" -> ngramTopkSql,
     "contamination" -> contaminationSql,

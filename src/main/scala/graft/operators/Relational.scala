@@ -430,6 +430,22 @@ object Relational {
       |   AND o_orderdate < TIMESTAMP '2001-01-01 00:00:00'
       |ORDER BY o_custkey""".stripMargin
 
+  /** B13b2 — sketch-based percentiles: the 100 TB path where B13's exact
+    * per-group value buffers don't fit. approx_percentile keeps a bounded
+    * KLL-style summary per group (accuracy 10000 → rank error ≤ n/10000);
+    * OperatorsSpec asserts ≤1% relative error against the exact form. No
+    * DuckDB oracle — sketch internals are engine-specific (rows-only). */
+  def qApproxPercentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = Tables.load(spark, sfDir, "lineitem")
+    l.groupBy(col("l_returnflag"))
+      .agg(expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000)")
+        .as("ps"))
+      .select(col("l_returnflag"),
+        col("ps").getItem(0).as("p25"), col("ps").getItem(1).as("p50"),
+        col("ps").getItem(2).as("p75"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** B19 — event funnel: signup → first view after it → first purchase after
     * that view, per user. Three chained per-user minima computed as stacked
     * window aggregates over ONE user_id partitioning — a single shuffle, no
@@ -476,6 +492,7 @@ object Relational {
   /** All relational queries + oracles, keyed per SURVEY §2B. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_funnel" -> (qFunnel _),
+    "q_approx_percentiles" -> (qApproxPercentiles _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q5_local_supplier" -> (q5LocalSupplier _),

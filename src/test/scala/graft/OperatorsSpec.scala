@@ -111,6 +111,20 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("approx percentiles track the exact form within 1% relative error") {
+    val exact = Relational.qPercentiles(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val approx = Relational.qApproxPercentiles(spark, sfDir).collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val (e25, e50, e75) = exact(r.getString(0))
+      Seq(r.getDouble(1) -> e25, r.getDouble(2) -> e50, r.getDouble(3) -> e75)
+        .foreach { case (a, e) =>
+          assert(math.abs(a - e) / e < 0.01, s"approx $a vs exact $e")
+        }
+    }
+  }
+
   test("text metrics are internally consistent") {
     val t = TextAnalysis.textTokens(spark, sfDir).collect()
     t.foreach { r =>
