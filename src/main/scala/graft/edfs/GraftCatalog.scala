@@ -1,7 +1,7 @@
 package graft.edfs
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -94,6 +94,7 @@ class GraftCatalog(spark: SparkSession, root: String,
     * Firebase inodes). */
   def put(df: DataFrame, path: String, scheme: PartitionScheme): Unit = {
     val target = abs(path).toString
+    var rangeBounds: Option[(Double, Double)] = None
     scheme match {
       case Unpartitioned =>
         df.write.mode("overwrite").format(format).save(target)
@@ -109,19 +110,27 @@ class GraftCatalog(spark: SparkSession, root: String,
         // An empty/all-null column has no range: everything (i.e. nothing, or
         // the null rows) lands in bucket 0 instead of a MatchError.
         val bounds = df.agg(min(col(c).cast("double")), max(col(c).cast("double"))).head()
-        val bucket =
-          if (bounds.isNullAt(0) || bounds.isNullAt(1)) lit(0)
-          else {
-            val (lo, hi) = (bounds.getDouble(0), bounds.getDouble(1))
-            val width = (hi - lo) / n
-            if (width == 0) lit(0)
-            else least(floor((col(c).cast("double") - lit(lo)) / lit(width)), lit(n - 1))
-          }
-        df.withColumn(BucketCol, coalesce(bucket.cast("int"), lit(0)))
+        val (lo, hi) =
+          if (bounds.isNullAt(0) || bounds.isNullAt(1)) (0.0, 0.0)
+          else (bounds.getDouble(0), bounds.getDouble(1))
+        df.withColumn(BucketCol, rangeBucket(c, lo, hi, n))
           .write.mode("overwrite").partitionBy(BucketCol).format(format).save(target)
+        rangeBounds = Some((lo, hi))
     }
     // after the data write: overwrite mode clears the directory first
-    writeMeta(path, df, scheme)
+    writeMeta(path, df, scheme, rangeBounds)
+  }
+
+  /** The deterministic equi-width bucket id for a range layout. The bounds
+    * are FIXED at first put and persisted in the sidecar, so appended batches
+    * land in the same bins (out-of-range values clamp to the edge buckets). */
+  private def rangeBucket(c: String, lo: Double, hi: Double, n: Int): Column = {
+    val width = (hi - lo) / n
+    val bucket =
+      if (width == 0) lit(0)
+      else greatest(least(floor((col(c).cast("double") - lit(lo)) / lit(width)),
+        lit(n - 1)), lit(0))
+    coalesce(bucket.cast("int"), lit(0))
   }
 
   /** append — add a batch to an existing table (the incremental-ingest write
@@ -136,8 +145,25 @@ class GraftCatalog(spark: SparkSession, root: String,
     require(isTable(path), s"append target $path is not a committed table")
     val target = abs(path).toString
     val raw = readMetaRaw(path)
-    val writer = physicalPartitionColumn(path) match {
-      case Some(c) if c != BucketCol => df.write.partitionBy(c)
+    def field(name: String): Option[String] =
+      raw.flatMap(r => ("\"" + name + "\": ([^,}\\n]+)").r.findFirstMatchIn(r)
+        .map(_.group(1).trim.stripPrefix("\"").stripSuffix("\"")))
+    // Reproduce the table's physical layout for the new rows — an appended
+    // batch written flat into a bucketed table would corrupt partition
+    // discovery (leaf files at the root next to bucket directories).
+    val writer = field("kind") match {
+      case Some("hash") =>
+        df.write.partitionBy(field("column").get)
+      case Some("bucketed_hash") =>
+        val (c, n) = (field("column").get, field("buckets").get.toInt)
+        df.withColumn(BucketCol, pmod(hash(col(c)), lit(n)))
+          .write.partitionBy(BucketCol)
+      case Some("range") =>
+        val (c, n) = (field("column").get, field("buckets").get.toInt)
+        val (lo, hi) = (field("range_lo").map(_.toDouble).getOrElse(0.0),
+          field("range_hi").map(_.toDouble).getOrElse(0.0))
+        df.withColumn(BucketCol, rangeBucket(c, lo, hi, n))
+          .write.partitionBy(BucketCol)
       case _ => df.write
     }
     writer.mode("append").format(format).save(target)
@@ -165,16 +191,20 @@ class GraftCatalog(spark: SparkSession, root: String,
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
 
-  private def writeMeta(path: String, df: DataFrame, scheme: PartitionScheme): Unit = {
+  private def writeMeta(path: String, df: DataFrame, scheme: PartitionScheme,
+    rangeBounds: Option[(Double, Double)] = None): Unit = {
     val (kind, column, buckets) = scheme match {
       case Unpartitioned => ("none", "", 0)
       case HashPartition(c) => ("hash", c, 0)
       case BucketedHashPartition(c, n) => ("bucketed_hash", c, n)
       case RangePartition(c, n) => ("range", c, n)
     }
+    val boundsJson = rangeBounds
+      .map { case (lo, hi) => s""", "range_lo": $lo, "range_hi": $hi""" }
+      .getOrElse("")
     val json =
       s"""{"schema": ${df.schema.json},
-         | "scheme": {"kind": ${jsonStr(kind)}, "column": ${jsonStr(column)}, "buckets": $buckets},
+         | "scheme": {"kind": ${jsonStr(kind)}, "column": ${jsonStr(column)}, "buckets": $buckets$boundsJson},
          | "permission": "644",
          | "format": ${jsonStr(format)}}""".stripMargin
     val p = new Path(abs(path), MetaFile)
@@ -293,8 +323,12 @@ class GraftCatalog(spark: SparkSession, root: String,
     * namenode/list overhead and per-file open cost dominate reads long before
     * data volume does, so periodic compaction is a first-class catalog op.
     * `repartition(partitionCol)` routes each value to exactly one task, so
-    * `partitionBy` emits exactly one file per directory; the rewrite lands in
-    * a temp dir and swaps in atomically (rename), sidecar preserved. */
+    * `partitionBy` emits exactly one file per directory. The rewrite lands
+    * complete (data + sidecar) in a temp dir, then swaps in via two renames
+    * with the old data parked at `<name>__old` until the new copy is in
+    * place — no point in the sequence loses both copies; a crash between the
+    * renames leaves the table briefly absent but fully recoverable from
+    * either directory. */
   def compact(path: String): Unit = {
     val base = abs(path)
     val meta = readMetaRaw(path)
@@ -306,12 +340,16 @@ class GraftCatalog(spark: SparkSession, root: String,
       case None => df.coalesce(1).write
     }
     writer.mode("overwrite").format(format).save(tmp.toString)
-    fs.delete(base, true)
-    require(fs.rename(tmp, base), s"compact: rename $tmp -> $base failed")
+    // complete the replacement (sidecar included) BEFORE touching the original
     meta.foreach { raw =>
-      val out = fs.create(new Path(base, MetaFile), true)
+      val out = fs.create(new Path(tmp, MetaFile), true)
       try out.write(raw.getBytes("UTF-8")) finally out.close()
     }
+    val old = new Path(base.getParent, base.getName + "__old")
+    fs.delete(old, true)
+    require(fs.rename(base, old), s"compact: park $base -> $old failed")
+    require(fs.rename(tmp, base), s"compact: swap $tmp -> $base failed")
+    fs.delete(old, true)
   }
 
   /** getPartitionLocations — the partition manifest: value directory, file

@@ -13,13 +13,11 @@ import graft.Tables
   */
 object PipelineOps {
 
-  /** Portable per-row hash in [0, 2^32): first 8 hex chars of md5 of the id's
-    * decimal string — both engines agree byte-for-byte (same construction as
-    * the text fingerprint), so sampling decisions are reproducible across the
-    * engine and the oracle. A seeded rand() would NOT be: its sequence depends
-    * on partitioning. */
-  private def idHash(c: Column): Column =
-    conv(substring(md5(c.cast("string").cast("binary")), 1, 8), 16, 10).cast("long")
+  /** Portable per-row hash in [0, 2^32) of the id's decimal string
+    * ([[TextAnalysis.hexHash]]), so sampling decisions are reproducible
+    * across runs, partitionings, and engines. A seeded rand() would NOT be:
+    * its sequence depends on partitioning. */
+  private def idHash(c: Column): Column = TextAnalysis.hexHash(c.cast("string"))
 
   /** C13 — deterministic stratified sampling: language-balanced data mixing.
     * English is downsampled to 10%, every other language kept at 50% — the
@@ -152,9 +150,7 @@ object PipelineOps {
     * proved cross-engine. */
   def corpusStats(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.load(spark, sfDir, "documents")
-    val ws = (length(col("text")) - length(regexp_replace(col("text"), " ", ""))
-      + lit(1)).cast("bigint")
-    d.select(col("lang"), ws.as("ws"))
+    d.select(col("lang"), TextAnalysis.wsTokenCount(col("text")).cast("bigint").as("ws"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("ws")).as("total_tokens"),
         round(expr("percentile(ws, 0.5)"), 4).as("p50_tokens"))
@@ -180,12 +176,10 @@ object PipelineOps {
     * SQL-expressible, so the WHOLE pipeline carries one value-level oracle. */
   def prepareCorpus(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.load(spark, sfDir, "documents")
-    val ws = length(col("text")) - length(regexp_replace(col("text"), " ", "")) + lit(1)
-    val nPunct = length(translate(col("text"), Alnum, ""))
-    val quality = least(ws, lit(200)) / lit(200) - nPunct / length(col("text"))
     val byDigest = org.apache.spark.sql.expressions.Window
       .partitionBy(md5(col("text").cast("binary")))
-    d.select(col("doc_id"), col("lang"), col("text"), quality.as("quality_score"))
+    d.select(col("doc_id"), col("lang"), col("text"),
+        TextAnalysis.qualityScore(col("text")).as("quality_score"))
       .filter(col("quality_score") >= 0.2)
       .withColumn("rep", min(col("doc_id")).over(byDigest))
       .filter(col("doc_id") === col("rep"))
@@ -193,9 +187,6 @@ object PipelineOps {
       .select(col("doc_id"), col("lang"), col("quality_score"))
       .orderBy(col("doc_id"))
   }
-
-  private val Alnum =
-    ('A' to 'Z').mkString + ('a' to 'z').mkString + ('0' to '9').mkString + " "
 
   val prepareCorpusSql: String =
     """WITH scored AS (

@@ -21,8 +21,7 @@ object TextAnalysis {
     * exact and engine-portable. BIGINT so the dtype matches DuckDB's int64
     * (the driver's hash distinguishes value representations). */
   private def wsTokens(c: Column): Column =
-    (length(c) - length(regexp_replace(c, " ", "")) + lit(1))
-      .cast("bigint").as("ws_tokens")
+    wsTokenCount(c).cast("bigint").as("ws_tokens")
 
   private val BpePattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
 
@@ -32,8 +31,30 @@ object TextAnalysis {
   private val DeStops = Seq("der", "die", "und", "den", "von", "zu", "das", "mit", "ist")
   private val FrStops = Seq("le", "la", "de", "et", "un", "il", "ne", "je", "est", "que")
 
-  private val Alnum =
+  private[operators] val Alnum =
     ('A' to 'Z').mkString + ('a' to 'z').mkString + ('0' to '9').mkString + " "
+
+  /** Whitespace token count (int form) — the one definition every operator
+    * that reasons about document length shares (C9, C10, C17, C18). */
+  private[operators] def wsTokenCount(c: Column): Column =
+    length(c) - length(regexp_replace(c, " ", "")) + lit(1)
+
+  /** Count of [^A-Za-z0-9 ] chars via translate (plain char-map — a fraction
+    * of a regex extract-all's cost). */
+  private[operators] def punctCount(c: Column): Column =
+    length(translate(c, Alnum, ""))
+
+  /** The C9 quality score: length signal minus punctuation density. C18's
+    * corpus-prep gate uses THIS definition — tune it here and both (and
+    * their oracles) move together. */
+  private[operators] def qualityScore(c: Column): Column =
+    least(wsTokenCount(c), lit(200)) / lit(200) - punctCount(c) / length(c)
+
+  /** Portable 32-bit hash in a long: first 8 md5 hex chars — the idiom the
+    * fingerprint (C11) and deterministic sampling (C13, C18) share; both
+    * engines agree on it byte-for-byte. */
+  private[operators] def hexHash(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
 
   private def stopHits(c: Column, words: Seq[String]): Column =
     size(filter(split(c, " "), t => t.isin(words.map(lit(_)): _*)))
@@ -63,10 +84,8 @@ object TextAnalysis {
     * deterministic [0,1] score (all ratios are int/int → identical doubles). */
   def textQuality(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.load(spark, sfDir, "documents")
-    val nTok = length(col("text")) - length(regexp_replace(col("text"), " ", "")) + lit(1)
-    // translate is a plain char-map — counting [^A-Za-z0-9 ] by deleting its
-    // complement costs a fraction of a regex extract-all over the same text
-    val nPunct = length(translate(col("text"), Alnum, ""))
+    val nTok = wsTokenCount(col("text"))
+    val nPunct = punctCount(col("text"))
     val nStop = stopHits(col("text"), EnStops)
     val base = d.select(col("doc_id"),
       length(col("text")).cast("bigint").as("n_chars_calc"),
@@ -155,11 +174,9 @@ object TextAnalysis {
     * oracle covers it. */
   def textFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.load(spark, sfDir, "documents")
-    val tokenHash: Column => Column =
-      t => conv(substring(md5(t.cast("binary")), 1, 8), 16, 10).cast("long")
     d.select(col("doc_id"),
         aggregate(split(col("text"), " "), lit(0L),
-          (acc, t) => pmod(acc * lit(31L) + tokenHash(t), lit(1000000007L)))
+          (acc, t) => pmod(acc * lit(31L) + hexHash(t), lit(1000000007L)))
           .as("fingerprint"),
         wsTokens(col("text")))
       .orderBy(col("doc_id"))

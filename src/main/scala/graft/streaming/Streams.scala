@@ -164,8 +164,13 @@ object Streams extends Serializable {
       state: GroupState[SessionState]): Iterator[Session] = {
       if (state.hasTimedOut) {
         // Watermark passed the open session's gap horizon: it can never grow.
+        // Keep a TOMBSTONE carrying the session counter (start=null, no
+        // timeout) instead of removing state: a user who returns in a later
+        // micro-batch must continue at sessionId+1, not restart at 1, or the
+        // emitted keys would collide and diverge from the batch numbering.
+        // State is O(distinct users) either way — the counter adds nothing.
         val st = state.get
-        state.remove()
+        state.update(SessionState(st.sessionId, 0L, null, null))
         Iterator.single(Session(userId, st.sessionId, st.nEvents, st.start, st.last))
       } else {
         // Within a batch arrival order is not guaranteed: sort by event time.
@@ -183,7 +188,13 @@ object Streams extends Serializable {
             out = Session(userId, st.sessionId, st.nEvents, st.start, st.last) :: out
             st = SessionState(st.sessionId + 1, 1L, e.ts, e.ts)
           } else {
-            st = st.copy(nEvents = st.nEvents + 1, last = e.ts)
+            // A later micro-batch may deliver an event older than the open
+            // session's bounds (admitted by the watermark delay); session
+            // bounds must stay monotone or session_end regresses and a
+            // subsequent gap decision splits what the batch form merges.
+            val newLast = if (micros(e.ts) > micros(st.last)) e.ts else st.last
+            val newStart = if (micros(e.ts) < micros(st.start)) e.ts else st.start
+            st = st.copy(nEvents = st.nEvents + 1, start = newStart, last = newLast)
           }
         }
         if (st.start == null) Iterator.empty // no state and no events
@@ -191,9 +202,10 @@ object Streams extends Serializable {
           // +1ms: setTimeoutTimestamp is ms-granular, micros(last)+gap rounds up
           val timeoutMs = micros(st.last) / 1000 + GapMillis + 1
           if (timeoutMs <= state.getCurrentWatermarkMs()) {
-            // Gap horizon already behind the watermark: close immediately.
+            // Gap horizon already behind the watermark: close immediately
+            // (tombstone keeps the counter, same as the timeout path).
             out = Session(userId, st.sessionId, st.nEvents, st.start, st.last) :: out
-            state.remove()
+            state.update(SessionState(st.sessionId, 0L, null, null))
           } else {
             state.update(st)
             state.setTimeoutTimestamp(timeoutMs)

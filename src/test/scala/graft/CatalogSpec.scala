@@ -80,6 +80,22 @@ class CatalogSpec extends SparkSpec {
       .toMap.apply("scheme") == "hash") // sidecar survived the swap
   }
 
+  test("append reproduces bucketed and range layouts (no flat files at the root)") {
+    val cat = freshCatalog("append_layout")
+    val src = Tables.load(spark, sfDir, "orders")
+    cat.put(src, "b", BucketedHashPartition("o_orderkey", 8))
+    cat.append(src.limit(20), "b")
+    assert(cat.cat("b").count() == src.count() + 20)
+    assert(cat.partitionLocations("b").count() <= 8)
+    cat.put(src, "r", RangePartition("o_totalprice", 8))
+    val binsBefore = cat.partitionLocations("r").collect().map(_.getString(0)).toSet
+    cat.append(src.limit(20), "r")
+    assert(cat.cat("r").count() == src.count() + 20)
+    // appended rows land in the ORIGINAL bins (bounds persisted in sidecar)
+    val binsAfter = cat.partitionLocations("r").collect().map(_.getString(0)).toSet
+    assert(binsAfter == binsBefore, s"new bins appeared: ${binsAfter -- binsBefore}")
+  }
+
   test("putCsv ingests a headered CSV and catOrdered restores file order") {
     val cat = freshCatalog("csv")
     val csvDir = "/root/repo/target/test_edfs/csv_src"
