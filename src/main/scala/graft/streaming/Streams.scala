@@ -155,10 +155,31 @@ object Streams extends Serializable {
     * the watermark past every real session, so on a finite backlog the result
     * equals the batch window-function form (B8) and shares its oracle. */
   def streamSessions(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
     val cp = new java.io.File(checkpointDir(sfDir, "stream_sessions"))
+    sessionRun(spark, eventsStream(spark, sfDir), "stream_sessions", cp)
+  }
+
+  /** Test hook: the same sessionizer over an arbitrary staged directory with
+    * maxFilesPerTrigger=1, so EVERY file is its own micro-batch — the
+    * cross-batch state-merge path (tombstones, event-time timeouts, monotone
+    * bounds) runs for real instead of being vacuously exercised by a
+    * single-batch fixture. */
+  private[graft] def streamSessionsMultiBatch(spark: SparkSession,
+    stageDir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val cp = new java.io.File(stageDir + "_cp_" + name)
+    val src = spark.readStream.schema(EventsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stageDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    sessionRun(spark, src, name, cp)
+  }
+
+  private def sessionRun(spark: SparkSession, src: DataFrame, name: String,
+    cp: java.io.File): DataFrame = {
+    import spark.implicits._
     org.apache.commons.io.FileUtils.deleteQuietly(cp)
-    spark.catalog.dropTempView("stream_sessions")
+    spark.catalog.dropTempView(name)
 
     def sessionize(userId: Long, events: Iterator[Event],
       state: GroupState[SessionState]): Iterator[Session] = {
@@ -215,7 +236,7 @@ object Streams extends Serializable {
       }
     }
 
-    val sessions = eventsStream(spark, sfDir)
+    val sessions = src
       .withWatermark("ts", "2 hours")
       .select(col("event_id"), col("ts"), col("user_id"))
       .as[Event]
@@ -223,7 +244,15 @@ object Streams extends Serializable {
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.EventTimeTimeout())(sessionize)
       .toDF()
-    runToMemory(spark, sessions, "stream_sessions", sfDir, OutputMode.Append())
+    val q = sessions.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", cp.getAbsolutePath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
       .select(col("user_id"), col("session_id"), col("n_events"),
         date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
         date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"))

@@ -31,6 +31,43 @@ class StreamingSpec extends SparkSpec {
       s"stream/batch divergence: ${(streamed diff batch).take(3)} vs ${(batch diff streamed).take(3)}")
   }
 
+  test("sessionization survives multi-batch slicing (maxFilesPerTrigger=1)") {
+    import org.apache.spark.sql.functions._
+    // stage the backlog as three time-sliced files + the EOS sentinel, each
+    // its own micro-batch: sessions spanning slice boundaries must merge
+    // through state, late slices must not collide with closed counters
+    val stageDir = new java.io.File("/root/repo/target/test_stream_multibatch")
+    org.apache.commons.io.FileUtils.deleteQuietly(stageDir)
+    stageDir.mkdirs()
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+      "event_type STRING, value DOUBLE, props STRING"
+    val raw = spark.read.schema(schema).parquet(s"$sfDir/events.parquet")
+    val Array(t1, t2) = raw.stat.approxQuantile("ts", Array(0.33, 0.66), 0.001)
+    val maxTs = raw.agg(max(col("ts"))).head().getLong(0)
+    val slices = Seq(
+      raw.filter(col("ts") <= t1.toLong),
+      raw.filter(col("ts") > t1.toLong && col("ts") <= t2.toLong),
+      raw.filter(col("ts") > t2.toLong))
+    val sentinel = spark.range(1).select(lit(-1L).as("event_id"),
+      lit(maxTs + 8L * 3600 * 1000 * 1000 * 1000).as("ts"), lit(-1L).as("user_id"),
+      lit("__graft_eos").as("event_type"), lit(0.0).as("value"), lit("{}").as("props"))
+    (slices :+ sentinel).zipWithIndex.foreach { case (df, i) =>
+      val tmp = new java.io.File(stageDir.getParent, s"mb_tmp_$i")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(stageDir, f"slice_$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + i * 60000L) // strictly increasing
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+    }
+    val streamed = Streams.streamSessionsMultiBatch(spark,
+      stageDir.getAbsolutePath, "mb_sessions").collect().map(_.toSeq).toSet
+    val batch = Relational.qEventsSessionize(spark, sfDir).collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      s"multi-batch divergence: extra=${(streamed diff batch).take(3)} missing=${(batch diff streamed).take(3)}")
+  }
+
   test("resuming the catalog sink from its checkpoint adds nothing (exactly-once)") {
     val first = Streams.streamToCatalog(spark, sfDir).count()
     val resumed = Streams.streamToCatalog(spark, sfDir, fresh = false).count()
