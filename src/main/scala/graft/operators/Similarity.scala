@@ -58,10 +58,15 @@ object Similarity {
       |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
 
   /** C7 — LSH-bucketed ANN: 8 deterministic hyperplanes give a 256-bucket sign
-    * key; the probe searches its own bucket plus all Hamming-1 neighbors (9 of
-    * 256 buckets ≈ 3.5% of the data at scale). Recall vs C6 is asserted in
-    * SimilaritySpec. At 100 TB the bucket key doubles as the layout partition
-    * key, so a probe is a partition-pruned scan. */
+    * key; the probe multi-probes its own bucket plus all Hamming-≤2 neighbors
+    * (37 of 256 buckets ≈ 14% of the data — still a 7× scan reduction).
+    * Radius is THE recall/cost dial: on this synthetic corpus (near-uniform
+    * vectors, so "neighbors" sit at cosine ≈ 0.5 — hyperplane LSH's worst
+    * case, ~4%/bucket collision) measured pool recall vs C6's top-10 is
+    * H≤1: 1/10, H≤2: 3/10, H≤3: 6/10; real clustered embeddings concentrate
+    * far better. OperatorsSpec pins the floor. At 100 TB the bucket key
+    * doubles as the layout partition key, so a probe is a partition-pruned
+    * scan. */
   def simAnn(spark: SparkSession, sfDir: String): DataFrame = {
     val planes = Dedup.hyperplanes(8, 64)
     val e = Tables.load(spark, sfDir, "embeddings")
@@ -84,10 +89,15 @@ object Similarity {
       .select(col("vec_id"), col("bucket"), round(col("sim"), 6).as("sim_r"))
   }
 
-  /** The probe bucket and its 8 Hamming-1 neighbors, as a column expression
-    * (no UDF — stays in codegen). */
-  private def udfFreeNeighborSet(pbucket: Column): Column =
-    array(pbucket +: (0 until 8).map(i => pbucket.bitwiseXOR(lit(1 << i))): _*)
+  /** All bucket ids within Hamming distance 2 of the probe bucket (1 exact +
+    * 8 single-bit + 28 double-bit = 37), as a column expression (no UDF —
+    * stays in codegen). */
+  private def udfFreeNeighborSet(pbucket: Column): Column = {
+    val h1 = (0 until 8).map(i => pbucket.bitwiseXOR(lit(1 << i)))
+    val h2 = for (i <- 0 until 8; j <- i + 1 until 8)
+      yield pbucket.bitwiseXOR(lit((1 << i) | (1 << j)))
+    array(pbucket +: (h1 ++ h2): _*)
+  }
 
   /** C7b — IVF ANN: coarse quantization by nearest-centroid assignment, probe
     * searches the `nProbe` closest inverted lists. Centroids here are a
@@ -144,8 +154,10 @@ object Similarity {
     def dotv(a: String, b: String) =
       s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> $a[i] * $b[i])), (a, b) -> a + b)"
     val cosine = s"${dotv("c.v", "p.pv")} / (sqrt(${sq("c.v")}) * sqrt(${sq("p.pv")}))"
+    val masks = (0 until 8).map(1 << _) ++
+      (for (i <- 0 until 8; j <- i + 1 until 8) yield (1 << i) | (1 << j))
     val neighborCond = (Seq("c.bucket = p.pb") ++
-      (0 until 8).map(i => s"c.bucket = xor(p.pb, ${1 << i})")).mkString(" OR ")
+      masks.map(m => s"c.bucket = xor(p.pb, $m)")).mkString(" OR ")
     s"""WITH e AS (
        | SELECT vec_id, list_transform(embedding, z -> CAST(z AS DOUBLE)) AS v
        | FROM embeddings),

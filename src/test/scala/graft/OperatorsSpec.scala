@@ -83,6 +83,14 @@ class OperatorsSpec extends SparkSpec {
       val id = r.getLong(0)
       if (brute.contains(id)) assert(brute(id) == r.getDouble(2))
     }
+    // recall floor at the Hamming-<=2 probe radius. The synthetic corpus is
+    // hyperplane-LSH's WORST case (near-uniform vectors, neighbors at cosine
+    // ~0.5 collide at chance level) — measured pool recall is 3/10 here vs
+    // near-total on clustered real embeddings; the floor pins that a
+    // signature/bucketing change doesn't degrade it further.
+    val recall = ann.map(_.getLong(0)).toSet
+      .intersect(brute.keySet).size
+    assert(recall >= 2, s"ANN recall dropped to $recall/10")
   }
 
   test("cluster labels reach a fixpoint: every near-dup edge shares a label") {
