@@ -117,6 +117,11 @@ class OperatorsSpec extends SparkSpec {
       if (brute.contains(r.getLong(0)))
         assert(brute(r.getLong(0)) == r.getDouble(2))
     }
+    // IVF's data-adaptive centroids recall 9-10/10 at nProbe=4/16 (~25% scan)
+    // even on this near-uniform corpus — pin the floor well above the
+    // hyperplane-LSH path so a centroid/assignment regression is caught
+    val recall = ivf.map(_.getLong(0)).toSet.intersect(brute.keySet).size
+    assert(recall >= 8, s"IVF recall dropped to $recall/10")
   }
 
   test("approx percentiles track the exact form within 1% relative error") {
