@@ -145,39 +145,70 @@ class GraftCatalog(spark: SparkSession, root: String,
     require(isTable(path), s"append target $path is not a committed table")
     val target = abs(path).toString
     val raw = readMetaRaw(path)
-    def field(name: String): Option[String] =
-      raw.flatMap(r => ("\"" + name + "\": ([^,}\\n]+)").r.findFirstMatchIn(r)
-        .map(_.group(1).trim.stripPrefix("\"").stripSuffix("\"")))
     // Reproduce the table's physical layout for the new rows — an appended
     // batch written flat into a bucketed table would corrupt partition
     // discovery (leaf files at the root next to bucket directories).
-    val writer = field("kind") match {
-      case Some("hash") =>
-        df.write.partitionBy(field("column").get)
-      case Some("bucketed_hash") =>
-        val (c, n) = (field("column").get, field("buckets").get.toInt)
+    val writer = raw.map(sidecarScheme) match {
+      case Some(SidecarScheme("hash", c, _, _, _)) =>
+        df.write.partitionBy(c)
+      case Some(SidecarScheme("bucketed_hash", c, n, _, _)) =>
         df.withColumn(BucketCol, pmod(hash(col(c)), lit(n)))
           .write.partitionBy(BucketCol)
-      case Some("range") =>
-        val (c, n) = (field("column").get, field("buckets").get.toInt)
-        val (lo, hi) = (field("range_lo").map(_.toDouble).getOrElse(0.0),
-          field("range_hi").map(_.toDouble).getOrElse(0.0))
+      case Some(SidecarScheme("range", c, n, lo, hi)) =>
         df.withColumn(BucketCol, rangeBucket(c, lo, hi, n))
           .write.partitionBy(BucketCol)
       case _ => df.write
     }
     writer.mode("append").format(format).save(target)
-    // refresh the sidecar schema to the merged shape
+    // Sidecar schema := recorded schema ∪ the BATCH's newly declared columns.
+    // NOT the merged read schema: that re-types partition columns from
+    // directory-name inference (BIGINT → INT), reorders them to the end, and
+    // records the internal bucket column as if it were user data.
     raw.foreach { old =>
-      val merged = spark.read.option("mergeSchema", "true")
-        .format(format).load(target).schema
-      val updated = old.replaceFirst(
-        java.util.regex.Pattern.quote(old.substring(old.indexOf("{\"schema\": ") + 11,
-          old.lastIndexOf("\"scheme\"")).trim.stripSuffix(",")),
-        java.util.regex.Matcher.quoteReplacement(merged.json))
-      val out = fs.create(new Path(abs(path), MetaFile), true)
-      try out.write(updated.getBytes("UTF-8")) finally out.close()
+      val oldSchema = sidecarSchemaOf(old)
+      val newFields = df.schema.fields.filterNot(f =>
+        f.name == BucketCol || oldSchema.fieldNames.contains(f.name))
+      if (newFields.nonEmpty) {
+        val merged = StructType(oldSchema.fields ++ newFields)
+        val start = old.indexOf(SchemaPrefix) + SchemaPrefix.length
+        val end = old.lastIndexOf("\"scheme\"")
+        val updated = old.substring(0, start) + merged.json + ",\n " + old.substring(end)
+        val out = fs.create(new Path(abs(path), MetaFile), true)
+        try out.write(updated.getBytes("UTF-8")) finally out.close()
+      }
     }
+  }
+
+  /** The sidecar's scheme descriptor. */
+  private case class SidecarScheme(kind: String, column: String, buckets: Int,
+    lo: Double, hi: Double)
+
+  /** Parse the scheme object from the sidecar's fixed layout — escape-aware
+    * for column names (jsonStr escapes quotes/backslashes/control chars). */
+  private def sidecarScheme(raw: String): SidecarScheme = {
+    val slice = raw.substring(raw.lastIndexOf("\"scheme\""))
+    def str(name: String): String =
+      ("\"" + name + "\": \"((?:[^\"\\\\]|\\\\.)*)\"").r.findFirstMatchIn(slice)
+        .map(m => unescapeJson(m.group(1))).getOrElse("")
+    def num(name: String): Option[String] =
+      ("\"" + name + "\": (-?[0-9.eE+]+)").r.findFirstMatchIn(slice).map(_.group(1))
+    SidecarScheme(str("kind"), str("column"),
+      num("buckets").map(_.toInt).getOrElse(0),
+      num("range_lo").map(_.toDouble).getOrElse(0.0),
+      num("range_hi").map(_.toDouble).getOrElse(0.0))
+  }
+
+  private def unescapeJson(s: String): String = {
+    val b = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s(i) == '\\' && i + 1 < s.length) s(i + 1) match {
+        case 'u' =>
+          b += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
+        case c => b += c; i += 2
+      } else { b += s(i); i += 1 }
+    }
+    b.toString
   }
 
   /** Does a written table already exist (committed)? */
@@ -263,14 +294,16 @@ class GraftCatalog(spark: SparkSession, root: String,
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sidecarSchema(path))
     }
 
+  private val SchemaPrefix = "{\"schema\": "
+
   /** The schema recorded in the `_graft.json` sidecar at put time. */
-  private def sidecarSchema(path: String): StructType = {
-    val p = new Path(abs(path), MetaFile)
-    val in = fs.open(p)
-    val raw = try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-    finally in.close()
-    // sidecar layout is fixed (written by writeMeta): schema json up to "scheme"
-    val json = raw.substring(raw.indexOf("{\"schema\": ") + "{\"schema\": ".length,
+  private def sidecarSchema(path: String): StructType =
+    sidecarSchemaOf(readMetaRaw(path).getOrElse(
+      sys.error(s"no sidecar at $path")))
+
+  /** The schema-json slice of the sidecar's fixed layout (writeMeta). */
+  private def sidecarSchemaOf(raw: String): StructType = {
+    val json = raw.substring(raw.indexOf(SchemaPrefix) + SchemaPrefix.length,
       raw.lastIndexOf("\"scheme\"")).trim.stripSuffix(",")
     DataType.fromJson(json).asInstanceOf[StructType]
   }
@@ -307,14 +340,10 @@ class GraftCatalog(spark: SparkSession, root: String,
     * column for hash layout, the internal bucket column for bucketed/range,
     * none for unpartitioned. */
   private def physicalPartitionColumn(path: String): Option[String] =
-    readMetaRaw(path).flatMap { raw =>
-      val kind = "\"kind\": \"([^\"]*)\"".r.findFirstMatchIn(raw).map(_.group(1))
-      val column = "\"column\": \"([^\"]*)\"".r.findFirstMatchIn(raw).map(_.group(1))
-      kind match {
-        case Some("hash") => column
-        case Some("bucketed_hash") | Some("range") => Some(BucketCol)
-        case _ => None
-      }
+    readMetaRaw(path).map(sidecarScheme).flatMap {
+      case SidecarScheme("hash", c, _, _, _) => Some(c)
+      case SidecarScheme("bucketed_hash" | "range", _, _, _, _) => Some(BucketCol)
+      case _ => None
     }
 
   /** compact — rewrite the table so every partition directory holds exactly

@@ -88,12 +88,17 @@ object Streams extends Serializable {
   /** Run a streaming DataFrame to completion (AvailableNow) into an in-memory
     * sink and return the sink's contents. */
   private def runToMemory(spark: SparkSession, df: DataFrame, name: String,
-    sfDir: String, outputMode: OutputMode): DataFrame = {
+    sfDir: String, outputMode: OutputMode): DataFrame =
+    runToMemory(spark, df, name,
+      new java.io.File(checkpointDir(sfDir, name)), outputMode)
+
+  private def runToMemory(spark: SparkSession, df: DataFrame, name: String,
+    cp: java.io.File, outputMode: OutputMode): DataFrame = {
     val q = df.writeStream
       .format("memory")
       .queryName(name)
       .outputMode(outputMode)
-      .option("checkpointLocation", checkpointDir(sfDir, name))
+      .option("checkpointLocation", cp.getAbsolutePath)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -153,7 +158,15 @@ object Streams extends Serializable {
     * how the source slices the data (maxFilesPerTrigger, Kafka batch sizing);
     * nothing is emitted per-batch that could still grow. The sentinel advances
     * the watermark past every real session, so on a finite backlog the result
-    * equals the batch window-function form (B8) and shares its oracle. */
+    * equals the batch window-function form (B8) and shares its oracle.
+    *
+    * Equivalence precondition: per-user event time must not jump BACKWARD
+    * across batches by more than the 30-min gap (in-batch disorder and
+    * within-gap cross-batch disorder are handled). An event that late forms
+    * its own session with the next counter value — ids stay unique and
+    * time-ordered against the open session, but the batch form would have
+    * renumbered globally; append-mode streams cannot renumber what they
+    * already emitted. Gap sessionization is inherently order-sensitive. */
   def streamSessions(spark: SparkSession, sfDir: String): DataFrame = {
     val cp = new java.io.File(checkpointDir(sfDir, "stream_sessions"))
     sessionRun(spark, eventsStream(spark, sfDir), "stream_sessions", cp)
@@ -208,11 +221,21 @@ object Streams extends Serializable {
           } else if (micros(e.ts) > micros(st.last) + GapMicros) {
             out = Session(userId, st.sessionId, st.nEvents, st.start, st.last) :: out
             st = SessionState(st.sessionId + 1, 1L, e.ts, e.ts)
+          } else if (micros(e.ts) + GapMicros < micros(st.start)) {
+            // A watermark-admitted event more than a gap OLDER than the open
+            // session's start is its own earlier session, not a member of
+            // this one. The open session hasn't been emitted yet, so it can
+            // still renumber up; already-closed earlier sessions cannot be
+            // renumbered retroactively in append mode — this is the one
+            // documented divergence from the batch form, which renumbers
+            // globally (it only arises when a source delivers an event >gap
+            // out of order across batches yet within the watermark delay).
+            out = Session(userId, st.sessionId, 1L, e.ts, e.ts) :: out
+            st = st.copy(sessionId = st.sessionId + 1)
           } else {
-            // A later micro-batch may deliver an event older than the open
-            // session's bounds (admitted by the watermark delay); session
-            // bounds must stay monotone or session_end regresses and a
-            // subsequent gap decision splits what the batch form merges.
+            // Mildly out-of-order (within a gap of the session's span):
+            // merge, keeping bounds monotone so session_end never regresses
+            // and a later gap decision cannot split what batch merges.
             val newLast = if (micros(e.ts) > micros(st.last)) e.ts else st.last
             val newStart = if (micros(e.ts) < micros(st.start)) e.ts else st.start
             st = st.copy(nEvents = st.nEvents + 1, start = newStart, last = newLast)
@@ -244,15 +267,7 @@ object Streams extends Serializable {
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.EventTimeTimeout())(sessionize)
       .toDF()
-    val q = sessions.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(OutputMode.Append())
-      .option("checkpointLocation", cp.getAbsolutePath)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
+    runToMemory(spark, sessions, name, cp, OutputMode.Append())
       .select(col("user_id"), col("session_id"), col("n_events"),
         date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
         date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"))
