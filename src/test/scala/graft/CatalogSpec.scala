@@ -96,6 +96,21 @@ class CatalogSpec extends SparkSpec {
     assert(binsAfter == binsBefore, s"new bins appeared: ${binsAfter -- binsBefore}")
   }
 
+  test("compact after schema evolution preserves the evolved shape") {
+    val cat = freshCatalog("evolve_compact")
+    val src = Tables.load(spark, sfDir, "nation")
+    cat.put(src, "t", HashPartition("n_regionkey"))
+    cat.append(src.withColumn("n_flag", col("n_nationkey") * 10), "t")
+    cat.compact("t")
+    val back = cat.cat("t")
+    assert(back.count() == src.count() * 2)
+    assert(back.columns.contains("n_flag"))
+    // old rows surface the evolved column as null, new rows carry values
+    assert(back.filter(col("n_flag").isNull).count() == src.count())
+    assert(back.filter(col("n_flag").isNotNull).count() == src.count())
+    assert(cat.partitionLocations("t").collect().forall(_.getInt(1) == 1))
+  }
+
   test("putCsv ingests a headered CSV and catOrdered restores file order") {
     val cat = freshCatalog("csv")
     val csvDir = "/root/repo/target/test_edfs/csv_src"
