@@ -39,7 +39,7 @@ case object Unpartitioned extends PartitionScheme
 class GraftCatalog(spark: SparkSession, root: String,
   val format: String = "parquet") {
 
-  require(format == "parquet" || format == "json",
+  require(format == "parquet" || format == "json" || format == "orc",
     s"unsupported storage format: $format")
 
   private val BucketCol = "__graft_bucket"

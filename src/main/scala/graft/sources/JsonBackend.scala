@@ -31,9 +31,28 @@ object JsonBackend {
     """SELECT n_nationkey, n_name, n_regionkey
       |FROM nation ORDER BY n_nationkey""".stripMargin
 
+  /** A-orc — same catalog, ORC leaf files: the other columnar format large
+    * Hive estates standardize on. Identical pruning/pushdown path through
+    * Spark's native ORC reader; the oracle is storage-format-independent
+    * (read-back equals the source table). */
+  def edfsPutOrc(spark: SparkSession, sfDir: String): DataFrame = {
+    val cat = new GraftCatalog(spark, Pmr.catalogRoot(sfDir), format = "orc")
+    cat.put(Tables.load(spark, sfDir, "region"),
+      "warehouse/region_orc", HashPartition("r_regionkey"))
+    cat.cat("warehouse/region_orc")
+      .select(col("r_regionkey").cast("int"), col("r_name"))
+      .orderBy(col("r_regionkey"))
+  }
+
+  val edfsPutOrcSql: String =
+    """SELECT r_regionkey, r_name
+      |FROM region ORDER BY r_regionkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "edfs_put_json" -> (edfsPutJson _))
+    "edfs_put_json" -> (edfsPutJson _),
+    "edfs_put_orc" -> (edfsPutOrc _))
 
   val oracles: Map[String, String] = Map(
-    "edfs_put_json" -> edfsPutJsonSql)
+    "edfs_put_json" -> edfsPutJsonSql,
+    "edfs_put_orc" -> edfsPutOrcSql)
 }
