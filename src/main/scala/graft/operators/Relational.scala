@@ -28,6 +28,38 @@ object Relational {
   private def rate(c: Column): Column = c.cast("decimal(4,2)")
   private val one = lit(1).cast("decimal(3,2)")
 
+  // ── exact long-cents fixed point ──────────────────────────────────────────
+  // sum(decimal(12,2)) promotes to decimal(22,2) and the discount/tax products
+  // to ~decimal(30,6) — both past the Decimal64 (precision ≤ 18) fast path, so
+  // every input row pays an interpreted JVM BigDecimal allocation in the
+  // hottest aggregations. Instead: convert each 2-dp money value to integer
+  // cents ONCE, do the products in long fixed point (codegen'd 64-bit
+  // arithmetic), and sum through two long buffers (a hi/lo split at 10^6) so
+  // no per-group total can overflow. The exact total is recombined in
+  // decimal(38,_) per OUTPUT GROUP (a handful of rows, not per input row) and
+  // emitted as the same correctly-rounded double the all-decimal form
+  // produces — BigDecimal.doubleValue depends only on the exact value, so the
+  // oracle hash is unchanged. Overflow bound: lo < 10^6 per row keeps sum(lo)
+  // exact past 9×10^12 rows per group; hi ≤ value/10^6 keeps sum(hi) exact
+  // far beyond that — comfortably past 100 TB in a single group.
+  private val Split = 1000000L
+
+  /** Integer cents of a 2-dp money double (exact: |x·100| < 2^53 and 2-dp
+    * inputs never hit a round-half tie in binary, so HALF_UP here agrees with
+    * the double→decimal(_,2) cast the oracle uses). */
+  private def cents(c: Column): Column = round(c * 100).cast("bigint")
+
+  /** Exact sum of a long fixed-point column in 10^-scale units, emitted as
+    * DOUBLE. Two codegen'd long sum buffers per group; decimal arithmetic only
+    * on the per-group totals. Sign-safe: hi is derived from v - pmod(v), an
+    * exact multiple of Split, so truncating div equals floor div. */
+  private def sumFixed(v: Column, scale: Int): Column = {
+    val lo = pmod(v, lit(Split))
+    val total = sum(call_function("div", v - lo, lit(Split))).cast("decimal(38,0)") *
+      Split + sum(lo)
+    (total * lit(java.math.BigDecimal.valueOf(1L, scale))).cast("double")
+  }
+
   /** B1 — full aggregation suite (TPC-H Q1 shape): sum/avg/count grouped on a
     * low-cardinality key. Map-side partial agg makes the shuffle carry only
     * (3 flags × 2 statuses) rows per task regardless of input size — the 100 TB
@@ -35,20 +67,25 @@ object Relational {
   def q1PricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
     val l = Tables.load(spark, sfDir, "lineitem")
     l.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        cents(col("l_quantity")).as("qty_c"),
+        cents(col("l_extendedprice")).as("price_c"),
+        cents(col("l_discount")).as("disc_c"),
+        cents(col("l_tax")).as("tax_c"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("qty_c"), col("price_c"), col("disc_c"),
+        (col("price_c") * (lit(100L) - col("disc_c"))).as("disc_e4"),
+        (col("price_c") * (lit(100L) - col("disc_c"))
+          * (lit(100L) + col("tax_c"))).as("charge_e6"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
-        sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
-        sum(dec2(col("l_extendedprice")) * (one - rate(col("l_discount"))))
-          .cast("double").as("sum_disc_price"),
-        sum(dec2(col("l_extendedprice")) * (one - rate(col("l_discount")))
-          * (one + rate(col("l_tax")))).cast("double").as("sum_charge"),
-        (sum(dec2(col("l_quantity"))).cast("double") / count(col("l_quantity")))
-          .as("avg_qty"),
-        (sum(dec2(col("l_extendedprice"))).cast("double") / count(col("l_extendedprice")))
-          .as("avg_price"),
-        (sum(rate(col("l_discount"))).cast("double") / count(col("l_discount")))
-          .as("avg_disc"),
+        sumFixed(col("qty_c"), 2).as("sum_qty"),
+        sumFixed(col("price_c"), 2).as("sum_base_price"),
+        sumFixed(col("disc_e4"), 4).as("sum_disc_price"),
+        sumFixed(col("charge_e6"), 6).as("sum_charge"),
+        (sumFixed(col("qty_c"), 2) / count(col("qty_c"))).as("avg_qty"),
+        (sumFixed(col("price_c"), 2) / count(col("price_c"))).as("avg_price"),
+        (sumFixed(col("disc_c"), 2) / count(col("disc_c"))).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
@@ -80,9 +117,10 @@ object Relational {
       .filter(col("l_shipdate") > lit("1996-06-30").cast("timestamp"))
     l.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .withColumn("disc_e4",
+        cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(sum(dec2(col("l_extendedprice")) * (one - rate(col("l_discount"))))
-        .cast("double").as("revenue"))
+      .agg(sumFixed(col("disc_e4"), 4).as("revenue"))
       .select(col("l_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
         col("o_orderpriority"), col("revenue"))
@@ -119,9 +157,10 @@ object Relational {
         col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .withColumn("disc_e4",
+        cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
       .groupBy(col("n_name"))
-      .agg(sum(dec2(col("l_extendedprice")) * (one - rate(col("l_discount"))))
-        .cast("double").as("revenue"))
+      .agg(sumFixed(col("disc_e4"), 4).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
@@ -146,8 +185,8 @@ object Relational {
     l.filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
         col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
-      .agg(sum(dec2(col("l_extendedprice")) * rate(col("l_discount")))
-        .cast("double").as("revenue"),
+      .select((cents(col("l_extendedprice")) * cents(col("l_discount"))).as("rev_e4"))
+      .agg(sumFixed(col("rev_e4"), 4).as("revenue"),
         count(lit(1)).as("n_rows"))
   }
 
@@ -186,8 +225,10 @@ object Relational {
     * engines order identically. */
   def qRollup(spark: SparkSession, sfDir: String): DataFrame = {
     val l = Tables.load(spark, sfDir, "lineitem")
-    l.rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+    l.select(col("l_returnflag"), col("l_linestatus"),
+        cents(col("l_quantity")).as("qty_c"))
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sumFixed(col("qty_c"), 2).as("sum_qty"),
         count(lit(1)).as("n_rows"))
       .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
@@ -210,7 +251,7 @@ object Relational {
     val e = Tables.load(spark, sfDir, "events")
     e.groupBy(date_trunc("hour", col("ts")).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(dec2(col("value"))).cast("double").as("sum_value"))
+        sumFixed(cents(col("value")), 2).as("sum_value"))
       .select(date_format(col("w"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
       .orderBy(col("window_start"), col("event_type"))
@@ -313,7 +354,7 @@ object Relational {
     l.join(o, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_rows"),
-        sum(dec2(col("l_extendedprice"))).cast("double").as("sum_price"))
+        sumFixed(cents(col("l_extendedprice")), 2).as("sum_price"))
       .orderBy(col("o_orderpriority"))
   }
 
@@ -390,9 +431,11 @@ object Relational {
   /** B6b — cube: all grouping-set combinations in one pass. */
   def qCube(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables.load(spark, sfDir, "orders")
-    o.cube(col("o_orderstatus"), col("o_orderpriority"))
+    o.select(col("o_orderstatus"), col("o_orderpriority"),
+        cents(col("o_totalprice")).as("price_c"))
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"),
-        sum(dec2(col("o_totalprice"))).cast("double").as("sum_price"))
+        sumFixed(col("price_c"), 2).as("sum_price"))
       .select(coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
         coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
         col("n_orders"), col("sum_price"))

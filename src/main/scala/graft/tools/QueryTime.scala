@@ -17,8 +17,10 @@ object QueryTime {
     val fn = SparkEntry.queries(name)
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
-      println(f"took ${(System.nanoTime() - t0) / 1e9}%.2f s (run $i, $n rows)")
+      // noop sink: count() lets the optimizer prune aggregates/sorts and
+      // understates cost by 10-30× — time the full materialization instead.
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      println(f"took ${(System.nanoTime() - t0) / 1e9}%.2f s (run $i)")
     }
     spark.stop()
   }
