@@ -112,15 +112,26 @@ object Similarity {
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val centroids = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
-    // assign: nearest centroid per vector (K small → broadcast + per-row argmax)
-    val byVec = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
-    val assigned = e.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("v"), col("cid"),
-        graft.functions.GraftFunctions.cosine(spark, col("v"), col("cv")).as("csim"))
-      .withColumn("rk", row_number().over(byVec))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("v"), col("cid"))
+    // assign: nearest centroid per vector. The codebook is K tiny rows — pull
+    // it to the driver once and inline each centroid as an array literal (the
+    // plan-level form of broadcasting an offline-trained codebook), then take
+    // the argmax of all K cosines in ONE projection via greatest() over
+    // (csim, -cid) structs. No K× row expansion, no exchange: at 100 TB the
+    // old crossJoin×K + row_number window re-materialized the corpus 16× and
+    // shuffled all of it on vec_id for a per-row computation. Tie-break
+    // matches the oracle's ROW_NUMBER (csim DESC, cid ASC): max struct takes
+    // the highest csim, then the highest -cid = lowest cid.
+    val codebook: Array[(Int, Array[Double])] = centroids.collect().map { r =>
+      (r.getAs[Number]("cid").intValue, r.getAs[Seq[Double]]("cv").toArray)
+    }.sortBy(_._1)
+    val best = greatest(codebook.map { case (cid, cv) =>
+      struct(
+        graft.functions.GraftFunctions.cosine(spark, col("v"), lit(cv)).as("csim"),
+        lit(-cid).as("ncid"))
+    }: _*)
+    val assigned = e
+      .select(col("vec_id"), col("v"),
+        (-best.getField("ncid")).cast("bigint").as("cid"))
     // probe: the query vector's nProbe closest centroids
     val probeVec = e.filter(col("vec_id") === 0).select(col("v").as("p"))
     val probeLists = centroids.crossJoin(broadcast(probeVec))

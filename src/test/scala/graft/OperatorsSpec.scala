@@ -122,6 +122,15 @@ class OperatorsSpec extends SparkSpec {
     // hyperplane-LSH path so a centroid/assignment regression is caught
     val recall = ivf.map(_.getLong(0)).toSet.intersect(brute.keySet).size
     assert(recall >= 8, s"IVF recall dropped to $recall/10")
+    // centroid assignment is a projected argmax over inlined codebook
+    // literals — the whole query must run with ZERO shuffle exchanges (the
+    // old crossJoin×K + row_number form re-materialized the corpus K× and
+    // exchanged it on vec_id)
+    val df = Similarity.simIvf(spark, sfDir)
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val shuffles = "Exchange (hash|range)partitioning".r.findAllIn(plan).length
+    assert(shuffles == 0, s"IVF should be exchange-free; got $shuffles:\n${plan.take(1500)}")
   }
 
   test("approx percentiles track the exact form within 1% relative error") {
