@@ -37,12 +37,37 @@ case object Unpartitioned extends PartitionScheme
   * put :324, getPartitionLocations :438, readPartition :492.
   */
 class GraftCatalog(spark: SparkSession, root: String,
-  val format: String = "parquet") {
+  val format: String = "parquet",
+  val maxRecordsPerFile: Long = 0) {
 
   require(format == "parquet" || format == "json" || format == "orc",
     s"unsupported storage format: $format")
 
   private val BucketCol = "__graft_bucket"
+
+  /** Apply the leaf-file size cap (reference MAX_PARTITION_SIZE,
+    * combined_flask.py:361: one hash group splits into ≥1 size-capped blocks).
+    * With a cap, a hot partition value yields ceil(rows/cap) files instead of
+    * one monolith — at 100 TB a single unsplittable multi-GB leaf file is an
+    * operational failure (one task must read it). 0 = uncapped. */
+  private def capped(w: org.apache.spark.sql.DataFrameWriter[Row])
+    : org.apache.spark.sql.DataFrameWriter[Row] =
+    if (maxRecordsPerFile > 0) w.option("maxRecordsPerFile", maxRecordsPerFile) else w
+
+  /** Reference `put` fills NULLs in the hash attribute before grouping
+    * (combined_flask.py:406-408: numeric → 0, string → "NULL"), so null-keyed
+    * rows land in a DECLARED sentinel partition instead of the engine-default
+    * `__HIVE_DEFAULT_PARTITION__` with undeclared semantics. Same contract
+    * here; keys of other types (dates, binaries) keep engine behavior. */
+  private def coerceNullKey(df: DataFrame, c: String): DataFrame = {
+    val field = df.schema(c)
+    val sentinel = field.dataType match {
+      case StringType => Some(lit("NULL"))
+      case _: NumericType => Some(lit(0).cast(field.dataType))
+      case _ => None
+    }
+    sentinel.map(s => df.withColumn(c, coalesce(col(c), s))).getOrElse(df)
+  }
 
   private def fs: FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -97,12 +122,13 @@ class GraftCatalog(spark: SparkSession, root: String,
     var rangeBounds: Option[(Double, Double)] = None
     scheme match {
       case Unpartitioned =>
-        df.write.mode("overwrite").format(format).save(target)
+        capped(df.write).mode("overwrite").format(format).save(target)
       case HashPartition(c) =>
-        df.write.mode("overwrite").partitionBy(c).format(format).save(target)
+        capped(coerceNullKey(df, c).write)
+          .mode("overwrite").partitionBy(c).format(format).save(target)
       case BucketedHashPartition(c, n) =>
-        df.withColumn(BucketCol, pmod(hash(col(c)), lit(n)))
-          .write.mode("overwrite").partitionBy(BucketCol).format(format).save(target)
+        capped(df.withColumn(BucketCol, pmod(hash(col(c)), lit(n))).write)
+          .mode("overwrite").partitionBy(BucketCol).format(format).save(target)
       case RangePartition(c, n) =>
         // Equi-width bins like the reference's pd.cut: one extra pass for
         // min/max (a metadata-only read when parquet stats suffice), then a
@@ -113,12 +139,12 @@ class GraftCatalog(spark: SparkSession, root: String,
         val (lo, hi) =
           if (bounds.isNullAt(0) || bounds.isNullAt(1)) (0.0, 0.0)
           else (bounds.getDouble(0), bounds.getDouble(1))
-        df.withColumn(BucketCol, rangeBucket(c, lo, hi, n))
-          .write.mode("overwrite").partitionBy(BucketCol).format(format).save(target)
+        capped(df.withColumn(BucketCol, rangeBucket(c, lo, hi, n)).write)
+          .mode("overwrite").partitionBy(BucketCol).format(format).save(target)
         rangeBounds = Some((lo, hi))
     }
     // after the data write: overwrite mode clears the directory first
-    writeMeta(path, df, scheme, rangeBounds)
+    writeSidecar(path, toSidecar(df.schema, scheme, rangeBounds))
   }
 
   /** The deterministic equi-width bucket id for a range layout. The bounds
@@ -144,13 +170,31 @@ class GraftCatalog(spark: SparkSession, root: String,
   def append(df: DataFrame, path: String): Unit = {
     require(isTable(path), s"append target $path is not a committed table")
     val target = abs(path).toString
-    val raw = readMetaRaw(path)
+    val meta0 = readMeta(path)
+    // A range table whose persisted bounds are degenerate (lo == hi: the
+    // first put was empty, all-null, or single-valued) would route every
+    // appended row to bucket 0 forever — heal it by adopting real bounds from
+    // the first batch that has them. Persisted BEFORE the data write so the
+    // rows below and all future appends bin identically; the rows already in
+    // bucket 0 stay readable (bounds only route writes, never reads).
+    val meta = meta0.map {
+      case m if m.scheme.kind == "range" && m.scheme.lo == m.scheme.hi =>
+        val c = m.scheme.column
+        val b = df.agg(min(col(c).cast("double")), max(col(c).cast("double"))).head()
+        if (!b.isNullAt(0) && !b.isNullAt(1) && b.getDouble(0) != b.getDouble(1)) {
+          val healed = m.copy(scheme =
+            m.scheme.copy(lo = b.getDouble(0), hi = b.getDouble(1)))
+          writeSidecar(path, healed)
+          healed
+        } else m
+      case m => m
+    }
     // Reproduce the table's physical layout for the new rows — an appended
     // batch written flat into a bucketed table would corrupt partition
     // discovery (leaf files at the root next to bucket directories).
-    val writer = raw.map(sidecarScheme) match {
+    val writer = meta.map(_.scheme) match {
       case Some(SidecarScheme("hash", c, _, _, _)) =>
-        df.write.partitionBy(c)
+        coerceNullKey(df, c).write.partitionBy(c)
       case Some(SidecarScheme("bucketed_hash", c, n, _, _)) =>
         df.withColumn(BucketCol, pmod(hash(col(c)), lit(n)))
           .write.partitionBy(BucketCol)
@@ -159,23 +203,16 @@ class GraftCatalog(spark: SparkSession, root: String,
           .write.partitionBy(BucketCol)
       case _ => df.write
     }
-    writer.mode("append").format(format).save(target)
+    capped(writer).mode("append").format(format).save(target)
     // Sidecar schema := recorded schema ∪ the BATCH's newly declared columns.
     // NOT the merged read schema: that re-types partition columns from
     // directory-name inference (BIGINT → INT), reorders them to the end, and
     // records the internal bucket column as if it were user data.
-    raw.foreach { old =>
-      val oldSchema = sidecarSchemaOf(old)
+    meta.foreach { m =>
       val newFields = df.schema.fields.filterNot(f =>
-        f.name == BucketCol || oldSchema.fieldNames.contains(f.name))
-      if (newFields.nonEmpty) {
-        val merged = StructType(oldSchema.fields ++ newFields)
-        val start = old.indexOf(SchemaPrefix) + SchemaPrefix.length
-        val end = old.lastIndexOf("\"scheme\"")
-        val updated = old.substring(0, start) + merged.json + ",\n " + old.substring(end)
-        val out = fs.create(new Path(abs(path), MetaFile), true)
-        try out.write(updated.getBytes("UTF-8")) finally out.close()
-      }
+        f.name == BucketCol || m.schema.fieldNames.contains(f.name))
+      if (newFields.nonEmpty)
+        writeSidecar(path, m.copy(schema = StructType(m.schema.fields ++ newFields)))
     }
   }
 
@@ -183,78 +220,93 @@ class GraftCatalog(spark: SparkSession, root: String,
   private case class SidecarScheme(kind: String, column: String, buckets: Int,
     lo: Double, hi: Double)
 
-  /** Parse the scheme object from the sidecar's fixed layout — escape-aware
-    * for column names (jsonStr escapes quotes/backslashes/control chars). */
-  private def sidecarScheme(raw: String): SidecarScheme = {
-    val slice = raw.substring(raw.lastIndexOf("\"scheme\""))
-    def str(name: String): String =
-      ("\"" + name + "\": \"((?:[^\"\\\\]|\\\\.)*)\"").r.findFirstMatchIn(slice)
-        .map(m => unescapeJson(m.group(1))).getOrElse("")
-    def num(name: String): Option[String] =
-      ("\"" + name + "\": (-?[0-9.eE+]+)").r.findFirstMatchIn(slice).map(_.group(1))
-    SidecarScheme(str("kind"), str("column"),
-      num("buckets").map(_.toInt).getOrElse(0),
-      num("range_lo").map(_.toDouble).getOrElse(0.0),
-      num("range_hi").map(_.toDouble).getOrElse(0.0))
-  }
-
-  private def unescapeJson(s: String): String = {
-    val b = new StringBuilder
-    var i = 0
-    while (i < s.length) {
-      if (s(i) == '\\' && i + 1 < s.length) s(i + 1) match {
-        case 'u' =>
-          b += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
-        case c => b += c; i += 2
-      } else { b += s(i); i += 1 }
-    }
-    b.toString
-  }
+  /** The full sidecar record — the namenode-metadata analog. */
+  private case class Sidecar(schema: StructType, scheme: SidecarScheme,
+    permission: String, format: String)
 
   /** Does a written table already exist (committed)? */
   def exists(path: String): Boolean = isTable(path)
 
   private val MetaFile = "_graft.json"
+  private val MetaTmp = MetaFile + ".__new"
 
-  private def jsonStr(s: String): String =
-    "\"" + s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-    } + "\""
+  // Jackson (on Spark's classpath) — a real (de)serializer, not string
+  // surgery: a partition column literally named "scheme", or names with
+  // quotes/backslashes, must round-trip.
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
-  private def writeMeta(path: String, df: DataFrame, scheme: PartitionScheme,
-    rangeBounds: Option[(Double, Double)] = None): Unit = {
+  private def renderSidecar(m: Sidecar): String = {
+    val root = mapper.createObjectNode()
+    root.set[com.fasterxml.jackson.databind.JsonNode](
+      "schema", mapper.readTree(m.schema.json))
+    val sc = root.putObject("scheme")
+    sc.put("kind", m.scheme.kind)
+    sc.put("column", m.scheme.column)
+    sc.put("buckets", m.scheme.buckets)
+    if (m.scheme.kind == "range") {
+      sc.put("range_lo", m.scheme.lo)
+      sc.put("range_hi", m.scheme.hi)
+    }
+    root.put("permission", m.permission)
+    root.put("format", m.format)
+    root.toString
+  }
+
+  private def parseSidecar(raw: String): Sidecar = {
+    val n = mapper.readTree(raw)
+    val sc = n.get("scheme")
+    def optNode(node: com.fasterxml.jackson.databind.JsonNode, f: String) =
+      Option(node.get(f))
+    Sidecar(
+      DataType.fromJson(n.get("schema").toString).asInstanceOf[StructType],
+      SidecarScheme(
+        optNode(sc, "kind").map(_.asText).getOrElse("none"),
+        optNode(sc, "column").map(_.asText).getOrElse(""),
+        optNode(sc, "buckets").map(_.asInt).getOrElse(0),
+        optNode(sc, "range_lo").map(_.asDouble).getOrElse(0.0),
+        optNode(sc, "range_hi").map(_.asDouble).getOrElse(0.0)),
+      optNode(n, "permission").map(_.asText).getOrElse("644"),
+      optNode(n, "format").map(_.asText).getOrElse(format))
+  }
+
+  private def toSidecar(schema: StructType, scheme: PartitionScheme,
+    rangeBounds: Option[(Double, Double)]): Sidecar = {
     val (kind, column, buckets) = scheme match {
       case Unpartitioned => ("none", "", 0)
       case HashPartition(c) => ("hash", c, 0)
       case BucketedHashPartition(c, n) => ("bucketed_hash", c, n)
       case RangePartition(c, n) => ("range", c, n)
     }
-    val boundsJson = rangeBounds
-      .map { case (lo, hi) => s""", "range_lo": $lo, "range_hi": $hi""" }
-      .getOrElse("")
-    val json =
-      s"""{"schema": ${df.schema.json},
-         | "scheme": {"kind": ${jsonStr(kind)}, "column": ${jsonStr(column)}, "buckets": $buckets$boundsJson},
-         | "permission": "644",
-         | "format": ${jsonStr(format)}}""".stripMargin
-    val p = new Path(abs(path), MetaFile)
-    fs.mkdirs(abs(path))
-    val out = fs.create(p, true)
-    try out.write(json.getBytes("UTF-8")) finally out.close()
+    Sidecar(schema, SidecarScheme(kind, column, buckets,
+      rangeBounds.map(_._1).getOrElse(0.0), rangeBounds.map(_._2).getOrElse(0.0)),
+      "644", format)
   }
+
+  /** Atomic sidecar update: write the full new content to a temp name, then
+    * delete + rename into place (mirrors compact()'s swap discipline). A crash
+    * mid-write can never leave a TRUNCATED `_graft.json`: either the old file
+    * is still whole, or it is gone and the complete `.__new` survives —
+    * readMetaRaw falls back to it. */
+  private def writeSidecar(path: String, m: Sidecar): Unit = {
+    val dir = abs(path)
+    fs.mkdirs(dir)
+    val tmp = new Path(dir, MetaTmp)
+    val out = fs.create(tmp, true)
+    try out.write(renderSidecar(m).getBytes("UTF-8")) finally out.close()
+    val dest = new Path(dir, MetaFile)
+    fs.delete(dest, false)
+    require(fs.rename(tmp, dest), s"sidecar swap failed at $path")
+  }
+
+  private def readMeta(path: String): Option[Sidecar] =
+    readMetaRaw(path).map(parseSidecar)
 
   /** describe — the table's catalog metadata as (key, value) rows: the ls -l /
     * namenode-inode view of a table. */
   def describe(path: String): DataFrame = {
-    val p = new Path(abs(path), MetaFile)
-    val raw = if (fs.exists(p)) {
-      val in = fs.open(p)
-      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-      finally in.close()
-    } else "{}"
-    val kind = "\"kind\": \"([^\"]*)\"".r.findFirstMatchIn(raw).map(_.group(1)).getOrElse("?")
-    val column = "\"column\": \"([^\"]*)\"".r.findFirstMatchIn(raw).map(_.group(1)).getOrElse("")
+    val meta = readMeta(path)
+    val kind = meta.map(_.scheme.kind).getOrElse("?")
+    val column = meta.map(_.scheme.column).getOrElse("")
     val rows = Seq(
       Row("path", path), Row("scheme", kind), Row("partition_column", column),
       Row("committed", isTable(path).toString),
@@ -294,19 +346,9 @@ class GraftCatalog(spark: SparkSession, root: String,
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sidecarSchema(path))
     }
 
-  private val SchemaPrefix = "{\"schema\": "
-
   /** The schema recorded in the `_graft.json` sidecar at put time. */
   private def sidecarSchema(path: String): StructType =
-    sidecarSchemaOf(readMetaRaw(path).getOrElse(
-      sys.error(s"no sidecar at $path")))
-
-  /** The schema-json slice of the sidecar's fixed layout (writeMeta). */
-  private def sidecarSchemaOf(raw: String): StructType = {
-    val json = raw.substring(raw.indexOf(SchemaPrefix) + SchemaPrefix.length,
-      raw.lastIndexOf("\"scheme\"")).trim.stripSuffix(",")
-    DataType.fromJson(json).asInstanceOf[StructType]
-  }
+    readMeta(path).getOrElse(sys.error(s"no sidecar at $path")).schema
 
   /** cat — reassemble the full table. Partition discovery merges all partition
     * directories; original row order is the caller's to restore via a sort key
@@ -325,9 +367,12 @@ class GraftCatalog(spark: SparkSession, root: String,
   def readPartition(path: String, column: String, value: Any): DataFrame =
     loadTable(path).filter(col(column) === lit(value))
 
-  /** The raw sidecar text, if present. */
+  /** The raw sidecar text, if present. Falls back to the `.__new` temp file
+    * when the main one is missing — the only way that happens is a crash
+    * between writeSidecar's delete and rename, and the temp is complete. */
   private def readMetaRaw(path: String): Option[String] = {
-    val p = new Path(abs(path), MetaFile)
+    val main = new Path(abs(path), MetaFile)
+    val p = if (fs.exists(main)) main else new Path(abs(path), MetaTmp)
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
@@ -340,7 +385,7 @@ class GraftCatalog(spark: SparkSession, root: String,
     * column for hash layout, the internal bucket column for bucketed/range,
     * none for unpartitioned. */
   private def physicalPartitionColumn(path: String): Option[String] =
-    readMetaRaw(path).map(sidecarScheme).flatMap {
+    readMeta(path).map(_.scheme).flatMap {
       case SidecarScheme("hash", c, _, _, _) => Some(c)
       case SidecarScheme("bucketed_hash" | "range", _, _, _, _) => Some(BucketCol)
       case _ => None
@@ -364,11 +409,13 @@ class GraftCatalog(spark: SparkSession, root: String,
     val df = loadTable(path)
     val tmp = new Path(base.getParent, base.getName + "__compacting")
     fs.delete(tmp, true)
+    // one task per partition value → one file per directory, unless the
+    // leaf-file cap splits an oversized value into ceil(rows/cap) files
     val writer = physicalPartitionColumn(path) match {
       case Some(c) => df.repartition(col(c)).write.partitionBy(c)
       case None => df.coalesce(1).write
     }
-    writer.mode("overwrite").format(format).save(tmp.toString)
+    capped(writer).mode("overwrite").format(format).save(tmp.toString)
     // complete the replacement (sidecar included) BEFORE touching the original
     meta.foreach { raw =>
       val out = fs.create(new Path(tmp, MetaFile), true)

@@ -145,4 +145,83 @@ class CatalogSpec extends SparkSpec {
     // internal bucket column must not leak into user data
     assert(!cat.cat("t").columns.exists(_.startsWith("__graft")))
   }
+
+  test("null hash keys land in a declared sentinel partition and round-trip") {
+    val cat = freshCatalog("nullkey")
+    import spark.implicits._
+    // numeric key: nulls coerce to 0 (reference put, combined_flask.py:406)
+    val df = Seq(("a", Option(1)), ("b", Option.empty[Int]),
+      ("c", Option(2)), ("d", Option.empty[Int])).toDF("name", "k")
+    cat.put(df, "t", HashPartition("k"))
+    assert(cat.cat("t").count() == 4)
+    assert(cat.readPartition("t", "k", 0).collect().map(_.getString(0)).toSet ==
+      Set("b", "d"))
+    val parts = cat.partitionLocations("t").collect().map(_.getString(0)).toSet
+    assert(parts.contains("k=0"), s"expected declared k=0 partition: $parts")
+    assert(!parts.exists(_.contains("HIVE_DEFAULT")),
+      s"null keys must not fall into the engine default partition: $parts")
+    // string key: nulls coerce to "NULL"
+    val sdf = Seq(("a", "x"), ("b", null), ("c", "y")).toDF("name", "s")
+    cat.put(sdf, "ts", HashPartition("s"))
+    assert(cat.cat("ts").count() == 3)
+    assert(cat.readPartition("ts", "s", "NULL").collect()
+      .map(_.getString(0)).toSeq == Seq("b"))
+  }
+
+  test("leaf-file cap bounds rows per file through put and compact") {
+    val root = "/root/repo/target/test_edfs/cap"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val cat = new GraftCatalog(spark, root, maxRecordsPerFile = 10)
+    // one upstream task per partition dir isolates the cap as the only reason
+    // a directory can hold more than one file
+    val src = Tables.load(spark, sfDir, "customer").repartition(1)
+    cat.put(src, "t", HashPartition("c_mktsegment"))
+    val files = cat.partitionLocations("t").collect()
+      .map(r => r.getString(0) -> r.getInt(1))
+    assert(files.nonEmpty && files.forall(_._2 > 1),
+      s"a 10-record cap must split each ~30-row segment partition: ${files.toSeq}")
+    assert(cat.cat("t").count() == src.count())
+    cat.compact("t")
+    val after = cat.partitionLocations("t").collect()
+      .map(r => r.getString(0) -> r.getInt(1))
+    assert(after.forall(_._2 > 1), s"compact must respect the cap: ${after.toSeq}")
+    assert(after.map(_._1).toSet == files.map(_._1).toSet)
+    assert(cat.cat("t").count() == src.count())
+  }
+
+  test("sidecar survives a partition column named 'scheme' and quoted names") {
+    val cat = freshCatalog("sidecar_names")
+    import spark.implicits._
+    // "scheme" collides with the sidecar's own top-level key; the value
+    // column name contains a quote and a backslash — both would mis-slice a
+    // string-surgery parser
+    val df = Seq((1, "a", 1.0), (2, "b", 2.0), (3, "a", 3.0))
+      .toDF("id", "scheme", "va\"l\\ue")
+    cat.put(df, "t", HashPartition("scheme"))
+    assert(cat.cat("t").count() == 3)
+    assert(cat.readPartition("t", "scheme", "a").count() == 2)
+    val batch = Seq((4, "c", 4.0, true)).toDF("id", "scheme", "va\"l\\ue", "new\"col")
+    cat.append(batch, "t") // schema-evolving append re-reads + rewrites the sidecar
+    val back = cat.cat("t")
+    assert(back.count() == 4)
+    assert(back.columns.contains("new\"col"))
+    val kv = cat.describe("t").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(kv("scheme") == "hash" && kv("partition_column") == "scheme")
+  }
+
+  test("append heals degenerate range bounds from the first real batch") {
+    val cat = freshCatalog("range_heal")
+    val src = Tables.load(spark, sfDir, "orders")
+    cat.put(src.filter(lit(false)), "t", RangePartition("o_totalprice", 8))
+    assert(cat.partitionLocations("t").count() <= 1)
+    cat.append(src, "t")
+    assert(cat.cat("t").count() == src.count())
+    val n1 = cat.partitionLocations("t").count()
+    assert(n1 > 1, "bounds must be adopted from the first non-empty batch " +
+      "instead of routing every row to bucket 0 forever")
+    // later appends bin with the SAME healed bounds — no re-heal, no drift
+    cat.append(src.limit(50), "t")
+    assert(cat.cat("t").count() == src.count() + 50)
+    assert(cat.partitionLocations("t").count() == n1)
+  }
 }
