@@ -9,6 +9,13 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftConf {
 
+  /** Scratch root for warehouse / EDFS catalog / streaming checkpoints.
+    * Overridable via `-Dgraft.local.root=...`; defaults to `<cwd>/target` so
+    * any checkout or user works — nothing is tied to one machine's layout. */
+  def localRoot: String =
+    sys.props.get("graft.local.root")
+      .getOrElse(sys.props.getOrElse("user.dir", ".") + "/target")
+
   /** Apply graft defaults to a session builder. AQE stays ON (runtime
     * coalescing + skew-join splitting are the first line of defense against
     * skew at scale); broadcast threshold is left at Spark's default — the
@@ -23,6 +30,6 @@ object GraftConf {
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-      .config("spark.sql.warehouse.dir", "/root/repo/target/graft_warehouse")
+      .config("spark.sql.warehouse.dir", s"$localRoot/graft_warehouse")
       .config("spark.ui.enabled", "false")
 }

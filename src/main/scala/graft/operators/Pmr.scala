@@ -24,7 +24,7 @@ object Pmr {
   /** Root for all catalog-backed tables; keyed by scale-factor dir so sf0.01
     * verify runs and sf0.1 bench runs never collide. */
   def catalogRoot(sfDir: String): String =
-    s"/root/repo/target/graft_edfs/${sfDir.replaceAll("[^A-Za-z0-9]+", "_")}"
+    s"${graft.GraftConf.localRoot}/graft_edfs/${sfDir.replaceAll("[^A-Za-z0-9]+", "_")}"
 
   def catalog(spark: SparkSession, sfDir: String): GraftCatalog =
     new GraftCatalog(spark, catalogRoot(sfDir))
@@ -185,12 +185,55 @@ object Pmr {
 
   // ----- A7-A12: PMR analytics -----
 
+  // ----- NaN semantics (SURVEY §1): default SQL vs reference fidelity -----
+  // The reference fills NaN→0 before max (combined_flask.py:741), NaN→+inf
+  // before min (:753), and its avg-combine drops all-NaN partitions
+  // (:727-:758 — pandas mean skips NaN, so an all-NaN partition contributes
+  // an empty partial). Default mode keeps SQL semantics instead: min/max skip
+  // nulls (NaN sorts greater than any double), and the money columns are
+  // NaN-free by data contract — a stray NaN fails the ANSI decimal cast
+  // loudly rather than silently shifting a statistic. The divergence matters:
+  // the reference's NaN→0 fill can PULL THE MAX UP to 0 when every real
+  // value is negative — arguably a bug, reproduced faithfully only under
+  // `referenceNan = true`. OperatorsSpec pins both modes.
+
+  /** min over `c` (n = non-null count). referenceNan: NaN→+inf pre-fill. */
+  def statMin(df: DataFrame, c: String, referenceNan: Boolean = false): DataFrame = {
+    val v = col(c)
+    val e =
+      if (referenceNan)
+        min(coalesce(nanvl(v, lit(Double.PositiveInfinity)),
+          lit(Double.PositiveInfinity)))
+      else min(v)
+    df.agg(e.as("min_val"), count(v).as("n"))
+  }
+
+  /** max over `c`. referenceNan: NaN→0 pre-fill (the reference's rule). */
+  def statMax(df: DataFrame, c: String, referenceNan: Boolean = false): DataFrame = {
+    val v = col(c)
+    val e =
+      if (referenceNan) max(coalesce(nanvl(v, lit(0.0)), lit(0.0)))
+      else max(v)
+    df.agg(e.as("max_val"), count(v).as("n"))
+  }
+
+  /** mean over `c`. Default: decimal-exact (oracle-reproducible). referenceNan:
+    * pandas-style NaN skip, which subsumes "exclude all-NaN partitions" — an
+    * all-NaN partition contributes a zero-count partial to the merge. */
+  def statAvg(df: DataFrame, c: String, referenceNan: Boolean = false): DataFrame = {
+    val v = col(c)
+    if (referenceNan) {
+      val clean = when(v.isNotNull && !isnan(v), v)
+      df.agg((sum(clean) / count(clean)).as("avg_val"), count(clean).as("n"))
+    } else
+      df.agg((sum(dec2(v)).cast("double") / count(v)).as("avg_val"),
+        count(v).as("n"))
+  }
+
   /** A7 — getAvg: decimal-exact distributed mean of a numeric column. */
   def pmrAvg(spark: SparkSession, sfDir: String): DataFrame = {
     val cat = ensureCustomerByNation(spark, sfDir)
-    cat.cat("warehouse/customer_by_nation")
-      .agg((sum(dec2(col("c_acctbal"))).cast("double") / count(col("c_acctbal")))
-        .as("avg_val"), count(col("c_acctbal")).as("n"))
+    statAvg(cat.cat("warehouse/customer_by_nation"), "c_acctbal")
   }
 
   val pmrAvgSql: String =
@@ -201,8 +244,7 @@ object Pmr {
   /** A8 — getMin. */
   def pmrMin(spark: SparkSession, sfDir: String): DataFrame = {
     val cat = ensureCustomerByNation(spark, sfDir)
-    cat.cat("warehouse/customer_by_nation")
-      .agg(min(col("c_acctbal")).as("min_val"), count(col("c_acctbal")).as("n"))
+    statMin(cat.cat("warehouse/customer_by_nation"), "c_acctbal")
   }
 
   val pmrMinSql: String =
@@ -211,8 +253,7 @@ object Pmr {
   /** A9 — getMax. */
   def pmrMax(spark: SparkSession, sfDir: String): DataFrame = {
     val cat = ensureCustomerByNation(spark, sfDir)
-    cat.cat("warehouse/customer_by_nation")
-      .agg(max(col("c_acctbal")).as("max_val"), count(col("c_acctbal")).as("n"))
+    statMax(cat.cat("warehouse/customer_by_nation"), "c_acctbal")
   }
 
   val pmrMaxSql: String =

@@ -50,7 +50,7 @@ object Streams extends Serializable {
   private def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val stageDir = new java.io.File(
-      s"/root/repo/target/graft_stream/${sfDir.replaceAll("[^A-Za-z0-9]+", "_")}/in")
+      s"${graft.GraftConf.localRoot}/graft_stream/${sfDir.replaceAll("[^A-Za-z0-9]+", "_")}/in")
     val staged = new java.io.File(stageDir, "events.parquet")
     if (!staged.exists()) {
       stageDir.mkdirs()
@@ -83,7 +83,7 @@ object Streams extends Serializable {
   }
 
   private def checkpointDir(sfDir: String, name: String): String =
-    s"/root/repo/target/graft_stream/${sfDir.replaceAll("[^A-Za-z0-9]+", "_")}/$name"
+    s"${graft.GraftConf.localRoot}/graft_stream/${sfDir.replaceAll("[^A-Za-z0-9]+", "_")}/$name"
 
   /** Run a streaming DataFrame to completion (AvailableNow) into an in-memory
     * sink and return the sink's contents. */

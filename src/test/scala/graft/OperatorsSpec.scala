@@ -179,4 +179,29 @@ class OperatorsSpec extends SparkSpec {
     val twice = Multimodal.mmPipeline(spark, sfDir).collect()
     assert(twice.sameElements(Multimodal.mmPipeline(spark, sfDir).collect()))
   }
+
+  test("PMR NaN modes: default SQL semantics vs reference fidelity") {
+    import spark.implicits._
+    // all-negative column with a NaN and a null — the case where the two
+    // semantics visibly diverge
+    val df = Seq(Option(-5.0), Option(Double.NaN), Option.empty[Double],
+      Option(-3.0)).toDF("x")
+    // default: nulls skipped; NaN sorts GREATER than any double in SQL
+    assert(Pmr.statMin(df, "x").head().getDouble(0) == -5.0)
+    assert(Pmr.statMax(df, "x").head().getDouble(0).isNaN)
+    // reference mode: NaN→+inf for min (never wins); NaN→0 for max —
+    // faithfully reproducing the reference's arguable bug where any NaN
+    // pulls an all-negative max up to 0 (combined_flask.py:741)
+    assert(Pmr.statMin(df, "x", referenceNan = true).head().getDouble(0) == -5.0)
+    assert(Pmr.statMax(df, "x", referenceNan = true).head().getDouble(0) == 0.0)
+    // reference-mode avg skips NaN like pandas (≡ excluding all-NaN
+    // partitions from the combine) and counts only real values
+    val avgRow = Pmr.statAvg(df, "x", referenceNan = true).head()
+    assert(avgRow.getDouble(0) == -4.0 && avgRow.getLong(1) == 2L)
+    // on NaN-free data the two modes agree exactly
+    val clean = Seq(1.0, 2.0, 7.0).toDF("x")
+    for (stat <- Seq(Pmr.statMin _, Pmr.statMax _, Pmr.statAvg _))
+      assert(stat(clean, "x", false).head().getDouble(0) ==
+        stat(clean, "x", true).head().getDouble(0))
+  }
 }

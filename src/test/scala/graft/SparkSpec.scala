@@ -14,7 +14,7 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.warehouse.dir", "/root/repo/target/graft_warehouse")
+    .config("spark.sql.warehouse.dir", s"${GraftConf.localRoot}/graft_warehouse")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
