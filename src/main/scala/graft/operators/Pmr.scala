@@ -223,8 +223,11 @@ object Pmr {
   def statAvg(df: DataFrame, c: String, referenceNan: Boolean = false): DataFrame = {
     val v = col(c)
     if (referenceNan) {
+      // the when() guard keeps NaN away from the ANSI decimal cast; the sum
+      // stays decimal-exact (order-independent) like the default path
       val clean = when(v.isNotNull && !isnan(v), v)
-      df.agg((sum(clean) / count(clean)).as("avg_val"), count(clean).as("n"))
+      df.agg((sum(dec2(clean)).cast("double") / count(clean)).as("avg_val"),
+        count(clean).as("n"))
     } else
       df.agg((sum(dec2(v)).cast("double") / count(v)).as("avg_val"),
         count(v).as("n"))
@@ -333,7 +336,77 @@ object Pmr {
       |   / COUNT(c_acctbal) AS avg_val
       |FROM customer""".stripMargin
 
+  /** A16 — NULL partition keys at ingest: the reference's put fills nulls in
+    * the hash attribute (numeric → 0, combined_flask.py:406) before grouping;
+    * GraftCatalog.put applies the same coercion, so null-keyed rows land in a
+    * declared `k=0` partition and round-trip losslessly. A tenth of the keys
+    * are nulled here; the oracle applies the fill rule in SQL. */
+  def edfsPutNullkey(spark: SparkSession, sfDir: String): DataFrame = {
+    val cat = catalog(spark, sfDir)
+    cat.mkdir("warehouse")
+    val src = Tables.load(spark, sfDir, "customer")
+      .withColumn("c_nationkey",
+        when(col("c_custkey") % 11 === 0, lit(null)).otherwise(col("c_nationkey")))
+    cat.put(src, "warehouse/customer_nullkey", HashPartition("c_nationkey"))
+    cat.cat("warehouse/customer_nullkey")
+      .select(col("c_custkey"), col("c_nationkey").cast("int"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val edfsPutNullkeySql: String =
+    """SELECT c_custkey,
+      | CASE WHEN c_custkey % 11 = 0 THEN 0 ELSE c_nationkey END AS c_nationkey,
+      | c_acctbal
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  /** A17 — leaf-file size cap (reference MAX_PARTITION_SIZE,
+    * combined_flask.py:361: one hash group splits into size-capped blocks).
+    * With a single writing task per directory, the file count per partition is
+    * exactly ceil(rows/cap) — an oracle-checkable statement of the cap. */
+  def edfsCappedPut(spark: SparkSession, sfDir: String): DataFrame = {
+    val cat = new GraftCatalog(spark, catalogRoot(sfDir), "parquet",
+      maxRecordsPerFile = 64)
+    cat.mkdir("warehouse")
+    cat.put(Tables.load(spark, sfDir, "customer").repartition(1),
+      "warehouse/customer_capped", HashPartition("c_mktsegment"))
+    cat.partitionLocations("warehouse/customer_capped")
+      .select(col("partition"), col("num_files").cast("bigint").as("num_files"))
+      .orderBy(col("partition"))
+  }
+
+  val edfsCappedPutSql: String =
+    """SELECT concat('c_mktsegment=', c_mktsegment) AS partition,
+      | CAST(CEIL(COUNT(*) / 64.0) AS BIGINT) AS num_files
+      |FROM customer GROUP BY c_mktsegment ORDER BY 1""".stripMargin
+
+  /** A18 — the reference-fidelity NaN mode end-to-end: a NaN-salted column
+    * (pandas-origin corpora carry NaN; the synthetic tables don't, so every
+    * 13th key is salted here) through statMin/statMax/statAvg with
+    * referenceNan=true, oracle-checked against the fill rules spelled out in
+    * SQL (NaN→+inf before min, NaN→0 before max, NaN skipped in avg). */
+  def pmrNanStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.load(spark, sfDir, "customer")
+      .withColumn("v", when(col("c_custkey") % 13 === 0, lit(Double.NaN))
+        .otherwise(col("c_acctbal")))
+    statMin(d, "v", referenceNan = true).select(col("min_val"))
+      .crossJoin(statMax(d, "v", referenceNan = true).select(col("max_val")))
+      .crossJoin(statAvg(d, "v", referenceNan = true))
+  }
+
+  val pmrNanStatsSql: String =
+    """SELECT
+      | MIN(CASE WHEN isnan(v) THEN CAST('inf' AS DOUBLE) ELSE v END) AS min_val,
+      | MAX(CASE WHEN isnan(v) THEN 0.0 ELSE v END) AS max_val,
+      | CAST(SUM(CAST(CASE WHEN NOT isnan(v) THEN v END AS DECIMAL(12,2))) AS DOUBLE)
+      |   / COUNT(CASE WHEN NOT isnan(v) THEN v END) AS avg_val,
+      | COUNT(CASE WHEN NOT isnan(v) THEN v END) AS n
+      |FROM (SELECT CASE WHEN c_custkey % 13 = 0 THEN CAST('nan' AS DOUBLE)
+      |  ELSE c_acctbal END AS v FROM customer) t""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "edfs_put_nullkey" -> (edfsPutNullkey _),
+    "edfs_capped_put" -> (edfsCappedPut _),
+    "pmr_nan_stats" -> (pmrNanStats _),
     "pmr_combine_partials" -> (pmrCombinePartials _),
     "edfs_put_hash" -> (edfsPutHash _),
     "edfs_put_range" -> (edfsPutRange _),
@@ -351,6 +424,9 @@ object Pmr {
     "pmr_named_stat" -> (pmrNamedStat _))
 
   val oracles: Map[String, String] = Map(
+    "edfs_put_nullkey" -> edfsPutNullkeySql,
+    "edfs_capped_put" -> edfsCappedPutSql,
+    "pmr_nan_stats" -> pmrNanStatsSql,
     "pmr_combine_partials" -> pmrCombinePartialsSql,
     "edfs_put_hash" -> edfsPutHashSql,
     "edfs_put_range" -> edfsPutRangeSql,
