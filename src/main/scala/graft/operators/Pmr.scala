@@ -361,13 +361,15 @@ object Pmr {
 
   /** A17 — leaf-file size cap (reference MAX_PARTITION_SIZE,
     * combined_flask.py:361: one hash group splits into size-capped blocks).
-    * With a single writing task per directory, the file count per partition is
-    * exactly ceil(rows/cap) — an oracle-checkable statement of the cap. */
+    * Pre-partitioning on the layout key gives ONE writing task per directory
+    * (tasks stay parallel across values — the compact() pattern), so the file
+    * count per partition is exactly ceil(rows/cap) — an oracle-checkable
+    * statement of the cap. */
   def edfsCappedPut(spark: SparkSession, sfDir: String): DataFrame = {
     val cat = new GraftCatalog(spark, catalogRoot(sfDir), "parquet",
       maxRecordsPerFile = 64)
     cat.mkdir("warehouse")
-    cat.put(Tables.load(spark, sfDir, "customer").repartition(1),
+    cat.put(Tables.load(spark, sfDir, "customer").repartition(col("c_mktsegment")),
       "warehouse/customer_capped", HashPartition("c_mktsegment"))
     cat.partitionLocations("warehouse/customer_capped")
       .select(col("partition"), col("num_files").cast("bigint").as("num_files"))
