@@ -26,6 +26,7 @@ object Bench {
     // rep conflates first-run codegen/JIT cost with steady-state latency. The
     // min of 2 is the reproducible per-query number (±10% across rounds).
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // noop sink: every column and the output ordering are actually computed —
       // count() would let the optimizer drop final sorts and prune all columns

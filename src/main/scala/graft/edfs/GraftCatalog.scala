@@ -254,19 +254,25 @@ class GraftCatalog(spark: SparkSession, root: String,
 
   private def parseSidecar(raw: String): Sidecar = {
     val n = mapper.readTree(raw)
-    val sc = n.get("scheme")
-    def optNode(node: com.fasterxml.jackson.databind.JsonNode, f: String) =
-      Option(node.get(f))
+    // every lookup degrades to a default rather than NPE-ing: a foreign or
+    // hand-edited sidecar (or one truncated by the pre-atomic writer of an
+    // old table) should weaken describe()/append(), not crash cat()
+    def optNode(node: Option[com.fasterxml.jackson.databind.JsonNode], f: String) =
+      node.flatMap(x => Option(x.get(f)))
+    val top = Option(n)
+    val sc = optNode(top, "scheme")
     Sidecar(
-      DataType.fromJson(n.get("schema").toString).asInstanceOf[StructType],
+      optNode(top, "schema")
+        .map(s => DataType.fromJson(s.toString).asInstanceOf[StructType])
+        .getOrElse(new StructType()),
       SidecarScheme(
         optNode(sc, "kind").map(_.asText).getOrElse("none"),
         optNode(sc, "column").map(_.asText).getOrElse(""),
         optNode(sc, "buckets").map(_.asInt).getOrElse(0),
         optNode(sc, "range_lo").map(_.asDouble).getOrElse(0.0),
         optNode(sc, "range_hi").map(_.asDouble).getOrElse(0.0)),
-      optNode(n, "permission").map(_.asText).getOrElse("644"),
-      optNode(n, "format").map(_.asText).getOrElse(format))
+      optNode(top, "permission").map(_.asText).getOrElse("644"),
+      optNode(top, "format").map(_.asText).getOrElse(format))
   }
 
   private def toSidecar(schema: StructType, scheme: PartitionScheme,

@@ -197,24 +197,31 @@ object Pmr {
   // value is negative — arguably a bug, reproduced faithfully only under
   // `referenceNan = true`. OperatorsSpec pins both modes.
 
+  private def refMinExpr(v: Column): Column =
+    min(coalesce(nanvl(v, lit(Double.PositiveInfinity)),
+      lit(Double.PositiveInfinity)))
+  private def refMaxExpr(v: Column): Column =
+    max(coalesce(nanvl(v, lit(0.0)), lit(0.0)))
+  /** (mean, n) under pandas NaN-skip; the when() guard keeps NaN away from
+    * the ANSI decimal cast, and the sum stays decimal-exact
+    * (order-independent) like the default path. */
+  private def refAvgExprs(v: Column): (Column, Column) = {
+    val clean = when(v.isNotNull && !isnan(v), v)
+    ((sum(dec2(clean)).cast("double") / count(clean)), count(clean))
+  }
+
   /** min over `c` (n = non-null count). referenceNan: NaN→+inf pre-fill. */
   def statMin(df: DataFrame, c: String, referenceNan: Boolean = false): DataFrame = {
     val v = col(c)
-    val e =
-      if (referenceNan)
-        min(coalesce(nanvl(v, lit(Double.PositiveInfinity)),
-          lit(Double.PositiveInfinity)))
-      else min(v)
-    df.agg(e.as("min_val"), count(v).as("n"))
+    df.agg((if (referenceNan) refMinExpr(v) else min(v)).as("min_val"),
+      count(v).as("n"))
   }
 
   /** max over `c`. referenceNan: NaN→0 pre-fill (the reference's rule). */
   def statMax(df: DataFrame, c: String, referenceNan: Boolean = false): DataFrame = {
     val v = col(c)
-    val e =
-      if (referenceNan) max(coalesce(nanvl(v, lit(0.0)), lit(0.0)))
-      else max(v)
-    df.agg(e.as("max_val"), count(v).as("n"))
+    df.agg((if (referenceNan) refMaxExpr(v) else max(v)).as("max_val"),
+      count(v).as("n"))
   }
 
   /** mean over `c`. Default: decimal-exact (oracle-reproducible). referenceNan:
@@ -223,11 +230,8 @@ object Pmr {
   def statAvg(df: DataFrame, c: String, referenceNan: Boolean = false): DataFrame = {
     val v = col(c)
     if (referenceNan) {
-      // the when() guard keeps NaN away from the ANSI decimal cast; the sum
-      // stays decimal-exact (order-independent) like the default path
-      val clean = when(v.isNotNull && !isnan(v), v)
-      df.agg((sum(dec2(clean)).cast("double") / count(clean)).as("avg_val"),
-        count(clean).as("n"))
+      val (avg, n) = refAvgExprs(v)
+      df.agg(avg.as("avg_val"), n.as("n"))
     } else
       df.agg((sum(dec2(v)).cast("double") / count(v)).as("avg_val"),
         count(v).as("n"))
@@ -390,9 +394,12 @@ object Pmr {
     val d = Tables.load(spark, sfDir, "customer")
       .withColumn("v", when(col("c_custkey") % 13 === 0, lit(Double.NaN))
         .otherwise(col("c_acctbal")))
-    statMin(d, "v", referenceNan = true).select(col("min_val"))
-      .crossJoin(statMax(d, "v", referenceNan = true).select(col("max_val")))
-      .crossJoin(statAvg(d, "v", referenceNan = true))
+    // all four outputs in ONE aggregation pass (same expressions the statX
+    // entry points use) — not three scans glued by cross joins
+    val v = col("v")
+    val (avg, n) = refAvgExprs(v)
+    d.agg(refMinExpr(v).as("min_val"), refMaxExpr(v).as("max_val"),
+      avg.as("avg_val"), n.as("n"))
   }
 
   val pmrNanStatsSql: String =

@@ -24,10 +24,6 @@ object Relational {
   /** Cast a 2-decimal double column to an exact decimal. Sums/products of these
     * stay within decimal(38,_) and are bit-reproducible across engines. */
   private def dec2(c: Column): Column = c.cast("decimal(12,2)")
-  /** Small-magnitude rate columns (discount/tax ∈ [0,1)). */
-  private def rate(c: Column): Column = c.cast("decimal(4,2)")
-  private val one = lit(1).cast("decimal(3,2)")
-
   // ── exact long-cents fixed point ──────────────────────────────────────────
   // sum(decimal(12,2)) promotes to decimal(22,2) and the discount/tax products
   // to ~decimal(30,6) — both past the Decimal64 (precision ≤ 18) fast path, so

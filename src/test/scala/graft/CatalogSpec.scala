@@ -169,7 +169,7 @@ class CatalogSpec extends SparkSpec {
   }
 
   test("leaf-file cap bounds rows per file through put and compact") {
-    val root = "/root/repo/target/test_edfs/cap"
+    val root = s"${GraftConf.localRoot}/test_edfs/cap"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     val cat = new GraftCatalog(spark, root, maxRecordsPerFile = 10)
     // one upstream task per partition dir isolates the cap as the only reason

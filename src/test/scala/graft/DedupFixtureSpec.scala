@@ -19,7 +19,7 @@ import graft.operators.Dedup
   *   - ids 100+i:   copy of doc i with 1 token changed      (J = 45/51 ≈ 0.882)
   *   - ids 200+i:   copy of doc 10+i with 3 tokens changed  (J = 39/57 ≈ 0.684)
   *   - ids 300,301: two 1-token-changed copies of doc 20 → a 3-doc cluster
-  *   - ids 400+i:   copy of doc 70+i with 1 token changed  (J = 395/403 ≈ 0.980)
+  *   - ids 400+i:   copy of doc 70+i with 1 token changed  (J = 395/401 ≈ 0.985)
   */
 class DedupFixtureSpec extends SparkSpec {
 
