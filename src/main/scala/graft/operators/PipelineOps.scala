@@ -201,17 +201,87 @@ object PipelineOps {
       | AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS INT64) % 100 < 50
       |ORDER BY doc_id""".stripMargin
 
+  /** C19 — PII redaction: scrub email addresses and phone numbers with
+    * codegen'd regexp_replace (no UDFs; at 100 TB this is a pure map stage,
+    * zero shuffle). The synthetic corpus carries no PII, so a deterministic
+    * email+phone is salted into every document FIRST (same construction in
+    * the oracle SQL) — the redaction is verified to actually fire, not
+    * vacuously pass. Patterns are Java-regex/RE2 common subset. */
+  def textRedact(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.load(spark, sfDir, "documents")
+    val salted = concat(col("text"),
+      lit(" reach me at user"), col("doc_id").cast("string"),
+      lit("@mail.example.com or +1-555-01"),
+      lpad(pmod(col("doc_id"), lit(100)).cast("string"), 2, "0"))
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phoneRe = "\\+[0-9][0-9()\\- ]{6,}[0-9]"
+    d.select(col("doc_id"),
+        regexp_replace(regexp_replace(salted, emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>").as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textRedactSql: String =
+    """SELECT doc_id,
+      | regexp_replace(
+      |   regexp_replace(
+      |     concat(text, ' reach me at user', doc_id, '@mail.example.com or +1-555-01',
+      |            lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')),
+      |     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |   '\+[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g') AS clean_text
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** C20 — sequence packing: concat-and-chunk documents into 4096-token
+    * context windows per language, greedy in doc_id order (the GPT-style
+    * "concatenate the corpus, split at window boundaries" packing). A doc
+    * counts toward the window its first token lands in: window id =
+    * floor(tokens_before / 4096) via a running-sum window — ONE shuffle on
+    * lang, no driver loop, and the per-window occupancy report tells a
+    * training job exactly how many batches each language fills. */
+  def seqPack(spark: SparkSession, sfDir: String): DataFrame = {
+    val winTokens = 4096L
+    val d = Tables.load(spark, sfDir, "documents")
+      .select(col("lang"), col("doc_id"),
+        size(split(col("text"), " ")).cast("bigint").as("n_tok"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    d.withColumn("win_id",
+        floor(coalesce(sum(col("n_tok")).over(w), lit(0L)) / winTokens))
+      .groupBy(col("lang"), col("win_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("window_tokens"))
+      .orderBy(col("lang"), col("win_id"))
+  }
+
+  val seqPackSql: String =
+    """SELECT lang, win_id, COUNT(*) AS n_docs,
+      | CAST(SUM(n_tok) AS BIGINT) AS window_tokens
+      |FROM (
+      | SELECT lang, doc_id, n_tok,
+      |  CAST(FLOOR(COALESCE(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 4096.0) AS BIGINT)
+      |    AS win_id
+      | FROM (SELECT lang, doc_id,
+      |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents) t
+      |) p
+      |GROUP BY lang, win_id
+      |ORDER BY lang, win_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "prepare_corpus" -> (prepareCorpus _),
     "sample_stratified" -> (sampleStratified _),
     "ngram_topk" -> (ngramTopk _),
     "contamination" -> (contamination _),
-    "corpus_stats" -> (corpusStats _))
+    "corpus_stats" -> (corpusStats _),
+    "text_redact" -> (textRedact _),
+    "seq_pack" -> (seqPack _))
 
   val oracles: Map[String, String] = Map(
     "prepare_corpus" -> prepareCorpusSql,
     "sample_stratified" -> sampleStratifiedSql,
     "ngram_topk" -> ngramTopkSql,
     "contamination" -> contaminationSql,
-    "corpus_stats" -> corpusStatsSql)
+    "corpus_stats" -> corpusStatsSql,
+    "text_redact" -> textRedactSql,
+    "seq_pack" -> seqPackSql)
 }
