@@ -13,6 +13,10 @@ object Bench {
     val spark = GraftConf(SparkSession.builder().master(s"local[$cpus]"), cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // validate BEFORE the warm-up block — a bad value must fail fast, not
+    // minutes into catalog staging
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
     // Warm-up: materialize catalog tables + JIT/codegen caches on a light query
     try {
       operators.Pmr.ensureCustomerByNation(spark, sfDir)
@@ -25,8 +29,6 @@ object Bench {
     // Map-iteration order made cross-round per-query diffs noisy, and a single
     // rep conflates first-run codegen/JIT cost with steady-state latency. The
     // min of 2 is the reproducible per-query number (±10% across rounds).
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
-    require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // noop sink: every column and the output ordering are actually computed —
       // count() would let the optimizer drop final sorts and prune all columns

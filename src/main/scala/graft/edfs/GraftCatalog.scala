@@ -169,6 +169,7 @@ class GraftCatalog(spark: SparkSession, root: String,
     * original scheme; the same scheme column is reused. */
   def append(df: DataFrame, path: String): Unit = {
     require(isTable(path), s"append target $path is not a committed table")
+    requireCoherentScheme(path, "append")
     val target = abs(path).toString
     val meta0 = readMeta(path)
     // A range table whose persisted bounds are degenerate (lo == hi: the
@@ -252,21 +253,31 @@ class GraftCatalog(spark: SparkSession, root: String,
     root.toString
   }
 
+  /** Sentinel kind for a sidecar whose scheme can't be recovered (malformed
+    * JSON, or the "scheme"/"kind" keys are missing). READ paths degrade
+    * gracefully on it; WRITE paths that would have to guess the physical
+    * layout (append, compact) refuse loudly instead — a defaulted scheme
+    * writing flat files into a partitioned table would corrupt partition
+    * discovery for the whole table. A genuine unpartitioned table records
+    * kind "none" explicitly and is unaffected. */
+  private val UnknownScheme = "unknown"
+
   private def parseSidecar(raw: String): Sidecar = {
-    val n = mapper.readTree(raw)
-    // every lookup degrades to a default rather than NPE-ing: a foreign or
-    // hand-edited sidecar (or one truncated by the pre-atomic writer of an
-    // old table) should weaken describe()/append(), not crash cat()
+    // malformed JSON or missing keys degrade to defaults (scheme → the
+    // UnknownScheme sentinel) rather than throwing: a foreign, hand-edited,
+    // or pre-atomic-writer-truncated sidecar weakens describe()/cat(), and
+    // the layout-dependent writers check the sentinel and refuse
     def optNode(node: Option[com.fasterxml.jackson.databind.JsonNode], f: String) =
       node.flatMap(x => Option(x.get(f)))
-    val top = Option(n)
+    val top = scala.util.Try(mapper.readTree(raw)).toOption.flatMap(Option(_))
     val sc = optNode(top, "scheme")
     Sidecar(
       optNode(top, "schema")
-        .map(s => DataType.fromJson(s.toString).asInstanceOf[StructType])
+        .flatMap(s => scala.util.Try(
+          DataType.fromJson(s.toString).asInstanceOf[StructType]).toOption)
         .getOrElse(new StructType()),
       SidecarScheme(
-        optNode(sc, "kind").map(_.asText).getOrElse("none"),
+        optNode(sc, "kind").map(_.asText).getOrElse(UnknownScheme),
         optNode(sc, "column").map(_.asText).getOrElse(""),
         optNode(sc, "buckets").map(_.asInt).getOrElse(0),
         optNode(sc, "range_lo").map(_.asDouble).getOrElse(0.0),
@@ -274,6 +285,17 @@ class GraftCatalog(spark: SparkSession, root: String,
       optNode(top, "permission").map(_.asText).getOrElse("644"),
       optNode(top, "format").map(_.asText).getOrElse(format))
   }
+
+  /** Refuse layout-dependent writes when the recorded scheme is incoherent —
+    * better a loud failure than silently guessing a layout and corrupting
+    * partition discovery. */
+  private def requireCoherentScheme(path: String, op: String): Unit =
+    readMeta(path).foreach { m =>
+      require(m.scheme.kind != UnknownScheme,
+        s"$op: sidecar at $path has no recoverable scheme — refusing to guess the layout")
+      require(!(Set("bucketed_hash", "range")(m.scheme.kind) && m.scheme.buckets <= 0),
+        s"$op: sidecar at $path declares ${m.scheme.kind} with buckets=${m.scheme.buckets}")
+    }
 
   private def toSidecar(schema: StructType, scheme: PartitionScheme,
     rangeBounds: Option[(Double, Double)]): Sidecar = {
@@ -410,6 +432,7 @@ class GraftCatalog(spark: SparkSession, root: String,
     * renames leaves the table briefly absent but fully recoverable from
     * either directory. */
   def compact(path: String): Unit = {
+    requireCoherentScheme(path, "compact")
     val base = abs(path)
     val meta = readMetaRaw(path)
     val df = loadTable(path)

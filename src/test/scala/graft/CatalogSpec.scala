@@ -209,6 +209,30 @@ class CatalogSpec extends SparkSpec {
     assert(kv("scheme") == "hash" && kv("partition_column") == "scheme")
   }
 
+  test("corrupted sidecar: reads degrade, layout-dependent writes refuse") {
+    val cat = freshCatalog("sidecar_corrupt")
+    val src = Tables.load(spark, sfDir, "customer")
+    cat.put(src, "t", HashPartition("c_nationkey"))
+    // corrupt the sidecar two ways: valid JSON missing the scheme, and
+    // truncated mid-object (the pre-atomic-writer crash shape)
+    val hp = new org.apache.hadoop.fs.Path(
+      s"${GraftConf.localRoot}/test_edfs/sidecar_corrupt/t/_graft.json")
+    val hfs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (bad <- Seq("""{"permission": "644"}""", """{"schema": {"type""")) {
+      // through the Hadoop FS API so the local .crc checksum stays consistent
+      val w = hfs.create(hp, true)
+      try w.write(bad.getBytes("UTF-8")) finally w.close()
+      // reads still work: the data itself is intact
+      assert(cat.cat("t").count() == src.count())
+      assert(cat.describe("t").collect().map(r => r.getString(0) -> r.getString(1))
+        .toMap.apply("scheme") == "unknown")
+      // append/compact must refuse rather than guess a layout and write
+      // flat files into a partitioned table
+      intercept[IllegalArgumentException](cat.append(src.limit(5), "t"))
+      intercept[IllegalArgumentException](cat.compact("t"))
+    }
+  }
+
   test("append heals degenerate range bounds from the first real batch") {
     val cat = freshCatalog("range_heal")
     val src = Tables.load(spark, sfDir, "orders")

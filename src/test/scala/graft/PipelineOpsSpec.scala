@@ -124,4 +124,45 @@ class PipelineOpsSpec extends SparkSpec {
       ratio >= 0.0 && ratio <= 1.0 && r.getLong(2) <= r.getLong(1)
     })
   }
+
+  test("PII redaction fires on every doc and leaves no address behind") {
+    val out = PipelineOps.textRedact(spark, sfDir).collect()
+    val docs = Tables.load(spark, sfDir, "documents").count()
+    assert(out.length == docs)
+    out.foreach { r =>
+      val t = r.getString(1)
+      // the salted email+phone must have been replaced, not passed through —
+      // this catches a symmetric regex regression the DuckDB parity gate
+      // would miss (both sides vacuously matching nothing)
+      assert(t.contains("<EMAIL>") && t.contains("<PHONE>"), s"unredacted: $t")
+      assert(!t.contains("@") && !t.contains("+1-555"), s"leaked PII: $t")
+    }
+  }
+
+  test("sequence packing conserves tokens in contiguous per-language windows") {
+    val out = PipelineOps.seqPack(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byLang = out.groupBy(_._1)
+    val truth = Tables.load(spark, sfDir, "documents")
+      .groupBy(col("lang"))
+      .agg(sum(size(split(col("text"), " ")).cast("bigint")).as("toks"),
+        count(lit(1)).as("docs"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byLang.keySet == truth.keySet)
+    byLang.foreach { case (lang, wins) =>
+      val ids = wins.map(_._2).sorted.toSeq
+      assert(ids == (0L until ids.length.toLong),
+        s"$lang windows not contiguous from 0: $ids")
+      // conservation: every token and every doc lands in exactly one window
+      assert(wins.map(_._4).sum == truth(lang)._1, s"$lang token sum drifted")
+      assert(wins.map(_._3).sum == truth(lang)._2, s"$lang doc count drifted")
+      // boundary law: window w only exists once the running total crossed
+      // w·4096, so the cumulative tokens of windows 0..w-1 must reach it
+      val sorted = wins.sortBy(_._2)
+      sorted.map(_._4).scanLeft(0L)(_ + _).zipWithIndex.drop(1).dropRight(1)
+        .foreach { case (cum, w) =>
+          assert(cum >= 4096L * w, s"$lang window $w starts before its boundary")
+        }
+    }
+  }
 }
