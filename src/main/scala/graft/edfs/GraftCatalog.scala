@@ -40,7 +40,8 @@ class GraftCatalog(spark: SparkSession, root: String,
   val format: String = "parquet",
   val maxRecordsPerFile: Long = 0) {
 
-  require(format == "parquet" || format == "json" || format == "orc",
+  require(format == "parquet" || format == "json" || format == "orc" ||
+    format == "csv",
     s"unsupported storage format: $format")
 
   private val BucketCol = "__graft_bucket"
@@ -51,8 +52,12 @@ class GraftCatalog(spark: SparkSession, root: String,
     * one monolith — at 100 TB a single unsplittable multi-GB leaf file is an
     * operational failure (one task must read it). 0 = uncapped. */
   private def capped(w: org.apache.spark.sql.DataFrameWriter[Row])
-    : org.apache.spark.sql.DataFrameWriter[Row] =
-    if (maxRecordsPerFile > 0) w.option("maxRecordsPerFile", maxRecordsPerFile) else w
+    : org.apache.spark.sql.DataFrameWriter[Row] = {
+    // csv leaf files carry a header row (skipped on read); other formats are
+    // self-describing
+    val h = if (format == "csv") w.option("header", "true") else w
+    if (maxRecordsPerFile > 0) h.option("maxRecordsPerFile", maxRecordsPerFile) else h
+  }
 
   /** Reference `put` fills NULLs in the hash attribute before grouping
     * (combined_flask.py:406-408: numeric → 0, string → "NULL"), so null-keyed
@@ -363,12 +368,27 @@ class GraftCatalog(spark: SparkSession, root: String,
     * failing schema inference, so cat of an empty table is an empty DataFrame
     * with the right columns. */
   private def loadTable(path: String): DataFrame =
-    // mergeSchema: an appended batch may have evolved the schema (new
-    // columns); the union-of-footers read surfaces them with nulls for old
-    // files. (In production the sidecar schema would be authoritative and
-    // footer-merging skipped; locally the cost is negligible.)
-    try spark.read.option("mergeSchema", "true").format(format).load(abs(path).toString)
-    catch {
+    try {
+      if (format == "csv") {
+        // CSV files are not self-describing: the sidecar schema is the
+        // authority, so the read is typed (not all-strings inference). The
+        // hash partition column lives in directory names, not in the files —
+        // it is dropped from the file schema and re-discovered (Spark appends
+        // discovered partition columns missing from an explicit schema).
+        // Known CSV limitation: empty string and null are indistinguishable.
+        val partCol = physicalPartitionColumn(path).filterNot(_ == BucketCol)
+        val fileSchema = readMeta(path).map(_.schema).filter(_.nonEmpty)
+          .map(s => StructType(s.fields.filterNot(f => partCol.contains(f.name))))
+        val reader = spark.read.option("header", "true")
+        fileSchema.fold(reader.option("inferSchema", "true"))(reader.schema)
+          .csv(abs(path).toString)
+      } else
+        // mergeSchema: an appended batch may have evolved the schema (new
+        // columns); the union-of-footers read surfaces them with nulls for old
+        // files. (In production the sidecar schema would be authoritative and
+        // footer-merging skipped; locally the cost is negligible.)
+        spark.read.option("mergeSchema", "true").format(format).load(abs(path).toString)
+    } catch {
       case e: org.apache.spark.sql.AnalysisException
         if e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sidecarSchema(path))

@@ -48,11 +48,33 @@ object JsonBackend {
     """SELECT r_regionkey, r_name
       |FROM region ORDER BY r_regionkey""".stripMargin
 
+  /** A-csv — CSV leaf files: the reference's actual interchange format (its
+    * put ingests CSVs, combined_flask.py:324). CSV is not self-describing, so
+    * reads are typed by the sidecar schema (the namenode-metadata analog
+    * doing real work) rather than all-strings inference; headers are written
+    * and skipped on read. Positional format — schema-evolving appends are a
+    * parquet/orc feature, not a CSV one. */
+  def edfsPutCsv(spark: SparkSession, sfDir: String): DataFrame = {
+    val cat = new GraftCatalog(spark, Pmr.catalogRoot(sfDir), format = "csv")
+    cat.put(Tables.load(spark, sfDir, "supplier"),
+      "warehouse/supplier_csv", HashPartition("s_nationkey"))
+    cat.cat("warehouse/supplier_csv")
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey").cast("int"),
+        col("s_acctbal"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val edfsPutCsvSql: String =
+    """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+      |FROM supplier ORDER BY s_suppkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "edfs_put_json" -> (edfsPutJson _),
-    "edfs_put_orc" -> (edfsPutOrc _))
+    "edfs_put_orc" -> (edfsPutOrc _),
+    "edfs_put_csv" -> (edfsPutCsv _))
 
   val oracles: Map[String, String] = Map(
     "edfs_put_json" -> edfsPutJsonSql,
-    "edfs_put_orc" -> edfsPutOrcSql)
+    "edfs_put_orc" -> edfsPutOrcSql,
+    "edfs_put_csv" -> edfsPutCsvSql)
 }
