@@ -209,6 +209,31 @@ class CatalogSpec extends SparkSpec {
     assert(kv("scheme") == "hash" && kv("partition_column") == "scheme")
   }
 
+  test("csv backend: typed reads, partition pruning, compaction, empty cat") {
+    val root = s"${GraftConf.localRoot}/test_edfs/csv_backend"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val cat = new GraftCatalog(spark, root, format = "csv")
+    val src = Tables.load(spark, sfDir, "supplier")
+    cat.put(src.repartition(4), "t", HashPartition("s_nationkey"))
+    // types come from the sidecar, not all-strings inference
+    val back = cat.cat("t")
+    assert(back.schema("s_acctbal").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    assert(back.count() == src.count())
+    // partition pruning works through the explicit-schema csv read
+    val part = cat.readPartition("t", "s_nationkey", 3)
+    val plan = part.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("s_nationkey"),
+      s"expected csv partition pruning:\n${plan.take(1200)}")
+    // compact keeps the csv format and stays lossless
+    cat.compact("t")
+    assert(cat.cat("t").count() == src.count())
+    assert(cat.partitionLocations("t").collect().forall(_.getInt(1) == 1))
+    // empty table: explicit sidecar schema makes cat() typed and empty
+    cat.put(src.filter(lit(false)), "empty", HashPartition("s_nationkey"))
+    assert(cat.cat("empty").count() == 0)
+  }
+
   test("corrupted sidecar: reads degrade, layout-dependent writes refuse") {
     val cat = freshCatalog("sidecar_corrupt")
     val src = Tables.load(spark, sfDir, "customer")
