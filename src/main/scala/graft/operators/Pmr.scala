@@ -368,12 +368,17 @@ object Pmr {
     * Pre-partitioning on the layout key gives ONE writing task per directory
     * (tasks stay parallel across values — the compact() pattern), so the file
     * count per partition is exactly ceil(rows/cap) — an oracle-checkable
-    * statement of the cap. */
+    * statement of the cap. The cap scales with the corpus (1/25th of it, the
+    * production move of sizing leaf files to a target, not a row count), so
+    * the benchmark cost stays file-count-proportionate at every scale factor
+    * while every partition still demonstrably splits. */
   def edfsCappedPut(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = Tables.load(spark, sfDir, "customer")
+    val cap = math.max(src.count() / 25, 1L)
     val cat = new GraftCatalog(spark, catalogRoot(sfDir), "parquet",
-      maxRecordsPerFile = 64)
+      maxRecordsPerFile = cap)
     cat.mkdir("warehouse")
-    cat.put(Tables.load(spark, sfDir, "customer").repartition(col("c_mktsegment")),
+    cat.put(src.repartition(col("c_mktsegment")),
       "warehouse/customer_capped", HashPartition("c_mktsegment"))
     cat.partitionLocations("warehouse/customer_capped")
       .select(col("partition"), col("num_files").cast("bigint").as("num_files"))
@@ -381,8 +386,10 @@ object Pmr {
   }
 
   val edfsCappedPutSql: String =
-    """SELECT concat('c_mktsegment=', c_mktsegment) AS partition,
-      | CAST(CEIL(COUNT(*) / 64.0) AS BIGINT) AS num_files
+    """WITH tot AS (SELECT GREATEST(COUNT(*) // 25, 1) AS cap FROM customer)
+      |SELECT concat('c_mktsegment=', c_mktsegment) AS partition,
+      | CAST(CEIL(COUNT(*) / (SELECT CAST(cap AS DOUBLE) FROM tot)) AS BIGINT)
+      |   AS num_files
       |FROM customer GROUP BY c_mktsegment ORDER BY 1""".stripMargin
 
   /** A18 — the reference-fidelity NaN mode end-to-end: a NaN-salted column
