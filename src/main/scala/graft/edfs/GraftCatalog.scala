@@ -195,19 +195,35 @@ class GraftCatalog(spark: SparkSession, root: String,
         } else m
       case m => m
     }
+    // CSV is positional: every leaf file must carry exactly the sidecar's
+    // column layout (one global schema parses all files), so a batch is
+    // reordered to that layout and schema evolution is refused loudly — it
+    // is a self-describing-format (parquet/orc) feature, not a CSV one.
+    val aligned =
+      if (format != "csv") df
+      else meta.map(_.schema).filter(_.nonEmpty).map { s =>
+        val extra = df.columns.filterNot(c =>
+          s.fieldNames.contains(c) || c == BucketCol)
+        require(extra.isEmpty,
+          s"append: csv tables cannot evolve schema; unknown columns ${extra.mkString(", ")}")
+        val missing = s.fieldNames.filterNot(df.columns.contains)
+        require(missing.isEmpty,
+          s"append: csv batch is missing columns ${missing.mkString(", ")}")
+        df.select(s.fieldNames.map(col).toIndexedSeq: _*)
+      }.getOrElse(df)
     // Reproduce the table's physical layout for the new rows — an appended
     // batch written flat into a bucketed table would corrupt partition
     // discovery (leaf files at the root next to bucket directories).
     val writer = meta.map(_.scheme) match {
       case Some(SidecarScheme("hash", c, _, _, _)) =>
-        coerceNullKey(df, c).write.partitionBy(c)
+        coerceNullKey(aligned, c).write.partitionBy(c)
       case Some(SidecarScheme("bucketed_hash", c, n, _, _)) =>
-        df.withColumn(BucketCol, pmod(hash(col(c)), lit(n)))
+        aligned.withColumn(BucketCol, pmod(hash(col(c)), lit(n)))
           .write.partitionBy(BucketCol)
       case Some(SidecarScheme("range", c, n, lo, hi)) =>
-        df.withColumn(BucketCol, rangeBucket(c, lo, hi, n))
+        aligned.withColumn(BucketCol, rangeBucket(c, lo, hi, n))
           .write.partitionBy(BucketCol)
-      case _ => df.write
+      case _ => aligned.write
     }
     capped(writer).mode("append").format(format).save(target)
     // Sidecar schema := recorded schema ∪ the BATCH's newly declared columns.
@@ -372,15 +388,18 @@ class GraftCatalog(spark: SparkSession, root: String,
       if (format == "csv") {
         // CSV files are not self-describing: the sidecar schema is the
         // authority, so the read is typed (not all-strings inference). The
-        // hash partition column lives in directory names, not in the files —
-        // it is dropped from the file schema and re-discovered (Spark appends
-        // discovered partition columns missing from an explicit schema).
-        // Known CSV limitation: empty string and null are indistinguishable.
-        val partCol = physicalPartitionColumn(path).filterNot(_ == BucketCol)
-        val fileSchema = readMeta(path).map(_.schema).filter(_.nonEmpty)
-          .map(s => StructType(s.fields.filterNot(f => partCol.contains(f.name))))
-        val reader = spark.read.option("header", "true")
-        fileSchema.fold(reader.option("inferSchema", "true"))(reader.schema)
+        // FULL sidecar schema is the user schema — Spark itself subtracts
+        // discovered partition columns from the file-parsing schema and
+        // types directory values with the DECLARED type (a string hash key
+        // "007" stays "007" instead of int 7), and an empty table keeps its
+        // complete shape. multiLine lets quoted embedded newlines round-trip;
+        // its cost (such a file is unsplittable) is bounded by the leaf-file
+        // cap — the same small-block regime as the reference's
+        // MAX_PARTITION_SIZE. Known limitation: empty string and null are
+        // indistinguishable.
+        val reader = spark.read.option("header", "true").option("multiLine", "true")
+        readMeta(path).map(_.schema).filter(_.nonEmpty)
+          .fold(reader.option("inferSchema", "true"))(reader.schema)
           .csv(abs(path).toString)
       } else
         // mergeSchema: an appended batch may have evolved the schema (new

@@ -6,10 +6,11 @@ import graft.edfs.{GraftCatalog, HashPartition, RangePartition, BucketedHashPart
 
 class CatalogSpec extends SparkSpec {
 
-  private def freshCatalog(name: String): GraftCatalog = {
-    val root = s"/root/repo/target/test_edfs/$name"
+  private def freshCatalog(name: String, format: String = "parquet",
+    maxRecordsPerFile: Long = 0): GraftCatalog = {
+    val root = s"${GraftConf.localRoot}/test_edfs/$name"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
-    new GraftCatalog(spark, root)
+    new GraftCatalog(spark, root, format, maxRecordsPerFile)
   }
 
   test("mkdir/ls/rm namespace semantics") {
@@ -113,7 +114,7 @@ class CatalogSpec extends SparkSpec {
 
   test("putCsv ingests a headered CSV and catOrdered restores file order") {
     val cat = freshCatalog("csv")
-    val csvDir = "/root/repo/target/test_edfs/csv_src"
+    val csvDir = s"${GraftConf.localRoot}/test_edfs/csv_src"
     Tables.load(spark, sfDir, "region")
       .orderBy("r_regionkey")
       .coalesce(1)
@@ -169,9 +170,7 @@ class CatalogSpec extends SparkSpec {
   }
 
   test("leaf-file cap bounds rows per file through put and compact") {
-    val root = s"${GraftConf.localRoot}/test_edfs/cap"
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
-    val cat = new GraftCatalog(spark, root, maxRecordsPerFile = 10)
+    val cat = freshCatalog("cap", maxRecordsPerFile = 10)
     // one upstream task per partition dir isolates the cap as the only reason
     // a directory can hold more than one file
     val src = Tables.load(spark, sfDir, "customer").repartition(1)
@@ -210,9 +209,7 @@ class CatalogSpec extends SparkSpec {
   }
 
   test("csv backend: typed reads, partition pruning, compaction, empty cat") {
-    val root = s"${GraftConf.localRoot}/test_edfs/csv_backend"
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
-    val cat = new GraftCatalog(spark, root, format = "csv")
+    val cat = freshCatalog("csv_backend", format = "csv")
     val src = Tables.load(spark, sfDir, "supplier")
     cat.put(src.repartition(4), "t", HashPartition("s_nationkey"))
     // types come from the sidecar, not all-strings inference
@@ -229,9 +226,36 @@ class CatalogSpec extends SparkSpec {
     cat.compact("t")
     assert(cat.cat("t").count() == src.count())
     assert(cat.partitionLocations("t").collect().forall(_.getInt(1) == 1))
-    // empty table: explicit sidecar schema makes cat() typed and empty
+    // empty table: the full sidecar schema survives, partition column included
     cat.put(src.filter(lit(false)), "empty", HashPartition("s_nationkey"))
     assert(cat.cat("empty").count() == 0)
+    assert(cat.cat("empty").columns.contains("s_nationkey"))
+  }
+
+  test("csv append aligns shuffled batch columns and refuses evolution") {
+    val cat = freshCatalog("csv_append", format = "csv")
+    import spark.implicits._
+    val df = Seq((1L, "x", 1.5), (2L, "y", 2.5)).toDF("id", "name", "v")
+    cat.put(df, "t", HashPartition("id"))
+    // a batch with the SAME columns in a different order must land with
+    // values in the right columns — csv is positional, so append reorders
+    cat.append(Seq((7.5, 3L, "z")).toDF("v", "id", "name"), "t")
+    // partition columns surface at the END of the read schema (same as the
+    // parquet backend) — select by name, as every catalog query does
+    val back = cat.cat("t").select(col("id"), col("name"), col("v"))
+      .orderBy(col("id")).collect()
+    assert(back.map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ==
+      Seq((1L, "x", 1.5), (2L, "y", 2.5), (3L, "z", 7.5)))
+    // schema evolution is a self-describing-format feature: refuse for csv
+    intercept[IllegalArgumentException](
+      cat.append(Seq((4L, "w", 9.9, true)).toDF("id", "name", "v", "extra"), "t"))
+    // embedded newlines round-trip through quoting + multiLine read
+    val cat2 = freshCatalog("csv_newline", format = "csv")
+    cat2.put(Seq((1L, "line one\nline two"), (2L, "plain")).toDF("id", "text"),
+      "t", HashPartition("id"))
+    val texts = cat2.cat("t").orderBy(col("id"))
+      .select(col("text")).collect().map(_.getString(0))
+    assert(texts.toSeq == Seq("line one\nline two", "plain"))
   }
 
   test("corrupted sidecar: reads degrade, layout-dependent writes refuse") {
