@@ -95,22 +95,38 @@ class GraftCatalog(spark: SparkSession, root: String,
     else fs.delete(p, true)
   }
 
-  /** ls — list a namespace directory: (name, type, size_bytes, modification
-    * present as a stable flag rather than a wall-clock, is_table). */
+  /** ls — list a namespace directory with the reference's full metadata row
+    * (combined_flask.py:159-175 lists node_type + permission + mtime + name):
+    * (name, node_type, permission, size_bytes, mtime, is_table). Permission
+    * comes from the table's sidecar when one exists (the namenode-inode
+    * analog), else from the filesystem; mtime is FileStatus-derived and
+    * rendered as a UTC timestamp string — deterministic for a staged catalog
+    * within a run, environment-dependent across machines (edfs_ls is a
+    * rows-only check for exactly this reason). */
   def ls(path: String): DataFrame = {
     val p = abs(path)
+    val mtimeFmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
     val rows = fs.listStatus(p).toSeq
       .filterNot(_.getPath.getName.startsWith("_"))
       .map { st =>
+        val child = s"${path.stripSuffix("/")}/${st.getPath.getName}"
+        val table = isTable(child)
+        val perm =
+          if (table) readMeta(child).map(_.permission).getOrElse("644")
+          else "%o".format(st.getPermission.toShort)
         Row(st.getPath.getName,
           if (st.isDirectory) "d" else "-",
+          perm,
           if (st.isDirectory) 0L else st.getLen,
-          isTable(s"$path/${st.getPath.getName}"))
+          mtimeFmt.format(java.time.Instant.ofEpochMilli(st.getModificationTime)),
+          table)
       }
       .sortBy(_.getString(0))
     val schema = StructType(Seq(
       StructField("name", StringType), StructField("node_type", StringType),
-      StructField("size_bytes", LongType), StructField("is_table", BooleanType)))
+      StructField("permission", StringType), StructField("size_bytes", LongType),
+      StructField("mtime", StringType), StructField("is_table", BooleanType)))
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), schema)
   }
@@ -124,6 +140,9 @@ class GraftCatalog(spark: SparkSession, root: String,
     * Firebase inodes). */
   def put(df: DataFrame, path: String, scheme: PartitionScheme): Unit = {
     val target = abs(path).toString
+    // splittability metadata is decided BEFORE the write so the sidecar lands
+    // with the data; non-csv formats skip the scan entirely
+    val embeddedNl = format == "csv" && hasEmbeddedNewlines(df)
     var rangeBounds: Option[(Double, Double)] = None
     scheme match {
       case Unpartitioned =>
@@ -149,7 +168,7 @@ class GraftCatalog(spark: SparkSession, root: String,
         rangeBounds = Some((lo, hi))
     }
     // after the data write: overwrite mode clears the directory first
-    writeSidecar(path, toSidecar(df.schema, scheme, rangeBounds))
+    writeSidecar(path, toSidecar(df.schema, scheme, rangeBounds, embeddedNl))
   }
 
   /** The deterministic equi-width bucket id for a range layout. The bounds
@@ -233,8 +252,15 @@ class GraftCatalog(spark: SparkSession, root: String,
     meta.foreach { m =>
       val newFields = df.schema.fields.filterNot(f =>
         f.name == BucketCol || m.schema.fieldNames.contains(f.name))
-      if (newFields.nonEmpty)
-        writeSidecar(path, m.copy(schema = StructType(m.schema.fields ++ newFields)))
+      // a so-far-clean csv table is re-checked against THIS batch only: once
+      // any batch carries a newline the flag is sticky-true (old files are
+      // never rescanned); a clean steady-state append pays one early-out scan
+      val nlUpgrade = format == "csv" && !m.embeddedNewlines &&
+        hasEmbeddedNewlines(aligned)
+      if (newFields.nonEmpty || nlUpgrade)
+        writeSidecar(path, m.copy(
+          schema = StructType(m.schema.fields ++ newFields),
+          embeddedNewlines = m.embeddedNewlines || nlUpgrade))
     }
   }
 
@@ -242,9 +268,26 @@ class GraftCatalog(spark: SparkSession, root: String,
   private case class SidecarScheme(kind: String, column: String, buckets: Int,
     lo: Double, hi: Double)
 
-  /** The full sidecar record — the namenode-metadata analog. */
+  /** The full sidecar record — the namenode-metadata analog.
+    * `embeddedNewlines` is csv-only splittability metadata: false means no
+    * string value in any written batch contained a newline, so reads may use
+    * `multiLine=false` and every leaf file SPLITS into parallel tasks. True
+    * (also the default when the sidecar predates the flag) forces the safe
+    * unsplittable whole-file parse. */
   private case class Sidecar(schema: StructType, scheme: SidecarScheme,
-    permission: String, format: String)
+    permission: String, format: String, embeddedNewlines: Boolean = true)
+
+  /** Does any string column of the batch carry an embedded newline? One cheap
+    * early-out scan (stops at the first hit) paid only on csv writes — the
+    * price of splittable reads for the common clean table, instead of taxing
+    * every read with `multiLine=true` for a rare property. */
+  private def hasEmbeddedNewlines(df: DataFrame): Boolean = {
+    val strCols = df.schema.fields.filter(_.dataType == StringType).map(_.name)
+    strCols.nonEmpty && df
+      .filter(strCols.map(c => instr(col(c), "\n") > 0 || instr(col(c), "\r") > 0)
+        .reduce(_ || _))
+      .take(1).nonEmpty
+  }
 
   /** Does a written table already exist (committed)? */
   def exists(path: String): Boolean = isTable(path)
@@ -271,6 +314,7 @@ class GraftCatalog(spark: SparkSession, root: String,
     }
     root.put("permission", m.permission)
     root.put("format", m.format)
+    if (m.format == "csv") root.put("embedded_newlines", m.embeddedNewlines)
     root.toString
   }
 
@@ -304,7 +348,8 @@ class GraftCatalog(spark: SparkSession, root: String,
         optNode(sc, "range_lo").map(_.asDouble).getOrElse(0.0),
         optNode(sc, "range_hi").map(_.asDouble).getOrElse(0.0)),
       optNode(top, "permission").map(_.asText).getOrElse("644"),
-      optNode(top, "format").map(_.asText).getOrElse(format))
+      optNode(top, "format").map(_.asText).getOrElse(format),
+      optNode(top, "embedded_newlines").map(_.asBoolean).getOrElse(true))
   }
 
   /** Refuse layout-dependent writes when the recorded scheme is incoherent —
@@ -319,7 +364,8 @@ class GraftCatalog(spark: SparkSession, root: String,
     }
 
   private def toSidecar(schema: StructType, scheme: PartitionScheme,
-    rangeBounds: Option[(Double, Double)]): Sidecar = {
+    rangeBounds: Option[(Double, Double)],
+    embeddedNewlines: Boolean): Sidecar = {
     val (kind, column, buckets) = scheme match {
       case Unpartitioned => ("none", "", 0)
       case HashPartition(c) => ("hash", c, 0)
@@ -328,7 +374,7 @@ class GraftCatalog(spark: SparkSession, root: String,
     }
     Sidecar(schema, SidecarScheme(kind, column, buckets,
       rangeBounds.map(_._1).getOrElse(0.0), rangeBounds.map(_._2).getOrElse(0.0)),
-      "644", format)
+      "644", format, embeddedNewlines)
   }
 
   /** Atomic sidecar update: write the full new content to a temp name, then
@@ -392,13 +438,18 @@ class GraftCatalog(spark: SparkSession, root: String,
         // discovered partition columns from the file-parsing schema and
         // types directory values with the DECLARED type (a string hash key
         // "007" stays "007" instead of int 7), and an empty table keeps its
-        // complete shape. multiLine lets quoted embedded newlines round-trip;
-        // its cost (such a file is unsplittable) is bounded by the leaf-file
-        // cap — the same small-block regime as the reference's
-        // MAX_PARTITION_SIZE. Known limitation: empty string and null are
-        // indistinguishable.
-        val reader = spark.read.option("header", "true").option("multiLine", "true")
-        readMeta(path).map(_.schema).filter(_.nonEmpty)
+        // complete shape. multiLine is driven by the sidecar's
+        // embedded_newlines flag, recorded at write time: the common clean
+        // table reads with multiLine=false, so every leaf file SPLITS into
+        // parallel tasks at scale; only a table that actually stored quoted
+        // newlines pays the unsplittable whole-file parse (then bounded by
+        // the leaf-file cap — the reference's MAX_PARTITION_SIZE regime).
+        // Known limitation: empty string and null are indistinguishable.
+        val meta = readMeta(path)
+        val multiLine = meta.forall(_.embeddedNewlines)
+        val reader = spark.read.option("header", "true")
+          .option("multiLine", multiLine.toString)
+        meta.map(_.schema).filter(_.nonEmpty)
           .fold(reader.option("inferSchema", "true"))(reader.schema)
           .csv(abs(path).toString)
       } else

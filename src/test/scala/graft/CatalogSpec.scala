@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.edfs.{GraftCatalog, HashPartition, RangePartition, BucketedHashPartition}
+import graft.edfs.{GraftCatalog, HashPartition, RangePartition, BucketedHashPartition, Unpartitioned}
 
 class CatalogSpec extends SparkSpec {
 
@@ -280,6 +280,51 @@ class CatalogSpec extends SparkSpec {
       intercept[IllegalArgumentException](cat.append(src.limit(5), "t"))
       intercept[IllegalArgumentException](cat.compact("t"))
     }
+  }
+
+  test("ls surfaces permission and mtime (reference metadata parity)") {
+    val cat = freshCatalog("ls_meta")
+    cat.mkdir("dir1")
+    cat.put(Tables.load(spark, sfDir, "region"), "t", HashPartition("r_regionkey"))
+    val rows = cat.ls("/").collect()
+    assert(rows.head.schema.fieldNames.toSeq ==
+      Seq("name", "node_type", "permission", "size_bytes", "mtime", "is_table"))
+    val byName = rows.map(r => r.getString(0) -> r).toMap
+    // a committed table surfaces its sidecar permission (namenode-inode analog)
+    assert(byName("t").getString(2) == "644")
+    assert(byName("t").getBoolean(5))
+    assert(byName("dir1").getString(1) == "d")
+    // plain directories fall back to filesystem permission octal
+    assert(byName("dir1").getString(2).matches("[0-7]{3,4}"))
+    // mtime renders as a parseable UTC timestamp for every entry
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+    rows.foreach(r => java.time.LocalDateTime.parse(r.getString(4), fmt))
+  }
+
+  test("csv sidecar records embedded newlines; clean tables read splittable") {
+    val cat = freshCatalog("csv_split", format = "csv")
+    import spark.implicits._
+    val clean = (1 to 400).map(i => (i.toLong, s"row $i payload text")).toDF("id", "text")
+    cat.put(clean.coalesce(1), "clean", Unpartitioned)
+    assert(cat.cat("clean").count() == 400)
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+    try {
+      // clean table: multiLine=false → ONE leaf file splits into many tasks
+      val nClean = cat.cat("clean").rdd.getNumPartitions
+      assert(nClean > 1, s"clean csv should split a leaf file, got $nClean partition(s)")
+      // newline-bearing table: flag forces the whole-file parse, values intact
+      val dirty = Seq((1L, "line1\nline2"), (2L, "plain")).toDF("id", "text")
+      cat.put(dirty.coalesce(1), "dirty", Unpartitioned)
+      assert(cat.cat("dirty").orderBy(col("id")).select(col("text"))
+        .collect().map(_.getString(0)).toSeq == Seq("line1\nline2", "plain"))
+      assert(cat.cat("dirty").rdd.getNumPartitions == 1,
+        "a newline-bearing csv leaf must be read whole (unsplittable by design)")
+      // appending a newline batch to a clean table flips the flag sticky-true
+      cat.append(Seq((401L, "a\nb")).toDF("id", "text"), "clean")
+      assert(cat.cat("clean").count() == 401)
+      assert(cat.cat("clean").filter(col("text").contains("\n")).count() == 1)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
   }
 
   test("append heals degenerate range bounds from the first real batch") {
