@@ -452,12 +452,19 @@ class GraftCatalog(spark: SparkSession, root: String,
         meta.map(_.schema).filter(_.nonEmpty)
           .fold(reader.option("inferSchema", "true"))(reader.schema)
           .csv(abs(path).toString)
-      } else
-        // mergeSchema: an appended batch may have evolved the schema (new
-        // columns); the union-of-footers read surfaces them with nulls for old
-        // files. (In production the sidecar schema would be authoritative and
-        // footer-merging skipped; locally the cost is negligible.)
-        spark.read.option("mergeSchema", "true").format(format).load(abs(path).toString)
+      } else {
+        // The sidecar schema is authoritative: it is the union of every
+        // written batch (append maintains it), with partition-column types as
+        // DECLARED at put rather than re-inferred from directory names. Reading
+        // with it keeps `cat` O(1) in metadata — the mergeSchema fallback
+        // (foreign tables only) reads EVERY file footer, a full metadata scan
+        // per query at 100 TB. Files predating an evolved column surface it as
+        // nulls, same as the footer-merge read.
+        val reader = spark.read.format(format)
+        readMeta(path).map(_.schema).filter(_.nonEmpty)
+          .fold(reader.option("mergeSchema", "true"))(reader.schema)
+          .load(abs(path).toString)
+      }
     } catch {
       case e: org.apache.spark.sql.AnalysisException
         if e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
