@@ -99,40 +99,89 @@ object Similarity {
     array(pbucket +: (h1 ++ h2): _*)
   }
 
-  /** C7b — IVF ANN: coarse quantization by nearest-centroid assignment, probe
-    * searches the `nProbe` closest inverted lists. Centroids here are a
-    * deterministic seed sample (vec_id < 16 — in production, k-means trained
-    * offline and broadcast, exactly as this broadcasts the centroid table).
-    * At 100 TB the centroid id doubles as the storage partition key, so a
-    * probe reads nProbe/K of the corpus. */
-  def simIvf(spark: SparkSession, sfDir: String): DataFrame = {
-    val k = 16
-    val nProbe = 4
-    val e = Tables.load(spark, sfDir, "embeddings")
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val centroids = e.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cid"), col("v").as("cv"))
-    // assign: nearest centroid per vector. The codebook is K tiny rows — pull
-    // it to the driver once and inline each centroid as an array literal (the
-    // plan-level form of broadcasting an offline-trained codebook), then take
-    // the argmax of all K cosines in ONE projection via greatest() over
-    // (csim, -cid) structs. No K× row expansion, no exchange: at 100 TB the
-    // old crossJoin×K + row_number window re-materialized the corpus 16× and
-    // shuffled all of it on vec_id for a per-row computation. Tie-break
-    // matches the oracle's ROW_NUMBER (csim DESC, cid ASC): max struct takes
-    // the highest csim, then the highest -cid = lowest cid.
-    val codebook: Array[(Int, Array[Double])] = centroids.collect().map { r =>
-      (r.getAs[Number]("cid").intValue, r.getAs[Seq[Double]]("cv").toArray)
-    }.sortBy(_._1)
+  private val IvfK = 16
+  private val IvfLloydIters = 3
+
+  /** The nearest-centroid id for vector column `v` as ONE projected argmax:
+    * greatest() over (csim, -cid) structs takes the highest cosine, then the
+    * lowest cid — matching the oracle's ROW_NUMBER (csim DESC, cid ASC)
+    * tie-break. No K× row expansion, no exchange. Shared by Lloyd training
+    * and final assignment so both bin identically. */
+  private def nearestCid(spark: SparkSession,
+    codebook: Array[(Int, Array[Double])]): Column = {
     val best = greatest(codebook.map { case (cid, cv) =>
       struct(
         graft.functions.GraftFunctions.cosine(spark, col("v"), lit(cv)).as("csim"),
         lit(-cid).as("ncid"))
     }: _*)
+    (-best.getField("ncid")).cast("bigint")
+  }
+
+  /** Train the IVF codebook: Lloyd's k-means over a deterministic 1-in-3
+    * sample, seeded by the first K vectors. Pure DataFrame ops — assignment is
+    * the same projected argmax the query uses; the mean recompute is
+    * posexplode → groupBy(cid, dim) with a DECIMAL-exact sum, so centroids are
+    * bit-identical regardless of partition order (the determinism contract:
+    * the trained literals are inlined into both the Spark plan and the
+    * generated DuckDB oracle). Cost per iteration is one scan of the sample;
+    * only K×64 means ever reach the driver. Memoized per scale dir — in
+    * production this is the offline training job whose output is broadcast. */
+  private val codebookCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[(Int, Array[Double])]]
+  @volatile private var lastTrained: Option[Array[(Int, Array[Double])]] = None
+
+  def trainCodebook(spark: SparkSession, sfDir: String): Array[(Int, Array[Double])] = {
+    val trained = codebookCache.getOrElseUpdate(sfDir, {
+      val e = Tables.load(spark, sfDir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val sample = e.filter(pmod(col("vec_id"), lit(3)) === 0)
+      var codebook: Array[(Int, Array[Double])] = e.filter(col("vec_id") < IvfK)
+        .collect().map { r =>
+          (r.getAs[Number]("vec_id").intValue, r.getAs[Seq[Double]]("v").toArray)
+        }.sortBy(_._1)
+      for (_ <- 1 to IvfLloydIters) {
+        val means = sample
+          .select(nearestCid(spark, codebook).as("cid"),
+            posexplode(col("v")).as(Seq("dim", "x")))
+          .groupBy(col("cid"), col("dim"))
+          .agg((sum(col("x").cast("decimal(30,12)")) / count(lit(1)))
+            .cast("double").as("m"))
+          .collect()
+        val byCid = means.groupBy(_.getAs[Number]("cid").longValue)
+        codebook = codebook.map { case (cid, old) =>
+          byCid.get(cid.toLong) match {
+            // an emptied cluster keeps its previous centroid (standard Lloyd)
+            case None => (cid, old)
+            case Some(rows) =>
+              (cid, rows.sortBy(_.getAs[Number]("dim").intValue)
+                .map(_.getAs[Double]("m")).toArray)
+          }
+        }
+      }
+      codebook
+    })
+    lastTrained = Some(trained)
+    trained
+  }
+
+  /** C7b — IVF ANN: coarse quantization by nearest-centroid assignment, probe
+    * searches the `nProbe` closest inverted lists. Centroids are k-means
+    * trained (trainCodebook) and inlined as plan literals — the plan-level
+    * form of broadcasting an offline-trained codebook. At 100 TB the centroid
+    * id doubles as the storage partition key, so a probe reads nProbe/K of
+    * the corpus. */
+  def simIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val nProbe = 4
+    val e = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val codebook = trainCodebook(spark, sfDir)
     val assigned = e
-      .select(col("vec_id"), col("v"),
-        (-best.getField("ncid")).cast("bigint").as("cid"))
-    // probe: the query vector's nProbe closest centroids
+      .select(col("vec_id"), col("v"), nearestCid(spark, codebook).as("cid"))
+    // probe: the query vector's nProbe closest centroids — a 16-row literal
+    // table against the broadcast probe vector, no corpus scan
+    val centroids = codebook.toSeq.map { case (cid, cv) => (cid.toLong, cv) }
+      .toDF("cid", "cv")
     val probeVec = e.filter(col("vec_id") === 0).select(col("v").as("p"))
     val probeLists = centroids.crossJoin(broadcast(probeVec))
       .select(col("cid"),
@@ -186,19 +235,33 @@ object Similarity {
     "sim_ann" -> (simAnn _),
     "sim_ivf" -> (simIvf _))
 
-  /** Oracle for C7b — centroids are data rows (vec_id < 16), so the whole IVF
-    * flow (assignment argmax, probe-list top-4, final top-10) is plain SQL with
-    * the same sequential-fold cosine. */
-  val simIvfSql: String = {
+  /** Generated oracle for C7b — the TRAINED centroids are inlined as list
+    * literals (Scala's Double.toString round-trips exactly, so DuckDB parses
+    * the bit-identical values the Spark plan uses); assignment argmax,
+    * probe-list top-4 and final top-10 are plain SQL with the same
+    * sequential-fold cosine. The verify harness runs every query BEFORE
+    * dumping oracle SQL, so the cache is populated with this scale's codebook;
+    * the untrained fallback (only reachable if sim_ivf itself crashed) derives
+    * the seed codebook in SQL and is labeled as such. */
+  def simIvfSql: String = {
     def sq(vec: String) =
       s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> $vec[i] * $vec[i])), (a, b) -> a + b)"
     def dotv(a: String, b: String) =
       s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> $a[i] * $b[i])), (a, b) -> a + b)"
     def cos(a: String, b: String) = s"${dotv(a, b)} / (sqrt(${sq(a)}) * sqrt(${sq(b)}))"
+    val centroidCte = lastTrained match {
+      case Some(cb) =>
+        val rows = cb.map { case (cid, cv) =>
+          s"($cid, ${cv.mkString("[", ", ", "]")})"
+        }.mkString(",\n  ")
+        s"c AS (SELECT CAST(cid AS BIGINT) AS cid, cv FROM (VALUES\n  $rows) t(cid, cv))"
+      case None => // untrained fallback: seed codebook derived from the data
+        s"c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $IvfK)"
+    }
     s"""WITH e AS (
        | SELECT vec_id, list_transform(embedding, z -> CAST(z AS DOUBLE)) AS v
        | FROM embeddings),
-       |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+       |$centroidCte,
        |asn AS (
        | SELECT vec_id, v, cid,
        |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rk
@@ -215,7 +278,9 @@ object Similarity {
        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
   }
 
-  val oracles: Map[String, String] = Map(
+  /** def, not val: sim_ivf's oracle inlines the centroids trained for the
+    * scale dir the queries just ran against. */
+  def oracles: Map[String, String] = Map(
     "sim_topk" -> simTopkSql,
     "sim_ann" -> simAnnSql,
     "sim_ivf" -> simIvfSql)

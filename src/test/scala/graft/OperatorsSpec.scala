@@ -117,11 +117,25 @@ class OperatorsSpec extends SparkSpec {
       if (brute.contains(r.getLong(0)))
         assert(brute(r.getLong(0)) == r.getDouble(2))
     }
-    // IVF's data-adaptive centroids recall 9-10/10 at nProbe=4/16 (~25% scan)
-    // even on this near-uniform corpus — pin the floor well above the
-    // hyperplane-LSH path so a centroid/assignment regression is caught
+    // IVF's k-means-trained centroids recall 9-10/10 at nProbe=4/16 (~25%
+    // scan) even on this near-uniform corpus — pin the floor well above the
+    // hyperplane-LSH path so a centroid/assignment/training regression is
+    // caught
     val recall = ivf.map(_.getLong(0)).toSet.intersect(brute.keySet).size
     assert(recall >= 8, s"IVF recall dropped to $recall/10")
+    // Lloyd training actually moved the codebook off its seed vectors (a
+    // centroid equal to its seed would mean the iterations were a no-op) and
+    // the decimal-exact mean makes retraining bit-identical
+    val seed = Tables.load(spark, sfDir, "embeddings")
+      .filter(col("vec_id") < 16)
+      .orderBy(col("vec_id")).collect()
+      .map(_.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray)
+    val trained = Similarity.trainCodebook(spark, sfDir)
+    assert(trained.length == 16)
+    assert(trained.zip(seed).exists { case ((_, c), s) => !c.sameElements(s) },
+      "trained centroids should differ from the raw seed sample")
+    assert(trained.map(_._2.toSeq).toSeq ==
+      Similarity.trainCodebook(spark, sfDir).map(_._2.toSeq).toSeq)
     // centroid assignment is a projected argmax over inlined codebook
     // literals — the whole query must run with ZERO shuffle exchanges (the
     // old crossJoin×K + row_number form re-materialized the corpus K× and
