@@ -382,18 +382,52 @@ object Relational {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
-  /** B13 — exact percentiles (R-7 interpolation) per group, rounded to absorb
-    * engine-specific interpolation arithmetic order. ONE array-percentile
-    * aggregate: three scalar percentile() calls would each keep their own
-    * per-group value buffer (3× the aggregation state and sort work). */
+  /** B13 — exact percentiles (R-7 interpolation) per group, computed WITHOUT
+    * buffering per-group values. Spark's `percentile` aggregate keeps an
+    * in-memory value→count map per group that cannot spill — at corpus scale
+    * a high-cardinality double column concentrates unbounded state on one
+    * reducer per group. This form is bounded everywhere:
+    *   1. hash-aggregate to (group, value) counts — map-side combined, the
+    *      shuffle carries DISTINCT values only;
+    *   2. a running cumulative count over each group's sorted values
+    *      (WindowExec buffers spill to disk, unlike the percentile map);
+    *   3. the two ranks bounding each percentile are picked with conditional
+    *      aggregates and interpolated (R-7: h = 1+(n-1)p, v_k + frac·(v_k+1 −
+    *      v_k)), rounded to absorb engine-specific arithmetic order.
+    * This is the EXACT routing of the exact/sketch pair: B13b2's
+    * approx_percentile (bounded sketch, ≤1% pinned error) remains the path
+    * when even the distinct-value set is unbounded. */
   def qPercentiles(spark: SparkSession, sfDir: String): DataFrame = {
     val l = Tables.load(spark, sfDir, "lineitem")
-    l.groupBy(col("l_returnflag"))
-      .agg(expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("ps"))
-      .select(col("l_returnflag"),
-        round(col("ps").getItem(0), 4).as("p25"),
-        round(col("ps").getItem(1), 4).as("p50"),
-        round(col("ps").getItem(2), 4).as("p75"))
+    val counts = l
+      .groupBy(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val byG = Window.partitionBy(col("g"))
+    val cum = counts
+      .withColumn("ccnt", sum(col("cnt")).over(byG.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("cnt")).over(byG))
+    // for percentile p: target rank h = 1 + (n-1)p; a (value, cnt) row covers
+    // ranks (ccnt-cnt, ccnt], so exactly one row matches each integer rank
+    def rankVal(k: Column): Column =
+      max(when(k > col("ccnt") - col("cnt") && k <= col("ccnt"), col("v")))
+    val ps = Seq("25" -> 0.25, "50" -> 0.5, "75" -> 0.75)
+    val aggs = ps.flatMap { case (tag, p) =>
+      val h = lit(1.0) + (col("n") - lit(1)).cast("double") * lit(p)
+      val k = floor(h)
+      Seq(rankVal(k).as(s"lo$tag"), rankVal(k + lit(1.0)).as(s"hi$tag"),
+        // h and k are group-constants (functions of n): min() just extracts
+        min(h - k).as(s"frac$tag"))
+    }
+    def interp(tag: String): Column = {
+      val (lo, hi, frac) = (col(s"lo$tag"), col(s"hi$tag"), col(s"frac$tag"))
+      // top rank has no successor row: frac is 0 there, coalesce keeps it exact
+      round(lo + frac * (coalesce(hi, lo) - lo), 4)
+    }
+    cum.groupBy(col("g"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("g").as("l_returnflag"),
+        interp("25").as("p25"), interp("50").as("p50"), interp("75").as("p75"))
       .orderBy(col("l_returnflag"))
   }
 

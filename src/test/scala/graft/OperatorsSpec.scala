@@ -161,6 +161,29 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("exact percentiles use the spillable rank form, not the value buffer") {
+    val df = Relational.qPercentiles(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the percentile() aggregate holds an unspillable per-group value map;
+    // the distributed form must not appear anywhere in the plan
+    assert(!plan.contains("percentile("),
+      s"plan should not use the buffering percentile aggregate:\n${plan.take(800)}")
+    assert(plan.contains("Window"), "expected the running-rank window form")
+    // value-level cross-check: the rank+interpolate form must match Spark's
+    // in-memory R-7 percentile aggregate exactly (after the shared rounding)
+    val viaBuffer = Tables.load(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("ps"))
+      .select(col("l_returnflag"),
+        round(col("ps").getItem(0), 4), round(col("ps").getItem(1), 4),
+        round(col("ps").getItem(2), 4))
+      .orderBy(col("l_returnflag")).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    val dist = df.collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(dist.toSeq == viaBuffer.toSeq)
+  }
+
   test("text metrics are internally consistent") {
     val t = TextAnalysis.textTokens(spark, sfDir).collect()
     t.foreach { r =>
