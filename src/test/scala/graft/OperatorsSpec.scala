@@ -161,6 +161,24 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup joins the corpus digest store with no corpus shuffle") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // force the sort-merge path (at real scale the corpus is never
+    // broadcastable) so the assertion pins the co-located join shape
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = Dedup.dedupIncremental(spark, sfDir)
+      df.write.format("noop").mode("overwrite").save()
+      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(plan.contains("SelectedBucketsCount: 8 out of 8"),
+        s"corpus side should be a bucketed scan:\n${plan.take(1500)}")
+      // exchanges: batch→bucket layout, final groupBy, output sort — the
+      // corpus side must contribute NONE (a 4th exchange means it shuffled)
+      val shuffles = "Exchange (hash|range)partitioning".r.findAllIn(plan).length
+      assert(shuffles <= 3, s"corpus side must not shuffle; got $shuffles exchanges")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("exact percentiles use the spillable rank form, not the value buffer") {
     val df = Relational.qPercentiles(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
