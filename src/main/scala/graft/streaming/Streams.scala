@@ -92,18 +92,33 @@ object Streams extends Serializable {
     runToMemory(spark, df, name,
       new java.io.File(checkpointDir(sfDir, name)), outputMode)
 
-  private def runToMemory(spark: SparkSession, df: DataFrame, name: String,
-    cp: java.io.File, outputMode: OutputMode): DataFrame = {
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(outputMode)
-      .option("checkpointLocation", cp.getAbsolutePath)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
+  /** Stateful micro-batch cost scales with the state-store partition count:
+    * every batch opens, commits and snapshots one store per shuffle partition,
+    * so the session's batch-tuned setting (≈cores) pays ~4× the fixed overhead
+    * these streams need. Queries start from a fresh checkpoint each run, so
+    * pinning a bounded count here is safe (the count is frozen into the
+    * checkpoint at first start); production streams size this to their key
+    * cardinality the same way. */
+  private def withStreamShufflePartitions[T](spark: SparkSession)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try f finally spark.conf.set(key, prev)
   }
+
+  private def runToMemory(spark: SparkSession, df: DataFrame, name: String,
+    cp: java.io.File, outputMode: OutputMode): DataFrame =
+    withStreamShufflePartitions(spark) {
+      val q = df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(outputMode)
+        .option("checkpointLocation", cp.getAbsolutePath)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name)
+    }
 
   /** D1 — watermarked tumbling-window aggregation: 1-hour windows per event
     * type, 2-hour watermark bounding state. Append output emits only finalized
@@ -300,15 +315,17 @@ object Streams extends Serializable {
       .agg(count(lit(1)).as("n_events"))
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n_events"))
-    val q = agg.writeStream
-      .format("parquet")
-      .partitionBy("event_type")
-      .option("path", outDir)
-      .option("checkpointLocation", cp.getAbsolutePath)
-      .outputMode(OutputMode.Append())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamShufflePartitions(spark) {
+      val q = agg.writeStream
+        .format("parquet")
+        .partitionBy("event_type")
+        .option("path", outDir)
+        .option("checkpointLocation", cp.getAbsolutePath)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.read.parquet(outDir)
       .filter(col("event_type") =!= SentinelType)
       .select(col("window_start"), col("event_type"), col("n_events"))
