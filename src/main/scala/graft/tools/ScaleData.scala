@@ -1,0 +1,100 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftConf
+
+/** Dev tool: scale a testdata dir N× (default 10) into a new dir, for the
+  * sf1 scale proof — the driver generates sf≤0.1; super-linear behavior hides
+  * below the job-launch floor there, so the 100 TB posture is exercised on a
+  * locally generated 10× corpus.
+  *
+  * Replication is deterministic (no RNG): each table is unioned `copies`
+  * times with every key column shifted by `replica × stride`, where stride is
+  * max(key)+1 rounded up to a multiple of 10 — referential integrity is
+  * preserved replica-by-replica (orders→customer, lineitem→orders/part/
+  * supplier join fan-outs are IDENTICAL to the source), and `% 10`-style
+  * batch-selection classes keep their proportions. Dimension tables
+  * (region, nation) stay fixed, like real dims under fact growth. Document
+  * text and embedding vectors replicate as-is: every doc gains `copies-1`
+  * exact duplicates — a dup-heavy stress corpus that pushes the dedup family's
+  * banding/skew guards; ties in similarity break on the shifted unique ids.
+  *
+  * events.ts is parquet TIMESTAMP(NANOS); Spark cannot write NANOS, so the
+  * copy keeps the raw int64 nanos as plain BIGINT — Tables.events and the
+  * streaming schema already read it as a long either way, and tools/check.py
+  * rebuilds a timestamp view for DuckDB when it sees a BIGINT ts.
+  */
+object ScaleData {
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val dst = if (args.length > 1) args(1)
+      else s"${GraftConf.localRoot}/testdata/sf1"
+    val copies = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftConf(SparkSession.builder().master(s"local[$cpus]"), cpus)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(dst).mkdirs()
+
+    def stride(df: DataFrame, c: String): Long = {
+      val m = df.agg(max(col(c)).cast("long")).head().getLong(0)
+      (m / 10 + 1) * 10
+    }
+
+    /** Single-file output, mirroring the driver's one-parquet-per-table layout
+      * (check.py and Tables.load read `<dir>/<name>.parquet` as one path). */
+    def writeOne(df: DataFrame, name: String): Unit = {
+      val tmp = new java.io.File(s"$dst/__tmp_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dest = new java.io.File(s"$dst/$name.parquet")
+      dest.delete()
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+      println(s"[scale] $name -> ${dest.length() / 1024 / 1024} MiB")
+    }
+
+    def replicate(df: DataFrame, shifts: Map[String, Long]): DataFrame =
+      df.withColumn("__r", explode(sequence(lit(0L), lit(copies - 1L))))
+        .select(df.columns.map { c =>
+          shifts.get(c).map(s => (col(c) + col("__r") * lit(s)).as(c))
+            .getOrElse(col(c))
+        }.toIndexedSeq: _*)
+
+    def read(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
+
+    // dims stay fixed
+    writeOne(read("region"), "region")
+    writeOne(read("nation"), "nation")
+
+    val ck = stride(read("customer"), "c_custkey")
+    val ok = stride(read("orders"), "o_orderkey")
+    val pk = stride(read("part"), "p_partkey")
+    val sk = stride(read("supplier"), "s_suppkey")
+    writeOne(replicate(read("customer"), Map("c_custkey" -> ck)), "customer")
+    writeOne(replicate(read("supplier"), Map("s_suppkey" -> sk)), "supplier")
+    writeOne(replicate(read("part"), Map("p_partkey" -> pk)), "part")
+    writeOne(replicate(read("orders"),
+      Map("o_orderkey" -> ok, "o_custkey" -> ck)), "orders")
+    writeOne(replicate(read("lineitem"),
+      Map("l_orderkey" -> ok, "l_partkey" -> pk, "l_suppkey" -> sk)), "lineitem")
+
+    // events: raw int64 nanos read (see scaladoc); ts itself is NOT shifted —
+    // 10× the users act in the same time window, so windows/session counts
+    // scale in rows while the watermark horizon stays put
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    writeOne(replicate(ev,
+      Map("event_id" -> stride(ev, "event_id"), "user_id" -> stride(ev, "user_id"))),
+      "events")
+
+    val docs = read("documents")
+    writeOne(replicate(docs, Map("doc_id" -> stride(docs, "doc_id"))), "documents")
+    val emb = read("embeddings")
+    writeOne(replicate(emb, Map("vec_id" -> stride(emb, "vec_id"))), "embeddings")
+
+    spark.stop()
+  }
+}

@@ -49,6 +49,16 @@ def main(sf_dir: str, out_dir: str) -> None:
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    # ScaleData-generated dirs store events.ts as raw int64 nanos (Spark can't
+    # write TIMESTAMP(NANOS)); rebuild the timestamp view with the same
+    # nanos->micros truncation Spark applies so oracles see a timestamp either
+    # way. Driver-generated dirs keep their native TIMESTAMP_NS view.
+    ts_type = con.sql("SELECT typeof(ts) FROM events LIMIT 1").fetchone()[0]
+    if ts_type == "BIGINT":
+        con.sql("DROP VIEW events")
+        con.sql(f"CREATE VIEW events AS SELECT * REPLACE "
+                f"(make_timestamp(ts // 1000) AS ts) "
+                f"FROM '{sf_dir}/events.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok, failed = 0, []
     for name, sql in sorted(oracle.items()):

@@ -1,0 +1,42 @@
+#!/usr/bin/env python3
+"""Build the per-query scaling table for SCALE_r4.md from two Bench JSON
+lines (sf0.1 and sf1). Flags any query whose time grows more than FLAG_RATIO
+for the 10x data growth (super-linear scaling suspect).
+Usage: python3 tools/scale_report.py bench_sf01.json bench_sf1.json
+"""
+import json, sys
+
+FLAG_RATIO = 15.0
+
+def load(p):
+    with open(p) as f:
+        for line in f:
+            line = line.strip()
+            if line.startswith('{"metric"'):
+                return json.loads(line)
+    raise SystemExit(f"no bench JSON line in {p}")
+
+def main(p01, p1):
+    a, b = load(p01), load(p1)
+    qa, qb = a["queries"], b["queries"]
+    rows = []
+    for k in sorted(qa):
+        t0, t1 = qa.get(k, -1), qb.get(k, -1)
+        ratio = (t1 / t0) if t0 and t0 > 0 and t1 > 0 else float("nan")
+        rows.append((k, t0, t1, ratio))
+    rows.sort(key=lambda r: -(r[3] if r[3] == r[3] else -1))
+    print("| query | sf0.1 s | sf1 s | x (10x data) |")
+    print("| --- | --- | --- | --- |")
+    flagged = []
+    for k, t0, t1, r in rows:
+        mark = " **FLAG**" if r == r and r > FLAG_RATIO else ""
+        if mark:
+            flagged.append(k)
+        print(f"| {k}{mark} | {t0:.2f} | {t1:.2f} | {r:.1f} |")
+    print()
+    print(f"total: sf0.1 {a['value']:.1f}s -> sf1 {b['value']:.1f}s "
+          f"({b['value']/a['value']:.1f}x for 10x data)")
+    print(f"flagged (> {FLAG_RATIO}x): {flagged or 'none'}")
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
