@@ -267,7 +267,88 @@ object PipelineOps {
       |GROUP BY lang, win_id
       |ORDER BY lang, win_id""".stripMargin
 
+  /** C21 — deterministic train/val/test split: the portable id hash buckets
+    * every document into 90/5/5. A pure per-row projection — no shuffle, no
+    * state, assignment is stable across runs, partitionings, engines, and
+    * (critically) across corpus GROWTH: adding documents never moves an
+    * existing one between splits, so eval sets stay frozen as the corpus
+    * ingests — the property random assignment or modulo-on-row-number lacks. */
+  /** The split assignment as a reusable column — a pure function of the id. */
+  def splitOf(id: Column): Column = {
+    val b = pmod(idHash(id), lit(100))
+    when(b < 90, "train").when(b < 95, "val").otherwise("test")
+  }
+
+  def corpusSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.load(spark, sfDir, "documents")
+    d.select(col("doc_id"), splitOf(col("doc_id")).as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  val corpusSplitSql: String =
+    """SELECT doc_id,
+      | CASE WHEN h % 100 < 90 THEN 'train'
+      |      WHEN h % 100 < 95 THEN 'val'
+      |      ELSE 'test' END AS split
+      |FROM (SELECT doc_id,
+      |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS INT64) AS h
+      | FROM documents) t
+      |ORDER BY doc_id""".stripMargin
+
+  /** C22 — deterministic corpus shuffle: the training-order randomization
+    * every epoch pipeline needs, as a pure sort on a seeded content-free key
+    * (md5 of seed+id). ORDER BY on the key is a range-partitioned distributed
+    * sort — the scale-correct primitive — NOT a row_number window (which
+    * would serialize the corpus through one task). Re-running with the same
+    * seed reproduces the exact order; changing the seed string is a fresh
+    * epoch permutation. */
+  def corpusShuffle(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.load(spark, sfDir, "documents")
+    d.select(col("doc_id"),
+        md5(concat(lit("graft-epoch-42:"), col("doc_id").cast("string")))
+          .as("shuffle_key"))
+      .orderBy(col("shuffle_key"))
+  }
+
+  val corpusShuffleSql: String =
+    """SELECT doc_id, md5('graft-epoch-42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+      |FROM documents
+      |ORDER BY shuffle_key""".stripMargin
+
+  /** C23 — domain balancing: downsample each source to an equal share of the
+    * corpus (the "don't let web-crawl drown the curated sources" mixing
+    * move). Keep-threshold per source is computed in INTEGER arithmetic —
+    * least(10000, total·10000 div (k·cnt)) out of a 10000-bucket id hash —
+    * so the decision is bit-deterministic across engines (no float fraction
+    * at a bucket boundary). Two tiny aggregates (per-source counts + the
+    * (total, k) row) broadcast against one corpus scan: at 100 TB this is a
+    * scan plus a metadata join, no corpus shuffle. */
+  def mixSources(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.load(spark, sfDir, "documents").select(col("doc_id"), col("source"))
+    val bySource = d.groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+    val tot = d.agg(count(lit(1)).as("total"), countDistinct(col("source")).as("k"))
+    val thr = least(lit(10000L),
+      call_function("div", col("total") * lit(10000L), col("k") * col("cnt")))
+    d.join(broadcast(bySource), "source")
+      .crossJoin(broadcast(tot))
+      .filter(pmod(idHash(col("doc_id")), lit(10000)) < thr)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  val mixSourcesSql: String =
+    """WITH s AS (SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source),
+      |t AS (SELECT COUNT(*) AS total, COUNT(DISTINCT source) AS k FROM documents)
+      |SELECT d.doc_id, d.source
+      |FROM documents d JOIN s USING (source), t
+      |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS INT64) % 10000
+      |  < LEAST(10000, (t.total * 10000) // (t.k * s.cnt))
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_split" -> (corpusSplit _),
+    "corpus_shuffle" -> (corpusShuffle _),
+    "mix_sources" -> (mixSources _),
     "prepare_corpus" -> (prepareCorpus _),
     "sample_stratified" -> (sampleStratified _),
     "ngram_topk" -> (ngramTopk _),
@@ -277,6 +358,9 @@ object PipelineOps {
     "seq_pack" -> (seqPack _))
 
   val oracles: Map[String, String] = Map(
+    "corpus_split" -> corpusSplitSql,
+    "corpus_shuffle" -> corpusShuffleSql,
+    "mix_sources" -> mixSourcesSql,
     "prepare_corpus" -> prepareCorpusSql,
     "sample_stratified" -> sampleStratifiedSql,
     "ngram_topk" -> ngramTopkSql,

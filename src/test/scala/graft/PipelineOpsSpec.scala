@@ -43,6 +43,58 @@ class PipelineOpsSpec extends SparkSpec {
     assert(diff == 0, s"$diff range-join counts disagree with brute force")
   }
 
+  test("train/val/test split is exhaustive, disjoint, stable, and ~90/5/5") {
+    val rows = PipelineOps.corpusSplit(spark, sfDir).collect()
+    val nDocs = Tables.load(spark, sfDir, "documents").count()
+    assert(rows.length == nDocs) // every doc assigned exactly once
+    val bys = rows.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(bys.keySet == Set("train", "val", "test"))
+    val trainFrac = bys("train").toDouble / nDocs
+    assert(trainFrac > 0.8 && trainFrac < 0.97, s"train fraction $trainFrac")
+    // growth stability: the assignment of a doc depends only on its own id,
+    // so a doc keeps its split when the corpus around it changes
+    val half = Tables.load(spark, sfDir, "documents").filter(col("doc_id") % 2 === 0)
+    val again = half.select(col("doc_id"),
+        PipelineOps.splitOf(col("doc_id")).as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val full = rows.map(r => r.getLong(0) -> r.getString(1)).toMap
+    again.foreach { case (id, s) => assert(full(id) == s) }
+  }
+
+  test("corpus shuffle is a reproducible permutation in key order") {
+    val a = PipelineOps.corpusShuffle(spark, sfDir).collect()
+    val b = PipelineOps.corpusShuffle(spark, sfDir).collect()
+    assert(a.map(_.getLong(0)).toSeq == b.map(_.getLong(0)).toSeq) // same epoch order
+    val nDocs = Tables.load(spark, sfDir, "documents").count()
+    assert(a.length == nDocs)
+    assert(a.map(_.getLong(0)).toSet.size == nDocs) // a permutation, no dups
+    val keys = a.map(_.getString(1)).toSeq
+    assert(keys == keys.sorted, "rows must come back in shuffle-key order")
+    assert(a.map(_.getLong(0)).toSeq != a.map(_.getLong(0)).sorted.toSeq,
+      "shuffle order should differ from id order")
+  }
+
+  test("source mixing caps every source near an equal share") {
+    val out = PipelineOps.mixSources(spark, sfDir).collect()
+    val d = Tables.load(spark, sfDir, "documents")
+    val total = d.count()
+    val k = d.select(col("source")).distinct().count()
+    val fair = total.toDouble / k
+    val kept = out.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(kept.nonEmpty)
+    kept.foreach { case (src, n) =>
+      // hash-threshold sampling keeps ≈ min(cnt, fair) of each source; allow
+      // binomial slack on the small fixture
+      assert(n <= fair * 1.35 + 10, s"source $src kept $n, fair share $fair")
+    }
+    // a source smaller than the fair share is kept whole
+    val counts = d.groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    counts.filter(_._2 <= fair).foreach { case (src, cnt) =>
+      assert(kept.getOrElse(src, 0) == cnt, s"small source $src must be kept whole")
+    }
+  }
+
   test("stratified sample is deterministic and rebalances en vs the rest") {
     val a = PipelineOps.sampleStratified(spark, sfDir).collect()
     val b = PipelineOps.sampleStratified(spark, sfDir).collect()
