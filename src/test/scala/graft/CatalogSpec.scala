@@ -112,6 +112,23 @@ class CatalogSpec extends SparkSpec {
     assert(cat.partitionLocations("t").collect().forall(_.getInt(1) == 1))
   }
 
+  test("orc and json backends read evolved schemas through the sidecar") {
+    // the sidecar-schema read path must null-fill files that predate an
+    // evolved column for every self-describing format, not just parquet
+    for (fmt <- Seq("orc", "json")) {
+      val cat = freshCatalog(s"evolve_$fmt", format = fmt)
+      val src = Tables.load(spark, sfDir, "nation")
+      cat.put(src, "t", HashPartition("n_regionkey"))
+      cat.append(src.withColumn("n_flag", col("n_nationkey") * 10), "t")
+      val back = cat.cat("t")
+      assert(back.columns.contains("n_flag"), s"$fmt: evolved column missing")
+      assert(back.count() == src.count() * 2)
+      assert(back.filter(col("n_flag").isNull).count() == src.count(),
+        s"$fmt: old files must surface the new column as null")
+      assert(back.filter(col("n_flag").isNotNull).count() == src.count())
+    }
+  }
+
   test("putCsv ingests a headered CSV and catOrdered restores file order") {
     val cat = freshCatalog("csv")
     val csvDir = s"${GraftConf.localRoot}/test_edfs/csv_src"
