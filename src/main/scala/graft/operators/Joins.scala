@@ -33,25 +33,29 @@ object Joins {
       .drop("__graft_salt", "__graft_salt_d")
   }
 
-  /** B11b — salted join demo query: same aggregate as a plain join would give
-    * (the oracle proves salting is result-invariant). */
+  /** B11b — salted join demo query: the skewed fact (lineitem) against a
+    * GENUINELY small dim (supplier — the side salting replicates ×8, so it
+    * must stay dim-sized; an earlier form salted against fact-sized orders,
+    * which replicated 1.5M rows at sf1 and scaled 4× worse than the fact
+    * itself). Same aggregate as a plain join would give — the oracle proves
+    * salting is result-invariant. */
   def qSaltedJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val l = Tables.load(spark, sfDir, "lineitem")
-    val o = Tables.load(spark, sfDir, "orders")
-      .select(col("o_orderkey"), col("o_orderstatus"))
-    saltedJoin(l, o, "l_orderkey", "o_orderkey", 8)
-      .groupBy(col("o_orderstatus"))
+    val s = Tables.load(spark, sfDir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    saltedJoin(l, s, "l_suppkey", "s_suppkey", 8)
+      .groupBy(col("s_nationkey").cast("int").as("s_nationkey"))
       .agg(count(lit(1)).as("n_rows"),
         sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"))
-      .orderBy(col("o_orderstatus"))
+      .orderBy(col("s_nationkey"))
   }
 
   val qSaltedJoinSql: String =
-    """SELECT o_orderstatus, COUNT(*) AS n_rows,
+    """SELECT s_nationkey, COUNT(*) AS n_rows,
       | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
-      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-      |GROUP BY o_orderstatus
-      |ORDER BY o_orderstatus""".stripMargin
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_nationkey
+      |ORDER BY s_nationkey""".stripMargin
 
   private val MicroFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 

@@ -147,7 +147,10 @@ object PipelineOps {
   /** C17 — per-language corpus report: doc counts, token volume, and median
     * length — the summary every data-mixing decision starts from. One
     * groupBy; the exact median uses the same R-7 percentile the B13 oracle
-    * proved cross-engine. */
+    * proved cross-engine. Unlike B13 (high-cardinality doubles, routed to
+    * the spillable rank form), percentile() is safe HERE: the value domain is
+    * integer token counts bounded by max document length, so the per-group
+    * map is small and fixed no matter how many documents stream through. */
   def corpusStats(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.load(spark, sfDir, "documents")
     d.select(col("lang"), TextAnalysis.wsTokenCount(col("text")).cast("bigint").as("ws"))
