@@ -22,9 +22,17 @@ object SparkEntry {
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted keys get a weaker rows-only check. */
-  def oracleSql: Map[String, String] =
+  def oracleSql: Map[String, String] = staticOracles ++ Similarity.oracles
+
+  /** sfDir-aware form used by Verify: generated oracles whose literals depend
+    * on what was trained for a dir (sim_ivf's centroids) bind to the dir the
+    * queries just ran against, not to last-call global state. */
+  def oracleSqlFor(sfDir: String): Map[String, String] =
+    staticOracles ++ Similarity.oracles(sfDir)
+
+  private def staticOracles: Map[String, String] =
     Relational.oracles ++ Pmr.oracles ++ TextAnalysis.oracles ++
-      Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
+      Dedup.oracles ++ Multimodal.oracles ++
       Joins.oracles ++ PipelineOps.oracles ++
       graft.sources.JsonBackend.oracles ++ graft.streaming.Streams.oracles
 }

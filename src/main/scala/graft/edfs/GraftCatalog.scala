@@ -244,6 +244,16 @@ class GraftCatalog(spark: SparkSession, root: String,
           .write.partitionBy(BucketCol)
       case _ => aligned.write
     }
+    // a so-far-clean csv table is re-checked against THIS batch only: once
+    // any batch carries a newline the flag is sticky-true (old files are
+    // never rescanned); a clean steady-state append pays one early-out scan.
+    // Checked BEFORE the data write and flipped dirty-first: a crash between
+    // the two writes degrades to the safe multiLine=true read path — the
+    // reverse order could leave a clean flag over newline-bearing files and
+    // reads would then split records mid-row.
+    val nlUpgrade = format == "csv" && meta.exists(!_.embeddedNewlines) &&
+      hasEmbeddedNewlines(aligned)
+    if (nlUpgrade) meta.foreach(m => writeSidecar(path, m.copy(embeddedNewlines = true)))
     capped(writer).mode("append").format(format).save(target)
     // Sidecar schema := recorded schema ∪ the BATCH's newly declared columns.
     // NOT the merged read schema: that re-types partition columns from
@@ -252,12 +262,7 @@ class GraftCatalog(spark: SparkSession, root: String,
     meta.foreach { m =>
       val newFields = df.schema.fields.filterNot(f =>
         f.name == BucketCol || m.schema.fieldNames.contains(f.name))
-      // a so-far-clean csv table is re-checked against THIS batch only: once
-      // any batch carries a newline the flag is sticky-true (old files are
-      // never rescanned); a clean steady-state append pays one early-out scan
-      val nlUpgrade = format == "csv" && !m.embeddedNewlines &&
-        hasEmbeddedNewlines(aligned)
-      if (newFields.nonEmpty || nlUpgrade)
+      if (newFields.nonEmpty)
         writeSidecar(path, m.copy(
           schema = StructType(m.schema.fields ++ newFields),
           embeddedNewlines = m.embeddedNewlines || nlUpgrade))

@@ -147,17 +147,43 @@ object Dedup {
     * join reads each corpus bucket directly. Re-deriving digests from the
     * full corpus per increment (the previous form) re-shuffled the entire
     * corpus every batch — the dominant cost at 100 TB, paid daily. */
+  /** Source-data fingerprint (leaf count + bytes + max mtime) recorded when
+    * the digest table is built: if documents under the same sfDir are
+    * regenerated in-session, the memo invalidates and rebuilds instead of
+    * silently serving digests of the old data. */
+  private val digestFingerprint =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def documentsFingerprint(sfDir: String): String = {
+    val root = new java.io.File(sfDir, "documents.parquet")
+    val leaves =
+      if (root.isDirectory)
+        Option(root.listFiles()).getOrElse(Array.empty[java.io.File]).filter(_.isFile)
+      else Array(root)
+    s"${leaves.length}:${leaves.map(_.length).sum}:" +
+      s"${leaves.map(_.lastModified).foldLeft(0L)(math.max)}"
+  }
+
   def ensureCorpusDigests(spark: SparkSession, sfDir: String): String = {
     val tbl = s"corpus_digests${sfDir.replaceAll("[^A-Za-z0-9]+", "_")}"
-    if (!spark.catalog.tableExists(tbl)) {
-      // a directory left by a previous session is unknown to this session's
-      // in-memory catalog; clear it or saveAsTable refuses the location
-      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh, tbl))
+    val fp = documentsFingerprint(sfDir)
+    if (!spark.catalog.tableExists(tbl) || !digestFingerprint.get(tbl).contains(fp)) {
+      if (spark.catalog.tableExists(tbl)) {
+        // a REGISTERED table owns its directory — retire it through the
+        // catalog (managed drop removes the data too), never a raw delete
+        spark.sql(s"DROP TABLE `$tbl`")
+      } else {
+        // only an orphan directory (left by a previous session, unknown to
+        // this session's in-memory catalog) is removed directly; without
+        // this, saveAsTable refuses the non-empty location
+        val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh, tbl))
+      }
       Tables.load(spark, sfDir, "documents")
         .filter(col("doc_id") % 10 =!= 9)
         .select(col("doc_id").as("corpus_id"), md5(col("text").cast("binary")).as("h"))
         .write.bucketBy(8, "h").sortBy("h").mode("overwrite").saveAsTable(tbl)
+      digestFingerprint(tbl) = fp
     }
     tbl
   }

@@ -404,7 +404,10 @@ object Relational {
     * when even the distinct-value set is unbounded. */
   def qPercentiles(spark: SparkSession, sfDir: String): DataFrame = {
     val l = Tables.load(spark, sfDir, "lineitem")
+    // percentile() ignores NULLs; drop them before the counts aggregate or
+    // they'd sort first in the window and shift every rank on nullable cols
     val counts = l
+      .filter(col("l_extendedprice").isNotNull)
       .groupBy(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))
       .agg(count(lit(1)).as("cnt"))
     val byG = Window.partitionBy(col("g"))

@@ -128,7 +128,6 @@ object Similarity {
     * production this is the offline training job whose output is broadcast. */
   private val codebookCache =
     scala.collection.concurrent.TrieMap.empty[String, Array[(Int, Array[Double])]]
-  @volatile private var lastTrained: Option[Array[(Int, Array[Double])]] = None
 
   def trainCodebook(spark: SparkSession, sfDir: String): Array[(Int, Array[Double])] = {
     val trained = codebookCache.getOrElseUpdate(sfDir, {
@@ -160,7 +159,6 @@ object Similarity {
       }
       codebook
     })
-    lastTrained = Some(trained)
     trained
   }
 
@@ -239,23 +237,25 @@ object Similarity {
     * literals (Scala's Double.toString round-trips exactly, so DuckDB parses
     * the bit-identical values the Spark plan uses); assignment argmax,
     * probe-list top-4 and final top-10 are plain SQL with the same
-    * sequential-fold cosine. The verify harness runs every query BEFORE
-    * dumping oracle SQL, so the cache is populated with this scale's codebook;
-    * the untrained fallback (only reachable if sim_ivf itself crashed) derives
-    * the seed codebook in SQL and is labeled as such. */
-  def simIvfSql: String = {
+    * sequential-fold cosine. The oracle is BOUND to a scale dir — it reads
+    * that dir's entry from codebookCache, never last-call global state, so a
+    * JVM that ran queries over several dirs still dumps each dir's own
+    * centroids. The untrained fallback (only reachable if sim_ivf itself
+    * crashed for this dir) derives the seed codebook in SQL and is labeled
+    * as such. */
+  def simIvfSql(sfDir: String): String = {
     def sq(vec: String) =
       s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> $vec[i] * $vec[i])), (a, b) -> a + b)"
     def dotv(a: String, b: String) =
       s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> $a[i] * $b[i])), (a, b) -> a + b)"
     def cos(a: String, b: String) = s"${dotv(a, b)} / (sqrt(${sq(a)}) * sqrt(${sq(b)}))"
-    val centroidCte = lastTrained match {
+    val centroidCte = codebookCache.get(sfDir) match {
       case Some(cb) =>
         val rows = cb.map { case (cid, cv) =>
           s"($cid, ${cv.mkString("[", ", ", "]")})"
         }.mkString(",\n  ")
         s"c AS (SELECT CAST(cid AS BIGINT) AS cid, cv FROM (VALUES\n  $rows) t(cid, cv))"
-      case None => // untrained fallback: seed codebook derived from the data
+      case None => // untrained-for-this-dir fallback: seed codebook in SQL
         s"c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $IvfK)"
     }
     s"""WITH e AS (
@@ -278,10 +278,20 @@ object Similarity {
        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
   }
 
-  /** def, not val: sim_ivf's oracle inlines the centroids trained for the
-    * scale dir the queries just ran against. */
-  def oracles: Map[String, String] = Map(
+  /** sfDir-bound oracle set: sim_ivf's SQL inlines the centroids trained for
+    * exactly this scale dir (Verify threads the dir it ran through). */
+  def oracles(sfDir: String): Map[String, String] = Map(
     "sim_topk" -> simTopkSql,
     "sim_ann" -> simAnnSql,
-    "sim_ivf" -> simIvfSql)
+    "sim_ivf" -> simIvfSql(sfDir))
+
+  /** Dir-less contract form: resolvable only while at most one codebook has
+    * been trained in this JVM — with several, the binding would be ambiguous,
+    * so refuse loudly instead of silently inlining another dir's centroids. */
+  def oracles: Map[String, String] = {
+    require(codebookCache.size <= 1,
+      s"sim_ivf oracle is ambiguous: codebooks trained for " +
+        s"${codebookCache.keySet.mkString(", ")} — use oracles(sfDir)")
+    oracles(codebookCache.keySet.headOption.getOrElse(""))
+  }
 }

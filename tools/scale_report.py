@@ -20,9 +20,11 @@ def main(p01, p1):
     a, b = load(p01), load(p1)
     qa, qb = a["queries"], b["queries"]
     rows = []
-    for k in sorted(qa):
-        t0, t1 = qa.get(k, -1), qb.get(k, -1)
-        ratio = (t1 / t0) if t0 and t0 > 0 and t1 > 0 else float("nan")
+    # union of both benches: a query present on only one side (added or
+    # dropped at scale) must still appear — rendered n/a, never omitted
+    for k in sorted(set(qa) | set(qb)):
+        t0, t1 = qa.get(k), qb.get(k)
+        ratio = (t1 / t0) if t0 and t1 and t0 > 0 and t1 > 0 else float("nan")
         rows.append((k, t0, t1, ratio))
     rows.sort(key=lambda r: -(r[3] if r[3] == r[3] else -1))
     print("| query | sf0.1 s | sf1 s | x (10x data) |")
@@ -30,9 +32,13 @@ def main(p01, p1):
     flagged = []
     for k, t0, t1, r in rows:
         mark = " **FLAG**" if r == r and r > FLAG_RATIO else ""
-        if mark:
+        one_sided = t0 is None or t1 is None
+        if mark or one_sided:
             flagged.append(k)
-        print(f"| {k}{mark} | {t0:.2f} | {t1:.2f} | {r:.1f} |")
+        f0 = f"{t0:.2f}" if t0 is not None else "n/a"
+        f1 = f"{t1:.2f}" if t1 is not None else "n/a"
+        fr = f"{r:.1f}" if r == r else "n/a"
+        print(f"| {k}{' **FLAG**' if one_sided and not mark else mark} | {f0} | {f1} | {fr} |")
     print()
     print(f"total: sf0.1 {a['value']:.1f}s -> sf1 {b['value']:.1f}s "
           f"({b['value']/a['value']:.1f}x for 10x data)")
