@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, BloomFilterMightContain, Expression, ExpressionInfo, XxHash64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
@@ -86,20 +86,45 @@ object GraftFunctions {
       s"graft_cosine expects 2 arguments, got ${other.size}")
   }
 
+  /** Bloom-filter membership probe as a user-callable function. Spark keeps
+    * `BloomFilterMightContain` internal (it only materializes via the runtime
+    * row-level-filter rewrite); exposing it lets a pipeline broadcast a
+    * pre-built sketch as a plan literal and probe it inside whole-stage
+    * codegen — no UDF, no per-row deserialization (the sketch deserializes
+    * once per task). The value is hashed with the same seed-42 XxHash64 the
+    * sketch was built from (see PipelineOps.contaminationBloom). */
+  val mightContainInfo = new ExpressionInfo(
+    classOf[BloomFilterMightContain].getName, "graft_might_contain")
+
+  private val mightContainBuilder: Seq[Expression] => Expression = {
+    case Seq(bloom, value) => BloomFilterMightContain(bloom, new XxHash64(Seq(value)))
+    case other => throw new IllegalArgumentException(
+      s"graft_might_contain expects 2 arguments, got ${other.size}")
+  }
+
   /** Idempotently register into an existing session (works regardless of how
     * the session was built — e.g. a driver-owned session without extensions). */
   def ensureRegistered(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    val id = FunctionIdentifier("graft_cosine")
-    if (!registry.functionExists(id)) {
-      registry.registerFunction(id, cosineInfo, cosineBuilder)
-    }
+    Seq((FunctionIdentifier("graft_cosine"), cosineInfo, cosineBuilder),
+      (FunctionIdentifier("graft_might_contain"), mightContainInfo, mightContainBuilder))
+      .foreach { case (id, info, builder) =>
+        if (!registry.functionExists(id)) registry.registerFunction(id, info, builder)
+      }
   }
 
   /** Column-API entry point: `cosine(a, b)`. */
   def cosine(spark: SparkSession, a: Column, b: Column): Column = {
     ensureRegistered(spark)
     call_function("graft_cosine", a, b)
+  }
+
+  /** Column-API entry point: does the serialized sketch possibly contain
+    * `value`? The sketch literal must hold xxhash64-of-value longs. */
+  def mightContain(spark: SparkSession, bloomBytes: Array[Byte], value: Column): Column = {
+    ensureRegistered(spark)
+    call_function("graft_might_contain",
+      org.apache.spark.sql.functions.lit(bloomBytes), value)
   }
 }
 
@@ -109,5 +134,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("graft_cosine"),
       GraftFunctions.cosineInfo,
       { case Seq(a, b) => CosineSimilarity(a, b) }: Seq[Expression] => Expression))
+    ext.injectFunction((FunctionIdentifier("graft_might_contain"),
+      GraftFunctions.mightContainInfo,
+      { case Seq(bloom, value) =>
+        BloomFilterMightContain(bloom, new XxHash64(Seq(value)))
+      }: Seq[Expression] => Expression))
   }
 }

@@ -144,6 +144,52 @@ object PipelineOps {
       |FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
       |ORDER BY c.doc_id""".stripMargin
 
+  /** C21 — the SAME contamination check in the regime where the benchmark
+    * gram set outgrows an exact broadcast. C15 broadcasts the full gram set
+    * (fine for eval suites, ~10^5 grams); at a 10^8-gram blocklist the exact
+    * set is GBs but a 1%-fpp Bloom sketch is ~1.2 bytes/gram — it still
+    * ships to every task as a plan literal. The corpus streams ONCE: each
+    * gram is probed against the sketch inside whole-stage codegen
+    * (graft_might_contain, no UDF), per-doc totals and the bloom-hit grams
+    * come out of a single aggregation, and only the hits (true contamination
+    * + the ~1% false positives) are exploded into an exact verify join that
+    * kills the FPs — so the join shuffles contaminated grams, not the
+    * corpus. Output is exact: identical to C15, same oracle. */
+  def contaminationBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.load(spark, sfDir, "documents")
+    val bench = gramSet(d.filter(col("doc_id") % 97 === 0), 5)
+      .select(col("g")).distinct()
+    // the sketch holds xxhash64(g) longs; stat.bloomFilter runs as a
+    // distributed treeAggregate — only the merged ~bytes-per-item sketch
+    // reaches the driver, never the gram set itself
+    val nBench = bench.count()
+    val bloom = bench.select(xxhash64(col("g")).as("xx"))
+      .stat.bloomFilter("xx", math.max(nBench, 64), 0.01)
+    val bloomBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val hit = graft.functions.GraftFunctions.mightContain(spark, bloomBytes, col("g"))
+    val perDoc = gramSet(d.filter(col("doc_id") % 97 =!= 0), 5)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        // collect_list drops the non-hit NULLs: state is bounded by the
+        // doc's own contaminated grams, never the corpus
+        collect_list(when(hit, col("g"))).as("hit_grams"))
+    val verified = perDoc
+      .select(col("doc_id"), explode(col("hit_grams")).as("g"))
+      .join(bench, Seq("g")) // exact verify: false positives die here
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_contaminated"))
+    perDoc.join(verified, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        (coalesce(col("n_contaminated"), lit(0L)) / col("n_grams"))
+          .as("contamination_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   /** C17 — per-language corpus report: doc counts, token volume, and median
     * length — the summary every data-mixing decision starts from. One
     * groupBy; the exact median uses the same R-7 percentile the B13 oracle
@@ -356,6 +402,7 @@ object PipelineOps {
     "sample_stratified" -> (sampleStratified _),
     "ngram_topk" -> (ngramTopk _),
     "contamination" -> (contamination _),
+    "contamination_bloom" -> (contaminationBloom _),
     "corpus_stats" -> (corpusStats _),
     "text_redact" -> (textRedact _),
     "seq_pack" -> (seqPack _))
@@ -368,6 +415,9 @@ object PipelineOps {
     "sample_stratified" -> sampleStratifiedSql,
     "ngram_topk" -> ngramTopkSql,
     "contamination" -> contaminationSql,
+    // exact output by construction (bloom is only a pre-filter), so the
+    // bloom variant shares C15's oracle verbatim
+    "contamination_bloom" -> contaminationSql,
     "corpus_stats" -> corpusStatsSql,
     "text_redact" -> textRedactSql,
     "seq_pack" -> seqPackSql)

@@ -33,11 +33,15 @@ object Streams extends Serializable {
   private val EventsSchema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
     "event_type STRING, value DOUBLE, props STRING"
 
-  /** Pre-create the staged landing directory (testdata copy + EOS sentinel) —
-    * harness plumbing a production pipeline wouldn't pay per query; Bench
+  /** Pre-create the staged landing directories (testdata copy + EOS sentinel)
+    * — harness plumbing a production pipeline wouldn't pay per query; Bench
     * calls this in warmup so streaming timings measure the engine, not the
     * one-time fixture copy. */
-  def stage(spark: SparkSession, sfDir: String): Unit = { eventsStream(spark, sfDir); () }
+  def stage(spark: SparkSession, sfDir: String): Unit = {
+    eventsStream(spark, sfDir)
+    docsStream(spark, sfDir)
+    ()
+  }
 
   /** The events stream: same NANOS-timestamp normalization as the batch loader
     * (Tables.events), via readStream with an explicit schema (ts read as raw
@@ -82,6 +86,25 @@ object Streams extends Serializable {
     org.apache.commons.io.FileUtils.deleteQuietly(tmp)
   }
 
+  private val DocsSchema = "doc_id BIGINT, text STRING, lang STRING, " +
+    "source STRING, n_chars BIGINT"
+
+  /** The documents stream: the ingest-side landing directory of a training
+    * corpus (the file-stream stand-in for the crawler's output queue). No
+    * sentinel — D4's dedup state is keyed by content digest, not event time,
+    * so there is no watermark to advance. */
+  private def docsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val stageDir = new java.io.File(
+      s"${graft.GraftConf.localRoot}/graft_stream/${sfDir.replaceAll("[^A-Za-z0-9]+", "_")}/docs_in")
+    val staged = new java.io.File(stageDir, "documents.parquet")
+    if (!staged.exists()) {
+      stageDir.mkdirs()
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
+        staged.toPath)
+    }
+    spark.readStream.schema(DocsSchema).parquet(stageDir.getAbsolutePath)
+  }
+
   private def checkpointDir(sfDir: String, name: String): String =
     s"${graft.GraftConf.localRoot}/graft_stream/${sfDir.replaceAll("[^A-Za-z0-9]+", "_")}/$name"
 
@@ -102,7 +125,7 @@ object Streams extends Serializable {
   private def withStreamShufflePartitions[T](spark: SparkSession)(f: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    spark.conf.set(key, "8")
+    spark.conf.set(key, sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "4"))
     try f finally spark.conf.set(key, prev)
   }
 
@@ -289,6 +312,76 @@ object Streams extends Serializable {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  // ----- D4: streaming ingest dedup -----
+
+  case class Doc(doc_id: Long, h: String)
+  case class KeeperState(keeper: Long)
+  case class DedupDecision(doc_id: Long, dup_of: Option[Long], is_duplicate: Boolean)
+
+  /** D4 — streaming exact dedup: the CONTINUOUS form of C16's incremental
+    * dedup, run as the corpus arrives instead of batch-by-batch. State per
+    * content digest is one long (the keeper id) — the in-engine mirror of the
+    * C16 bucketed digest store; every arriving doc is decided exactly once,
+    * in the same pass that would route it into the corpus. At 100 TB the
+    * digest keyspace is what C16 already persists; a production stream bounds
+    * the HOT state with a digest-store lookup tier or state TTL and this
+    * operator keeps only the in-flight window — the decision logic is
+    * unchanged.
+    *
+    * Batch equivalence: within a batch, digest groups decide by ascending
+    * doc_id (sorted below), so on the single-file backlog the result equals
+    * the batch window-min form exactly and carries its SQL oracle. Across
+    * micro-batches the semantics are first-seen-wins: a later batch carrying
+    * a SMALLER doc_id for a known digest still points at the established
+    * keeper — append mode cannot re-crown what it already emitted (the same
+    * inherent ordering caveat D2 documents; ingest ids are monotone in
+    * practice). */
+  def streamDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val cp = new java.io.File(checkpointDir(sfDir, "stream_dedup"))
+    dedupRun(spark, docsStream(spark, sfDir), "stream_dedup", cp)
+  }
+
+  /** Test hook: every staged file its own micro-batch (maxFilesPerTrigger=1),
+    * so cross-batch keeper persistence runs for real. */
+  private[graft] def streamDedupMultiBatch(spark: SparkSession,
+    stageDir: String, name: String): DataFrame = {
+    val cp = new java.io.File(stageDir + "_cp_" + name)
+    val src = spark.readStream.schema(DocsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stageDir)
+    dedupRun(spark, src, name, cp)
+  }
+
+  private def dedupRun(spark: SparkSession, src: DataFrame, name: String,
+    cp: java.io.File): DataFrame = {
+    import spark.implicits._
+    org.apache.commons.io.FileUtils.deleteQuietly(cp)
+    spark.catalog.dropTempView(name)
+
+    def decide(h: String, docs: Iterator[Doc],
+      state: GroupState[KeeperState]): Iterator[DedupDecision] = {
+      val ids = docs.map(_.doc_id).toArray.sorted
+      var keeper = state.getOption.map(_.keeper).getOrElse(-1L)
+      val out = ids.map { id =>
+        if (keeper < 0) { keeper = id; DedupDecision(id, None, is_duplicate = false) }
+        else DedupDecision(id, Some(keeper), is_duplicate = true)
+      }
+      state.update(KeeperState(keeper))
+      out.iterator
+    }
+
+    val decided = src
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+      .as[Doc]
+      .groupByKey(_.h)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(decide)
+      .toDF()
+    runToMemory(spark, decided, name, cp, OutputMode.Append())
+      .select(col("doc_id"), col("dup_of"), col("is_duplicate"))
+      .orderBy(col("doc_id"))
+  }
+
   /** D3 — streaming sink into the catalog: the windowed aggregate lands as
     * partitioned parquet under the EDFS root (partitioned by event_type so the
     * sink layout is query-prunable), then is read back through the batch path.
@@ -335,7 +428,8 @@ object Streams extends Serializable {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window" -> (streamWindow _),
     "stream_sessions" -> (streamSessions _),
-    "stream_to_catalog" -> (streamToCatalog _))
+    "stream_to_catalog" -> (streamToCatalog _),
+    "stream_dedup" -> (streamDedup _))
 
   /** With sentinel-driven finalization all three streaming queries are exactly
     * batch-equivalent on a finite backlog, so each carries a sql oracle:
@@ -349,5 +443,14 @@ object Streams extends Serializable {
         | event_type, COUNT(*) AS n_events
         |FROM events
         |GROUP BY 1, 2
-        |ORDER BY 1, 2""".stripMargin)
+        |ORDER BY 1, 2""".stripMargin,
+    // D4 ≡ the batch window-min dedup on a single-batch backlog (in-batch
+    // groups decide by ascending doc_id, matching MIN OVER the digest)
+    "stream_dedup" ->
+      """SELECT doc_id,
+        | CASE WHEN doc_id = mn THEN NULL ELSE mn END AS dup_of,
+        | doc_id <> mn AS is_duplicate
+        |FROM (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS mn
+        |      FROM documents) t
+        |ORDER BY doc_id""".stripMargin)
 }

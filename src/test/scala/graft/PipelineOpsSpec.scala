@@ -217,4 +217,32 @@ class PipelineOpsSpec extends SparkSpec {
         }
     }
   }
+
+  test("graft_might_contain: no false negatives, bounded false positives") {
+    import spark.implicits._
+    val keys = (0L until 2000L).map(i => s"key_$i").toDF("k")
+    val bloom = keys.select(xxhash64(col("k")).as("xx")).stat.bloomFilter("xx", 2000, 0.01)
+    val bytes = { val bos = new java.io.ByteArrayOutputStream(); bloom.writeTo(bos); bos.toByteArray }
+    def probe(df: org.apache.spark.sql.DataFrame) = df.filter(
+      graft.functions.GraftFunctions.mightContain(spark, bytes, col("k"))).count()
+    // every inserted key must hit — the sketch build (stat.bloomFilter over
+    // xxhash64 longs) and the probe (XxHash64 wrap) must agree on hashing
+    assert(probe(keys) == 2000L)
+    val absent = (0L until 2000L).map(i => s"other_$i").toDF("k")
+    val fp = probe(absent)
+    assert(fp < 100L, s"false-positive rate way over the 1% target: $fp/2000")
+  }
+
+  test("contamination_bloom matches the exact broadcast form row for row") {
+    val exact = PipelineOps.contamination(spark, sfDir).collect()
+    val bloomed = PipelineOps.contaminationBloom(spark, sfDir).collect()
+    assert(exact.length == bloomed.length)
+    exact.zip(bloomed).foreach { case (a, b) => assert(a == b, s"$a != $b") }
+    // the probe runs inside the corpus scan (plan-level pin: the bloom
+    // expression is present, so the corpus side is filtered before any join)
+    val plan = PipelineOps.contaminationBloom(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      "bloom probe missing from the physical plan")
+  }
 }

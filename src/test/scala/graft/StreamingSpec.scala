@@ -74,4 +74,52 @@ class StreamingSpec extends SparkSpec {
     assert(resumed == first,
       s"resume re-emitted rows: first=$first resumed=$resumed")
   }
+
+  test("streaming dedup equals the batch window-min form on one backlog") {
+    import org.apache.spark.sql.functions._
+    val streamed = Streams.streamDedup(spark, sfDir).collect().map(_.toSeq).toSet
+    val batch = Tables.load(spark, sfDir, "documents")
+      .withColumn("mn", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text").cast("binary")))))
+      .select(col("doc_id"),
+        when(col("doc_id") =!= col("mn"), col("mn")).as("dup_of"),
+        (col("doc_id") =!= col("mn")).as("is_duplicate"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      s"stream/batch divergence: ${(streamed diff batch).take(3)} vs ${(batch diff streamed).take(3)}")
+  }
+
+  test("streaming dedup keeps its keeper across micro-batches (first-seen wins)") {
+    import org.apache.spark.sql.functions._
+    // batch 1 establishes keepers; batch 2 re-sends some of the same texts
+    // under NEW higher ids — every one must point at the batch-1 keeper, and
+    // a batch-2-only text must crown its own keeper
+    val stageDir = new java.io.File("/root/repo/target/test_stream_dedup_mb")
+    org.apache.commons.io.FileUtils.deleteQuietly(stageDir)
+    stageDir.mkdirs()
+    import spark.implicits._
+    val b1 = Seq((1L, "alpha"), (2L, "beta"), (3L, "alpha"))
+    val b2 = Seq((10L, "alpha"), (11L, "gamma"), (12L, "beta"), (13L, "gamma"))
+    Seq(b1, b2).zipWithIndex.foreach { case (rows, i) =>
+      val tmp = new java.io.File(stageDir.getParent, s"dedup_tmp_$i")
+      rows.toDF("doc_id", "text")
+        .select(col("doc_id"), col("text"), lit("en").as("lang"),
+          lit("test").as("source"), length(col("text")).cast("bigint").as("n_chars"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(stageDir, f"batch_$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + i * 60000L)
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+    }
+    val got = Streams.streamDedupMultiBatch(spark, stageDir.getAbsolutePath,
+      "mb_dedup").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1), r.getBoolean(2)))
+      .toSet
+    val want = Set(
+      (1L, -1L, false), (2L, -1L, false), (3L, 1L, true),     // batch 1
+      (10L, 1L, true), (11L, -1L, false), (12L, 2L, true),    // batch 2
+      (13L, 11L, true))                                       // in-batch dup
+    assert(got == want, s"got $got")
+  }
 }
