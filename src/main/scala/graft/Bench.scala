@@ -23,6 +23,7 @@ object Bench {
       operators.Pmr.ensureOrdersByPriceRange(spark, sfDir)
       operators.Dedup.warmSignatures(spark, sfDir)
       operators.Similarity.trainCodebook(spark, sfDir)
+      operators.Similarity.ensureIvfIndex(spark, sfDir)
       streaming.Streams.stage(spark, sfDir)
       operators.Relational.q1PricingSummary(spark, sfDir).count()
     } catch { case e: Throwable => System.err.println(s"[bench] warmup: ${e.getMessage}") }

@@ -144,7 +144,7 @@ object PipelineOps {
       |FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
       |ORDER BY c.doc_id""".stripMargin
 
-  /** C21 — the SAME contamination check in the regime where the benchmark
+  /** C24 — the SAME contamination check in the regime where the benchmark
     * gram set outgrows an exact broadcast. C15 broadcasts the full gram set
     * (fine for eval suites, ~10^5 grams); at a 10^8-gram blocklist the exact
     * set is GBs but a 1%-fpp Bloom sketch is ~1.2 bytes/gram — it still

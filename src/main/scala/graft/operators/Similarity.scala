@@ -197,6 +197,69 @@ object Similarity {
       .select(col("vec_id"), col("cid"), round(col("sim"), 6).as("sim_r"))
   }
 
+  // ----- C7c: IVF as STORAGE layout — the 100 TB form of the index -----
+
+  private val ivfIndexPath =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Materialize the IVF index as a cid-PARTITIONED table: the offline
+    * index-build job. At 100 TB this layout (cid as the partition key, via
+    * partitionBy here or the catalog's hash scheme) is what makes IVF an
+    * index at all — a probe then reads nProbe/K of the corpus from disk
+    * instead of scanning everything and discarding (100-nProbe/K)% after the
+    * join. Memoized per scale dir like the other ensure* builders; the
+    * assignment is the same trained-argmax projection the query-side C7b
+    * uses, so both agree on every vector's list. */
+  def ensureIvfIndex(spark: SparkSession, sfDir: String): String =
+    ivfIndexPath.getOrElseUpdate(sfDir, {
+      val path = s"${graft.GraftConf.localRoot}/graft_ivf/${sfDir.replaceAll("[^A-Za-z0-9]+", "_")}"
+      if (!new java.io.File(path, "_SUCCESS").exists()) {
+        val codebook = trainCodebook(spark, sfDir)
+        Tables.load(spark, sfDir, "embeddings")
+          .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+          .withColumn("cid", nearestCid(spark, codebook))
+          .write.mode("overwrite").partitionBy("cid").parquet(path)
+      }
+      path
+    })
+
+  /** C7c — the partition-pruned IVF probe over the materialized index. The
+    * probe list (nProbe closest centroids to the query vector) is computed on
+    * the driver from the K-row codebook — the plan-literal form of query
+    * planning, no corpus work — and lands in the scan as a partition filter,
+    * so only nProbe/K of the index's files are read at all (spec pins the
+    * file count). Same candidate set as C7b, bit-identical driver cosine
+    * (one sequential fold, like the plan and the oracle), so the result —
+    * and the oracle — are exactly sim_ivf's. */
+  def simIvfPruned(spark: SparkSession, sfDir: String): DataFrame = {
+    val nProbe = 4
+    val codebook = trainCodebook(spark, sfDir)
+    val path = ensureIvfIndex(spark, sfDir)
+    // the query vector: a one-row lookup standing in for the user's input
+    val p = Tables.load(spark, sfDir, "embeddings")
+      .filter(col("vec_id") === 0)
+      .select(asDouble(col("embedding"))).head().getSeq[Double](0).toArray
+    // driver cosine, ONE left-to-right fold per accumulator — bit-identical
+    // to the CosineSimilarity expression and DuckDB's list_reduce
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probeCids = codebook
+      .sortBy { case (cid, cv) => (-cos(cv, p), cid) }
+      .take(nProbe).map(_._1.toLong).toSeq
+    val probeLit = typedlit(p.toSeq)
+    spark.read.parquet(path)
+      .filter(col("cid").isin(probeCids: _*)) // → PartitionFilters: file-level pruning
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("cid").cast("bigint").as("cid"),
+        graft.functions.GraftFunctions.cosine(spark, col("v"), probeLit).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"), col("cid"), round(col("sim"), 6).as("sim_r"))
+  }
+
   /** Generated DuckDB oracle for C7 (same technique as Dedup.dedupEmbeddingSql:
     * seeded hyperplane literals inlined, sequential folds → bit parity). */
   def simAnnSql: String = {
@@ -231,7 +294,8 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk" -> (simTopk _),
     "sim_ann" -> (simAnn _),
-    "sim_ivf" -> (simIvf _))
+    "sim_ivf" -> (simIvf _),
+    "sim_ivf_pruned" -> (simIvfPruned _))
 
   /** Generated oracle for C7b — the TRAINED centroids are inlined as list
     * literals (Scala's Double.toString round-trips exactly, so DuckDB parses
@@ -283,7 +347,9 @@ object Similarity {
   def oracles(sfDir: String): Map[String, String] = Map(
     "sim_topk" -> simTopkSql,
     "sim_ann" -> simAnnSql,
-    "sim_ivf" -> simIvfSql(sfDir))
+    "sim_ivf" -> simIvfSql(sfDir),
+    // identical candidate set + bit-identical cosine → C7c shares C7b's oracle
+    "sim_ivf_pruned" -> simIvfSql(sfDir))
 
   /** Dir-less contract form: resolvable only while at most one codebook has
     * been trained in this JVM — with several, the binding would be ambiguous,

@@ -147,6 +147,34 @@ class OperatorsSpec extends SparkSpec {
     assert(shuffles == 0, s"IVF should be exchange-free; got $shuffles:\n${plan.take(1500)}")
   }
 
+  test("partition-pruned IVF equals the query-side form and reads nProbe/K files") {
+    val fromIndex = Similarity.simIvfPruned(spark, sfDir).collect().map(_.toSeq)
+    val querySide = Similarity.simIvf(spark, sfDir).collect().map(_.toSeq)
+    assert(fromIndex.toSeq == querySide.toSeq,
+      s"index/query divergence: ${fromIndex.toSeq} vs ${querySide.toSeq}")
+    // the probe must touch only the nProbe=4 probed partitions of the
+    // 16-list index — partition pruning at the FILE level (inputFiles would
+    // lie here: it lists the relation pre-pruning, so read the scan's
+    // numFiles metric after execution), the property that makes this an
+    // INDEX at 100 TB
+    val idxPath = Similarity.ensureIvfIndex(spark, sfDir)
+    val allFiles = spark.read.parquet(idxPath).inputFiles.length
+    val df = Similarity.simIvfPruned(spark, sfDir)
+    df.collect()
+    def unwrap(p: org.apache.spark.sql.execution.SparkPlan): org.apache.spark.sql.execution.SparkPlan = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val scans = unwrap(df.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("graft_ivf")) => f
+    }
+    assert(scans.nonEmpty, "no file scan over the ivf index found in the plan")
+    val readFiles = scans.map(_.metrics("numFiles").value).sum
+    assert(readFiles > 0 && readFiles <= allFiles / 2,
+      s"pruned probe read $readFiles of $allFiles files — pruning not effective")
+  }
+
   test("approx percentiles track the exact form within 1% relative error") {
     val exact = Relational.qPercentiles(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
