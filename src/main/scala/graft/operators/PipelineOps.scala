@@ -61,14 +61,33 @@ object PipelineOps {
       .select(col("doc_id"), col("g"))
   }
 
+  /** Window-FREE n-gram assembly for consumers that don't need per-doc
+    * clustering: n aligned `slice`s of the token array zipped into one array
+    * of n-token structs, exploded once. arrays_zip/slice/concat_ws are all
+    * native codegen'd expressions (no interpreted lambda, unlike the
+    * transform(sequence...) trap ngramRows documents), and unlike ngramRows'
+    * window there is NO shuffle and NO per-doc sort — gram assembly happens
+    * inside the scan stage. Use this when the next operator re-shuffles on
+    * the gram anyway; use ngramRows when downstream reuses its (doc_id)
+    * partitioning. */
+  private[operators] def ngramFlat(docs: DataFrame, n: Int): DataFrame = {
+    val toks = split(col("text"), " ")
+    val m = greatest(size(toks) - lit(n - 1), lit(0)) // gram count, >= 0
+    val zipped = arrays_zip((0 until n).map(j => slice(toks, lit(j + 1), m)): _*)
+    docs.select(explode(zipped).as("z"))
+      .select(concat_ws(" ", (0 until n).map(j => col("z").getField(j.toString)): _*).as("g"))
+  }
+
   /** C14 — corpus n-gram statistics: top-50 word bigrams by frequency.
     * explode → groupBy(count) is the canonical distributed shape: map-side
     * partial counts shrink the shuffle to one row per distinct bigram per
     * task, and the global top-k is a TakeOrdered (no full sort). Tie-broken
-    * on the bigram so rank-boundary ties are deterministic. */
+    * on the bigram so rank-boundary ties are deterministic. Gram assembly is
+    * the shuffle-free ngramFlat — the only shuffle in the whole plan is the
+    * partial-count exchange. */
   def ngramTopk(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.load(spark, sfDir, "documents")
-    ngramRows(d, 2)
+    ngramFlat(d, 2)
       .groupBy(col("g").as("bigram")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram"))
       .limit(50)
