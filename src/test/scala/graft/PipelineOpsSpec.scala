@@ -218,6 +218,26 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("repetition ratio equals a brute-force bigram computation") {
+    val got = PipelineOps.textRepetition(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val want = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .flatMap { r =>
+        val toks = r.getString(1).split(" ", -1)
+        if (toks.length < 2) None
+        else {
+          val grams = toks.sliding(2).map(_.mkString(" ")).toSeq
+          val d = grams.distinct.size.toLong
+          Some(r.getLong(0) -> (grams.size.toLong, d,
+            BigDecimal(1.0 - d.toDouble / grams.size)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        }
+      }.toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (id, v) => assert(v == want(id), s"doc $id: $v vs ${want(id)}") }
+  }
+
   test("graft_might_contain: no false negatives, bounded false positives") {
     import spark.implicits._
     val keys = (0L until 2000L).map(i => s"key_$i").toDF("k")
