@@ -49,7 +49,7 @@ object PipelineOps {
     * 1000 full-text splits PER DOCUMENT (measured: 27 s for the 5-gram
     * contamination pass at sf0.1; 2.5 s this way). The window's doc_id
     * shuffle is reused by every downstream per-doc aggregation. */
-  private[operators] def ngramRows(docs: DataFrame, n: Int): DataFrame = {
+  private[graft] def ngramRows(docs: DataFrame, n: Int): DataFrame = {
     val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
     val w = byDoc.orderBy("pos")
     val gram = concat_ws(" ",
@@ -98,7 +98,7 @@ object PipelineOps {
     * inside the scan stage. Use this when the next operator re-shuffles on
     * the gram anyway; use ngramRows when downstream reuses its (doc_id)
     * partitioning. */
-  private[operators] def ngramFlat(docs: DataFrame, n: Int): DataFrame = {
+  private[graft] def ngramFlat(docs: DataFrame, n: Int): DataFrame = {
     val toks = split(col("text"), " ")
     val m = greatest(size(toks) - lit(n - 1), lit(0)) // gram count, >= 0
     val zipped = arrays_zip((0 until n).map(j => slice(toks, lit(j + 1), m)): _*)

@@ -218,6 +218,21 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("ngramFlat and ngramRows assemble the same gram multiset") {
+    // two assemblies, one truth: the shuffle-free zipped-slice form must
+    // emit exactly the window form's (doc_id, gram) bag for any n
+    Seq(2, 3, 5).foreach { n =>
+      val docs = Tables.load(spark, sfDir, "documents")
+      def bag(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+        .groupBy(identity).view.mapValues(_.length).toMap
+      val flat = bag(PipelineOps.ngramFlat(docs, n))
+      val windowed = bag(PipelineOps.ngramRows(docs, n))
+      assert(flat == windowed, s"n=$n divergence: " +
+        s"${(flat.keySet diff windowed.keySet).take(3)} vs ${(windowed.keySet diff flat.keySet).take(3)}")
+    }
+  }
+
   test("repetition ratio equals a brute-force bigram computation") {
     val got = PipelineOps.textRepetition(spark, sfDir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
