@@ -15,6 +15,21 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Source-data fingerprint (leaf count + bytes + max mtime) for memo
+    * invalidation: derived artifacts (digest stores, trained codebooks,
+    * benchmark sketches, IVF indexes) key their caches on this so data
+    * regenerated in-place under the same dir rebuilds them instead of
+    * silently serving artifacts of the old data. */
+  def fingerprint(sfDir: String, name: String): String = {
+    val root = new java.io.File(sfDir, s"$name.parquet")
+    val leaves =
+      if (root.isDirectory)
+        Option(root.listFiles()).getOrElse(Array.empty[java.io.File]).filter(_.isFile)
+      else Array(root)
+    s"${leaves.length}:${leaves.map(_.length).sum}:" +
+      s"${leaves.map(_.lastModified).foldLeft(0L)(math.max)}"
+  }
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") events(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")

@@ -147,26 +147,16 @@ object Dedup {
     * join reads each corpus bucket directly. Re-deriving digests from the
     * full corpus per increment (the previous form) re-shuffled the entire
     * corpus every batch — the dominant cost at 100 TB, paid daily. */
-  /** Source-data fingerprint (leaf count + bytes + max mtime) recorded when
-    * the digest table is built: if documents under the same sfDir are
-    * regenerated in-session, the memo invalidates and rebuilds instead of
-    * silently serving digests of the old data. */
+  /** Source-data fingerprint (Tables.fingerprint) recorded when the digest
+    * table is built: if documents under the same sfDir are regenerated
+    * in-session, the memo invalidates and rebuilds instead of silently
+    * serving digests of the old data. */
   private val digestFingerprint =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
-  private def documentsFingerprint(sfDir: String): String = {
-    val root = new java.io.File(sfDir, "documents.parquet")
-    val leaves =
-      if (root.isDirectory)
-        Option(root.listFiles()).getOrElse(Array.empty[java.io.File]).filter(_.isFile)
-      else Array(root)
-    s"${leaves.length}:${leaves.map(_.length).sum}:" +
-      s"${leaves.map(_.lastModified).foldLeft(0L)(math.max)}"
-  }
-
   def ensureCorpusDigests(spark: SparkSession, sfDir: String): String = {
     val tbl = s"corpus_digests${sfDir.replaceAll("[^A-Za-z0-9]+", "_")}"
-    val fp = documentsFingerprint(sfDir)
+    val fp = Tables.fingerprint(sfDir, "documents")
     if (!spark.catalog.tableExists(tbl) || !digestFingerprint.get(tbl).contains(fp)) {
       if (spark.catalog.tableExists(tbl)) {
         // a REGISTERED table owns its directory — retire it through the

@@ -213,7 +213,9 @@ object PipelineOps {
     scala.collection.concurrent.TrieMap.empty[String, Array[Byte]]
 
   private def benchBloom(spark: SparkSession, sfDir: String): Array[Byte] =
-    benchBloomCache.getOrElseUpdate(sfDir, {
+    // fingerprint in the key: regenerated documents rebuild the sketch
+    benchBloomCache.getOrElseUpdate(
+      s"$sfDir|${graft.Tables.fingerprint(sfDir, "documents")}", {
       val bench = gramSet(
         Tables.load(spark, sfDir, "documents").filter(col("doc_id") % 97 === 0), 5)
         .select(col("g")).distinct()

@@ -126,11 +126,20 @@ object Similarity {
     * generated DuckDB oracle). Cost per iteration is one scan of the sample;
     * only K×64 means ever reach the driver. Memoized per scale dir — in
     * production this is the offline training job whose output is broadcast. */
+  // value = (embeddings fingerprint at train time, codebook): data
+  // regenerated in-place under the same dir retrains instead of silently
+  // reusing centroids of the old corpus (same pattern as Dedup's digest store)
   private val codebookCache =
-    scala.collection.concurrent.TrieMap.empty[String, Array[(Int, Array[Double])]]
+    scala.collection.concurrent.TrieMap.empty[String, (String, Array[(Int, Array[Double])])]
+
+  private def cachedCodebook(sfDir: String): Option[Array[(Int, Array[Double])]] =
+    codebookCache.get(sfDir)
+      .filter(_._1 == graft.Tables.fingerprint(sfDir, "embeddings"))
+      .map(_._2)
 
   def trainCodebook(spark: SparkSession, sfDir: String): Array[(Int, Array[Double])] = {
-    val trained = codebookCache.getOrElseUpdate(sfDir, {
+    val fp = graft.Tables.fingerprint(sfDir, "embeddings")
+    cachedCodebook(sfDir).getOrElse {
       val e = Tables.load(spark, sfDir, "embeddings")
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       val sample = e.filter(pmod(col("vec_id"), lit(3)) === 0)
@@ -157,9 +166,9 @@ object Similarity {
           }
         }
       }
+      codebookCache(sfDir) = (fp, codebook)
       codebook
-    })
-    trained
+    }
   }
 
   /** C7b — IVF ANN: coarse quantization by nearest-centroid assignment, probe
@@ -199,7 +208,8 @@ object Similarity {
 
   // ----- C7c: IVF as STORAGE layout — the 100 TB form of the index -----
 
-  private val ivfIndexPath =
+  // dir -> embeddings fingerprint at build time (staleness key, not a path)
+  private val ivfIndexBuilt =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** Materialize the IVF index as a cid-PARTITIONED table: the offline
@@ -210,18 +220,24 @@ object Similarity {
     * join. Memoized per scale dir like the other ensure* builders; the
     * assignment is the same trained-argmax projection the query-side C7b
     * uses, so both agree on every vector's list. */
-  def ensureIvfIndex(spark: SparkSession, sfDir: String): String =
-    ivfIndexPath.getOrElseUpdate(sfDir, {
-      val path = s"${graft.GraftConf.localRoot}/graft_ivf/${sfDir.replaceAll("[^A-Za-z0-9]+", "_")}"
-      if (!new java.io.File(path, "_SUCCESS").exists()) {
-        val codebook = trainCodebook(spark, sfDir)
-        Tables.load(spark, sfDir, "embeddings")
-          .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-          .withColumn("cid", nearestCid(spark, codebook))
-          .write.mode("overwrite").partitionBy("cid").parquet(path)
-      }
-      path
-    })
+  def ensureIvfIndex(spark: SparkSession, sfDir: String): String = {
+    val fp = graft.Tables.fingerprint(sfDir, "embeddings")
+    val path = s"${graft.GraftConf.localRoot}/graft_ivf/${sfDir.replaceAll("[^A-Za-z0-9]+", "_")}"
+    // rebuild when the index is missing OR the source data changed under the
+    // dir since this session built it (same staleness rule as the codebook);
+    // overwrite mode makes the rebuild safe
+    val fresh = ivfIndexBuilt.get(sfDir).contains(fp) &&
+      new java.io.File(path, "_SUCCESS").exists()
+    if (!fresh) {
+      val codebook = trainCodebook(spark, sfDir)
+      Tables.load(spark, sfDir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .withColumn("cid", nearestCid(spark, codebook))
+        .write.mode("overwrite").partitionBy("cid").parquet(path)
+      ivfIndexBuilt(sfDir) = fp
+    }
+    path
+  }
 
   /** C7c — the partition-pruned IVF probe over the materialized index. The
     * probe list (nProbe closest centroids to the query vector) is computed on
@@ -313,7 +329,7 @@ object Similarity {
     def dotv(a: String, b: String) =
       s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> $a[i] * $b[i])), (a, b) -> a + b)"
     def cos(a: String, b: String) = s"${dotv(a, b)} / (sqrt(${sq(a)}) * sqrt(${sq(b)}))"
-    val centroidCte = codebookCache.get(sfDir) match {
+    val centroidCte = cachedCodebook(sfDir) match {
       case Some(cb) =>
         val rows = cb.map { case (cid, cv) =>
           s"($cid, ${cv.mkString("[", ", ", "]")})"
