@@ -233,22 +233,28 @@ object PipelineOps {
       .select(col("g")).distinct()
     val bloomBytes = benchBloom(spark, sfDir)
     val hit = graft.functions.GraftFunctions.mightContain(spark, bloomBytes, col("g"))
+    // ONE linear dataflow — perDoc is referenced once, so the corpus gram
+    // aggregation runs once (a second reference would recompute the whole
+    // corpus pipeline; plan-audited). explode_outer keeps zero-hit docs as a
+    // null-gram row (null never matches the join key), so totals survive to
+    // the re-aggregation without a second join against perDoc.
     val perDoc = gramSet(d.filter(col("doc_id") % 97 =!= 0), 5)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         // collect_list drops the non-hit NULLs: state is bounded by the
         // doc's own contaminated grams, never the corpus
         collect_list(when(hit, col("g"))).as("hit_grams"))
-    val verified = perDoc
-      .select(col("doc_id"), explode(col("hit_grams")).as("g"))
-      .join(bench, Seq("g")) // exact verify: false positives die here
+    perDoc
+      .select(col("doc_id"), col("n_grams"), explode_outer(col("hit_grams")).as("g"))
+      // exact verify: false positives die here. No broadcast() hint: the
+      // planner may still broadcast while bench is small, but in the
+      // big-blocklist regime it degrades to a shuffle join that carries
+      // hits + one row per doc — never corpus grams
+      .join(bench.withColumn("hit", lit(1)), Seq("g"), "left")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_contaminated"))
-    perDoc.join(verified, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_grams"),
-        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
-        (coalesce(col("n_contaminated"), lit(0L)) / col("n_grams"))
-          .as("contamination_ratio"))
+      .agg(min(col("n_grams")).as("n_grams"), count(col("hit")).as("n_contaminated"))
+      .select(col("doc_id"), col("n_grams"), col("n_contaminated"),
+        (col("n_contaminated") / col("n_grams")).as("contamination_ratio"))
       .orderBy(col("doc_id"))
   }
 
