@@ -254,7 +254,18 @@ class GraftCatalog(spark: SparkSession, root: String,
     val nlUpgrade = format == "csv" && meta.exists(!_.embeddedNewlines) &&
       hasEmbeddedNewlines(aligned)
     if (nlUpgrade) meta.foreach(m => writeSidecar(path, m.copy(embeddedNewlines = true)))
-    capped(writer).mode("append").format(format).save(target)
+    try capped(writer).mode("append").format(format).save(target)
+    catch { case e: Throwable =>
+      // an ordinary FAILED append (exception, not a crash) committed no rows
+      // under the v1 output committer (aborted jobs never promote task
+      // files), so restore the clean flag — only an actual crash between the
+      // two writes leaves the sticky-true flag, the safe degradation
+      // dirty-first exists for. Best-effort: if the restore itself fails we
+      // keep the safe (true) flag.
+      if (nlUpgrade)
+        try meta.foreach(m => writeSidecar(path, m)) catch { case _: Throwable => () }
+      throw e
+    }
     // Sidecar schema := recorded schema ∪ the BATCH's newly declared columns.
     // NOT the merged read schema: that re-types partition columns from
     // directory-name inference (BIGINT → INT), reorders them to the end, and

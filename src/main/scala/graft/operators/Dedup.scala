@@ -154,7 +154,9 @@ object Dedup {
   private val digestFingerprint =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
-  def ensureCorpusDigests(spark: SparkSession, sfDir: String): String = {
+  def ensureCorpusDigests(spark: SparkSession, sfDir: String): String = this.synchronized {
+    // coarse lock: two concurrent builders would race DROP TABLE against
+    // saveAsTable on the same table name
     val tbl = s"corpus_digests${sfDir.replaceAll("[^A-Za-z0-9]+", "_")}"
     val fp = Tables.fingerprint(sfDir, "documents")
     if (!spark.catalog.tableExists(tbl) || !digestFingerprint.get(tbl).contains(fp)) {

@@ -209,13 +209,17 @@ object PipelineOps {
     * decontamination run reuses (the sketch analog of Similarity's trained
     * codebook). stat.bloomFilter runs as a distributed treeAggregate — only
     * the merged ~bytes-per-item sketch reaches the driver, never the grams. */
+  // value = (documents fingerprint at build time, sketch): a stale entry is
+  // REPLACED under its dir key, not left behind — with fingerprints in the
+  // key every in-place regeneration would leak the previous (potentially
+  // ~100 MB at blocklist scale) sketch on the driver forever
   private val benchBloomCache =
-    scala.collection.concurrent.TrieMap.empty[String, Array[Byte]]
+    scala.collection.concurrent.TrieMap.empty[String, (String, Array[Byte])]
 
-  private def benchBloom(spark: SparkSession, sfDir: String): Array[Byte] =
-    // fingerprint in the key: regenerated documents rebuild the sketch
-    benchBloomCache.getOrElseUpdate(
-      s"$sfDir|${graft.Tables.fingerprint(sfDir, "documents")}", {
+  private def benchBloom(spark: SparkSession, sfDir: String): Array[Byte] = this.synchronized {
+    // coarse lock: two concurrent misses would run the treeAggregate twice
+    val fp = graft.Tables.fingerprint(sfDir, "documents")
+    benchBloomCache.get(sfDir).filter(_._1 == fp).map(_._2).getOrElse {
       val bench = gramSet(
         Tables.load(spark, sfDir, "documents").filter(col("doc_id") % 97 === 0), 5)
         .select(col("g")).distinct()
@@ -224,8 +228,11 @@ object PipelineOps {
         .stat.bloomFilter("xx", math.max(nBench, 64), 0.01)
       val bos = new java.io.ByteArrayOutputStream()
       bloom.writeTo(bos)
-      bos.toByteArray
-    })
+      val bytes = bos.toByteArray
+      benchBloomCache(sfDir) = (fp, bytes)
+      bytes
+    }
+  }
 
   def contaminationBloom(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.load(spark, sfDir, "documents")

@@ -137,7 +137,14 @@ object Similarity {
       .filter(_._1 == graft.Tables.fingerprint(sfDir, "embeddings"))
       .map(_._2)
 
-  def trainCodebook(spark: SparkSession, sfDir: String): Array[(Int, Array[Double])] = {
+  def trainCodebook(spark: SparkSession, sfDir: String): Array[(Int, Array[Double])] =
+    // double-checked coarse lock: training is rare and heavyweight, and two
+    // concurrent misses for one dir would run the full Lloyd job twice
+    cachedCodebook(sfDir).getOrElse(this.synchronized {
+      trainCodebookLocked(spark, sfDir)
+    })
+
+  private def trainCodebookLocked(spark: SparkSession, sfDir: String): Array[(Int, Array[Double])] = {
     val fp = graft.Tables.fingerprint(sfDir, "embeddings")
     cachedCodebook(sfDir).getOrElse {
       val e = Tables.load(spark, sfDir, "embeddings")
@@ -220,7 +227,9 @@ object Similarity {
     * join. Memoized per scale dir like the other ensure* builders; the
     * assignment is the same trained-argmax projection the query-side C7b
     * uses, so both agree on every vector's list. */
-  def ensureIvfIndex(spark: SparkSession, sfDir: String): String = {
+  def ensureIvfIndex(spark: SparkSession, sfDir: String): String = this.synchronized {
+    // same coarse lock as trainCodebook (reentrant, so the nested call is
+    // fine): two concurrent builders would race overwrite writes on one path
     val fp = graft.Tables.fingerprint(sfDir, "embeddings")
     val path = s"${graft.GraftConf.localRoot}/graft_ivf/${sfDir.replaceAll("[^A-Za-z0-9]+", "_")}"
     // rebuild when the index is missing OR the source data changed under the
@@ -367,13 +376,21 @@ object Similarity {
     // identical candidate set + bit-identical cosine → C7c shares C7b's oracle
     "sim_ivf_pruned" -> simIvfSql(sfDir))
 
-  /** Dir-less contract form: resolvable only while at most one codebook has
-    * been trained in this JVM — with several, the binding would be ambiguous,
-    * so refuse loudly instead of silently inlining another dir's centroids. */
-  def oracles: Map[String, String] = {
-    require(codebookCache.size <= 1,
-      s"sim_ivf oracle is ambiguous: codebooks trained for " +
-        s"${codebookCache.keySet.mkString(", ")} — use oracles(sfDir)")
-    oracles(codebookCache.keySet.headOption.getOrElse(""))
+  /** Dir-less contract form, total for any JVM state: one trained codebook →
+    * that dir's centroid-literal oracle; none → the data-derived seed
+    * fallback; SEVERAL → the binding is ambiguous, so emit the labeled seed
+    * fallback rather than pick a dir. The fallback is self-contained SQL, so
+    * an ambiguous binding surfaces as a VISIBLE oracle mismatch against the
+    * trained query results (fail-evident), never as a silent pass against
+    * another dir's centroids and never as a thrown exception from what the
+    * contract documents as a plain accessor. Verify always uses the
+    * dir-bound `oracles(sfDir)`. */
+  def oracles: Map[String, String] = codebookCache.keySet.toList match {
+    case single :: Nil => oracles(sfDir = single)
+    case Nil => oracles(sfDir = "")
+    case several =>
+      oracles(sfDir = "") + ("sim_ivf" ->
+        (s"-- ambiguous: codebooks trained for ${several.sorted.mkString(", ")};" +
+          s" use the dir-bound oracle dump\n" + simIvfSql("")))
   }
 }

@@ -51,18 +51,35 @@ object Streams extends Serializable {
     * in). Callers apply `withWatermark` and then filter the sentinel out —
     * the sentinel must pass through the EventTimeWatermark operator to advance
     * the watermark, so the filter has to come after it. */
+  /** Stage a testdata table into a stream landing dir, re-copying when the
+    * SOURCE's fingerprint no longer matches the one recorded at copy time —
+    * the same staleness rule every derived artifact uses (Tables.fingerprint);
+    * without it a regenerated source would silently stream the old corpus.
+    * Returns true when (re)staged, so sentinel-style derived files know to
+    * rebuild too. */
+  private def stageCopy(sfDir: String, table: String, stageDir: java.io.File): Boolean = {
+    val staged = new java.io.File(stageDir, s"$table.parquet")
+    val fpFile = new java.io.File(stageDir, s".$table.src_fp")
+    val fp = graft.Tables.fingerprint(sfDir, table)
+    val fresh = staged.exists() && fpFile.exists() &&
+      new String(java.nio.file.Files.readAllBytes(fpFile.toPath)) == fp
+    if (!fresh) {
+      stageDir.mkdirs()
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sfDir/$table.parquet"),
+        staged.toPath, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      java.nio.file.Files.write(fpFile.toPath, fp.getBytes)
+    }
+    !fresh
+  }
+
   private def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val stageDir = new java.io.File(
       s"${graft.GraftConf.localRoot}/graft_stream/${sfDir.replaceAll("[^A-Za-z0-9]+", "_")}/in")
+    val restaged = stageCopy(sfDir, "events", stageDir)
     val staged = new java.io.File(stageDir, "events.parquet")
-    if (!staged.exists()) {
-      stageDir.mkdirs()
-      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
-        staged.toPath)
-    }
     val sentinel = new java.io.File(stageDir, "z_sentinel.parquet")
-    if (!sentinel.exists()) writeSentinel(spark, staged, sentinel)
+    if (restaged || !sentinel.exists()) writeSentinel(spark, staged, sentinel)
     spark.readStream.schema(EventsSchema).parquet(stageDir.getAbsolutePath)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
@@ -82,7 +99,8 @@ object Streams extends Serializable {
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
     val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
-    java.nio.file.Files.move(part.toPath, sentinel.toPath)
+    java.nio.file.Files.move(part.toPath, sentinel.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     org.apache.commons.io.FileUtils.deleteQuietly(tmp)
   }
 
@@ -96,12 +114,7 @@ object Streams extends Serializable {
   private def docsStream(spark: SparkSession, sfDir: String): DataFrame = {
     val stageDir = new java.io.File(
       s"${graft.GraftConf.localRoot}/graft_stream/${sfDir.replaceAll("[^A-Za-z0-9]+", "_")}/docs_in")
-    val staged = new java.io.File(stageDir, "documents.parquet")
-    if (!staged.exists()) {
-      stageDir.mkdirs()
-      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
-        staged.toPath)
-    }
+    stageCopy(sfDir, "documents", stageDir)
     spark.readStream.schema(DocsSchema).parquet(stageDir.getAbsolutePath)
   }
 

@@ -29,20 +29,27 @@ def main(p01, p1):
     rows.sort(key=lambda r: -(r[3] if r[3] == r[3] else -1))
     print("| query | sf0.1 s | sf1 s | x (10x data) |")
     print("| --- | --- | --- | --- |")
-    flagged = []
+    flagged, one_sided_keys = [], []
     for k, t0, t1, r in rows:
-        mark = " **FLAG**" if r == r and r > FLAG_RATIO else ""
         one_sided = t0 is None or t1 is None
-        if mark or one_sided:
+        # a one-sided query has no ratio — report it in its OWN bucket, not
+        # as a super-linear suspect (no scaling claim was ever computed)
+        mark = ""
+        if one_sided:
+            one_sided_keys.append(k)
+            mark = " **ONE-SIDED**"
+        elif r == r and r > FLAG_RATIO:
             flagged.append(k)
+            mark = " **FLAG**"
         f0 = f"{t0:.2f}" if t0 is not None else "n/a"
         f1 = f"{t1:.2f}" if t1 is not None else "n/a"
         fr = f"{r:.1f}" if r == r else "n/a"
-        print(f"| {k}{' **FLAG**' if one_sided and not mark else mark} | {f0} | {f1} | {fr} |")
+        print(f"| {k}{mark} | {f0} | {f1} | {fr} |")
     print()
     print(f"total: sf0.1 {a['value']:.1f}s -> sf1 {b['value']:.1f}s "
           f"({b['value']/a['value']:.1f}x for 10x data)")
     print(f"flagged (> {FLAG_RATIO}x): {flagged or 'none'}")
+    print(f"one-sided (present in only one bench): {one_sided_keys or 'none'}")
 
 if __name__ == "__main__":
     main(sys.argv[1], sys.argv[2])
