@@ -43,21 +43,13 @@ object Streams extends Serializable {
     ()
   }
 
-  /** The events stream: same NANOS-timestamp normalization as the batch loader
-    * (Tables.events), via readStream with an explicit schema (ts read as raw
-    * nanos BIGINT, converted after). The file-stream source monitors a
-    * directory, so the testdata file plus the end-of-stream sentinel are staged
-    * into one (in production this is the landing directory new files arrive
-    * in). Callers apply `withWatermark` and then filter the sentinel out —
-    * the sentinel must pass through the EventTimeWatermark operator to advance
-    * the watermark, so the filter has to come after it. */
   /** Stage a testdata table into a stream landing dir, re-copying when the
     * SOURCE's fingerprint no longer matches the one recorded at copy time —
     * the same staleness rule every derived artifact uses (Tables.fingerprint);
     * without it a regenerated source would silently stream the old corpus.
     * Returns true when (re)staged, so sentinel-style derived files know to
     * rebuild too. */
-  private def stageCopy(sfDir: String, table: String, stageDir: java.io.File): Boolean = {
+  private[graft] def stageCopy(sfDir: String, table: String, stageDir: java.io.File): Boolean = {
     val staged = new java.io.File(stageDir, s"$table.parquet")
     val fpFile = new java.io.File(stageDir, s".$table.src_fp")
     val fp = graft.Tables.fingerprint(sfDir, table)
@@ -72,6 +64,14 @@ object Streams extends Serializable {
     !fresh
   }
 
+  /** The events stream: same NANOS-timestamp normalization as the batch loader
+    * (Tables.events), via readStream with an explicit schema (ts read as raw
+    * nanos BIGINT, converted after). The file-stream source monitors a
+    * directory, so the testdata file plus the end-of-stream sentinel are staged
+    * into one (in production this is the landing directory new files arrive
+    * in). Callers apply `withWatermark` and then filter the sentinel out —
+    * the sentinel must pass through the EventTimeWatermark operator to advance
+    * the watermark, so the filter has to come after it. */
   private def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val stageDir = new java.io.File(

@@ -75,6 +75,37 @@ class StreamingSpec extends SparkSpec {
       s"resume re-emitted rows: first=$first resumed=$resumed")
   }
 
+  test("staging re-copies when the source fingerprint changes") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val srcDir = new java.io.File("/root/repo/target/test_stage_src")
+    val stageDir = new java.io.File("/root/repo/target/test_stage_dst")
+    Seq(srcDir, stageDir).foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+    srcDir.mkdirs()
+    def writeSource(tag: String, mtime: Long): Unit = {
+      val tmp = new java.io.File(srcDir.getParent, "stage_src_tmp")
+      Seq((1L, tag)).toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(srcDir, "documents.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      dst.setLastModified(mtime)
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+    }
+    writeSource("old", 1700000000000L)
+    assert(Streams.stageCopy(srcDir.getAbsolutePath, "documents", stageDir),
+      "first call must stage")
+    assert(!Streams.stageCopy(srcDir.getAbsolutePath, "documents", stageDir),
+      "unchanged source must not re-stage")
+    writeSource("new", 1700000060000L) // regenerated in place
+    assert(Streams.stageCopy(srcDir.getAbsolutePath, "documents", stageDir),
+      "changed fingerprint must re-stage")
+    val staged = spark.read.parquet(s"${stageDir.getAbsolutePath}/documents.parquet")
+      .select(col("text")).head().getString(0)
+    assert(staged == "new", s"stale staged copy served: $staged")
+  }
+
   test("streaming dedup equals the batch window-min form on one backlog") {
     import org.apache.spark.sql.functions._
     val streamed = Streams.streamDedup(spark, sfDir).collect().map(_.toSeq).toSet
