@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass token-fingerprint kernel shared by the interpreted and
+  * generated paths of [[TokenFingerprint]]. Semantics are EXACTLY the
+  * composed form it replaces (TextAnalysis.textFingerprint's
+  * `aggregate(split(text,' '), 0, (acc,t) -> (acc*31 + hexHash(t)) % 1e9+7)`)
+  * and its DuckDB oracle:
+  *   - tokens are single-space splits with limit -1 (interior AND trailing
+  *     empty tokens participate, like Spark's `split`);
+  *   - per-token hash = first 4 md5 digest bytes as an unsigned 32-bit value
+  *     (identical to parsing the first 8 lowercase hex chars);
+  *   - left-to-right polynomial fold, 31 multiplier, mod 1e9+7.
+  */
+object FingerprintHelper {
+  private val Mod = 1000000007L
+
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def fingerprint(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    val digest = md.get()
+    var acc = 0L
+    var start = 0
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        digest.reset()
+        digest.update(bytes, start, i - start)
+        val d = digest.digest()
+        val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        acc = (acc * 31 + h) % Mod
+        start = i + 1
+      }
+      i += 1
+    }
+    acc
+  }
+}
+
+/** Native Catalyst expression for the C11 rolling document fingerprint.
+  *
+  * Why a custom Expression (SURVEY §3 preference (b)): the composed form runs
+  * `aggregate`'s interpreted lambda per token, re-evaluating an md5 + conv +
+  * substring expression subtree through non-codegen HOF machinery — ~1.5 µs a
+  * token of interpreter overhead around a ~0.2 µs hash. This fuses the split,
+  * the digest and the fold into ONE generated call per document (a static
+  * kernel invocation inside whole-stage codegen), keeping the bit-exact
+  * semantics the DuckDB oracle pins.
+  */
+case class TokenFingerprint(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_fingerprint expects a string column, got $other")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_fingerprint"
+
+  override protected def nullSafeEval(input: Any): Any =
+    FingerprintHelper.fingerprint(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.FingerprintHelper.fingerprint($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenFingerprint =
+    copy(child = newChild)
+}

@@ -102,15 +102,31 @@ object GraftFunctions {
       s"graft_might_contain expects 2 arguments, got ${other.size}")
   }
 
+  val fingerprintInfo = new ExpressionInfo(
+    classOf[TokenFingerprint].getName, "graft_fingerprint")
+
+  private val fingerprintBuilder: Seq[Expression] => Expression = {
+    case Seq(c) => TokenFingerprint(c)
+    case other => throw new IllegalArgumentException(
+      s"graft_fingerprint expects 1 argument, got ${other.size}")
+  }
+
   /** Idempotently register into an existing session (works regardless of how
     * the session was built — e.g. a driver-owned session without extensions). */
   def ensureRegistered(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     Seq((FunctionIdentifier("graft_cosine"), cosineInfo, cosineBuilder),
-      (FunctionIdentifier("graft_might_contain"), mightContainInfo, mightContainBuilder))
+      (FunctionIdentifier("graft_might_contain"), mightContainInfo, mightContainBuilder),
+      (FunctionIdentifier("graft_fingerprint"), fingerprintInfo, fingerprintBuilder))
       .foreach { case (id, info, builder) =>
         if (!registry.functionExists(id)) registry.registerFunction(id, info, builder)
       }
+  }
+
+  /** Column-API entry point: fused token fingerprint (C11). */
+  def fingerprint(spark: SparkSession, text: Column): Column = {
+    ensureRegistered(spark)
+    call_function("graft_fingerprint", text)
   }
 
   /** Column-API entry point: `cosine(a, b)`. */
@@ -139,5 +155,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       { case Seq(bloom, value) =>
         BloomFilterMightContain(bloom, new XxHash64(Seq(value)))
       }: Seq[Expression] => Expression))
+    ext.injectFunction((FunctionIdentifier("graft_fingerprint"),
+      GraftFunctions.fingerprintInfo,
+      { case Seq(c) => TokenFingerprint(c) }: Seq[Expression] => Expression))
   }
 }

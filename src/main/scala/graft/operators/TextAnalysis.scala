@@ -174,13 +174,20 @@ object TextAnalysis {
     * oracle covers it. */
   def textFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.load(spark, sfDir, "documents")
+    // the fused native expression (functions.TokenFingerprint) — bit-equal to
+    // the composed HOF form, which FunctionsSpec keeps pinned as the
+    // semantic reference
     d.select(col("doc_id"),
-        aggregate(split(col("text"), " "), lit(0L),
-          (acc, t) => pmod(acc * lit(31L) + hexHash(t), lit(1000000007L)))
-          .as("fingerprint"),
+        graft.functions.GraftFunctions.fingerprint(spark, col("text")).as("fingerprint"),
         wsTokens(col("text")))
       .orderBy(col("doc_id"))
   }
+
+  /** The composed (interpreted-HOF) form TokenFingerprint replaces — kept as
+    * the executable semantic spec the native kernel is tested against. */
+  private[graft] def fingerprintComposed(c: Column): Column =
+    aggregate(split(c, " "), lit(0L),
+      (acc, t) => pmod(acc * lit(31L) + hexHash(t), lit(1000000007L)))
 
   val textFingerprintSql: String =
     """SELECT doc_id,

@@ -46,4 +46,25 @@ class FunctionsSpec extends SparkSpec {
     assert(err.getMessage.toLowerCase.contains("cosine") ||
       err.getMessage.toLowerCase.contains("data type"))
   }
+
+  test("graft_fingerprint equals the composed HOF form on the corpus + edges") {
+    import spark.implicits._
+    val corpus = Tables.load(spark, sfDir, "documents").select(col("text"))
+    // edge shapes the corpus may not cover: empty, single token, interior
+    // and trailing empties (split keeps them), unicode
+    val edges = Seq("", " ", "a", "a b", "a  b", "a b ", " a", "héllo wörld é")
+      .toDF("text")
+    Seq(corpus, edges).foreach { df =>
+      val rows = df.select(
+        graft.functions.GraftFunctions.fingerprint(spark, col("text")).as("fused"),
+        graft.operators.TextAnalysis.fingerprintComposed(col("text")).as("composed"))
+        .collect()
+      rows.foreach(r => assert(r.getLong(0) == r.getLong(1),
+        s"fused ${r.getLong(0)} != composed ${r.getLong(1)}"))
+    }
+    // null propagates
+    val n = Seq(Option.empty[String]).toDF("text")
+      .select(graft.functions.GraftFunctions.fingerprint(spark, col("text")))
+    assert(n.head().isNullAt(0))
+  }
 }
