@@ -47,6 +47,66 @@ object FingerprintHelper {
   }
 }
 
+/** Token-membership kernel for [[StopwordHits]]: one pass over the document
+  * bytes, counting tokens (single-space splits, empties included — the same
+  * tokenization as `explode(split(text, ' '))`) that appear in the dictionary.
+  * Multiplicity counts, exactly like the `isin` + sum aggregation it
+  * replaces. */
+object StopwordKernel {
+  def hits(s: UTF8String, dict: java.util.HashSet[UTF8String]): Long = {
+    val bytes = s.getBytes
+    var n = 0L
+    var start = 0
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        if (dict.contains(UTF8String.fromBytes(bytes, start, i - start))) n += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    n
+  }
+}
+
+/** Per-document stopword-hit count as ONE projected expression — the
+  * shuffle-free form of language-ID scoring. The composed form explodes every
+  * token into a row and aggregates hits back per document: a corpus-sized
+  * Generate plus the plan's only Exchange, paid once per dictionary-set scan.
+  * This expression keeps scoring inside the scan's whole-stage codegen (the
+  * dictionary rides along as a plan reference object), so a 100 TB language-ID
+  * pass is a pure map with NO shuffle at all. */
+case class StopwordHits(child: Expression, words: Seq[String]) extends UnaryExpression {
+
+  @transient private lazy val dict: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String]()
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_stop_hits expects a string column, got $other")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_stop_hits"
+
+  override protected def nullSafeEval(input: Any): Any =
+    StopwordKernel.hits(input.asInstanceOf[UTF8String], dict)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val dictRef = ctx.addReferenceObj("stopDict", dict,
+      "java.util.HashSet<org.apache.spark.unsafe.types.UTF8String>")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.StopwordKernel.hits($c, $dictRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): StopwordHits =
+    copy(child = newChild)
+}
+
 /** Native Catalyst expression for the C11 rolling document fingerprint.
   *
   * Why a custom Expression (SURVEY §3 preference (b)): the composed form runs

@@ -105,6 +105,19 @@ object GraftFunctions {
   val fingerprintInfo = new ExpressionInfo(
     classOf[TokenFingerprint].getName, "graft_fingerprint")
 
+  val stopHitsInfo = new ExpressionInfo(
+    classOf[StopwordHits].getName, "graft_stop_hits")
+
+  /** Tail args must be foldable string literals — the dictionary is plan
+    * metadata, not per-row data. */
+  private[functions] val stopHitsBuilder: Seq[Expression] => Expression = {
+    case text +: rest if rest.nonEmpty && rest.forall(e =>
+      e.foldable && e.dataType.isInstanceOf[org.apache.spark.sql.types.StringType]) =>
+      StopwordHits(text, rest.map(_.eval(null).toString))
+    case other => throw new IllegalArgumentException(
+      "graft_stop_hits expects (text, word literal...), got " + other.size + " args")
+  }
+
   private val fingerprintBuilder: Seq[Expression] => Expression = {
     case Seq(c) => TokenFingerprint(c)
     case other => throw new IllegalArgumentException(
@@ -117,7 +130,8 @@ object GraftFunctions {
     val registry = spark.sessionState.functionRegistry
     Seq((FunctionIdentifier("graft_cosine"), cosineInfo, cosineBuilder),
       (FunctionIdentifier("graft_might_contain"), mightContainInfo, mightContainBuilder),
-      (FunctionIdentifier("graft_fingerprint"), fingerprintInfo, fingerprintBuilder))
+      (FunctionIdentifier("graft_fingerprint"), fingerprintInfo, fingerprintBuilder),
+      (FunctionIdentifier("graft_stop_hits"), stopHitsInfo, stopHitsBuilder))
       .foreach { case (id, info, builder) =>
         if (!registry.functionExists(id)) registry.registerFunction(id, info, builder)
       }
@@ -127,6 +141,15 @@ object GraftFunctions {
   def fingerprint(spark: SparkSession, text: Column): Column = {
     ensureRegistered(spark)
     call_function("graft_fingerprint", text)
+  }
+
+  /** Column-API entry point: shuffle-free stopword-hit count (C8). The
+    * dictionary words travel as string literals through the registry builder
+    * (the only public Column→Expression seam in Spark 4). */
+  def stopHits(spark: SparkSession, text: Column, words: Seq[String]): Column = {
+    ensureRegistered(spark)
+    call_function("graft_stop_hits",
+      text +: words.map(org.apache.spark.sql.functions.lit(_)): _*)
   }
 
   /** Column-API entry point: `cosine(a, b)`. */
@@ -158,5 +181,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("graft_fingerprint"),
       GraftFunctions.fingerprintInfo,
       { case Seq(c) => TokenFingerprint(c) }: Seq[Expression] => Expression))
+    ext.injectFunction((FunctionIdentifier("graft_stop_hits"),
+      GraftFunctions.stopHitsInfo, GraftFunctions.stopHitsBuilder))
   }
 }

@@ -115,23 +115,30 @@ object TextAnalysis {
   /** C8 — language-ID heuristic: stopword-dictionary votes + a CJK character
     * probe; deterministic tie-break en > es > de > fr > und.
     *
-    * Shape: ONE tokenization pass via explode → groupBy(doc) with one static
-    * sum per language. The per-language `stopHits` form splits the text once
-    * per dictionary (CollapseProject inlines the split into every filter
-    * lambda — 4 full string scans/allocs per row; ~3× slower measured at
-    * sf0.1). The CJK probe is a find-first `rlike`, not an extract-all count
-    * (only "any match" feeds the decision), computed before the explode so
-    * Generate evaluates it once per document, not once per token. Map-side
-    * partial aggregation shrinks the shuffle to 4 longs per doc per task. */
+    * Shape evolution, fastest last (all three measured at sf0.1):
+    * 1. interpreted-HOF `filter(split(...)).size` per dictionary — 4 full
+    *    splits/allocs per row through non-codegen lambda machinery (~3×
+    *    slower than 2);
+    * 2. ONE explode → groupBy(doc) with 4 conditional sums — a corpus-sized
+    *    Generate plus the plan's only Exchange;
+    * 3. (current) 4 projected StopwordHits native expressions — scoring
+    *    stays inside the scan's codegen, the plan is a pure map with no
+    *    Generate and NO shuffle (the property that matters at 100 TB: a
+    *    language-ID pass is embarrassingly parallel and should plan as one).
+    * The CJK probe is a find-first `rlike`, not an extract-all count (only
+    * "any match" feeds the decision). */
   def textLangid(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.load(spark, sfDir, "documents")
+    // per-dictionary hit counts as projected native expressions
+    // (functions.StopwordHits): scoring never leaves the scan stage, so the
+    // whole language-ID pass is a pure map — no Generate, no Exchange. The
+    // former explode+groupBy form survives as the semantic reference in
+    // FunctionsSpec (langidScoresComposed).
     def score(words: Seq[String]) =
-      sum(when(col("t").isin(words: _*), 1L).otherwise(0L))
+      graft.functions.GraftFunctions.stopHits(spark, col("text"), words)
     val scored = d.select(col("doc_id"),
         col("text").rlike("[\\x{4e00}-\\x{9fff}]").as("has_cjk"),
-        explode(split(col("text"), " ")).as("t"))
-      .groupBy(col("doc_id"), col("has_cjk"))
-      .agg(score(EnStops).as("en_score"), score(EsStops).as("es_score"),
+        score(EnStops).as("en_score"), score(EsStops).as("es_score"),
         score(DeStops).as("de_score"), score(FrStops).as("fr_score"))
     scored.select(col("doc_id"),
         when(col("has_cjk"), "zh")
@@ -146,6 +153,18 @@ object TextAnalysis {
           .otherwise("fr").as("predicted_lang"),
         col("en_score"), col("es_score"), col("de_score"), col("fr_score"))
       .orderBy(col("doc_id"))
+  }
+
+  /** The explode+aggregate scoring form StopwordHits replaces — kept as the
+    * executable semantic reference the native kernel is tested against. */
+  private[graft] def langidScoresComposed(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.load(spark, sfDir, "documents")
+    def score(words: Seq[String]) =
+      sum(when(col("t").isin(words: _*), 1L).otherwise(0L))
+    d.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .groupBy(col("doc_id"))
+      .agg(score(EnStops).as("en_score"), score(EsStops).as("es_score"),
+        score(DeStops).as("de_score"), score(FrStops).as("fr_score"))
   }
 
   val textLangidSql: String =

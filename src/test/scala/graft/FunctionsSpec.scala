@@ -67,4 +67,33 @@ class FunctionsSpec extends SparkSpec {
       .select(graft.functions.GraftFunctions.fingerprint(spark, col("text")))
     assert(n.head().isNullAt(0))
   }
+
+  test("graft_stop_hits equals the explode+aggregate scoring form") {
+    import spark.implicits._
+    val fused = graft.operators.TextAnalysis.textLangid(spark, sfDir)
+      .select(col("doc_id"), col("en_score"), col("es_score"),
+        col("de_score"), col("fr_score"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val composed = graft.operators.TextAnalysis.langidScoresComposed(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(fused.keySet == composed.keySet)
+    fused.foreach { case (id, v) =>
+      assert(v == composed(id), s"doc $id: fused $v vs composed ${composed(id)}")
+    }
+    // multiplicity counts (the kernel is not a distinct-membership test),
+    // empties and unknown words score zero
+    val edge = Seq("the the the", "", " ", "thee the").toDF("text")
+      .select(graft.functions.GraftFunctions.stopHits(spark, col("text"),
+        Seq("the", "a")).as("n"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(edge == Seq(3L, 0L, 0L, 1L), s"got $edge")
+    // the langid plan must be shuffle-free: no Exchange, no Generate
+    val plan = graft.operators.TextAnalysis.textLangid(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "langid should not shuffle")
+    assert(!plan.contains("Generate"), "langid should not explode")
+  }
 }
