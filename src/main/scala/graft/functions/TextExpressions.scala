@@ -107,6 +107,63 @@ case class StopwordHits(child: Expression, words: Seq[String]) extends UnaryExpr
     copy(child = newChild)
 }
 
+/** Distinct-bigram kernel for [[DistinctBigrams]]: a word bigram is a
+  * CONTIGUOUS byte span of the document (from one token's first byte to the
+  * next token's last), so distinct counting needs no string assembly at all —
+  * spans wrap the original bytes as UTF8String views in a HashSet. Same
+  * bigram domain as `ngramFlat(_, 2)`: single-space splits, empties included,
+  * sub-2-token documents have no bigrams. */
+object BigramKernel {
+  def distinct(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    val starts = scala.collection.mutable.ArrayBuffer[Int](0)
+    var i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' ') starts += i + 1
+      i += 1
+    }
+    if (starts.length < 2) return 0L
+    val seen = new java.util.HashSet[UTF8String]()
+    var t = 0
+    while (t < starts.length - 1) {
+      // span: token t's first byte .. token t+1's last byte
+      val from = starts(t)
+      val until = if (t + 2 < starts.length) starts(t + 2) - 1 else bytes.length
+      seen.add(UTF8String.fromBytes(bytes, from, until - from))
+      t += 1
+    }
+    seen.size.toLong
+  }
+}
+
+/** Per-document distinct word-bigram count as a projected native expression —
+  * the shuffle-free core of the C25 repetition ratio. A bigram never crosses
+  * a document boundary, so the distinct count is row-local: computing it via
+  * explode + two-phase distinct aggregation shuffles every bigram of the
+  * corpus to answer a question each row can answer alone. With this kernel
+  * the repetition score is a pure map. */
+case class DistinctBigrams(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_distinct_bigrams expects a string column, got $other")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_distinct_bigrams"
+
+  override protected def nullSafeEval(input: Any): Any =
+    BigramKernel.distinct(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.BigramKernel.distinct($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): DistinctBigrams =
+    copy(child = newChild)
+}
+
 /** Native Catalyst expression for the C11 rolling document fingerprint.
   *
   * Why a custom Expression (SURVEY §3 preference (b)): the composed form runs

@@ -108,6 +108,15 @@ object GraftFunctions {
   val stopHitsInfo = new ExpressionInfo(
     classOf[StopwordHits].getName, "graft_stop_hits")
 
+  val distinctBigramsInfo = new ExpressionInfo(
+    classOf[DistinctBigrams].getName, "graft_distinct_bigrams")
+
+  private val distinctBigramsBuilder: Seq[Expression] => Expression = {
+    case Seq(c) => DistinctBigrams(c)
+    case other => throw new IllegalArgumentException(
+      s"graft_distinct_bigrams expects 1 argument, got ${other.size}")
+  }
+
   /** Tail args must be foldable string literals — the dictionary is plan
     * metadata, not per-row data. */
   private[functions] val stopHitsBuilder: Seq[Expression] => Expression = {
@@ -131,7 +140,8 @@ object GraftFunctions {
     Seq((FunctionIdentifier("graft_cosine"), cosineInfo, cosineBuilder),
       (FunctionIdentifier("graft_might_contain"), mightContainInfo, mightContainBuilder),
       (FunctionIdentifier("graft_fingerprint"), fingerprintInfo, fingerprintBuilder),
-      (FunctionIdentifier("graft_stop_hits"), stopHitsInfo, stopHitsBuilder))
+      (FunctionIdentifier("graft_stop_hits"), stopHitsInfo, stopHitsBuilder),
+      (FunctionIdentifier("graft_distinct_bigrams"), distinctBigramsInfo, distinctBigramsBuilder))
       .foreach { case (id, info, builder) =>
         if (!registry.functionExists(id)) registry.registerFunction(id, info, builder)
       }
@@ -141,6 +151,12 @@ object GraftFunctions {
   def fingerprint(spark: SparkSession, text: Column): Column = {
     ensureRegistered(spark)
     call_function("graft_fingerprint", text)
+  }
+
+  /** Column-API entry point: per-doc distinct word-bigram count (C25). */
+  def distinctBigrams(spark: SparkSession, text: Column): Column = {
+    ensureRegistered(spark)
+    call_function("graft_distinct_bigrams", text)
   }
 
   /** Column-API entry point: shuffle-free stopword-hit count (C8). The
@@ -183,5 +199,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       { case Seq(c) => TokenFingerprint(c) }: Seq[Expression] => Expression))
     ext.injectFunction((FunctionIdentifier("graft_stop_hits"),
       GraftFunctions.stopHitsInfo, GraftFunctions.stopHitsBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_distinct_bigrams"),
+      GraftFunctions.distinctBigramsInfo,
+      { case Seq(c) => DistinctBigrams(c) }: Seq[Expression] => Expression))
   }
 }

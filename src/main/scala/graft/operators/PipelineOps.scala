@@ -64,16 +64,23 @@ object PipelineOps {
   /** C25 — intra-document repetition ratio (the Gopher/C4-family quality
     * rule): fraction of a document's word bigrams that are repeats,
     * 1 − distinct/total. High values mark boilerplate, keyword stuffing and
-    * template spam that length/punctuation heuristics (C9) miss. Assembly is
-    * the shuffle-free ngramFlat; the only shuffle is the two-phase
-    * (doc_id, g) distinct aggregation — partial map-side distinct keeps the
-    * exchange at one row per distinct gram per task. Sub-2-token docs carry
-    * no bigram evidence and are excluded (same domain rule as the oracle). */
+    * template spam that length/punctuation heuristics (C9) miss.
+    *
+    * A bigram never crosses a document boundary, so both counts are
+    * row-local: totals fall out of the token count and the distinct count is
+    * a native one-pass kernel (functions.DistinctBigrams) — the whole score
+    * is a projected pure map, no Generate, no Exchange. The explode +
+    * two-phase-distinct form this replaces shuffled every bigram of the
+    * corpus (it survives as the semantic reference in the spec). Sub-2-token
+    * docs carry no bigram evidence and are excluded (same domain rule as the
+    * oracle). */
   def textRepetition(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.load(spark, sfDir, "documents")
-    ngramFlat(d, 2)
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"), countDistinct(col("g")).as("n_distinct"))
+    val nToks = TextAnalysis.wsTokenCount(col("text"))
+    d.filter(nToks >= 2)
+      .select(col("doc_id"),
+        (nToks - lit(1)).cast("bigint").as("n_bigrams"),
+        graft.functions.GraftFunctions.distinctBigrams(spark, col("text")).as("n_distinct"))
       .select(col("doc_id"), col("n_bigrams"), col("n_distinct"),
         round(lit(1.0) - col("n_distinct") / col("n_bigrams"), 6).as("repetition_ratio"))
       .orderBy(col("doc_id"))

@@ -251,6 +251,13 @@ class PipelineOpsSpec extends SparkSpec {
       }.toMap
     assert(got.keySet == want.keySet)
     got.foreach { case (id, v) => assert(v == want(id), s"doc $id: $v vs ${want(id)}") }
+    // both counts are row-local: the plan must be a pure map + sort —
+    // no Generate (explode), no hash Exchange (aggregation)
+    val plan = PipelineOps.textRepetition(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"), "repetition should not explode")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "repetition should not shuffle an aggregation")
   }
 
   test("graft_might_contain: no false negatives, bounded false positives") {
