@@ -164,6 +164,63 @@ case class DistinctBigrams(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Count-only kernel for [[BpeTokenCount]]: one byte pass emulating
+  * `size(regexp_extract_all(text, "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"))` without
+  * materializing a single match — a letters RUN counts once, each digit
+  * counts, every other non-space character counts once per CODE POINT
+  * (Java regex and RE2 both match negated classes per code point, so a
+  * 4-byte astral char is ONE match — spec-pinned against the regex form). */
+object BpeKernel {
+  def count(s: UTF8String): Long = {
+    val b = s.getBytes
+    var n = 0L
+    var i = 0
+    var inLetters = false
+    while (i < b.length) {
+      val c = b(i) & 0xff
+      if (c < 0x80) {
+        val isLetter = (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')
+        if (isLetter) { if (!inLetters) { n += 1; inLetters = true } }
+        else {
+          inLetters = false
+          if (c != ' ') n += 1 // digit or ascii punct: one match each
+        }
+        i += 1
+      } else {
+        inLetters = false
+        val len = if (c >= 0xf0) 4 else if (c >= 0xe0) 3 else 2
+        n += 1 // one non-space code point = one match
+        i += len
+      }
+    }
+    n
+  }
+}
+
+/** BPE-ish token count as a count-only native expression. The regex form
+  * allocates and copies every matched token into an array just to take its
+  * length; this walks the bytes once inside whole-stage codegen. */
+case class BpeTokenCount(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_bpe_count expects a string column, got $other")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_bpe_count"
+
+  override protected def nullSafeEval(input: Any): Any =
+    BpeKernel.count(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.BpeKernel.count($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): BpeTokenCount =
+    copy(child = newChild)
+}
+
 /** Native Catalyst expression for the C11 rolling document fingerprint.
   *
   * Why a custom Expression (SURVEY §3 preference (b)): the composed form runs

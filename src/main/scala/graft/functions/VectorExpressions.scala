@@ -111,6 +111,15 @@ object GraftFunctions {
   val distinctBigramsInfo = new ExpressionInfo(
     classOf[DistinctBigrams].getName, "graft_distinct_bigrams")
 
+  val bpeCountInfo = new ExpressionInfo(
+    classOf[BpeTokenCount].getName, "graft_bpe_count")
+
+  private val bpeCountBuilder: Seq[Expression] => Expression = {
+    case Seq(c) => BpeTokenCount(c)
+    case other => throw new IllegalArgumentException(
+      s"graft_bpe_count expects 1 argument, got ${other.size}")
+  }
+
   private val distinctBigramsBuilder: Seq[Expression] => Expression = {
     case Seq(c) => DistinctBigrams(c)
     case other => throw new IllegalArgumentException(
@@ -141,7 +150,8 @@ object GraftFunctions {
       (FunctionIdentifier("graft_might_contain"), mightContainInfo, mightContainBuilder),
       (FunctionIdentifier("graft_fingerprint"), fingerprintInfo, fingerprintBuilder),
       (FunctionIdentifier("graft_stop_hits"), stopHitsInfo, stopHitsBuilder),
-      (FunctionIdentifier("graft_distinct_bigrams"), distinctBigramsInfo, distinctBigramsBuilder))
+      (FunctionIdentifier("graft_distinct_bigrams"), distinctBigramsInfo, distinctBigramsBuilder),
+      (FunctionIdentifier("graft_bpe_count"), bpeCountInfo, bpeCountBuilder))
       .foreach { case (id, info, builder) =>
         if (!registry.functionExists(id)) registry.registerFunction(id, info, builder)
       }
@@ -151,6 +161,12 @@ object GraftFunctions {
   def fingerprint(spark: SparkSession, text: Column): Column = {
     ensureRegistered(spark)
     call_function("graft_fingerprint", text)
+  }
+
+  /** Column-API entry point: count-only BPE-ish tokenization (C10). */
+  def bpeCount(spark: SparkSession, text: Column): Column = {
+    ensureRegistered(spark)
+    call_function("graft_bpe_count", text)
   }
 
   /** Column-API entry point: per-doc distinct word-bigram count (C25). */
@@ -202,5 +218,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("graft_distinct_bigrams"),
       GraftFunctions.distinctBigramsInfo,
       { case Seq(c) => DistinctBigrams(c) }: Seq[Expression] => Expression))
+    ext.injectFunction((FunctionIdentifier("graft_bpe_count"),
+      GraftFunctions.bpeCountInfo,
+      { case Seq(c) => BpeTokenCount(c) }: Seq[Expression] => Expression))
   }
 }

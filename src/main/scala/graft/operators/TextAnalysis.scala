@@ -35,9 +35,11 @@ object TextAnalysis {
     ('A' to 'Z').mkString + ('a' to 'z').mkString + ('0' to '9').mkString + " "
 
   /** Whitespace token count (int form) — the one definition every operator
-    * that reasons about document length shares (C9, C10, C17, C18). */
+    * that reasons about document length shares (C9, C10, C17, C18).
+    * `translate` not `regexp_replace`: a plain char map strips the spaces
+    * without spinning up the regex engine per row, with identical output. */
   private[operators] def wsTokenCount(c: Column): Column =
-    length(c) - length(regexp_replace(c, " ", "")) + lit(1)
+    length(c) - length(translate(c, " ", "")) + lit(1)
 
   /** Count of [^A-Za-z0-9 ] chars via translate (plain char-map — a fraction
     * of a regex extract-all's cost). */
@@ -56,9 +58,6 @@ object TextAnalysis {
   private[operators] def hexHash(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
 
-  private def stopHits(c: Column, words: Seq[String]): Column =
-    size(filter(split(c, " "), t => t.isin(words.map(lit(_)): _*)))
-
   private def stopHitsSql(words: Seq[String]): String =
     s"len(list_filter(string_split(text, ' '), t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
 
@@ -67,10 +66,11 @@ object TextAnalysis {
     * GPT-2-style pre-tokenizer shape). */
   def textTokens(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.load(spark, sfDir, "documents")
+    // count-only native kernel (functions.BpeTokenCount): the regex form
+    // materializes every match into an array just to take its length
     d.select(col("doc_id"), length(col("text")).cast("bigint").as("n_chars_calc"),
         wsTokens(col("text")),
-        size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
-          .cast("bigint").as("bpe_tokens"))
+        graft.functions.GraftFunctions.bpeCount(spark, col("text")).as("bpe_tokens"))
       .orderBy(col("doc_id"))
   }
 
@@ -86,7 +86,8 @@ object TextAnalysis {
     val d = Tables.load(spark, sfDir, "documents")
     val nTok = wsTokenCount(col("text"))
     val nPunct = punctCount(col("text"))
-    val nStop = stopHits(col("text"), EnStops)
+    // native StopwordHits, not the interpreted filter(split) HOF
+    val nStop = graft.functions.GraftFunctions.stopHits(spark, col("text"), EnStops)
     val base = d.select(col("doc_id"),
       length(col("text")).cast("bigint").as("n_chars_calc"),
       nTok.cast("bigint").as("ws_tokens"),

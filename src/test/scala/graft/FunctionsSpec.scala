@@ -68,6 +68,25 @@ class FunctionsSpec extends SparkSpec {
     assert(n.head().isNullAt(0))
   }
 
+  test("graft_bpe_count equals the regex extract-all count on corpus + edges") {
+    import spark.implicits._
+    val corpus = Tables.load(spark, sfDir, "documents").select(col("text"))
+    // letters runs, digits, ascii punct, 2/3/4-byte UTF-8 (the 4-byte champs
+    // are a surrogate pair = TWO Java-regex matches; the kernel mirrors that)
+    val edges = Seq("", " ", "abc", "a1b", "12 34", "a,b.c", "héllo wörld",
+      "中文 text", "emoji 🎉 end", "...").toDF("text")
+    Seq(corpus, edges).foreach { df =>
+      val rows = df.select(
+        graft.functions.GraftFunctions.bpeCount(spark, col("text")).as("fused"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"), lit(0))).cast("bigint").as("regex"),
+        col("text"))
+        .collect()
+      rows.foreach(r => assert(r.getLong(0) == r.getLong(1),
+        s"'${r.getString(2)}': fused ${r.getLong(0)} != regex ${r.getLong(1)}"))
+    }
+  }
+
   test("graft_stop_hits equals the explode+aggregate scoring form") {
     import spark.implicits._
     val fused = graft.operators.TextAnalysis.textLangid(spark, sfDir)
