@@ -254,18 +254,14 @@ class GraftCatalog(spark: SparkSession, root: String,
     val nlUpgrade = format == "csv" && meta.exists(!_.embeddedNewlines) &&
       hasEmbeddedNewlines(aligned)
     if (nlUpgrade) meta.foreach(m => writeSidecar(path, m.copy(embeddedNewlines = true)))
-    try capped(writer).mode("append").format(format).save(target)
-    catch { case e: Throwable =>
-      // an ordinary FAILED append (exception, not a crash) committed no rows
-      // under the v1 output committer (aborted jobs never promote task
-      // files), so restore the clean flag — only an actual crash between the
-      // two writes leaves the sticky-true flag, the safe degradation
-      // dirty-first exists for. Best-effort: if the restore itself fails we
-      // keep the safe (true) flag.
-      if (nlUpgrade)
-        try meta.foreach(m => writeSidecar(path, m)) catch { case _: Throwable => () }
-      throw e
-    }
+    // No flag rollback on a thrown save: a commitJob that fails PARTWAY
+    // through its sequential task-file promotion can leave some of the
+    // batch's newline-bearing rows in the table, and a restored clean flag
+    // over those rows would split records mid-row on read. A failed
+    // newline-bearing append therefore leaves the table conservatively
+    // dirty (slower whole-file reads, never corrupt ones) — the same
+    // degradation an actual crash produces.
+    capped(writer).mode("append").format(format).save(target)
     // Sidecar schema := recorded schema ∪ the BATCH's newly declared columns.
     // NOT the merged read schema: that re-types partition columns from
     // directory-name inference (BIGINT → INT), reorders them to the end, and

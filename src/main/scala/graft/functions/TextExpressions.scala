@@ -116,19 +116,26 @@ case class StopwordHits(child: Expression, words: Seq[String]) extends UnaryExpr
 object BigramKernel {
   def distinct(s: UTF8String): Long = {
     val bytes = s.getBytes
-    val starts = scala.collection.mutable.ArrayBuffer[Int](0)
+    // primitive int array, grown by doubling — this is a per-row hot kernel,
+    // a boxing ArrayBuffer would allocate an Integer per token
+    var starts = new Array[Int](16)
+    var nStarts = 1 // starts(0) = 0
     var i = 0
     while (i < bytes.length) {
-      if (bytes(i) == ' ') starts += i + 1
+      if (bytes(i) == ' ') {
+        if (nStarts == starts.length) starts = java.util.Arrays.copyOf(starts, nStarts * 2)
+        starts(nStarts) = i + 1
+        nStarts += 1
+      }
       i += 1
     }
-    if (starts.length < 2) return 0L
+    if (nStarts < 2) return 0L
     val seen = new java.util.HashSet[UTF8String]()
     var t = 0
-    while (t < starts.length - 1) {
+    while (t < nStarts - 1) {
       // span: token t's first byte .. token t+1's last byte
       val from = starts(t)
-      val until = if (t + 2 < starts.length) starts(t + 2) - 1 else bytes.length
+      val until = if (t + 2 < nStarts) starts(t + 2) - 1 else bytes.length
       seen.add(UTF8String.fromBytes(bytes, from, until - from))
       t += 1
     }

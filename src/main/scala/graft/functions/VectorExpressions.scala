@@ -80,7 +80,7 @@ object GraftFunctions {
   val cosineInfo = new ExpressionInfo(
     classOf[CosineSimilarity].getName, "graft_cosine")
 
-  private val cosineBuilder: Seq[Expression] => Expression = {
+  private[functions] val cosineBuilder: Seq[Expression] => Expression = {
     case Seq(a, b) => CosineSimilarity(a, b)
     case other => throw new IllegalArgumentException(
       s"graft_cosine expects 2 arguments, got ${other.size}")
@@ -96,7 +96,7 @@ object GraftFunctions {
   val mightContainInfo = new ExpressionInfo(
     classOf[BloomFilterMightContain].getName, "graft_might_contain")
 
-  private val mightContainBuilder: Seq[Expression] => Expression = {
+  private[functions] val mightContainBuilder: Seq[Expression] => Expression = {
     case Seq(bloom, value) => BloomFilterMightContain(bloom, new XxHash64(Seq(value)))
     case other => throw new IllegalArgumentException(
       s"graft_might_contain expects 2 arguments, got ${other.size}")
@@ -114,29 +114,33 @@ object GraftFunctions {
   val bpeCountInfo = new ExpressionInfo(
     classOf[BpeTokenCount].getName, "graft_bpe_count")
 
-  private val bpeCountBuilder: Seq[Expression] => Expression = {
+  private[functions] val bpeCountBuilder: Seq[Expression] => Expression = {
     case Seq(c) => BpeTokenCount(c)
     case other => throw new IllegalArgumentException(
       s"graft_bpe_count expects 1 argument, got ${other.size}")
   }
 
-  private val distinctBigramsBuilder: Seq[Expression] => Expression = {
+  private[functions] val distinctBigramsBuilder: Seq[Expression] => Expression = {
     case Seq(c) => DistinctBigrams(c)
     case other => throw new IllegalArgumentException(
       s"graft_distinct_bigrams expects 1 argument, got ${other.size}")
   }
 
-  /** Tail args must be foldable string literals — the dictionary is plan
-    * metadata, not per-row data. */
+  /** Tail args must be foldable NON-NULL string literals — the dictionary is
+    * plan metadata, not per-row data. */
   private[functions] val stopHitsBuilder: Seq[Expression] => Expression = {
     case text +: rest if rest.nonEmpty && rest.forall(e =>
-      e.foldable && e.dataType.isInstanceOf[org.apache.spark.sql.types.StringType]) =>
+      e.foldable && e.dataType.isInstanceOf[org.apache.spark.sql.types.StringType] &&
+        e.eval(null) != null) =>
       StopwordHits(text, rest.map(_.eval(null).toString))
-    case other => throw new IllegalArgumentException(
-      "graft_stop_hits expects (text, word literal...), got " + other.size + " args")
+    case args if args.size < 2 => throw new IllegalArgumentException(
+      s"graft_stop_hits expects (text, word literal...), got ${args.size} args")
+    case _ => throw new IllegalArgumentException(
+      "graft_stop_hits dictionary args must be non-null string LITERALS " +
+        "(plan metadata), not columns or NULL")
   }
 
-  private val fingerprintBuilder: Seq[Expression] => Expression = {
+  private[functions] val fingerprintBuilder: Seq[Expression] => Expression = {
     case Seq(c) => TokenFingerprint(c)
     case other => throw new IllegalArgumentException(
       s"graft_fingerprint expects 1 argument, got ${other.size}")
@@ -202,24 +206,19 @@ object GraftFunctions {
 /** Extensions entry point: `--conf spark.sql.extensions=graft.functions.GraftExtensions`. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    // reuse the registry builders: the inline duplicates threw raw
+    // MatchErrors on wrong arity instead of the builders' argument errors
     ext.injectFunction((FunctionIdentifier("graft_cosine"),
-      GraftFunctions.cosineInfo,
-      { case Seq(a, b) => CosineSimilarity(a, b) }: Seq[Expression] => Expression))
+      GraftFunctions.cosineInfo, GraftFunctions.cosineBuilder))
     ext.injectFunction((FunctionIdentifier("graft_might_contain"),
-      GraftFunctions.mightContainInfo,
-      { case Seq(bloom, value) =>
-        BloomFilterMightContain(bloom, new XxHash64(Seq(value)))
-      }: Seq[Expression] => Expression))
+      GraftFunctions.mightContainInfo, GraftFunctions.mightContainBuilder))
     ext.injectFunction((FunctionIdentifier("graft_fingerprint"),
-      GraftFunctions.fingerprintInfo,
-      { case Seq(c) => TokenFingerprint(c) }: Seq[Expression] => Expression))
+      GraftFunctions.fingerprintInfo, GraftFunctions.fingerprintBuilder))
     ext.injectFunction((FunctionIdentifier("graft_stop_hits"),
       GraftFunctions.stopHitsInfo, GraftFunctions.stopHitsBuilder))
     ext.injectFunction((FunctionIdentifier("graft_distinct_bigrams"),
-      GraftFunctions.distinctBigramsInfo,
-      { case Seq(c) => DistinctBigrams(c) }: Seq[Expression] => Expression))
+      GraftFunctions.distinctBigramsInfo, GraftFunctions.distinctBigramsBuilder))
     ext.injectFunction((FunctionIdentifier("graft_bpe_count"),
-      GraftFunctions.bpeCountInfo,
-      { case Seq(c) => BpeTokenCount(c) }: Seq[Expression] => Expression))
+      GraftFunctions.bpeCountInfo, GraftFunctions.bpeCountBuilder))
   }
 }

@@ -223,9 +223,17 @@ object PipelineOps {
   private val benchBloomCache =
     scala.collection.concurrent.TrieMap.empty[String, (String, Array[Byte])]
 
-  private def benchBloom(spark: SparkSession, sfDir: String): Array[Byte] = this.synchronized {
-    // coarse lock: two concurrent misses would run the treeAggregate twice
+  private def benchBloom(spark: SparkSession, sfDir: String): Array[Byte] = {
     val fp = graft.Tables.fingerprint(sfDir, "documents")
+    // double-checked like trainCodebook: the unlocked fast path serves cache
+    // hits; only a miss takes the lock (two concurrent misses would run the
+    // treeAggregate twice)
+    benchBloomCache.get(sfDir).filter(_._1 == fp).map(_._2)
+      .getOrElse(this.synchronized { benchBloomLocked(spark, sfDir, fp) })
+  }
+
+  private def benchBloomLocked(spark: SparkSession, sfDir: String,
+    fp: String): Array[Byte] =
     benchBloomCache.get(sfDir).filter(_._1 == fp).map(_._2).getOrElse {
       val bench = gramSet(
         Tables.load(spark, sfDir, "documents").filter(col("doc_id") % 97 === 0), 5)
@@ -239,7 +247,6 @@ object PipelineOps {
       benchBloomCache(sfDir) = (fp, bytes)
       bytes
     }
-  }
 
   def contaminationBloom(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.load(spark, sfDir, "documents")

@@ -215,9 +215,12 @@ object Similarity {
 
   // ----- C7c: IVF as STORAGE layout — the 100 TB form of the index -----
 
-  // dir -> embeddings fingerprint at build time (staleness key, not a path)
+  // dir -> (embeddings fingerprint at build time, the codebook the index was
+  // ASSIGNED with): probes must pick their lists from this exact codebook —
+  // re-deriving it from the data would open a window where a mid-call
+  // regeneration leaves probe centroids inconsistent with the stored lists
   private val ivfIndexBuilt =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    scala.collection.concurrent.TrieMap.empty[String, (String, Array[(Int, Array[Double])])]
 
   /** Materialize the IVF index as a cid-PARTITIONED table: the offline
     * index-build job. At 100 TB this layout (cid as the partition key, via
@@ -227,7 +230,15 @@ object Similarity {
     * join. Memoized per scale dir like the other ensure* builders; the
     * assignment is the same trained-argmax projection the query-side C7b
     * uses, so both agree on every vector's list. */
-  def ensureIvfIndex(spark: SparkSession, sfDir: String): String = this.synchronized {
+  def ensureIvfIndex(spark: SparkSession, sfDir: String): String =
+    ensureIvfIndexWithCodebook(spark, sfDir)._1
+
+  /** Returns (index path, the codebook the stored lists were assigned with).
+    * Probe-side callers MUST use this codebook, not a fresh trainCodebook
+    * call, so probe-list selection and the on-disk partitioning can never
+    * disagree. */
+  private def ensureIvfIndexWithCodebook(spark: SparkSession,
+    sfDir: String): (String, Array[(Int, Array[Double])]) = this.synchronized {
     // same coarse lock as trainCodebook (reentrant, so the nested call is
     // fine): two concurrent builders would race overwrite writes on one path
     val fp = graft.Tables.fingerprint(sfDir, "embeddings")
@@ -235,17 +246,18 @@ object Similarity {
     // rebuild when the index is missing OR the source data changed under the
     // dir since this session built it (same staleness rule as the codebook);
     // overwrite mode makes the rebuild safe
-    val fresh = ivfIndexBuilt.get(sfDir).contains(fp) &&
-      new java.io.File(path, "_SUCCESS").exists()
-    if (!fresh) {
-      val codebook = trainCodebook(spark, sfDir)
-      Tables.load(spark, sfDir, "embeddings")
-        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-        .withColumn("cid", nearestCid(spark, codebook))
-        .write.mode("overwrite").partitionBy("cid").parquet(path)
-      ivfIndexBuilt(sfDir) = fp
+    ivfIndexBuilt.get(sfDir) match {
+      case Some((f, cb)) if f == fp && new java.io.File(path, "_SUCCESS").exists() =>
+        (path, cb)
+      case _ =>
+        val codebook = trainCodebook(spark, sfDir)
+        Tables.load(spark, sfDir, "embeddings")
+          .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+          .withColumn("cid", nearestCid(spark, codebook))
+          .write.mode("overwrite").partitionBy("cid").parquet(path)
+        ivfIndexBuilt(sfDir) = (fp, codebook)
+        (path, codebook)
     }
-    path
   }
 
   /** C7c — the partition-pruned IVF probe over the materialized index. The
@@ -258,8 +270,8 @@ object Similarity {
     * and the oracle — are exactly sim_ivf's. */
   def simIvfPruned(spark: SparkSession, sfDir: String): DataFrame = {
     val nProbe = 4
-    val codebook = trainCodebook(spark, sfDir)
-    val path = ensureIvfIndex(spark, sfDir)
+    // ONE source of truth: the codebook the index build assigned with
+    val (path, codebook) = ensureIvfIndexWithCodebook(spark, sfDir)
     // the query vector: a one-row lookup standing in for the user's input
     val p = Tables.load(spark, sfDir, "embeddings")
       .filter(col("vec_id") === 0)
@@ -389,8 +401,11 @@ object Similarity {
     case single :: Nil => oracles(sfDir = single)
     case Nil => oracles(sfDir = "")
     case several =>
-      oracles(sfDir = "") + ("sim_ivf" ->
-        (s"-- ambiguous: codebooks trained for ${several.sorted.mkString(", ")};" +
-          s" use the dir-bound oracle dump\n" + simIvfSql("")))
+      // both centroid-dependent oracles get the banner — they share the
+      // same ambiguity
+      val banner = s"-- ambiguous: codebooks trained for " +
+        s"${several.sorted.mkString(", ")}; use the dir-bound oracle dump\n"
+      oracles(sfDir = "") ++ Seq("sim_ivf", "sim_ivf_pruned")
+        .map(k => k -> (banner + simIvfSql("")))
   }
 }

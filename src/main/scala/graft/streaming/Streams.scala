@@ -57,8 +57,17 @@ object Streams extends Serializable {
       new String(java.nio.file.Files.readAllBytes(fpFile.toPath)) == fp
     if (!fresh) {
       stageDir.mkdirs()
-      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sfDir/$table.parquet"),
-        staged.toPath, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val src = new java.io.File(s"$sfDir/$table.parquet")
+      // a part-file DIRECTORY source (plain Spark write layout) must copy
+      // recursively — Files.copy of a directory copies only the empty dir
+      // entry and the fingerprint would then mark the broken copy fresh
+      if (src.isDirectory) {
+        org.apache.commons.io.FileUtils.deleteQuietly(staged)
+        org.apache.commons.io.FileUtils.copyDirectory(src, staged)
+      } else {
+        java.nio.file.Files.copy(src.toPath, staged.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
       java.nio.file.Files.write(fpFile.toPath, fp.getBytes)
     }
     !fresh

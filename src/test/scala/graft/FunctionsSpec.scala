@@ -71,8 +71,9 @@ class FunctionsSpec extends SparkSpec {
   test("graft_bpe_count equals the regex extract-all count on corpus + edges") {
     import spark.implicits._
     val corpus = Tables.load(spark, sfDir, "documents").select(col("text"))
-    // letters runs, digits, ascii punct, 2/3/4-byte UTF-8 (the 4-byte champs
-    // are a surrogate pair = TWO Java-regex matches; the kernel mirrors that)
+    // letters runs, digits, ascii punct, 2/3/4-byte UTF-8 — regex char
+    // classes match per CODE POINT (an astral char is ONE match, even though
+    // it is a surrogate pair in UTF-16); the kernel counts the same way
     val edges = Seq("", " ", "abc", "a1b", "12 34", "a,b.c", "héllo wörld",
       "中文 text", "emoji 🎉 end", "...").toDF("text")
     Seq(corpus, edges).foreach { df =>
