@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, BloomFilterMightContain, Expression, ExpressionInfo, XxHash64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions.call_function
 
@@ -72,6 +72,67 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native agreement count between two MinHash signatures (`array<bigint>`):
+  * the number of positions where both sides are non-null and equal.
+  *
+  * Why a custom Expression (SURVEY §3 preference (b)): the composed form —
+  * `aggregate(zip_with(a,b,(x,y)->IF(x=y,1,0)), 0, acc+v)` — runs two
+  * interpreted higher-order closures and allocates a 64-int array PER
+  * CANDIDATE PAIR, and it sits on the hot path of every LSH query
+  * (dedup_minhash / dedup_clusters / dedup_jaccard rank each band-collision
+  * pair by it). This is one fused primitive loop inside whole-stage codegen.
+  *
+  * Semantics are identical to the composed form: `zip_with` pads the shorter
+  * side with NULL and `IF(NULL=x,1,0)` yields 0, so counting equal non-null
+  * positions over the overlapping prefix gives the same number for any
+  * length combination (FunctionsSpec pins this on the corpus + edge shapes).
+  */
+case class SigAgreement(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"graft_sig_agreement expects (array<bigint>, array<bigint>), got ($l, $r)")
+  }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_sig_agreement"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i) && x.getLong(i) == y.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $c = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i) &&
+         |      $a.getLong($i) == $b.getLong($i)) $c++;
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+    newLeft: Expression, newRight: Expression): SigAgreement =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Registration for graft's native functions — both via SparkSessionExtensions
   * (`spark.sql.extensions=graft.functions.GraftExtensions`) and imperatively
   * for sessions built without the config. */
@@ -100,6 +161,15 @@ object GraftFunctions {
     case Seq(bloom, value) => BloomFilterMightContain(bloom, new XxHash64(Seq(value)))
     case other => throw new IllegalArgumentException(
       s"graft_might_contain expects 2 arguments, got ${other.size}")
+  }
+
+  val sigAgreementInfo = new ExpressionInfo(
+    classOf[SigAgreement].getName, "graft_sig_agreement")
+
+  private[functions] val sigAgreementBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => SigAgreement(a, b)
+    case other => throw new IllegalArgumentException(
+      s"graft_sig_agreement expects 2 arguments, got ${other.size}")
   }
 
   val fingerprintInfo = new ExpressionInfo(
@@ -151,6 +221,7 @@ object GraftFunctions {
   def ensureRegistered(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     Seq((FunctionIdentifier("graft_cosine"), cosineInfo, cosineBuilder),
+      (FunctionIdentifier("graft_sig_agreement"), sigAgreementInfo, sigAgreementBuilder),
       (FunctionIdentifier("graft_might_contain"), mightContainInfo, mightContainBuilder),
       (FunctionIdentifier("graft_fingerprint"), fingerprintInfo, fingerprintBuilder),
       (FunctionIdentifier("graft_stop_hits"), stopHitsInfo, stopHitsBuilder),
@@ -188,6 +259,12 @@ object GraftFunctions {
       text +: words.map(org.apache.spark.sql.functions.lit(_)): _*)
   }
 
+  /** Column-API entry point: MinHash signature agreement count (C2/C4/C5b). */
+  def sigAgreement(spark: SparkSession, a: Column, b: Column): Column = {
+    ensureRegistered(spark)
+    call_function("graft_sig_agreement", a, b)
+  }
+
   /** Column-API entry point: `cosine(a, b)`. */
   def cosine(spark: SparkSession, a: Column, b: Column): Column = {
     ensureRegistered(spark)
@@ -210,6 +287,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     // MatchErrors on wrong arity instead of the builders' argument errors
     ext.injectFunction((FunctionIdentifier("graft_cosine"),
       GraftFunctions.cosineInfo, GraftFunctions.cosineBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_sig_agreement"),
+      GraftFunctions.sigAgreementInfo, GraftFunctions.sigAgreementBuilder))
     ext.injectFunction((FunctionIdentifier("graft_might_contain"),
       GraftFunctions.mightContainInfo, GraftFunctions.mightContainBuilder))
     ext.injectFunction((FunctionIdentifier("graft_fingerprint"),

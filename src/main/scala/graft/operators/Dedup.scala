@@ -222,9 +222,10 @@ object Dedup {
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       .withColumn("est_jaccard",
-        aggregate(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x === y, 1).otherwise(0)), lit(0),
-          (acc, v) => acc + v).cast("double") / lit(NumHashes))
+        // native fused loop (graft.functions.SigAgreement); FunctionsSpec
+        // pins equality with the aggregate(zip_with(...)) composed form
+        graft.functions.GraftFunctions.sigAgreement(spark, col("sig_a"), col("sig_b"))
+          .cast("double") / lit(NumHashes))
       .filter(col("est_jaccard") >= tau)
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
   }
@@ -370,8 +371,7 @@ object Dedup {
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       .withColumn("est",
-        aggregate(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v))
+        graft.functions.GraftFunctions.sigAgreement(spark, col("sig_a"), col("sig_b")))
       .select(col("doc_a"), col("doc_b"), col("est"))
       .orderBy(col("est").desc, col("doc_a"), col("doc_b"))
       .limit(500)

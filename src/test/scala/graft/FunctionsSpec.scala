@@ -88,6 +88,45 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("graft_sig_agreement equals the zip_with+aggregate form on sig pairs + edges") {
+    import spark.implicits._
+    // deterministic signature-shaped pairs over a small value domain (so
+    // agreements actually occur), plus the length/emptiness edges where
+    // zip_with's null-padding semantics could diverge from a naive loop
+    val rng = new scala.util.Random(7)
+    val pairs = Seq.tabulate(200) { _ =>
+      val a = Array.fill(64)(rng.nextLong() % 4)
+      val b = a.map(v => if (rng.nextBoolean()) v else rng.nextLong() % 4)
+      (a, b)
+    } ++ Seq(
+      (Array.empty[Long], Array.empty[Long]),
+      (Array(1L, 2L, 3L), Array(1L, 2L)),
+      (Array(5L), Array.empty[Long]))
+    val df = pairs.toDF("a", "b")
+    val composed = df.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v).as("c")).collect().map(_.getInt(0))
+    val native = df.select(
+      GraftFunctions.sigAgreement(spark, col("a"), col("b")).as("c"))
+      .collect().map(_.getInt(0))
+    assert(native.toSeq == composed.toSeq)
+    // null ELEMENTS count as disagreement (IF(NULL=x,1,0) -> 0), null ARRAY
+    // propagates; both match the composed form
+    val withNulls = Seq((Array[java.lang.Long](1L, null, 3L), Array[java.lang.Long](1L, 2L, null)))
+      .toDF("a", "b")
+      .select(GraftFunctions.sigAgreement(spark, col("a"), col("b")).as("c"))
+    assert(withNulls.head().getInt(0) == 1)
+    val nullSide = Seq((Some(Array(1L, 2L)), Option.empty[Array[Long]])).toDF("a", "b")
+      .select(GraftFunctions.sigAgreement(spark, col("a"), col("b")).as("c"))
+    assert(nullSide.head().isNullAt(0))
+    // callable from SQL after registration
+    GraftFunctions.ensureRegistered(spark)
+    Seq((Array(1L, 2L, 3L), Array(1L, 9L, 3L))).toDF("a", "b")
+      .createOrReplaceTempView("sig_pairs")
+    assert(spark.sql("SELECT graft_sig_agreement(a, b) AS c FROM sig_pairs")
+      .head().getInt(0) == 2)
+  }
+
   test("graft_stop_hits equals the explode+aggregate scoring form") {
     import spark.implicits._
     val fused = graft.operators.TextAnalysis.textLangid(spark, sfDir)
