@@ -328,11 +328,59 @@ object Similarity {
        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
   }
 
+  /** C26 — int8 embedding quantization: the standard 4x compression of a
+    * 100 TB float32 vector store. Symmetric per-vector scale (max|x|/127),
+    * q_i = floor(x_i/scale + 0.5) ∈ [-127, 127]; emits per vector the scale,
+    * the exact worst-element reconstruction error |q·s − x|, and how many
+    * elements sit at the ±127 saturation rail. A pure projection — no
+    * shuffle but the output sort — and every arithmetic step is written as
+    * the same IEEE op sequence in the oracle (`floor(x+0.5)` instead of
+    * round(), whose half-case convention differs across engines), so even
+    * this float-heavy op is hash-checkable. The quantization guarantee
+    * max_abs_err ≤ scale/2 is pinned in OperatorsSpec. */
+  def embedQuantize(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val q: Column => Column = x => floor(x / col("q_scale") + lit(0.5))
+    e.withColumn("max_abs", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("q_scale", col("max_abs") / lit(127.0))
+      .select(col("vec_id"), col("q_scale"),
+        when(col("max_abs") === 0.0, lit(0.0)).otherwise(
+          array_max(transform(col("v"), x =>
+            abs(q(x).cast("double") * col("q_scale") - x)))).as("max_abs_err"),
+        when(col("max_abs") === 0.0, lit(0L)).otherwise(
+          size(filter(col("v"), x => abs(q(x)) === lit(127L))).cast("bigint"))
+          .as("n_saturated"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** DuckDB oracle with the identical IEEE op sequence per element
+    * (/ scale, + 0.5, floor, cast, * scale, − x, abs; max is
+    * order-independent). */
+  val embedQuantizeSql: String =
+    """WITH e AS (
+      | SELECT vec_id, list_transform(embedding, z -> CAST(z AS DOUBLE)) AS v
+      | FROM embeddings),
+      |m AS (
+      | SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS max_abs
+      | FROM e),
+      |s AS (SELECT vec_id, v, max_abs, max_abs / 127.0 AS q_scale FROM m)
+      |SELECT vec_id, q_scale,
+      | CASE WHEN max_abs = 0 THEN 0.0 ELSE
+      |  list_max(list_transform(v,
+      |    x -> abs(CAST(floor(x / q_scale + 0.5) AS DOUBLE) * q_scale - x)))
+      | END AS max_abs_err,
+      | CASE WHEN max_abs = 0 THEN 0 ELSE
+      |  len(list_filter(v, x -> abs(floor(x / q_scale + 0.5)) = 127))
+      | END AS n_saturated
+      |FROM s ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk" -> (simTopk _),
     "sim_ann" -> (simAnn _),
     "sim_ivf" -> (simIvf _),
-    "sim_ivf_pruned" -> (simIvfPruned _))
+    "sim_ivf_pruned" -> (simIvfPruned _),
+    "embed_quantize" -> (embedQuantize _))
 
   /** Generated oracle for C7b — the TRAINED centroids are inlined as list
     * literals (Scala's Double.toString round-trips exactly, so DuckDB parses
@@ -386,7 +434,8 @@ object Similarity {
     "sim_ann" -> simAnnSql,
     "sim_ivf" -> simIvfSql(sfDir),
     // identical candidate set + bit-identical cosine → C7c shares C7b's oracle
-    "sim_ivf_pruned" -> simIvfSql(sfDir))
+    "sim_ivf_pruned" -> simIvfSql(sfDir),
+    "embed_quantize" -> embedQuantizeSql)
 
   /** Dir-less contract form, total for any JVM state: one trained codebook →
     * that dir's centroid-literal oracle; none → the data-derived seed

@@ -93,6 +93,22 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 2, s"ANN recall dropped to $recall/10")
   }
 
+  test("int8 quantization meets its error bound on every vector") {
+    val rows = Similarity.embedQuantize(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val scale = r.getDouble(1); val err = r.getDouble(2); val sat = r.getLong(3)
+      // the symmetric-quantization guarantee: rounding to the nearest level
+      // never misses by more than half a step (tiny epsilon for the double
+      // division in scale itself)
+      assert(err <= scale / 2 + 1e-12,
+        s"vec ${r.getLong(0)}: err $err > scale/2 ${scale / 2}")
+      // the max-|x| element sits ON the rail by construction
+      assert(scale == 0.0 || sat >= 1, s"vec ${r.getLong(0)}: no saturated element")
+      assert(sat <= 64)
+    }
+  }
+
   test("cluster labels reach a fixpoint: every near-dup edge shares a label") {
     val labels = Dedup.dedupClusters(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
