@@ -433,6 +433,61 @@ object PipelineOps {
       | FROM documents) t
       |ORDER BY doc_id""".stripMargin
 
+  /** C27 — split-leakage audit: how many EXACT-duplicate document pairs
+    * straddle (or share) each train/val/test split cell — the hygiene check a
+    * training pipeline runs right after C21 assigns splits, since a dup pair
+    * crossing train→test silently inflates eval scores. Scale posture: NO
+    * digest self-join (a k-duplicate group would materialize k² pair rows —
+    * boilerplate groups detonate that at 100 TB). Instead one groupBy(digest)
+    * counts members per split, then pair counts come from the closed forms
+    * n·(n−1)/2 within a split and n_a·n_b across — two aggregations, partial
+    * map-side combine, output is ONE row regardless of corpus size.
+    * Integer-exact throughout: /2 is shiftright (n·(n−1) is always even);
+    * the oracle uses DuckDB's integer `//` and casts its HUGEINT sums back
+    * to BIGINT. */
+  def splitLeakage(spark: SparkSession, sfDir: String): DataFrame =
+    splitLeakageOf(Tables.load(spark, sfDir, "documents"))
+
+  /** The audit core over any (doc_id, text) frame — split off so specs can
+    * plant cross-split duplicates (the shipped corpus is exact-dup-free). */
+  private[graft] def splitLeakageOf(docs: DataFrame): DataFrame = {
+    val d = docs.select(md5(col("text")).as("h"), splitOf(col("doc_id")).as("split"))
+    def n(s: String) = sum(when(col("split") === s, 1L).otherwise(0L)).as(s"n_$s")
+    val perDigest = d.groupBy(col("h")).agg(n("train"), n("val"), n("test"))
+    def within(c: Column) = sum(shiftright(c * (c - lit(1L)), 1))
+    perDigest.agg(
+      within(col("n_train")).as("train_train"),
+      sum(col("n_train") * col("n_val")).as("train_val"),
+      sum(col("n_train") * col("n_test")).as("train_test"),
+      within(col("n_val")).as("val_val"),
+      sum(col("n_val") * col("n_test")).as("val_test"),
+      within(col("n_test")).as("test_test"))
+  }
+
+  val splitLeakageSql: String =
+    """WITH s AS (
+      | SELECT md5(text) AS h,
+      |  CASE WHEN hb % 100 < 90 THEN 'train'
+      |       WHEN hb % 100 < 95 THEN 'val'
+      |       ELSE 'test' END AS split
+      | FROM (SELECT text,
+      |   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS INT64) AS hb
+      |  FROM documents) t),
+      |c AS (
+      | SELECT h,
+      |  sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_train,
+      |  sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS n_val,
+      |  sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS n_test
+      | FROM s GROUP BY h)
+      |SELECT
+      | CAST(sum(n_train * (n_train - 1) // 2) AS BIGINT) AS train_train,
+      | CAST(sum(n_train * n_val) AS BIGINT) AS train_val,
+      | CAST(sum(n_train * n_test) AS BIGINT) AS train_test,
+      | CAST(sum(n_val * (n_val - 1) // 2) AS BIGINT) AS val_val,
+      | CAST(sum(n_val * n_test) AS BIGINT) AS val_test,
+      | CAST(sum(n_test * (n_test - 1) // 2) AS BIGINT) AS test_test
+      |FROM c""".stripMargin
+
   /** C22 — deterministic corpus shuffle: the training-order randomization
     * every epoch pipeline needs, as a pure sort on a seeded content-free key
     * (md5 of seed+id). ORDER BY on the key is a range-partitioned distributed
@@ -485,6 +540,7 @@ object PipelineOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_split" -> (corpusSplit _),
+    "split_leakage" -> (splitLeakage _),
     "corpus_shuffle" -> (corpusShuffle _),
     "mix_sources" -> (mixSources _),
     "prepare_corpus" -> (prepareCorpus _),
@@ -499,6 +555,7 @@ object PipelineOps {
 
   val oracles: Map[String, String] = Map(
     "corpus_split" -> corpusSplitSql,
+    "split_leakage" -> splitLeakageSql,
     "corpus_shuffle" -> corpusShuffleSql,
     "mix_sources" -> mixSourcesSql,
     "prepare_corpus" -> prepareCorpusSql,

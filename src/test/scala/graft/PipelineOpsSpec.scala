@@ -218,6 +218,52 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("split leakage equals brute-force pair counting over planted dups") {
+    import spark.implicits._
+    // the shipped corpus is exact-dup-free, so plant duplicate groups that
+    // land in different split cells: texts shared by MANY ids guarantee at
+    // least one cross-split pair under the 90/5/5 hash assignment
+    val planted = (0L until 60L).map(i => (100000L + i, s"planted dup ${i % 4}"))
+    val fixture = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+      .union(planted.toDF("doc_id", "text"))
+    // independent ground truth: collect, group by exact text, count every
+    // duplicate pair per split cell with the naive O(k²) loop the operator
+    // deliberately avoids
+    val docs = fixture
+      .select(col("doc_id"), col("text"),
+        PipelineOps.splitOf(col("doc_id")).as("split"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val expected = scala.collection.mutable.Map[(String, String), Long]()
+    docs.groupBy(_._2).values.foreach { g =>
+      for (i <- g.indices; j <- i + 1 until g.length) {
+        val key = (g(i)._3, g(j)._3)
+        expected(key) = expected.getOrElse(key, 0L) + 1
+      }
+    }
+    def cell(a: String, b: String) =
+      expected.getOrElse((a, b), 0L) + (if (a != b) expected.getOrElse((b, a), 0L) else 0L)
+    val r = PipelineOps.splitLeakageOf(fixture).head()
+    val got = Map(
+      "train_train" -> r.getLong(r.fieldIndex("train_train")),
+      "train_val" -> r.getLong(r.fieldIndex("train_val")),
+      "train_test" -> r.getLong(r.fieldIndex("train_test")),
+      "val_val" -> r.getLong(r.fieldIndex("val_val")),
+      "val_test" -> r.getLong(r.fieldIndex("val_test")),
+      "test_test" -> r.getLong(r.fieldIndex("test_test")))
+    assert(got("train_train") == cell("train", "train"))
+    assert(got("train_val") == cell("train", "val"))
+    assert(got("train_test") == cell("train", "test"))
+    assert(got("val_val") == cell("val", "val"))
+    assert(got("val_test") == cell("val", "test"))
+    assert(got("test_test") == cell("test", "test"))
+    // the planted groups must produce both intra- and cross-split pairs, so
+    // every closed form (n·(n−1)/2 and n_a·n_b) is exercised non-trivially
+    assert(got("train_train") > 0, "no intra-train planted pair")
+    assert(got("train_val") + got("train_test") + got("val_test") > 0,
+      "no cross-split planted pair — leakage path untested")
+  }
+
   test("ngramFlat and ngramRows assemble the same gram multiset") {
     // two assemblies, one truth: the shuffle-free zipped-slice form must
     // emit exactly the window form's (doc_id, gram) bag for any n
