@@ -13,7 +13,8 @@ import graft.Tables
   * LSH-style keys — minhash band signatures (C2), simhash chunk blocks (C3),
   * hyperplane sign buckets (C5) — so the shuffle carries (key, doc) pairs and
   * the pairwise work is confined to collision buckets. Signatures are computed
-  * with built-in codegen'd expressions (xxhash64/transform/aggregate), not UDFs.
+  * with built-in codegen'd expressions (md5/conv multiply-mod for minhash —
+  * portable to the DuckDB oracle — xxhash64 bit-votes for simhash), not UDFs.
   */
 object Dedup {
 
@@ -22,6 +23,29 @@ object Dedup {
   private val NumHashes = 64
   private val Bands = 16
   private val RowsPerBand = NumHashes / Bands // 4
+
+  /** Portable MinHash hash family: base = md5-derived 31-bit gram hash, member
+    * i = (a_i·x + b_i) mod P with P = 2³¹−1. Every step is expressible in both
+    * Spark and DuckDB (md5 hex + integer multiply-mod; products stay < 2⁶² so
+    * ANSI-mode longs never overflow), which is what turns C2/C4 from
+    * rows-only checks into full cross-engine SQL oracles. The previous family
+    * (xxhash64 base remixed by xxhash64(b, i)) was Spark-only; per-gram cost
+    * is one digest either way and the 64 multiply-mods are cheaper than 64
+    * xxhash64 rounds (FunctionsSpec has no stake here; the sf-bench gates the
+    * swap — see SCALE_r6).  */
+  private val P = 2147483647L // 2^31 - 1, Mersenne prime
+  private[operators] val (hashA, hashB) = {
+    val rng = new scala.util.Random(1234)
+    val a = Array.fill(NumHashes)(1L + math.floorMod(rng.nextLong(), P - 1))
+    val b = Array.fill(NumHashes)(math.floorMod(rng.nextLong(), P))
+    (a, b)
+  }
+
+  /** First `hexLen` hex chars of md5 as a long — identical in DuckDB as
+    * CAST(('0x' || substr(md5(s), 1, hexLen)) AS BIGINT). ≤15 chars keeps the
+    * value inside a signed 64-bit long. */
+  private def md5Long(c: Column, hexLen: Int): Column =
+    conv(substring(md5(c), 1, hexLen), 16, 10).cast("long")
 
   private def tokens(c: Column): Column = split(c, " ")
 
@@ -45,16 +69,23 @@ object Dedup {
     * work from a handful of mega-buckets — at 100 TB it would be unbounded. */
   private val MaxBucket = 64
 
+  /** sigs(doc_id, sig) → one row per (doc, band) with the band's portable
+    * 60-bit key (md5 of the band's comma-joined signature slice). Shared by
+    * the ad-hoc band self-join (C2/C4) and the persisted corpus band store
+    * (C16b). */
+  private def bandKeys(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(Bands - 1)),
+        b => md5Long(concat_ws(",",
+          transform(slice(col("sig"), b * lit(RowsPerBand) + lit(1), lit(RowsPerBand)),
+            v => v.cast("string"))), 15))))
+      .toDF("doc_id", "band_id", "band_key")
+
   /** docs(doc_id, sig) → candidate pairs (doc_a < doc_b) that collide in ≥1
     * LSH band. The self-join is on (band_id, band_key) — bucket-confined, with
     * oversized buckets excluded by the skew guard above. */
   private def bandCandidates(sigs: DataFrame): DataFrame = {
-    val banded = sigs.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(Bands - 1)),
-        b => xxhash64(concat_ws(",",
-          transform(slice(col("sig"), b * lit(RowsPerBand) + lit(1), lit(RowsPerBand)),
-            v => v.cast("string")))))))
-      .toDF("doc_id", "band_id", "band_key")
+    val banded = bandKeys(sigs)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band_id"), col("band_key"))
     val bounded = banded
@@ -70,13 +101,13 @@ object Dedup {
   }
 
   /** MinHash signatures, computed as explode(shingles) → groupBy(doc) with 64
-    * static `min(xxhash64(base, i))` aggregates. Each shingle string is built
-    * and hashed exactly ONCE (the 64 family members re-mix the 8-byte base
-    * hash, which is cheap); map-side partial aggregation means the shuffle
-    * carries 64 longs per doc per task. The tempting one-liner — a lambda over
-    * sequence(0,63) re-hashing shingle strings — is ~10× slower because
-    * Catalyst inlines the shingle pipeline into all 64 lambda bodies
-    * (measured via tools.DedupProfile: 20s → 2s at sf0.1). */
+    * static `min((a_i·x + b_i) mod P)` aggregates over the md5-derived base
+    * hash. Each shingle string is built and digested exactly ONCE (the 64
+    * family members are two integer ops each); map-side partial aggregation
+    * means the shuffle carries 64 longs per doc per task. The tempting
+    * one-liner — a lambda over sequence(0,63) re-hashing shingle strings — is
+    * ~10× slower because Catalyst inlines the shingle pipeline into all 64
+    * lambda bodies (measured via tools.DedupProfile: 20s → 2s at sf0.1). */
   /** One cached table per (session, dir, kind) — repeated query invocations
     * (verify then bench, or a long-lived service) reuse the materialized
     * signatures instead of stacking a fresh unreferenced cache per call, the
@@ -114,15 +145,21 @@ object Dedup {
       // lead×2), NOT explode(shingles(...)): the array-lambda form re-splits
       // the text per element (interpreted HOF + CollapseProject inlining).
       // Same strings → same xxhash64 → identical signatures.
-      val base = PipelineOps.gramSet(
-          Tables.load(spark, sfDir, "documents"), 3)
-        .select(col("doc_id"), xxhash64(col("g")).as("b"))
-      val mins = (0 until NumHashes).map(i => min(xxhash64(col("b"), lit(i))).as(s"m$i"))
-      base.groupBy(col("doc_id"))
-        .agg(mins.head, mins.tail: _*)
-        .select(col("doc_id"),
-          array((0 until NumHashes).map(i => col(s"m$i")): _*).as("sig"))
+      sigsOf(PipelineOps.gramSet(Tables.load(spark, sfDir, "documents"), 3))
     }
+
+  /** grams(doc_id, g) → (doc_id, sig[64]): one md5 per gram, 64 multiply-mod
+    * family members, map-side partial min aggregation (the shuffle carries 64
+    * longs per doc per task). */
+  private def sigsOf(grams: DataFrame): DataFrame = {
+    val base = grams.select(col("doc_id"), (md5Long(col("g"), 8) % P).as("x"))
+    val mins = (0 until NumHashes).map(i =>
+      min((col("x") * hashA(i) + hashB(i)) % P).as(s"m$i"))
+    base.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until NumHashes).map(i => col(s"m$i")): _*).as("sig"))
+  }
 
   // ----- C1: exact dedup -----
 
@@ -396,6 +433,79 @@ object Dedup {
       .limit(50)
   }
 
+  // ----- generated DuckDB oracles for the MinHash family (C2/C4) -----
+
+  /** Shared CTE chain reproducing the full signature pipeline in DuckDB: same
+    * grams, same md5-derived base hash, same multiply-mod family constants,
+    * same band keys and bucket skew guard — signatures, candidates and
+    * agreement counts are integer-exact across engines, so the previously
+    * rows-only C2/C4 estimates are hash-checkable end-to-end. */
+  private def minhashCtes: String = {
+    val minCols = (0 until NumHashes).map(i =>
+      s"MIN((${hashA(i)} * x + ${hashB(i)}) % $P) AS m$i").mkString(",\n   ")
+    val bandRows = (0 until Bands).map { b =>
+      val cols = (0 until RowsPerBand).map(j => s"m${b * RowsPerBand + j}::VARCHAR")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band_id, CAST(('0x' || substr(md5($cols), 1, 15)) AS BIGINT) AS band_key FROM sigs"
+    }.mkString("\n UNION ALL ")
+    val agree = (0 until NumHashes).map(i => s"CAST(sa.m$i = sb.m$i AS INT)").mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+       |grams AS (
+       | SELECT doc_id, CASE WHEN len(t) >= 3
+       |  THEN list_distinct(list_transform(range(1, len(t) - 1),
+       |    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))
+       |  ELSE [text] END AS gs
+       | FROM toks),
+       |base AS (
+       | SELECT doc_id, CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % $P AS x
+       | FROM (SELECT doc_id, unnest(gs) AS g FROM grams)),
+       |sigs AS (
+       | SELECT doc_id,
+       |   $minCols
+       | FROM base GROUP BY doc_id),
+       |banded_all AS (
+       | $bandRows),
+       |banded AS (
+       | SELECT * FROM banded_all
+       | QUALIFY COUNT(*) OVER (PARTITION BY band_id, band_key) <= $MaxBucket),
+       |cands AS (
+       | SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       | FROM banded x JOIN banded y
+       |  ON x.band_id = y.band_id AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+       |est AS (
+       | SELECT c.doc_a, c.doc_b, $agree AS agree
+       | FROM cands c
+       | JOIN sigs sa ON c.doc_a = sa.doc_id
+       | JOIN sigs sb ON c.doc_b = sb.doc_id)""".stripMargin
+  }
+
+  def dedupMinhashSql: String =
+    s"""$minhashCtes,
+       |dup AS (
+       | SELECT doc_b AS doc_id, MIN(doc_a) AS dup_of,
+       |  MAX(agree / 64.0) AS max_est_jaccard
+       | FROM est WHERE agree / 64.0 >= 0.5 GROUP BY doc_b)
+       |SELECT d.doc_id, dup.dup_of,
+       | COALESCE(dup.max_est_jaccard, 0.0) AS max_est_jaccard,
+       | dup.dup_of IS NOT NULL AS is_duplicate
+       |FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  def dedupJaccardSql: String =
+    s"""$minhashCtes,
+       |shortlist AS (
+       | SELECT doc_a, doc_b FROM est
+       | ORDER BY agree DESC, doc_a, doc_b LIMIT 500),
+       |j AS (
+       | SELECT s.doc_a, s.doc_b,
+       |  CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE) /
+       |   len(list_distinct(ga.gs || gb.gs)) AS jaccard
+       | FROM shortlist s
+       | JOIN grams ga ON s.doc_a = ga.doc_id
+       | JOIN grams gb ON s.doc_b = gb.doc_id)
+       |SELECT doc_a, doc_b, jaccard FROM j
+       |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 50""".stripMargin
+
   // ----- C5: embedding cosine near-dup -----
 
   /** Deterministic hyperplanes for sign-bucket LSH (seeded; no wall-clock or
@@ -484,5 +594,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
     "dedup_incremental" -> dedupIncrementalSql,
+    "dedup_minhash" -> dedupMinhashSql,
+    "dedup_jaccard" -> dedupJaccardSql,
     "dedup_embedding" -> dedupEmbeddingSql)
 }
