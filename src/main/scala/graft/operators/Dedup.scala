@@ -70,34 +70,39 @@ object Dedup {
   private val MaxBucket = 64
 
   /** sigs(doc_id, sig) → one row per (doc, band) with the band's portable
-    * 60-bit key (md5 of the band's comma-joined signature slice). Shared by
-    * the ad-hoc band self-join (C2/C4) and the persisted corpus band store
-    * (C16b). */
+    * 60-bit key (md5 of "<band index>,<comma-joined signature slice>" — the
+    * band index is FOLDED INTO the hash, so one column is the complete join
+    * key; a single-column key is what lets the C16b band store's bucket
+    * layout satisfy the join's distribution outright, where a composite
+    * (band_id, band_key) join would re-shuffle the bucketed corpus under
+    * spark.sql.requireAllClusterKeysForCoPartition). Shared by the ad-hoc
+    * band self-join (C2/C4) and the persisted corpus band store (C16b). */
   private def bandKeys(sigs: DataFrame): DataFrame =
     sigs.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(Bands - 1)),
-        b => md5Long(concat_ws(",",
+      explode(transform(sequence(lit(0), lit(Bands - 1)),
+        b => md5Long(concat(b.cast("string"), lit(","), concat_ws(",",
           transform(slice(col("sig"), b * lit(RowsPerBand) + lit(1), lit(RowsPerBand)),
-            v => v.cast("string"))), 15))))
-      .toDF("doc_id", "band_id", "band_key")
+            v => v.cast("string")))), 15))).as("band_key"))
 
   /** docs(doc_id, sig) → candidate pairs (doc_a < doc_b) that collide in ≥1
     * LSH band. The self-join is on (band_id, band_key) — bucket-confined, with
     * oversized buckets excluded by the skew guard above. */
   private def bandCandidates(sigs: DataFrame): DataFrame = {
-    val banded = bandKeys(sigs)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band_id"), col("band_key"))
-    val bounded = banded
-      .withColumn("bucket_n", count(lit(1)).over(w))
-      .filter(col("bucket_n") <= MaxBucket)
-      .drop("bucket_n")
+    val bounded = boundedBands(bandKeys(sigs))
     bounded.as("x").join(bounded.as("y"),
-        col("x.band_id") === col("y.band_id") &&
         col("x.band_key") === col("y.band_key") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  /** MaxBucket skew guard over (doc_id, band_key) rows. */
+  private def boundedBands(banded: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band_key"))
+    banded
+      .withColumn("bucket_n", count(lit(1)).over(w))
+      .filter(col("bucket_n") <= MaxBucket)
+      .drop("bucket_n")
   }
 
   /** MinHash signatures, computed as explode(shingles) → groupBy(doc) with 64
@@ -191,11 +196,11 @@ object Dedup {
   private val digestFingerprint =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
-  def ensureCorpusDigests(spark: SparkSession, sfDir: String): String = this.synchronized {
-    // coarse lock: two concurrent builders would race DROP TABLE against
-    // saveAsTable on the same table name
-    val tbl = s"corpus_digests${sfDir.replaceAll("[^A-Za-z0-9]+", "_")}"
-    val fp = Tables.fingerprint(sfDir, "documents")
+  /** Build-or-reuse a persisted store table keyed on a source fingerprint.
+    * Coarse class-level lock: two concurrent builders would race DROP TABLE
+    * against saveAsTable on the same table name. */
+  private def ensureStoreTable(spark: SparkSession, tbl: String, fp: String)
+    (build: => Unit): String = this.synchronized {
     if (!spark.catalog.tableExists(tbl) || !digestFingerprint.get(tbl).contains(fp)) {
       if (spark.catalog.tableExists(tbl)) {
         // a REGISTERED table owns its directory — retire it through the
@@ -208,13 +213,20 @@ object Dedup {
         val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh, tbl))
       }
+      build
+      digestFingerprint(tbl) = fp
+    }
+    tbl
+  }
+
+  def ensureCorpusDigests(spark: SparkSession, sfDir: String): String = {
+    val tbl = s"corpus_digests${sfDir.replaceAll("[^A-Za-z0-9]+", "_")}"
+    ensureStoreTable(spark, tbl, Tables.fingerprint(sfDir, "documents")) {
       Tables.load(spark, sfDir, "documents")
         .filter(col("doc_id") % 10 =!= 9)
         .select(col("doc_id").as("corpus_id"), md5(col("text").cast("binary")).as("h"))
         .write.bucketBy(8, "h").sortBy("h").mode("overwrite").saveAsTable(tbl)
-      digestFingerprint(tbl) = fp
     }
-    tbl
   }
 
   /** C16 — incremental dedup: the production ingest shape, where a NEW batch
@@ -244,6 +256,80 @@ object Dedup {
       | USING (h)
       |GROUP BY n.doc_id
       |ORDER BY n.doc_id""".stripMargin
+
+  // ----- C16b: incremental NEAR-dedup against a persisted signature store -----
+
+  /** The near-dup tier of the daily ingest path: the corpus's MinHash band
+    * keys persisted `bucketBy(8, band_key)` + sorted (the C16 digest-store
+    * pattern applied to LSH), plus the signatures themselves bucketed by
+    * corpus_id for the verify join. A new batch then LSH-joins the corpus
+    * with ZERO corpus-side shuffle: band collisions read the corpus band
+    * buckets in place, and the signature fetch for the surviving candidates
+    * reads the corpus sig buckets in place — only the (small) batch side
+    * ever exchanges. Re-banding the corpus per increment (what C2 would do)
+    * re-shuffles the entire corpus daily; at 100 TB the band store IS the
+    * dedup index. The store build applies the MaxBucket skew guard over
+    * corpus bucket sizes at write time (oversized buckets are boilerplate
+    * clusters owned by exact dedup, same rationale as bandCandidates). */
+  private def ensureCorpusSignatureStore(spark: SparkSession, sfDir: String,
+    tag: String, corpusPred: Column): (String, String) = {
+    val slug = s"${sfDir.replaceAll("[^A-Za-z0-9]+", "_")}_$tag"
+    val fp = Tables.fingerprint(sfDir, "documents")
+    val sigTbl = ensureStoreTable(spark, s"corpus_sigs$slug", fp) {
+      sigsOf(PipelineOps.gramSet(
+          Tables.load(spark, sfDir, "documents").filter(corpusPred), 3))
+        .withColumnRenamed("doc_id", "corpus_id")
+        .write.bucketBy(8, "corpus_id").sortBy("corpus_id")
+        .mode("overwrite").saveAsTable(s"corpus_sigs$slug")
+    }
+    val bandTbl = ensureStoreTable(spark, s"corpus_bands$slug", fp) {
+      // band keys derive from the persisted sig table, so signatures are
+      // computed once per corpus rebuild, not once per derived table
+      boundedBands(bandKeys(spark.table(s"corpus_sigs$slug")
+          .withColumnRenamed("corpus_id", "doc_id")))
+        .withColumnRenamed("doc_id", "corpus_id")
+        .write.bucketBy(8, "band_key").sortBy("band_key")
+        .mode("overwrite").saveAsTable(s"corpus_bands$slug")
+    }
+    (bandTbl, sigTbl)
+  }
+
+  /** C16b — incremental near-dedup: today's batch against the persisted
+    * corpus signature store. Batch-internal near-duplicates are out of scope
+    * by design (they are C2's job over the batch alone); this operator
+    * answers "is the new document a near-copy of anything already ingested".
+    * DedupFixtureSpec pins both the cross-boundary planted-pair recall and
+    * the no-corpus-exchange plan. */
+  def dedupIncrementalNear(spark: SparkSession, sfDir: String): DataFrame =
+    incrementalNearSplit(spark, sfDir, "m10", col("doc_id") % 10 =!= 9)
+
+  private[graft] def incrementalNearSplit(spark: SparkSession, sfDir: String,
+    tag: String, corpusPred: Column): DataFrame = {
+    val (bandTbl, sigTbl) = ensureCorpusSignatureStore(spark, sfDir, tag, corpusPred)
+    val batch = Tables.load(spark, sfDir, "documents").filter(!corpusPred)
+    // batch signatures feed both the band probe and the verify join; the
+    // checkpoint materializes them once, bounded by the batch (not corpus)
+    val batchSigs = sigsOf(PipelineOps.gramSet(batch, 3)).localCheckpoint()
+    val cands = boundedBands(bandKeys(batchSigs))
+      .join(spark.table(bandTbl), "band_key")
+      .select(col("doc_id"), col("corpus_id"))
+      .distinct()
+    val est = cands
+      .join(spark.table(sigTbl), "corpus_id")
+      .join(batchSigs.withColumnRenamed("sig", "bsig"), "doc_id")
+      .withColumn("est_jaccard",
+        graft.functions.GraftFunctions.sigAgreement(spark, col("sig"), col("bsig"))
+          .cast("double") / lit(NumHashes))
+      .filter(col("est_jaccard") >= 0.5)
+    batch.select(col("doc_id"))
+      .join(est.groupBy(col("doc_id"))
+        .agg(min(col("corpus_id")).as("dup_of"),
+          max(col("est_jaccard")).as("max_est_jaccard")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of"),
+        coalesce(col("max_est_jaccard"), lit(0.0)).as("max_est_jaccard"),
+        col("dup_of").isNotNull.as("is_duplicate"))
+      .orderBy(col("doc_id"))
+  }
 
   // ----- C2: MinHash + LSH -----
 
@@ -440,44 +526,76 @@ object Dedup {
     * same band keys and bucket skew guard — signatures, candidates and
     * agreement counts are integer-exact across engines, so the previously
     * rows-only C2/C4 estimates are hash-checkable end-to-end. */
-  private def minhashCtes: String = {
+  /** The signature pipeline (toks→grams→base→sigs→banded) over an arbitrary
+    * document source, CTE names suffixed so one statement can carry two
+    * instances (the incremental oracle needs corpus and batch sides). */
+  private def sigCtes(src: String, sfx: String): String = {
     val minCols = (0 until NumHashes).map(i =>
       s"MIN((${hashA(i)} * x + ${hashB(i)}) % $P) AS m$i").mkString(",\n   ")
     val bandRows = (0 until Bands).map { b =>
       val cols = (0 until RowsPerBand).map(j => s"m${b * RowsPerBand + j}::VARCHAR")
         .mkString(" || ',' || ")
-      s"SELECT doc_id, $b AS band_id, CAST(('0x' || substr(md5($cols), 1, 15)) AS BIGINT) AS band_key FROM sigs"
+      s"SELECT doc_id, CAST(('0x' || substr(md5('$b,' || $cols), 1, 15)) AS BIGINT) AS band_key FROM sigs$sfx"
     }.mkString("\n UNION ALL ")
-    val agree = (0 until NumHashes).map(i => s"CAST(sa.m$i = sb.m$i AS INT)").mkString(" + ")
-    s"""WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
-       |grams AS (
+    s"""toks$sfx AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM $src),
+       |grams$sfx AS (
        | SELECT doc_id, CASE WHEN len(t) >= 3
        |  THEN list_distinct(list_transform(range(1, len(t) - 1),
        |    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))
        |  ELSE [text] END AS gs
-       | FROM toks),
-       |base AS (
+       | FROM toks$sfx),
+       |base$sfx AS (
        | SELECT doc_id, CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % $P AS x
-       | FROM (SELECT doc_id, unnest(gs) AS g FROM grams)),
-       |sigs AS (
+       | FROM (SELECT doc_id, unnest(gs) AS g FROM grams$sfx)),
+       |sigs$sfx AS (
        | SELECT doc_id,
        |   $minCols
-       | FROM base GROUP BY doc_id),
-       |banded_all AS (
+       | FROM base$sfx GROUP BY doc_id),
+       |banded_all$sfx AS (
        | $bandRows),
-       |banded AS (
-       | SELECT * FROM banded_all
-       | QUALIFY COUNT(*) OVER (PARTITION BY band_id, band_key) <= $MaxBucket),
+       |banded$sfx AS (
+       | SELECT * FROM banded_all$sfx
+       | QUALIFY COUNT(*) OVER (PARTITION BY band_key) <= $MaxBucket)""".stripMargin
+  }
+
+  private def agreeExpr(a: String, b: String): String =
+    (0 until NumHashes).map(i => s"CAST($a.m$i = $b.m$i AS INT)").mkString(" + ")
+
+  private def minhashCtes: String =
+    s"""WITH ${sigCtes("documents", "")},
        |cands AS (
        | SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        | FROM banded x JOIN banded y
-       |  ON x.band_id = y.band_id AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+       |  ON x.band_key = y.band_key AND x.doc_id < y.doc_id),
        |est AS (
-       | SELECT c.doc_a, c.doc_b, $agree AS agree
+       | SELECT c.doc_a, c.doc_b, ${agreeExpr("sa", "sb")} AS agree
        | FROM cands c
        | JOIN sigs sa ON c.doc_a = sa.doc_id
        | JOIN sigs sb ON c.doc_b = sb.doc_id)""".stripMargin
-  }
+
+  /** C16b oracle: the same two-sided pipeline — corpus bands (corpus-side
+    * skew guard), batch bands (batch-side guard), collide, verify by
+    * signature agreement. */
+  def dedupIncrementalNearSql: String =
+    s"""WITH ${sigCtes("(SELECT * FROM documents WHERE doc_id % 10 != 9)", "_c")},
+       |${sigCtes("(SELECT * FROM documents WHERE doc_id % 10 = 9)", "_b")},
+       |cands AS (
+       | SELECT DISTINCT b.doc_id AS doc_id, c.doc_id AS corpus_id
+       | FROM banded_b b JOIN banded_c c ON b.band_key = c.band_key),
+       |est AS (
+       | SELECT cd.doc_id, cd.corpus_id, (${agreeExpr("sc", "sb")}) / 64.0 AS est_jaccard
+       | FROM cands cd
+       | JOIN sigs_c sc ON cd.corpus_id = sc.doc_id
+       | JOIN sigs_b sb ON cd.doc_id = sb.doc_id),
+       |dup AS (
+       | SELECT doc_id, MIN(corpus_id) AS dup_of, MAX(est_jaccard) AS max_est_jaccard
+       | FROM est WHERE est_jaccard >= 0.5 GROUP BY doc_id)
+       |SELECT d.doc_id, dup.dup_of,
+       | COALESCE(dup.max_est_jaccard, 0.0) AS max_est_jaccard,
+       | dup.dup_of IS NOT NULL AS is_duplicate
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 9) d
+       |LEFT JOIN dup ON d.doc_id = dup.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 
   def dedupMinhashSql: String =
     s"""$minhashCtes,
@@ -585,6 +703,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_incremental" -> (dedupIncremental _),
+    "dedup_incremental_near" -> (dedupIncrementalNear _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -594,6 +713,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
     "dedup_incremental" -> dedupIncrementalSql,
+    "dedup_incremental_near" -> dedupIncrementalNearSql,
     "dedup_minhash" -> dedupMinhashSql,
     "dedup_jaccard" -> dedupJaccardSql,
     "dedup_embedding" -> dedupEmbeddingSql)

@@ -130,6 +130,50 @@ class DedupFixtureSpec extends SparkSpec {
     }
   }
 
+  test("incremental near-dedup recovers planted pairs across the batch/corpus " +
+    "boundary with no corpus-side shuffle") {
+    // corpus = the base docs (< 100), batch = every planted copy (>= 100):
+    // all cross-boundary pairs must be recovered from the PERSISTED band
+    // store, not a corpus re-shuffle
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.operators.Dedup.incrementalNearSplit(
+        spark, fixtureDir, "ge100", col("doc_id") < 100)
+      val out = df.collect()
+      // one row per batch doc: 5 strong + 5 medium + {300,301} + 5 long = 17
+      assert(out.length == 17, s"expected 17 batch rows, got ${out.length}")
+      val flagged = out.filter(_.getBoolean(3))
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // every planted copy maps to its smallest corpus-side match; 300/301
+      // are near-dups of each other too, but batch-internal pairs are out of
+      // scope by design — both resolve against corpus doc 20
+      val expected = ((0 until 5).map(i => (100 + i).toLong -> i.toLong) ++
+        (0 until 5).map(i => (200 + i).toLong -> (10 + i).toLong) ++
+        Seq(300L -> 20L, 301L -> 20L) ++
+        (0 until 5).map(i => (400 + i).toLong -> (70 + i).toLong)).toMap
+      assert(flagged == expected,
+        s"flagged ${flagged.toSeq.sorted} expected ${expected.toSeq.sorted}")
+      // plan pin: both corpus store tables scan as buckets, and the corpus
+      // side contributes zero exchanges — batch-side pipeline (gram window,
+      // band guard, candidate distinct, verify joins, final agg+sort) owns
+      // every shuffle in the plan
+      df.write.format("noop").mode("overwrite").save()
+      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert("SelectedBucketsCount: 8 out of 8".r.findAllIn(plan).length == 2,
+        s"expected two bucketed corpus scans (bands + sigs):\n${plan.take(2000)}")
+      // a corpus scan feeding an Exchange is exactly what the planner marks
+      // "Bucketed: false (disabled by query planner)" — its absence plus the
+      // two bucket-pruned scans above IS the no-corpus-shuffle property; the
+      // total then bounds the batch-side pipeline (gram window, band guard,
+      // candidate distinct, two verify-join keys, final agg + output sort)
+      assert(!plan.contains("disabled by query planner"),
+        s"a corpus store scan lost its bucket layout:\n${plan.take(2000)}")
+      val shuffles = "Exchange (hash|range)partitioning".r.findAllIn(plan).length
+      assert(shuffles <= 8, s"batch-side shuffle count regressed: $shuffles exchanges")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("cluster extraction reconstructs the planted components exactly") {
     val out = Dedup.dedupClusters(spark, fixtureDir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
