@@ -346,9 +346,11 @@ object Streams extends Serializable {
     * C16 bucketed digest store; every arriving doc is decided exactly once,
     * in the same pass that would route it into the corpus. At 100 TB the
     * digest keyspace is what C16 already persists; a production stream bounds
-    * the HOT state with a digest-store lookup tier or state TTL and this
-    * operator keeps only the in-flight window — the decision logic is
-    * unchanged.
+    * the HOT state with a digest-store lookup tier or a state TTL — the TTL
+    * tier is implemented below (streamDedupTtlMultiBatch: EventTimeTimeout
+    * eviction, state bounded by the TTL window) with the same decision logic.
+    * This query keeps NoTimeout so the finite backlog stays exactly
+    * batch-equivalent for the oracle.
     *
     * Batch equivalence: within a batch, digest groups decide by ascending
     * doc_id (sorted below), so on the single-file backlog the result equals
@@ -372,6 +374,77 @@ object Streams extends Serializable {
       .option("maxFilesPerTrigger", "1")
       .parquet(stageDir)
     dedupRun(spark, src, name, cp)
+  }
+
+  case class TsDoc(doc_id: Long, h: String, ingest_ts: Timestamp)
+
+  /** D4's TTL variant — the state-bounding tier the production notes above
+    * promise: digest state carries an ingest-time TTL (EventTimeTimeout), so
+    * the HOT keyed state holds only digests seen within the TTL window and
+    * the watermark evicts the idle tail. Inside the window decisions equal
+    * the batch oracle (first-seen-wins); a duplicate re-arriving AFTER its
+    * digest was evicted is re-crowned as fresh — the documented, bounded
+    * trade: at 100 TB/day the unbounded-digest tier is C16's bucketed store
+    * (joined at batch boundaries), and this in-engine state is the recent
+    * window only. StreamingSpec stages the eviction timeline for real
+    * (multi-batch, watermark-driven) and pins both the decisions and the
+    * state-store row counts. */
+  private[graft] def streamDedupTtlMultiBatch(spark: SparkSession,
+    stageDir: String, name: String, ttlMinutes: Int):
+      (DataFrame, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) = {
+    import spark.implicits._
+    val cp = new java.io.File(stageDir + "_cp_" + name)
+    org.apache.commons.io.FileUtils.deleteQuietly(cp)
+    spark.catalog.dropTempView(name)
+    val src = spark.readStream
+      .schema("doc_id BIGINT, text STRING, ingest_ts TIMESTAMP")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stageDir)
+
+    def decide(h: String, docs: Iterator[TsDoc],
+      state: GroupState[KeeperState]): Iterator[DedupDecision] = {
+      if (state.hasTimedOut) {
+        // idle past the TTL: drop the digest outright — unlike D2's session
+        // counter there is nothing to renumber, so no tombstone is needed
+        // and state stays bounded by the TTL window, not stream history
+        state.remove()
+        Iterator.empty
+      } else {
+        val arr = docs.toArray.sortBy(_.doc_id)
+        var keeper = state.getOption.map(_.keeper).getOrElse(-1L)
+        val out = arr.map { d =>
+          if (keeper < 0) { keeper = d.doc_id; DedupDecision(d.doc_id, None, is_duplicate = false) }
+          else DedupDecision(d.doc_id, Some(keeper), is_duplicate = true)
+        }
+        state.update(KeeperState(keeper))
+        val lastSeenMs = arr.map(d => micros(d.ingest_ts)).max / 1000
+        state.setTimeoutTimestamp(lastSeenMs + ttlMinutes * 60000L)
+        out.iterator
+      }
+    }
+
+    val decided = src
+      .withWatermark("ingest_ts", "0 seconds")
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"), col("ingest_ts"))
+      .as[TsDoc]
+      .groupByKey(_.h)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(decide)
+      .toDF()
+    withStreamShufflePartitions(spark) {
+      val q = decided.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", cp.getAbsolutePath)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      (spark.table(name)
+        .select(col("doc_id"), col("dup_of"), col("is_duplicate"))
+        .orderBy(col("doc_id")),
+        q.recentProgress.toSeq)
+    }
   }
 
   private def dedupRun(spark: SparkSession, src: DataFrame, name: String,

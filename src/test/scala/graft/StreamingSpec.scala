@@ -153,4 +153,59 @@ class StreamingSpec extends SparkSpec {
       (13L, 11L, true))                                       // in-batch dup
     assert(got == want, s"got $got")
   }
+
+  test("TTL'd streaming dedup evicts idle digests and stays batch-exact inside the window") {
+    import org.apache.spark.sql.functions._
+    import java.sql.Timestamp
+    // timeline (TTL = 120 min, watermark delay 0): X re-arrives once INSIDE
+    // the TTL (must dedup against the original keeper) and once AFTER its
+    // digest idled past it (must be re-crowned fresh — the documented bounded
+    // trade of the TTL tier). Y idles out and is silently evicted. The two
+    // filler batches exist because event-time timeouts fire one batch after
+    // the watermark passes them — Z advances the watermark, W's batch is
+    // where the eviction of X and Y actually runs, so X'' in the final batch
+    // finds no state.
+    val t0 = 1700000000000L
+    def ts(min: Long) = new Timestamp(t0 + min * 60000L)
+    val batches = Seq(
+      Seq((1L, "xx", ts(0)), (2L, "yy", ts(0))),   // X, Y crowned
+      Seq((3L, "xx", ts(60))),                     // X' inside TTL -> dup of 1
+      Seq((5L, "zz", ts(480))),                    // Z advances the watermark
+      Seq((7L, "ww", ts(540))),                    // timeouts fire: X, Y evicted
+      Seq((6L, "xx", ts(600))))                    // X'' after eviction -> fresh
+    val stageDir = new java.io.File("/root/repo/target/test_stream_dedup_ttl")
+    org.apache.commons.io.FileUtils.deleteQuietly(stageDir)
+    stageDir.mkdirs()
+    import spark.implicits._
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val tmp = new java.io.File(stageDir.getParent, s"ttl_tmp_$i")
+      rows.toDF("doc_id", "text", "ingest_ts")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(stageDir, f"batch_$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(t0 + i * 60000L)
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+    }
+    val (df, progress) = Streams.streamDedupTtlMultiBatch(spark,
+      stageDir.getAbsolutePath, "ttl_dedup", ttlMinutes = 120)
+    val got = df.collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1), r.getBoolean(2)))
+      .toSet
+    val want = Set(
+      (1L, -1L, false), (2L, -1L, false),  // crowned
+      (3L, 1L, true),                      // inside the TTL: batch-oracle-exact
+      (5L, -1L, false), (7L, -1L, false),  // fillers are fresh
+      (6L, -1L, false))                    // post-eviction re-arrival is fresh
+    assert(got == want, s"got $got")
+    // state-bound pin: 4 distinct digests were seen, but eviction fired (X
+    // and Y removed), so the final state holds only {X'', Z, W} = 3 rows —
+    // with NoTimeout it would hold all 4 and grow with stream history
+    val stateRows = progress.flatMap(_.stateOperators.map(_.numRowsTotal))
+    assert(stateRows.nonEmpty, "no state operator progress recorded")
+    assert(stateRows.last == 3,
+      s"final state should hold 3 digests after eviction; saw $stateRows")
+    val removed = progress.flatMap(_.stateOperators.map(_.numRowsRemoved)).sum
+    assert(removed == 2, s"expected 2 evicted digests; progress shows $removed")
+  }
 }
