@@ -10,8 +10,10 @@ import org.apache.spark.sql.functions._
   * are NOT in this container, so the codec is a seam: `MediaCodec` is the
   * pluggable interface, `StubCodec` is a deterministic fake that exercises the
   * full Spark-side pipeline — schema, encoders, per-partition batching,
-  * partition sizing — exactly as a real codec would. Swap `StubCodec` for a
-  * JNI/FFM-backed implementation and nothing else changes.
+  * partition sizing — exactly as a real codec would. The swap claim is
+  * proven, not argued: `ImageIoCodec` is a real pure-JVM PNG decoder behind
+  * the same seam (spec-exercised end-to-end); a JNI/FFM libjpeg/ffmpeg
+  * implementation slots in the same way.
   *
   * Scale notes: media rows are wide, so the pipeline repartitions by a
   * size-aware key before the codec pass (here: hash of id — in production,
@@ -60,6 +62,42 @@ object Multimodal {
     }
   }
 
+  /** A REAL pure-JVM codec behind the same seam: javax.imageio decodes PNG
+    * (and JPEG/GIF/BMP) without any native library, so the seam is exercised
+    * by an actual decoder end-to-end — OperatorsSpec plants PNGs of known
+    * dimensions and decodes them through the full mapPartitions pipeline.
+    * Same contract a production codec must honor: pure (same bytes → same
+    * features) and tolerant — a payload ImageIO cannot parse degrades to a
+    * marked zero-dimension row instead of failing the whole task (at 100 TB
+    * some fraction of a crawl's media bytes is always corrupt). */
+  object ImageIoCodec extends MediaCodec {
+    def decode(row: MediaRow): MediaFeatures = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.media))
+        catch { case _: java.io.IOException => null }
+      if (img == null)
+        MediaFeatures(row.media_id, row.media.length, row.format, 0, 0, 0, 0.0)
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        // deterministic feature: mean Rec.601 luma over all pixels, in [0,1]
+        var sum = 0.0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sum += (((rgb >> 16) & 0xFF) * 299L + ((rgb >> 8) & 0xFF) * 587L +
+              (rgb & 0xFF) * 114L) / 1000.0
+            x += 1
+          }
+          y += 1
+        }
+        MediaFeatures(row.media_id, row.media.length, row.format, w, h, 1,
+          sum / (w.toLong * h) / 255.0)
+      }
+    }
+  }
+
   /** Fabricate a media table from `documents` (text bytes stand in for encoded
     * payloads — deterministic, schema-faithful). */
   def mediaTable(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
@@ -73,17 +111,24 @@ object Multimodal {
       .as[MediaRow]
   }
 
-  /** C12 — the decode/feature pipeline: size-aware repartition → per-partition
-    * codec pass → typed features. */
-  def mmPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The decode/feature pipeline: size-aware repartition → per-partition
+    * codec pass → typed features. The codec is the only variable — C12 runs
+    * it with StubCodec (portable oracle), the spec with ImageIoCodec. */
+  private[graft] def decodePipeline(spark: SparkSession, rows: Dataset[MediaRow],
+    codec: MediaCodec): DataFrame = {
     import spark.implicits._
-    val codec: MediaCodec = StubCodec
-    mediaTable(spark, sfDir)
+    rows
       .repartition(col("media_id"))
-      .mapPartitions { rows => rows.map(codec.decode) }
+      .mapPartitions { it => it.map(codec.decode) }
       .toDF()
       .orderBy(col("media_id"))
   }
+
+  /** C12 — the pipeline over the fabricated media table with the stub codec
+    * (the container ships no native media libs; the DuckDB oracle reproduces
+    * the stub bit-exactly, so C12 stays a value-level gate). */
+  def mmPipeline(spark: SparkSession, sfDir: String): DataFrame =
+    decodePipeline(spark, mediaTable(spark, sfDir), StubCodec)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_pipeline" -> (mmPipeline _))

@@ -279,6 +279,43 @@ class OperatorsSpec extends SparkSpec {
     assert(twice.sameElements(Multimodal.mmPipeline(spark, sfDir).collect()))
   }
 
+  test("the codec seam decodes real PNGs end-to-end (javax.imageio)") {
+    import Multimodal.{ImageIoCodec, MediaRow}
+    def png(w: Int, h: Int, seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var i = 0
+      for (y <- 0 until h; x <- 0 until w) {
+        img.setRGB(x, y, ((seed * 2654435761L + i * 7919L) & 0xFFFFFF).toInt)
+        i += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // planted dimensions + one corrupt payload (the tolerant-decode path)
+    val planted = Seq((1L, 3, 2), (2L, 7, 5), (3L, 16, 16))
+    val rows = planted.map { case (id, w, h) =>
+      MediaRow(id, png(w, h, id.toInt), "image", w, h)
+    } :+ MediaRow(99L, Array[Byte](1, 2, 3), "image", 0, 0)
+    import spark.implicits._
+    val out = Multimodal.decodePipeline(spark, spark.createDataset(rows), ImageIoCodec)
+      .as[Multimodal.MediaFeatures].collect()
+    // the distributed pass must equal a driver-side decode row for row
+    // (dimensions recovered from the actual PNG bytes, luma feature included)
+    val want = rows.map(ImageIoCodec.decode).sortBy(_.media_id)
+    assert(out.toSeq == want.toSeq, s"got ${out.toSeq}\nwant ${want.toSeq}")
+    planted.foreach { case (id, w, h) =>
+      val f = out.find(_.media_id == id).get
+      assert(f.width == w && f.height == h && f.n_frames == 1,
+        s"media $id: decoded ${f.width}x${f.height}")
+      assert(f.feature_norm > 0.0 && f.feature_norm < 1.0, s"media $id luma ${f.feature_norm}")
+    }
+    val corrupt = out.find(_.media_id == 99L).get
+    assert(corrupt.width == 0 && corrupt.height == 0 && corrupt.n_frames == 0,
+      s"corrupt payload should degrade to zero dims: $corrupt")
+  }
+
   test("PMR NaN modes: default SQL semantics vs reference fidelity") {
     import spark.implicits._
     // all-negative column with a NaN and a null — the case where the two
