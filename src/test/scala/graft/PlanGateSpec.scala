@@ -1,0 +1,87 @@
+package graft
+
+/** PlanAudit's scale-critical plan properties as a regression GATE: the audit
+  * tool prints, this spec FAILS when a pinned property regresses — e.g. an
+  * edit that reintroduces a corpus-wide shuffle into a text kernel, loses a
+  * parquet filter pushdown, or turns a broadcast star join into a sort-merge
+  * cascade. Caps are the measured plan shapes at the time of pinning (AQE
+  * final plans on the shared test session), with zero slack on the properties
+  * that define each operator's 100 TB posture:
+  *   - text/quality kernels and pure projections: ZERO hash exchanges (the
+  *     zero-shuffle-map property the round-5 kernel rewrites bought)
+  *   - star joins: every dim side broadcast, one aggregation exchange
+  *   - selective scans: predicates reach the parquet reader (PushedFilters)
+  *   - the pruned IVF probe: PartitionFilters prune the cid layout, no
+  *     exchange at all
+  * Queries whose plan pins live in operator-specific specs (bucketed join,
+  * incremental dedup stores, langid shuffle-freedom with Generate checks) are
+  * not duplicated here.
+  */
+class PlanGateSpec extends SparkSpec {
+
+  private case class Gate(
+    name: String,
+    maxHashEx: Int,             // Exchange hashpartitioning count cap
+    maxRangeEx: Int = 1,        // Exchange rangepartitioning (output sort) cap
+    needPushdown: Boolean = false,   // some scan must push a real predicate
+    minBroadcast: Int = 0,      // BroadcastHashJoin floor (star joins)
+    maxSortMerge: Int = 0,      // SMJ ceiling (0 = dims must all broadcast)
+    needPartitionFilters: Boolean = false, // partition-pruned scan must survive
+    minCodegenSpans: Int = 1)   // WholeStageCodegen subtree floor
+
+  private val gates = Seq(
+    Gate("q1_pricing_summary", maxHashEx = 1, needPushdown = true),
+    Gate("q3_shipping_priority", maxHashEx = 1, needPushdown = true, minBroadcast = 2),
+    Gate("q5_local_supplier", maxHashEx = 1, needPushdown = true, minBroadcast = 5),
+    Gate("q_filter_pushdown", maxHashEx = 0, maxRangeEx = 0, needPushdown = true),
+    Gate("text_langid", maxHashEx = 0),
+    Gate("text_quality", maxHashEx = 0),
+    Gate("text_tokens", maxHashEx = 0),
+    Gate("text_fingerprint", maxHashEx = 0),
+    Gate("text_repetition", maxHashEx = 0),
+    Gate("ngram_topk", maxHashEx = 1),
+    Gate("mm_pipeline", maxHashEx = 1),
+    Gate("corpus_split", maxHashEx = 0),
+    Gate("embed_quantize", maxHashEx = 0),
+    Gate("contamination_bloom", maxHashEx = 4, minBroadcast = 1),
+    Gate("sim_ivf_pruned", maxHashEx = 0, maxRangeEx = 0, needPartitionFilters = true))
+
+  gates.foreach { g =>
+    test(s"plan gate: ${g.name}") {
+      // static (non-AQE) plan, like PlanAudit: exposes codegen subtrees and
+      // the pre-runtime join strategy deterministically — production keeps
+      // AQE on; the gate pins what the optimizer decides before runtime
+      val prev = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val df = SparkEntry.queries(g.name)(spark, sfDir)
+        df.write.format("noop").mode("overwrite").save()
+        val plan = df.queryExecution.executedPlan.toString
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(hashEx <= g.maxHashEx,
+        s"${g.name}: $hashEx hash exchanges (pinned <= ${g.maxHashEx}):\n${plan.take(2000)}")
+      val rangeEx = "Exchange rangepartitioning".r.findAllIn(plan).length
+      assert(rangeEx <= g.maxRangeEx,
+        s"${g.name}: $rangeEx range exchanges (pinned <= ${g.maxRangeEx}):\n${plan.take(2000)}")
+      if (g.needPushdown)
+        assert("PushedFilters: \\[\\w".r.findFirstIn(plan).nonEmpty,
+          s"${g.name}: no non-empty PushedFilters reached a scan:\n${plan.take(2000)}")
+      val bhj = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
+      assert(bhj >= g.minBroadcast,
+        s"${g.name}: $bhj broadcast joins (pinned >= ${g.minBroadcast}):\n${plan.take(2000)}")
+      val smj = plan.linesIterator.count(_.contains("SortMergeJoin"))
+      assert(smj <= g.maxSortMerge,
+        s"${g.name}: $smj sort-merge joins (pinned <= ${g.maxSortMerge}):\n${plan.take(2000)}")
+      if (g.needPartitionFilters)
+        assert("PartitionFilters: \\[\\w".r.findFirstIn(plan).nonEmpty,
+          s"${g.name}: partition pruning lost (no PartitionFilters):\n${plan.take(2000)}")
+      val spans = "Found (\\d+) WholeStageCodegen subtrees".r
+        .findFirstMatchIn(org.apache.spark.sql.execution.debug
+          .codegenString(df.queryExecution.executedPlan))
+        .map(_.group(1).toInt).getOrElse(0)
+      assert(spans >= g.minCodegenSpans,
+        s"${g.name}: $spans codegen spans (pinned >= ${g.minCodegenSpans})")
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    }
+  }
+}
