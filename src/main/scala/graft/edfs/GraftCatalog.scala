@@ -441,7 +441,16 @@ class GraftCatalog(spark: SparkSession, root: String,
     * DataFrame was put) falls back to the sidecar's recorded schema instead of
     * failing schema inference, so cat of an empty table is an empty DataFrame
     * with the right columns. */
-  private def loadTable(path: String): DataFrame =
+  private def loadTable(path: String): DataFrame = loadData(path, None)
+
+  /** loadTable, optionally restricted to a subset of partition directories
+    * (basePath keeps partition-column discovery intact) — compact reads only
+    * the fragmented directories through this. */
+  private def loadData(path: String, subset: Option[Seq[Path]]): DataFrame = {
+    val targets: Seq[String] =
+      subset.map(_.map(_.toString)).getOrElse(Seq(abs(path).toString))
+    def withBase(r: org.apache.spark.sql.DataFrameReader) =
+      if (subset.isDefined) r.option("basePath", abs(path).toString) else r
     try {
       if (format == "csv") {
         // CSV files are not self-describing: the sidecar schema is the
@@ -459,11 +468,11 @@ class GraftCatalog(spark: SparkSession, root: String,
         // Known limitation: empty string and null are indistinguishable.
         val meta = readMeta(path)
         val multiLine = meta.forall(_.embeddedNewlines)
-        val reader = spark.read.option("header", "true")
-          .option("multiLine", multiLine.toString)
+        val reader = withBase(spark.read.option("header", "true")
+          .option("multiLine", multiLine.toString))
         meta.map(_.schema).filter(_.nonEmpty)
           .fold(reader.option("inferSchema", "true"))(reader.schema)
-          .csv(abs(path).toString)
+          .csv(targets: _*)
       } else {
         // The sidecar schema is authoritative: it is the union of every
         // written batch (append maintains it), with partition-column types as
@@ -472,16 +481,17 @@ class GraftCatalog(spark: SparkSession, root: String,
         // (foreign tables only) reads EVERY file footer, a full metadata scan
         // per query at 100 TB. Files predating an evolved column surface it as
         // nulls, same as the footer-merge read.
-        val reader = spark.read.format(format)
+        val reader = withBase(spark.read.format(format))
         readMeta(path).map(_.schema).filter(_.nonEmpty)
           .fold(reader.option("mergeSchema", "true"))(reader.schema)
-          .load(abs(path).toString)
+          .load(targets: _*)
       }
     } catch {
       case e: org.apache.spark.sql.AnalysisException
         if e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sidecarSchema(path))
     }
+  }
 
   /** The schema recorded in the `_graft.json` sidecar at put time. */
   private def sidecarSchema(path: String): StructType =
@@ -543,27 +553,64 @@ class GraftCatalog(spark: SparkSession, root: String,
   def compact(path: String): Unit = {
     requireCoherentScheme(path, "compact")
     val base = abs(path)
-    val meta = readMetaRaw(path)
-    val df = loadTable(path)
-    val tmp = new Path(base.getParent, base.getName + "__compacting")
-    fs.delete(tmp, true)
-    // one task per partition value → one file per directory, unless the
-    // leaf-file cap splits an oversized value into ceil(rows/cap) files
-    val writer = physicalPartitionColumn(path) match {
-      case Some(c) => df.repartition(col(c)).write.partitionBy(c)
-      case None => df.coalesce(1).write
+    def dataFiles(p: Path) = fs.listStatus(p).filter(f => f.isFile &&
+      !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+    physicalPartitionColumn(path) match {
+      case Some(c) =>
+        // Compaction cost scales with FRAGMENTATION, not table size: only
+        // directories holding 2+ data files are read, rewritten and swapped;
+        // already-compact partitions (the vast majority of a daily run at
+        // 100 TB) are untouched. A leaf-capped table cannot distinguish
+        // "minimal ceil(rows/cap) files" from fragmentation without row
+        // counts, so its multi-file dirs are rewritten each run — the cap
+        // bounds that work.
+        val frag = fs.listStatus(base)
+          .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+          .filter(st => dataFiles(st.getPath).length > 1)
+        if (frag.isEmpty) return // nothing fragmented: metadata-only no-op
+        val tmp = new Path(base.getParent, base.getName + "__compacting")
+        fs.delete(tmp, true)
+        // one task per partition value → one file per directory, unless the
+        // leaf-file cap splits an oversized value into ceil(rows/cap) files
+        capped(loadData(path, Some(frag.map(_.getPath).toSeq))
+            .repartition(col(c)).write.partitionBy(c))
+          .mode("overwrite").format(format).save(tmp.toString)
+        // swap per fragmented directory (park outside the table root — a
+        // parked name containing '=' INSIDE it would be rediscovered as a
+        // partition after a crash): no point loses both copies, the root and
+        // sidecar are never touched, and a crash strands at most one
+        // partition in the parked root, recoverable by rename.
+        val oldRoot = new Path(base.getParent, base.getName + "__old")
+        fs.delete(oldRoot, true)
+        fs.mkdirs(oldRoot)
+        frag.foreach { d =>
+          val name = d.getPath.getName
+          val fresh = new Path(tmp, name)
+          require(fs.exists(fresh), s"compact: rewrite missing partition $name")
+          require(fs.rename(d.getPath, new Path(oldRoot, name)),
+            s"compact: park $name failed")
+          require(fs.rename(fresh, d.getPath), s"compact: swap $name failed")
+        }
+        fs.delete(oldRoot, true)
+        fs.delete(tmp, true)
+      case None =>
+        if (dataFiles(base).length <= 1) return // already a single file
+        val meta = readMetaRaw(path)
+        val tmp = new Path(base.getParent, base.getName + "__compacting")
+        fs.delete(tmp, true)
+        capped(loadTable(path).coalesce(1).write)
+          .mode("overwrite").format(format).save(tmp.toString)
+        // complete the replacement (sidecar included) BEFORE the original
+        meta.foreach { raw =>
+          val out = fs.create(new Path(tmp, MetaFile), true)
+          try out.write(raw.getBytes("UTF-8")) finally out.close()
+        }
+        val old = new Path(base.getParent, base.getName + "__old")
+        fs.delete(old, true)
+        require(fs.rename(base, old), s"compact: park $base -> $old failed")
+        require(fs.rename(tmp, base), s"compact: swap $tmp -> $base failed")
+        fs.delete(old, true)
     }
-    capped(writer).mode("overwrite").format(format).save(tmp.toString)
-    // complete the replacement (sidecar included) BEFORE touching the original
-    meta.foreach { raw =>
-      val out = fs.create(new Path(tmp, MetaFile), true)
-      try out.write(raw.getBytes("UTF-8")) finally out.close()
-    }
-    val old = new Path(base.getParent, base.getName + "__old")
-    fs.delete(old, true)
-    require(fs.rename(base, old), s"compact: park $base -> $old failed")
-    require(fs.rename(tmp, base), s"compact: swap $tmp -> $base failed")
-    fs.delete(old, true)
   }
 
   /** getPartitionLocations — the partition manifest: value directory, file

@@ -81,6 +81,25 @@ class CatalogSpec extends SparkSpec {
       .toMap.apply("scheme") == "hash") // sidecar survived the swap
   }
 
+  test("compact skips already-compact partitions (fragmentation-proportional)") {
+    val root = s"${GraftConf.localRoot}/test_edfs/compact_skip"
+    val cat = freshCatalog("compact_skip")
+    cat.put(Tables.load(spark, sfDir, "customer").repartition(4),
+      "t", HashPartition("c_nationkey"))
+    cat.compact("t")
+    // second compact must be a metadata-only no-op: every leaf file keeps its
+    // exact path and mtime (a rewrite would mint new part-file names)
+    def snapshot(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$root/t")).filterNot(_.getName.startsWith("."))
+        .map(f => f.getAbsolutePath -> f.lastModified()).toMap
+    }
+    val before = snapshot()
+    cat.compact("t")
+    assert(snapshot() == before, "re-compacting a compact table must not rewrite")
+  }
+
   test("append reproduces bucketed and range layouts (no flat files at the root)") {
     val cat = freshCatalog("append_layout")
     val src = Tables.load(spark, sfDir, "orders")
