@@ -429,13 +429,20 @@ object Dedup {
     * with 64 static-shift bit-vote sums. The shuffle carries only 64 partial
     * counters per doc per map task (map-side partial aggregation), and every
     * expression is a codegen'd built-in — this beats a per-row 64-pass array
-    * fold by ~5× and scales out with executors. */
+    * fold by ~5× and scales out with executors. The 64 token-hash bits are
+    * two md5-derived 32-bit halves (same portable technique as the minhash
+    * base hash; the repeated md5 is eliminated by codegen subexpression
+    * elimination), so the DuckDB oracle reproduces every vote — and therefore
+    * every signature, chunk key and Hamming distance — integer-exactly. */
   private def simhashSigs(docs: DataFrame): DataFrame = {
     val tok = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
-      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+      .select(col("doc_id"),
+        md5Long(col("t"), 8).as("h0"),
+        conv(substring(md5(col("t")), 9, 8), 16, 10).cast("long").as("h1"))
     val bitVotes = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === lit(1L), 1L)
+      val (h, b) = if (i < 32) (col("h0"), i) else (col("h1"), i - 32)
+      sum(when(shiftright(h, b).bitwiseAND(lit(1L)) === lit(1L), 1L)
         .otherwise(-1L)).as(s"b$i")
     }
     val voted = tok.groupBy(col("doc_id")).agg(bitVotes.head, bitVotes.tail: _*)
@@ -477,6 +484,51 @@ object Dedup {
       .select(col("doc_id"), col("simhash"), col("dup_of"),
         col("dup_of").isNotNull.as("is_duplicate"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Generated DuckDB oracle for C3: the md5-halved token hash makes every
+    * bit-vote portable, so signatures, chunk keys and Hamming distances are
+    * integer-exact across engines (arithmetic >> plus the 16-bit mask equals
+    * Spark's unsigned shift on the masked bits). */
+  def dedupSimhashSql: String = {
+    val votes = (0 until 64).map { i =>
+      val (h, b) = if (i < 32) ("h0", i) else ("h1", i - 32)
+      s"SUM(CASE WHEN ($h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$i"
+    }.mkString(",\n   ")
+    val sim = (0 until 64).map { i =>
+      // bit 63 is Long.MinValue — expressible only as the subtraction form
+      if (i == 63) "CASE WHEN b63 > 0 THEN CAST(-9223372036854775807 - 1 AS BIGINT) ELSE 0 END"
+      else s"CASE WHEN b$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END"
+    }.mkString("\n   + ")
+    val chunks = (0 until 4).map { j =>
+      s"SELECT doc_id, simhash, $j AS chunk_id, (simhash >> ${16 * j}) & 65535 AS chunk_key FROM sim"
+    }.mkString("\n UNION ALL ")
+    s"""WITH tok AS (
+       | SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+       |h AS (
+       | SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) AS h0,
+       |  CAST(('0x' || substr(md5(t), 9, 8)) AS BIGINT) AS h1 FROM tok),
+       |votes AS (
+       | SELECT doc_id,
+       |   $votes
+       | FROM h GROUP BY doc_id),
+       |sim AS (SELECT doc_id, $sim AS simhash FROM votes),
+       |chunked_all AS (
+       | $chunks),
+       |chunked AS (
+       | SELECT * FROM chunked_all
+       | QUALIFY COUNT(*) OVER (PARTITION BY chunk_id, chunk_key) <= $MaxBucket),
+       |pairs AS (
+       | SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |  bit_count(xor(x.simhash, y.simhash)) AS hamming
+       | FROM chunked x JOIN chunked y
+       |  ON x.chunk_id = y.chunk_id AND x.chunk_key = y.chunk_key AND x.doc_id < y.doc_id),
+       |dup AS (
+       | SELECT doc_b AS doc_id, MIN(doc_a) AS dup_of
+       | FROM pairs WHERE hamming <= 3 GROUP BY doc_b)
+       |SELECT s.doc_id, s.simhash, dup.dup_of, dup.dup_of IS NOT NULL AS is_duplicate
+       |FROM sim s LEFT JOIN dup ON s.doc_id = dup.doc_id
+       |ORDER BY s.doc_id""".stripMargin
   }
 
   // ----- C4: n-gram Jaccard verify -----
@@ -561,8 +613,8 @@ object Dedup {
   private def agreeExpr(a: String, b: String): String =
     (0 until NumHashes).map(i => s"CAST($a.m$i = $b.m$i AS INT)").mkString(" + ")
 
-  private def minhashCtes: String =
-    s"""WITH ${sigCtes("documents", "")},
+  private def minhashChain: String =
+    s"""${sigCtes("documents", "")},
        |cands AS (
        | SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        | FROM banded x JOIN banded y
@@ -572,6 +624,35 @@ object Dedup {
        | FROM cands c
        | JOIN sigs sa ON c.doc_a = sa.doc_id
        | JOIN sigs sb ON c.doc_b = sb.doc_id)""".stripMargin
+
+  private def minhashCtes: String = s"WITH $minhashChain"
+
+  /** Generated DuckDB oracle for C5b: exact connected components via a
+    * recursive transitive closure + min-label, over the same est ≥ 0.5 edge
+    * set the Spark side uses. This is the strongest possible check on the
+    * min-label propagation loop: the oracle is the mathematical fixpoint, so
+    * an early-terminating or mis-converging iteration cannot pass. (The
+    * closure is O(component² ) per component — fine for an oracle at test
+    * scale; the Spark side is the one that runs at 100 TB.) */
+  def dedupClustersSql: String =
+    s"""WITH RECURSIVE $minhashChain,
+       |e2 AS (SELECT doc_a, doc_b FROM est WHERE agree >= 32),
+       |edges AS (
+       | SELECT doc_a AS s, doc_b AS d FROM e2
+       | UNION
+       | SELECT doc_b AS s, doc_a AS d FROM e2),
+       |reach(doc_id, n) AS (
+       | SELECT s, s FROM edges
+       | UNION
+       | SELECT r.doc_id, e.d FROM reach r JOIN edges e ON r.n = e.s),
+       |labels AS (SELECT doc_id, MIN(n) AS label FROM reach GROUP BY doc_id),
+       |all_labels AS (
+       | SELECT d.doc_id, COALESCE(l.label, d.doc_id) AS label
+       | FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id),
+       |sizes AS (SELECT label, COUNT(*) AS cluster_size FROM all_labels GROUP BY label)
+       |SELECT a.doc_id, a.label AS cluster_rep, s.cluster_size
+       |FROM all_labels a JOIN sizes s ON a.label = s.label
+       |ORDER BY a.doc_id""".stripMargin
 
   /** C16b oracle: the same two-sided pipeline — corpus bands (corpus-side
     * skew guard), batch bands (batch-side guard), collide, verify by
@@ -716,5 +797,7 @@ object Dedup {
     "dedup_incremental_near" -> dedupIncrementalNearSql,
     "dedup_minhash" -> dedupMinhashSql,
     "dedup_jaccard" -> dedupJaccardSql,
+    "dedup_simhash" -> dedupSimhashSql,
+    "dedup_clusters" -> dedupClustersSql,
     "dedup_embedding" -> dedupEmbeddingSql)
 }
