@@ -4,10 +4,12 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.Dedup
 
-/** Ground-truth fixtures for the rows-only dedup family: a synthetic corpus
-  * with PLANTED near-duplicate pairs of exactly known shingle Jaccard, so
-  * recall/precision are pinned at the value level where the DuckDB oracle
-  * can't follow (xxhash64 signatures are Spark-specific).
+/** Ground-truth fixtures for the dedup family: a synthetic corpus with
+  * PLANTED near-duplicate pairs of exactly known shingle Jaccard. The DuckDB
+  * oracles verify the pipelines are computed identically cross-engine; these
+  * fixtures verify the pipelines compute the RIGHT THING — recall, precision
+  * and estimate quality against planted ground truth no hash-equality check
+  * can see.
   *
   * Corpus layout (disjoint per-doc vocabulary, so unrelated docs share zero
   * shingles and every flagged pair must be a planted one — precision is
