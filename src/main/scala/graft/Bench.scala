@@ -24,6 +24,7 @@ object Bench {
       operators.Dedup.warmSignatures(spark, sfDir)
       operators.Similarity.trainCodebook(spark, sfDir)
       operators.Similarity.ensureIvfIndex(spark, sfDir)
+      operators.Similarity.ensureIvfAppendIndex(spark, sfDir)
       streaming.Streams.stage(spark, sfDir)
       operators.Relational.q1PricingSummary(spark, sfDir).count()
     } catch { case e: Throwable => System.err.println(s"[bench] warmup: ${e.getMessage}") }

@@ -147,35 +147,41 @@ object Similarity {
   private def trainCodebookLocked(spark: SparkSession, sfDir: String): Array[(Int, Array[Double])] = {
     val fp = graft.Tables.fingerprint(sfDir, "embeddings")
     cachedCodebook(sfDir).getOrElse {
-      val e = Tables.load(spark, sfDir, "embeddings")
-        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      val sample = e.filter(pmod(col("vec_id"), lit(3)) === 0)
-      var codebook: Array[(Int, Array[Double])] = e.filter(col("vec_id") < IvfK)
-        .collect().map { r =>
-          (r.getAs[Number]("vec_id").intValue, r.getAs[Seq[Double]]("v").toArray)
-        }.sortBy(_._1)
-      for (_ <- 1 to IvfLloydIters) {
-        val means = sample
-          .select(nearestCid(spark, codebook).as("cid"),
-            posexplode(col("v")).as(Seq("dim", "x")))
-          .groupBy(col("cid"), col("dim"))
-          .agg((sum(col("x").cast("decimal(30,12)")) / count(lit(1)))
-            .cast("double").as("m"))
-          .collect()
-        val byCid = means.groupBy(_.getAs[Number]("cid").longValue)
-        codebook = codebook.map { case (cid, old) =>
-          byCid.get(cid.toLong) match {
-            // an emptied cluster keeps its previous centroid (standard Lloyd)
-            case None => (cid, old)
-            case Some(rows) =>
-              (cid, rows.sortBy(_.getAs[Number]("dim").intValue)
-                .map(_.getAs[Double]("m")).toArray)
-          }
-        }
-      }
+      val codebook = lloyd(spark, Tables.load(spark, sfDir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v")))
       codebookCache(sfDir) = (fp, codebook)
       codebook
     }
+  }
+
+  /** The Lloyd loop over an arbitrary (vec_id, v) set — shared by the
+    * full-table codebook (C7b/C7c) and the corpus-only codebook (C7d). */
+  private def lloyd(spark: SparkSession, e: DataFrame): Array[(Int, Array[Double])] = {
+    val sample = e.filter(pmod(col("vec_id"), lit(3)) === 0)
+    var codebook: Array[(Int, Array[Double])] = e.filter(col("vec_id") < IvfK)
+      .collect().map { r =>
+        (r.getAs[Number]("vec_id").intValue, r.getAs[Seq[Double]]("v").toArray)
+      }.sortBy(_._1)
+    for (_ <- 1 to IvfLloydIters) {
+      val means = sample
+        .select(nearestCid(spark, codebook).as("cid"),
+          posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cid"), col("dim"))
+        .agg((sum(col("x").cast("decimal(30,12)")) / count(lit(1)))
+          .cast("double").as("m"))
+        .collect()
+      val byCid = means.groupBy(_.getAs[Number]("cid").longValue)
+      codebook = codebook.map { case (cid, old) =>
+        byCid.get(cid.toLong) match {
+          // an emptied cluster keeps its previous centroid (standard Lloyd)
+          case None => (cid, old)
+          case Some(rows) =>
+            (cid, rows.sortBy(_.getAs[Number]("dim").intValue)
+              .map(_.getAs[Double]("m")).toArray)
+        }
+      }
+    }
+    codebook
   }
 
   /** C7b — IVF ANN: coarse quantization by nearest-centroid assignment, probe
@@ -269,9 +275,16 @@ object Similarity {
     * (one sequential fold, like the plan and the oracle), so the result —
     * and the oracle — are exactly sim_ivf's. */
   def simIvfPruned(spark: SparkSession, sfDir: String): DataFrame = {
-    val nProbe = 4
     // ONE source of truth: the codebook the index build assigned with
     val (path, codebook) = ensureIvfIndexWithCodebook(spark, sfDir)
+    prunedProbe(spark, sfDir, path, codebook)
+  }
+
+  /** The partition-pruned probe over a cid-partitioned index layout — shared
+    * by C7c (full-rebuild index) and C7d (incrementally-appended index). */
+  private def prunedProbe(spark: SparkSession, sfDir: String, path: String,
+    codebook: Array[(Int, Array[Double])]): DataFrame = {
+    val nProbe = 4
     // the query vector: a one-row lookup standing in for the user's input
     val p = Tables.load(spark, sfDir, "embeddings")
       .filter(col("vec_id") === 0)
@@ -295,6 +308,86 @@ object Similarity {
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(10)
       .select(col("vec_id"), col("cid"), round(col("sim"), 6).as("sim_r"))
+  }
+
+  // ----- C7d: incremental index maintenance — the ANN analog of C16 -----
+
+  // dir -> (embeddings fingerprint, corpus-trained codebook): the codebook is
+  // FROZEN at corpus-build time; the daily append assigns with it, never
+  // retrains — retraining would reassign the whole corpus (a full index
+  // rebuild), which is exactly what incremental maintenance exists to avoid.
+  private val ivfAppendState =
+    scala.collection.concurrent.TrieMap.empty[String, (String, Array[(Int, Array[Double])])]
+
+  private def ivfAppendPath(sfDir: String): String =
+    s"${graft.GraftConf.localRoot}/graft_ivf_inc/${sfDir.replaceAll("[^A-Za-z0-9]+", "_")}"
+
+  /** The corpus-only codebook (vec_id % 10 != 9 — the same ingest split as
+    * C16): trained on yesterday's corpus; the new batch must NOT influence
+    * centroids, or the stored lists and the probe lists could disagree. */
+  private[operators] def corpusCodebook(spark: SparkSession,
+    sfDir: String): Array[(Int, Array[Double])] = this.synchronized {
+    val fp = graft.Tables.fingerprint(sfDir, "embeddings")
+    ivfAppendState.get(sfDir).filter(_._1 == fp).map(_._2).getOrElse {
+      val cb = lloyd(spark, Tables.load(spark, sfDir, "embeddings")
+        .filter(col("vec_id") % 10 =!= 9)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v")))
+      ivfAppendState(sfDir) = (fp, cb)
+      cb
+    }
+  }
+
+  /** Offline build: corpus rows only, cid-partitioned (C7c's layout). */
+  private[graft] def buildCorpusIndex(spark: SparkSession, sfDir: String): String = {
+    val codebook = corpusCodebook(spark, sfDir)
+    Tables.load(spark, sfDir, "embeddings")
+      .filter(col("vec_id") % 10 =!= 9)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("cid", nearestCid(spark, codebook))
+      .write.mode("overwrite").partitionBy("cid").parquet(ivfAppendPath(sfDir))
+    ivfAppendPath(sfDir)
+  }
+
+  /** The DAILY append: assign the new batch with the FROZEN corpus codebook
+    * and append into the same layout. Only the lists the batch lands in gain
+    * files; existing index files are never rewritten (OperatorsSpec pins
+    * file immutability) — at 100 TB this is the difference between an
+    * O(batch) nightly job and an O(corpus) rebuild. */
+  private[graft] def appendBatchToIndex(spark: SparkSession, sfDir: String): Unit = {
+    val codebook = corpusCodebook(spark, sfDir)
+    Tables.load(spark, sfDir, "embeddings")
+      .filter(col("vec_id") % 10 === 9)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("cid", nearestCid(spark, codebook))
+      .write.mode("append").partitionBy("cid").parquet(ivfAppendPath(sfDir))
+  }
+
+  // dirs whose incremental index (corpus build + batch append) is complete
+  // for the recorded fingerprint; rebuilds start from overwrite, so a stale
+  // or half-built layout can never double-append
+  private val ivfAppendBuilt =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def ensureIvfAppendIndex(spark: SparkSession,
+    sfDir: String): (String, Array[(Int, Array[Double])]) = this.synchronized {
+    val fp = graft.Tables.fingerprint(sfDir, "embeddings")
+    val path = ivfAppendPath(sfDir)
+    if (!ivfAppendBuilt.get(sfDir).contains(fp) ||
+        !new java.io.File(path, "_SUCCESS").exists()) {
+      buildCorpusIndex(spark, sfDir)
+      appendBatchToIndex(spark, sfDir)
+      ivfAppendBuilt(sfDir) = fp
+    }
+    (path, corpusCodebook(spark, sfDir))
+  }
+
+  /** C7d — the probe over the incrementally-maintained index: identical to
+    * C7c's pruned probe, reading the corpus+appended layout with the frozen
+    * corpus codebook. Batch vectors are first-class candidates the moment
+    * their append lands. */
+  def simIvfAppend(spark: SparkSession, sfDir: String): DataFrame = {
+    val (path, codebook) = ensureIvfAppendIndex(spark, sfDir)
+    prunedProbe(spark, sfDir, path, codebook)
   }
 
   /** Generated DuckDB oracle for C7 (same technique as Dedup.dedupEmbeddingSql:
@@ -380,6 +473,7 @@ object Similarity {
     "sim_ann" -> (simAnn _),
     "sim_ivf" -> (simIvf _),
     "sim_ivf_pruned" -> (simIvfPruned _),
+    "sim_ivf_append" -> (simIvfAppend _),
     "embed_quantize" -> (embedQuantize _))
 
   /** Generated oracle for C7b — the TRAINED centroids are inlined as list
@@ -392,21 +486,35 @@ object Similarity {
     * centroids. The untrained fallback (only reachable if sim_ivf itself
     * crashed for this dir) derives the seed codebook in SQL and is labeled
     * as such. */
-  def simIvfSql(sfDir: String): String = {
+  def simIvfSql(sfDir: String): String =
+    ivfProbeSql(centroidValuesCte(cachedCodebook(sfDir))
+      .getOrElse(s"c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $IvfK)"))
+
+  /** C7d's oracle is C7b's probe SQL with the CORPUS-trained centroid set:
+    * the merged (corpus-built + batch-appended) index assigns every vector
+    * with the same frozen codebook, so assigning all vectors in one SQL pass
+    * is equivalent to the two-step build the Spark side runs. */
+  def simIvfAppendSql(sfDir: String): String = {
+    val fp = if (sfDir.nonEmpty) graft.Tables.fingerprint(sfDir, "embeddings") else ""
+    val cb = ivfAppendState.get(sfDir).filter(_._1 == fp).map(_._2)
+    ivfProbeSql(centroidValuesCte(cb).getOrElse( // untrained fallback: corpus seed in SQL
+      s"c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $IvfK AND vec_id % 10 <> 9)"))
+  }
+
+  private def centroidValuesCte(cb: Option[Array[(Int, Array[Double])]]): Option[String] =
+    cb.map { arr =>
+      val rows = arr.map { case (cid, cv) =>
+        s"($cid, ${cv.mkString("[", ", ", "]")})"
+      }.mkString(",\n  ")
+      s"c AS (SELECT CAST(cid AS BIGINT) AS cid, cv FROM (VALUES\n  $rows) t(cid, cv))"
+    }
+
+  private def ivfProbeSql(centroidCte: String): String = {
     def sq(vec: String) =
       s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> $vec[i] * $vec[i])), (a, b) -> a + b)"
     def dotv(a: String, b: String) =
       s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> $a[i] * $b[i])), (a, b) -> a + b)"
     def cos(a: String, b: String) = s"${dotv(a, b)} / (sqrt(${sq(a)}) * sqrt(${sq(b)}))"
-    val centroidCte = cachedCodebook(sfDir) match {
-      case Some(cb) =>
-        val rows = cb.map { case (cid, cv) =>
-          s"($cid, ${cv.mkString("[", ", ", "]")})"
-        }.mkString(",\n  ")
-        s"c AS (SELECT CAST(cid AS BIGINT) AS cid, cv FROM (VALUES\n  $rows) t(cid, cv))"
-      case None => // untrained-for-this-dir fallback: seed codebook in SQL
-        s"c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $IvfK)"
-    }
     s"""WITH e AS (
        | SELECT vec_id, list_transform(embedding, z -> CAST(z AS DOUBLE)) AS v
        | FROM embeddings),
@@ -435,6 +543,7 @@ object Similarity {
     "sim_ivf" -> simIvfSql(sfDir),
     // identical candidate set + bit-identical cosine → C7c shares C7b's oracle
     "sim_ivf_pruned" -> simIvfSql(sfDir),
+    "sim_ivf_append" -> simIvfAppendSql(sfDir),
     "embed_quantize" -> embedQuantizeSql)
 
   /** Dir-less contract form, total for any JVM state: one trained codebook →
@@ -450,11 +559,12 @@ object Similarity {
     case single :: Nil => oracles(sfDir = single)
     case Nil => oracles(sfDir = "")
     case several =>
-      // both centroid-dependent oracles get the banner — they share the
+      // every centroid-dependent oracle gets the banner — they share the
       // same ambiguity
       val banner = s"-- ambiguous: codebooks trained for " +
         s"${several.sorted.mkString(", ")}; use the dir-bound oracle dump\n"
-      oracles(sfDir = "") ++ Seq("sim_ivf", "sim_ivf_pruned")
-        .map(k => k -> (banner + simIvfSql("")))
+      oracles(sfDir = "") ++ (Seq("sim_ivf", "sim_ivf_pruned")
+        .map(k => k -> (banner + simIvfSql(""))) :+
+        ("sim_ivf_append" -> (banner + simIvfAppendSql(""))))
   }
 }

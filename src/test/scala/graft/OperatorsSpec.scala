@@ -279,6 +279,33 @@ class OperatorsSpec extends SparkSpec {
     assert(twice.sameElements(Multimodal.mmPipeline(spark, sfDir).collect()))
   }
 
+  test("incremental IVF append adds the batch without touching corpus index files") {
+    val path = Similarity.buildCorpusIndex(spark, sfDir)
+    def snapshot(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
+      walk(new java.io.File(path)).filter(_.getName.startsWith("part-"))
+        .map(f => f.getAbsolutePath -> f.lastModified()).toMap
+    }
+    val before = snapshot()
+    assert(before.nonEmpty, "corpus build should write data files")
+    Similarity.appendBatchToIndex(spark, sfDir)
+    val after = snapshot()
+    // the O(batch) property: every corpus file survives byte-for-byte (same
+    // path, same mtime) and the append only ADDS files to touched lists
+    assert(before.toSet.subsetOf(after.toSet),
+      s"append rewrote corpus files: ${(before.toSet -- after.toSet).take(3)}")
+    assert(after.size > before.size, "append should add batch files")
+    // merged index holds the full corpus+batch population exactly once
+    assert(spark.read.parquet(path).count() ==
+      Tables.load(spark, sfDir, "embeddings").count())
+    // the probe over the merged index returns a full ranked top-10
+    val out = Similarity.simIvfAppend(spark, sfDir).collect()
+    assert(out.length == 10)
+    val sims = out.map(_.getDouble(2))
+    assert(sims.sameElements(sims.sortBy(-(_: Double))), "probe must rank by sim")
+  }
+
   test("the codec seam decodes real PNGs end-to-end (javax.imageio)") {
     import Multimodal.{ImageIoCodec, MediaRow}
     def png(w: Int, h: Int, seed: Int): Array[Byte] = {

@@ -44,7 +44,8 @@ class PlanGateSpec extends SparkSpec {
     Gate("corpus_split", maxHashEx = 0),
     Gate("embed_quantize", maxHashEx = 0),
     Gate("contamination_bloom", maxHashEx = 4, minBroadcast = 1),
-    Gate("sim_ivf_pruned", maxHashEx = 0, maxRangeEx = 0, needPartitionFilters = true))
+    Gate("sim_ivf_pruned", maxHashEx = 0, maxRangeEx = 0, needPartitionFilters = true),
+    Gate("sim_ivf_append", maxHashEx = 0, maxRangeEx = 0, needPartitionFilters = true))
 
   gates.foreach { g =>
     test(s"plan gate: ${g.name}") {
