@@ -246,6 +246,33 @@ object Relational {
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY 1, 2""".stripMargin
 
+  /** B6c — GROUPING SETS: the non-hierarchical aggregation shape rollup/cube
+    * cannot express — here two INDEPENDENT one-dimension summaries in one
+    * pass over the fact table. Catalyst expands to a single Expand + one
+    * aggregation, so the 100 TB scan is paid once, not once per set. */
+  def qGroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = Tables.load(spark, sfDir, "lineitem")
+    l.select(col("l_returnflag"), col("l_linestatus"),
+        cents(col("l_quantity")).as("qty_c"))
+      .groupingSets(Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(sumFixed(col("qty_c"), 2).as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("sum_qty"), col("n_rows"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val qGroupingSetsSql: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+      | COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      | COUNT(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+      |ORDER BY 1, 2""".stripMargin
+
   /** B7 — tumbling-window event aggregation (batch form of D1): 1-hour buckets
     * per event type. */
   def qEventsWindow(spark: SparkSession, sfDir: String): DataFrame = {
@@ -320,6 +347,24 @@ object Relational {
       |WHERE NOT EXISTS (SELECT 1 FROM orders
       |  WHERE o_custkey = c_custkey
       |  AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** B9b — semi join, the EXISTS dual of B9: customers with ≥1 urgent order.
+    * left_semi short-circuits on first match and never duplicates the probe
+    * row — at 100 TB this beats the join+distinct a naive formulation pays. */
+  def qSemiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.load(spark, sfDir, "customer")
+    val o = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val qSemiJoinSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
       |ORDER BY c_custkey""".stripMargin
 
   /** B10 — exact distinct counts (the approx/HLL variant is `q_approx_distinct`,
@@ -580,9 +625,11 @@ object Relational {
     "q_filter_pushdown" -> (qFilterPushdown _),
     "q_topn_window" -> (qTopnWindow _),
     "q_rollup" -> (qRollup _),
+    "q_grouping_sets" -> (qGroupingSets _),
     "q_events_window" -> (qEventsWindow _),
     "q_events_sessionize" -> (qEventsSessionize _),
     "q_anti_join" -> (qAntiJoin _),
+    "q_semi_join" -> (qSemiJoin _),
     "q_distinct" -> (qDistinct _),
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_skew_join" -> (qSkewJoin _),
@@ -600,9 +647,11 @@ object Relational {
     "q_filter_pushdown" -> qFilterPushdownSql,
     "q_topn_window" -> qTopnWindowSql,
     "q_rollup" -> qRollupSql,
+    "q_grouping_sets" -> qGroupingSetsSql,
     "q_events_window" -> qEventsWindowSql,
     "q_events_sessionize" -> qEventsSessionizeSql,
     "q_anti_join" -> qAntiJoinSql,
+    "q_semi_join" -> qSemiJoinSql,
     "q_distinct" -> qDistinctSql,
     "q_skew_join" -> qSkewJoinSql,
     "q_events_props" -> qEventsPropsSql,
