@@ -259,3 +259,107 @@ case class TokenFingerprint(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): TokenFingerprint =
     copy(child = newChild)
 }
+
+/** The portable MinHash hash family — the SINGLE canonical definition, shared
+  * by the DataFrame pipeline (operators.Dedup), this row-local kernel and the
+  * generated DuckDB oracles: base = md5-derived 31-bit gram hash, member i =
+  * (a_i·x + b_i) mod P with P = 2³¹−1 (products < 2⁶², ANSI-safe). */
+object MinHashFamily {
+  val P = 2147483647L // 2^31 - 1, Mersenne prime
+  val NumHashes = 64
+  val (a, b) = {
+    val rng = new scala.util.Random(1234)
+    val as = Array.fill(NumHashes)(1L + math.floorMod(rng.nextLong(), P - 1))
+    val bs = Array.fill(NumHashes)(math.floorMod(rng.nextLong(), P))
+    (as, bs)
+  }
+}
+
+/** One-pass MinHash signature kernel for [[MinHashSignature]]: word 3-grams
+  * are CONTIGUOUS byte spans of the document (token t's first byte to token
+  * t+2's last — the separator is the same single space the gram string would
+  * contain, so no string assembly happens at all); each span is md5'd once
+  * and folded into all 64 running minima. Semantics are EXACTLY the
+  * explode-gram → groupBy(doc) min-aggregate pipeline (Dedup.sigsOf over
+  * gramSet): single-space splits with empties, sub-3-token docs hash the
+  * whole text as one gram, duplicate grams are harmless under min. */
+object MinHashKernel {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def signature(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val a = MinHashFamily.a
+    val b = MinHashFamily.b
+    val P = MinHashFamily.P
+    val bytes = s.getBytes
+    var starts = new Array[Int](16)
+    var n = 1 // starts(0) = 0
+    var i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' ') {
+        if (n == starts.length) starts = java.util.Arrays.copyOf(starts, n * 2)
+        starts(n) = i + 1
+        n += 1
+      }
+      i += 1
+    }
+    val mins = Array.fill(a.length)(Long.MaxValue)
+    val digest = md.get()
+    def addGram(from: Int, until: Int): Unit = {
+      digest.reset()
+      digest.update(bytes, from, until - from)
+      val d = digest.digest()
+      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      val x = h % P
+      var j = 0
+      while (j < a.length) {
+        val v = (a(j) * x + b(j)) % P
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+    }
+    if (n < 3) addGram(0, bytes.length)
+    else {
+      var t = 0
+      while (t <= n - 3) {
+        val until = if (t + 3 < n) starts(t + 3) - 1 else bytes.length
+        addGram(starts(t), until)
+        t += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+}
+
+/** The full 64-wide MinHash signature as ONE projected native expression —
+  * the row-local, shuffle-free form of signature building. The pipeline form
+  * (explode grams → groupBy(doc) with 64 min aggregates) shuffles a partial
+  * row per document per task and pays a corpus-sized Generate; this kernel
+  * computes the identical signature inside the scan's whole-stage codegen,
+  * which is also the shape a STREAMING near-dedup needs (no aggregation
+  * stage before the keyed state). FunctionsSpec pins exact equality with the
+  * pipeline form; dedup_minhash_local shares dedup_minhash's DuckDB oracle. */
+case class MinHashSignature(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash_sig expects a string column, got $other")
+  }
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashKernel.signature(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashKernel.signature($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}

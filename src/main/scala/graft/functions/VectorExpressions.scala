@@ -216,6 +216,15 @@ object GraftFunctions {
       s"graft_fingerprint expects 1 argument, got ${other.size}")
   }
 
+  val minhashSigInfo = new ExpressionInfo(
+    classOf[MinHashSignature].getName, "graft_minhash_sig")
+
+  private[functions] val minhashSigBuilder: Seq[Expression] => Expression = {
+    case Seq(c) => MinHashSignature(c)
+    case other => throw new IllegalArgumentException(
+      s"graft_minhash_sig expects 1 argument, got ${other.size}")
+  }
+
   /** Idempotently register into an existing session (works regardless of how
     * the session was built — e.g. a driver-owned session without extensions). */
   def ensureRegistered(spark: SparkSession): Unit = {
@@ -226,7 +235,8 @@ object GraftFunctions {
       (FunctionIdentifier("graft_fingerprint"), fingerprintInfo, fingerprintBuilder),
       (FunctionIdentifier("graft_stop_hits"), stopHitsInfo, stopHitsBuilder),
       (FunctionIdentifier("graft_distinct_bigrams"), distinctBigramsInfo, distinctBigramsBuilder),
-      (FunctionIdentifier("graft_bpe_count"), bpeCountInfo, bpeCountBuilder))
+      (FunctionIdentifier("graft_bpe_count"), bpeCountInfo, bpeCountBuilder),
+      (FunctionIdentifier("graft_minhash_sig"), minhashSigInfo, minhashSigBuilder))
       .foreach { case (id, info, builder) =>
         if (!registry.functionExists(id)) registry.registerFunction(id, info, builder)
       }
@@ -265,6 +275,12 @@ object GraftFunctions {
     call_function("graft_sig_agreement", a, b)
   }
 
+  /** Column-API entry point: row-local 64-wide MinHash signature (C2b). */
+  def minhashSig(spark: SparkSession, text: Column): Column = {
+    ensureRegistered(spark)
+    call_function("graft_minhash_sig", text)
+  }
+
   /** Column-API entry point: `cosine(a, b)`. */
   def cosine(spark: SparkSession, a: Column, b: Column): Column = {
     ensureRegistered(spark)
@@ -299,5 +315,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       GraftFunctions.distinctBigramsInfo, GraftFunctions.distinctBigramsBuilder))
     ext.injectFunction((FunctionIdentifier("graft_bpe_count"),
       GraftFunctions.bpeCountInfo, GraftFunctions.bpeCountBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_minhash_sig"),
+      GraftFunctions.minhashSigInfo, GraftFunctions.minhashSigBuilder))
   }
 }

@@ -33,13 +33,9 @@ object Dedup {
     * is one digest either way and the 64 multiply-mods are cheaper than 64
     * xxhash64 rounds (FunctionsSpec has no stake here; the sf-bench gates the
     * swap — see SCALE_r6).  */
-  private val P = 2147483647L // 2^31 - 1, Mersenne prime
-  private[operators] val (hashA, hashB) = {
-    val rng = new scala.util.Random(1234)
-    val a = Array.fill(NumHashes)(1L + math.floorMod(rng.nextLong(), P - 1))
-    val b = Array.fill(NumHashes)(math.floorMod(rng.nextLong(), P))
-    (a, b)
-  }
+  private val P = graft.functions.MinHashFamily.P
+  private[operators] val hashA = graft.functions.MinHashFamily.a
+  private[operators] val hashB = graft.functions.MinHashFamily.b
 
   /** First `hexLen` hex chars of md5 as a long — identical in DuckDB as
     * CAST(('0x' || substr(md5(s), 1, hexLen)) AS BIGINT). ≤15 chars keeps the
@@ -339,8 +335,11 @@ object Dedup {
     * sf0.01) so the result shape is stable even on a dup-free corpus. */
   /** Candidate pairs with their signature-estimated Jaccard at/above τ —
     * the shared "near-dup edge set" of C2 and C5b. */
-  private def nearDupEdges(spark: SparkSession, sfDir: String, tau: Double): DataFrame = {
-    val sigs = withSig(spark, sfDir)
+  private def nearDupEdges(spark: SparkSession, sfDir: String, tau: Double): DataFrame =
+    nearDupEdgesFrom(spark, withSig(spark, sfDir), tau)
+
+  private def nearDupEdgesFrom(spark: SparkSession, sigs: DataFrame,
+    tau: Double): DataFrame = {
     bandCandidates(sigs)
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
@@ -353,8 +352,28 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
   }
 
-  def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
-    val est = nearDupEdges(spark, sfDir, 0.5)
+  def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame =
+    minhashDecisions(spark, sfDir, withSig(spark, sfDir))
+
+  /** C2b — the same near-dup decision over ROW-LOCAL signatures: the native
+    * one-pass MinHashSignature kernel computes each document's 64-wide
+    * signature inside the scan (no gram Generate, no signature shuffle) —
+    * identical output to C2 (FunctionsSpec pins signature equality; the
+    * DuckDB oracle is shared verbatim), different 100 TB shape: C2 amortizes
+    * a persisted signature store, C2b is the single-pass / streaming-ready
+    * form where no store exists yet. */
+  def dedupMinhashLocal(spark: SparkSession, sfDir: String): DataFrame = {
+    val sigs = memoize(spark, sfDir, "minhash_rowlocal") {
+      val d = Tables.load(spark, sfDir, "documents")
+      d.select(col("doc_id"),
+        graft.functions.GraftFunctions.minhashSig(spark, col("text")).as("sig"))
+    }
+    minhashDecisions(spark, sfDir, sigs)
+  }
+
+  private def minhashDecisions(spark: SparkSession, sfDir: String,
+    sigs: DataFrame): DataFrame = {
+    val est = nearDupEdgesFrom(spark, sigs, 0.5)
     val dupOf = est.groupBy(col("doc_b").as("doc_id"))
       .agg(min(col("doc_a")).as("dup_of"), max(col("est_jaccard")).as("max_est_jaccard"))
     Tables.load(spark, sfDir, "documents").select(col("doc_id"))
@@ -786,6 +805,7 @@ object Dedup {
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_incremental_near" -> (dedupIncrementalNear _),
     "dedup_minhash" -> (dedupMinhash _),
+    "dedup_minhash_local" -> (dedupMinhashLocal _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_jaccard" -> (dedupJaccard _),
@@ -796,6 +816,8 @@ object Dedup {
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_incremental_near" -> dedupIncrementalNearSql,
     "dedup_minhash" -> dedupMinhashSql,
+    // C2b computes identical signatures row-locally → same oracle verbatim
+    "dedup_minhash_local" -> dedupMinhashSql,
     "dedup_jaccard" -> dedupJaccardSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_clusters" -> dedupClustersSql,

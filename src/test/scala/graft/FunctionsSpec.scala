@@ -155,4 +155,51 @@ class FunctionsSpec extends SparkSpec {
       "langid should not shuffle")
     assert(!plan.contains("Generate"), "langid should not explode")
   }
+
+  test("row-local minhash kernel equals the reference signature semantics") {
+    import spark.implicits._
+    import graft.functions.MinHashFamily
+    // edge shapes: normal, sub-3-token fallback, empty text, double spaces
+    // (empty tokens participate), repeated grams (harmless under min),
+    // trailing-space empty token
+    val texts = Seq("a b c d e", "one two", "", "a  b  c",
+      "x y z x y z", ("tok " * 50).dropRight(0))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        graft.functions.GraftFunctions.minhashSig(spark, col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // independent reference: string-assembled grams, the pipeline semantics
+    // (split limit -1, 3-gram sliding, whole-text fallback)
+    def ref(text: String): Seq[Long] = {
+      val P = MinHashFamily.P
+      val toks = text.split(" ", -1).toSeq
+      val grams = if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSeq
+        else Seq(text)
+      def base(g: String): Long = {
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(g.getBytes("UTF-8"))
+        val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        h % P
+      }
+      val xs = grams.map(base)
+      (0 until MinHashFamily.NumHashes).map { i =>
+        xs.map(x => (MinHashFamily.a(i) * x + MinHashFamily.b(i)) % P).min
+      }
+    }
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == ref(t), s"signature mismatch for '${t.take(30)}'")
+    }
+    // and the kernel-backed C2b query builds signatures as a projected pure
+    // map: the gram posexplode of the pipeline form is gone (the remaining
+    // Generate is the 16-way BAND explosion, which is the LSH join key, not
+    // signature building)
+    val localPlan = graft.operators.Dedup.dedupMinhashLocal(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(localPlan.contains("graft_minhash_sig"),
+      "C2b must use the native signature kernel")
+    assert(!localPlan.contains("posexplode"),
+      "row-local signatures must not explode grams")
+  }
 }
