@@ -63,7 +63,7 @@ object Dedup {
     * (C1), so the near-dup pass skips them instead of detonating. Without this
     * cap, sf0.1's tiny synthetic vocabulary produced ~100s of pairwise verify
     * work from a handful of mega-buckets — at 100 TB it would be unbounded. */
-  private val MaxBucket = 64
+  private[graft] val MaxBucket = 64
 
   /** sigs(doc_id, sig) → one row per (doc, band) with the band's portable
     * 60-bit key (md5 of "<band index>,<comma-joined signature slice>" — the
@@ -74,11 +74,15 @@ object Dedup {
     * spark.sql.requireAllClusterKeysForCoPartition). Shared by the ad-hoc
     * band self-join (C2/C4) and the persisted corpus band store (C16b). */
   private def bandKeys(sigs: DataFrame): DataFrame =
-    sigs.select(col("doc_id"),
-      explode(transform(sequence(lit(0), lit(Bands - 1)),
-        b => md5Long(concat(b.cast("string"), lit(","), concat_ws(",",
-          transform(slice(col("sig"), b * lit(RowsPerBand) + lit(1), lit(RowsPerBand)),
-            v => v.cast("string")))), 15))).as("band_key"))
+    sigs.select(col("doc_id"), explode(bandKeyArray(col("sig"))).as("band_key"))
+
+  /** The 16 band keys of a signature as an array column (stateless — usable
+    * inside a streaming projection, where D5 banding happens). */
+  private[graft] def bandKeyArray(sig: Column): Column =
+    transform(sequence(lit(0), lit(Bands - 1)),
+      b => md5Long(concat(b.cast("string"), lit(","), concat_ws(",",
+        transform(slice(sig, b * lit(RowsPerBand) + lit(1), lit(RowsPerBand)),
+          v => v.cast("string")))), 15))
 
   /** docs(doc_id, sig) → candidate pairs (doc_a < doc_b) that collide in ≥1
     * LSH band. The self-join is on (band_id, band_key) — bucket-confined, with
@@ -723,6 +727,39 @@ object Dedup {
        | JOIN grams gb ON s.doc_b = gb.doc_id)
        |SELECT doc_a, doc_b, jaccard FROM j
        |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 50""".stripMargin
+
+  /** Generated DuckDB oracle for D5 (streaming near-dedup): the streaming
+    * form's per-band state holds the FIRST MaxBucket keepers in doc_id order
+    * (an arriving doc compares against the keepers present, then joins them
+    * if there is room), which in closed form is: candidate (x, y) iff they
+    * share a band, x.doc_id < y.doc_id, and x's rank within the band (by
+    * doc_id) is ≤ MaxBucket. ROW_NUMBER expresses that exactly — the rank
+    * guard is the streaming analog of C2's drop-the-whole-bucket skew guard
+    * (an append stream cannot retract already-emitted edges, so it bounds
+    * keepers instead of disqualifying buckets retroactively). */
+  def streamDedupNearSql: String =
+    s"""WITH ${sigCtes("documents", "")},
+       |rk AS (
+       | SELECT doc_id, band_key,
+       |  ROW_NUMBER() OVER (PARTITION BY band_key ORDER BY doc_id) AS rk
+       | FROM banded_all),
+       |pairs AS (
+       | SELECT DISTINCT x.doc_id AS cand_id, y.doc_id AS doc_id
+       | FROM rk x JOIN rk y
+       |  ON x.band_key = y.band_key AND x.doc_id < y.doc_id AND x.rk <= $MaxBucket),
+       |est AS (
+       | SELECT p.doc_id, p.cand_id, ${agreeExpr("sa", "sb")} AS agree
+       | FROM pairs p
+       | JOIN sigs sa ON p.cand_id = sa.doc_id
+       | JOIN sigs sb ON p.doc_id = sb.doc_id),
+       |dup AS (
+       | SELECT doc_id, MIN(cand_id) AS dup_of, MAX(agree / 64.0) AS max_est_jaccard
+       | FROM est WHERE agree >= 32 GROUP BY doc_id)
+       |SELECT d.doc_id, dup.dup_of,
+       | COALESCE(dup.max_est_jaccard, 0.0) AS max_est_jaccard,
+       | dup.dup_of IS NOT NULL AS is_duplicate
+       |FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 
   // ----- C5: embedding cosine near-dup -----
 

@@ -477,6 +477,104 @@ object Streams extends Serializable {
       .orderBy(col("doc_id"))
   }
 
+  // ----- D5: streaming NEAR-dedup -----
+
+  case class SigDoc(doc_id: Long, band_key: Long, sig: Seq[Long])
+  case class BandKeepers(ids: Seq[Long], sigs: Seq[Seq[Long]])
+  case class NearEdge(doc_id: Long, cand_id: Long, agree: Int)
+
+  /** D5 — streaming MinHash/LSH near-dedup: the near-dup tier of the
+    * continuous ingest path (D4 is the exact tier). Signatures are computed
+    * ROW-LOCALLY in the stream by the native MinHashSignature kernel — no
+    * aggregation stage before the keyed state, which is what makes LSH
+    * possible under a single stateful operator — then each document fans out
+    * to its 16 band keys and flatMapGroupsWithState keyed by band_key holds
+    * the band's first-MaxBucket keepers (id, signature). An arriving doc
+    * compares against the keepers present (one fused agreement loop per
+    * keeper), emits an edge per match at est ≥ 0.5, and joins the keepers if
+    * there is room. The rank-style keeper bound is the streaming analog of
+    * C2's drop-the-bucket skew guard (append output cannot retract edges, so
+    * state bounds membership instead of disqualifying buckets) and is
+    * expressed in closed form by the generated DuckDB oracle
+    * (Dedup.streamDedupNearSql) — the whole streaming operator is three-way
+    * SQL-checked. Per-band state is ≤ MaxBucket signatures; the same
+    * monotone-ingest-id caveat as D4 applies across batches. */
+  def streamDedupNear(spark: SparkSession, sfDir: String): DataFrame = {
+    val cp = new java.io.File(checkpointDir(sfDir, "stream_dedup_near"))
+    nearDedupRun(spark, docsStream(spark, sfDir), "stream_dedup_near", cp,
+      graft.Tables.load(spark, sfDir, "documents"))
+  }
+
+  /** Test hook: every staged file its own micro-batch, so keepers persist
+    * across the batch boundary for real. */
+  private[graft] def streamDedupNearMultiBatch(spark: SparkSession,
+    stageDir: String, name: String): DataFrame = {
+    val cp = new java.io.File(stageDir + "_cp_" + name)
+    val src = spark.readStream.schema(DocsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stageDir)
+    nearDedupRun(spark, src, name, cp,
+      spark.read.schema(DocsSchema).parquet(stageDir))
+  }
+
+  private def nearDedupRun(spark: SparkSession, src: DataFrame, name: String,
+    cp: java.io.File, allDocs: DataFrame): DataFrame = {
+    import spark.implicits._
+    org.apache.commons.io.FileUtils.deleteQuietly(cp)
+    spark.catalog.dropTempView(name)
+
+    def decide(bandKey: Long, docs: Iterator[SigDoc],
+      state: GroupState[BandKeepers]): Iterator[NearEdge] = {
+      val sorted = docs.toArray.sortBy(_.doc_id)
+      var ids = state.getOption.map(_.ids.toArray).getOrElse(Array.empty[Long])
+      var sigs = state.getOption.map(_.sigs.toArray).getOrElse(Array.empty[Seq[Long]])
+      val out = scala.collection.mutable.ArrayBuffer.empty[NearEdge]
+      sorted.foreach { d =>
+        var i = 0
+        while (i < ids.length) {
+          if (ids(i) < d.doc_id) {
+            val ks = sigs(i)
+            var agree = 0
+            var j = 0
+            while (j < ks.length) { if (ks(j) == d.sig(j)) agree += 1; j += 1 }
+            if (agree >= 32) out += NearEdge(d.doc_id, ids(i), agree)
+          }
+          i += 1
+        }
+        if (ids.length < graft.operators.Dedup.MaxBucket) {
+          ids = ids :+ d.doc_id
+          sigs = sigs :+ d.sig
+        }
+      }
+      state.update(BandKeepers(ids.toSeq, sigs.toSeq))
+      out.iterator
+    }
+
+    val banded = src
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.minhashSig(spark, col("text")).as("sig"))
+      .select(col("doc_id"),
+        explode(graft.operators.Dedup.bandKeyArray(col("sig"))).as("band_key"),
+        col("sig"))
+      .as[SigDoc]
+    val edges = banded
+      .groupByKey(_.band_key)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(decide)
+      .toDF()
+    val sink = runToMemory(spark, edges, name, cp, OutputMode.Append())
+    // batch resolve over the edge sink: same decision shape as dedup_minhash
+    val dup = sink.groupBy(col("doc_id"))
+      .agg(min(col("cand_id")).as("dup_of"),
+        max(col("agree") / lit(64.0)).as("max_est_jaccard"))
+    allDocs.select(col("doc_id"))
+      .join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of"),
+        coalesce(col("max_est_jaccard"), lit(0.0)).as("max_est_jaccard"),
+        col("dup_of").isNotNull.as("is_duplicate"))
+      .orderBy(col("doc_id"))
+  }
+
   /** D3 — streaming sink into the catalog: the windowed aggregate lands as
     * partitioned parquet under the EDFS root (partitioned by event_type so the
     * sink layout is query-prunable), then is read back through the batch path.
@@ -524,7 +622,8 @@ object Streams extends Serializable {
     "stream_window" -> (streamWindow _),
     "stream_sessions" -> (streamSessions _),
     "stream_to_catalog" -> (streamToCatalog _),
-    "stream_dedup" -> (streamDedup _))
+    "stream_dedup" -> (streamDedup _),
+    "stream_dedup_near" -> (streamDedupNear _))
 
   /** With sentinel-driven finalization all three streaming queries are exactly
     * batch-equivalent on a finite backlog, so each carries a sql oracle:
@@ -539,6 +638,9 @@ object Streams extends Serializable {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+    // D5's closed-form oracle: rank-guarded band candidates + signature
+    // agreement (see Dedup.streamDedupNearSql's scaladoc)
+    "stream_dedup_near" -> graft.operators.Dedup.streamDedupNearSql,
     // D4 ≡ the batch window-min dedup on a single-batch backlog (in-batch
     // groups decide by ascending doc_id, matching MIN OVER the digest)
     "stream_dedup" ->

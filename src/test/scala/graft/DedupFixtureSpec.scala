@@ -176,6 +176,43 @@ class DedupFixtureSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("streaming near-dedup recovers planted pairs across micro-batches") {
+    // the fixture corpus sliced into two micro-batches at the id-100 boundary
+    // (bases stream first, copies second): every planted pair must be
+    // recovered through per-band keeper STATE, matching dedup_minhash's
+    // decisions exactly on this corpus (no band bucket exceeds MaxBucket, so
+    // the rank guard and the drop-bucket guard agree)
+    val stageDir = new java.io.File("/root/repo/target/test_stream_near_mb")
+    org.apache.commons.io.FileUtils.deleteQuietly(stageDir)
+    stageDir.mkdirs()
+    import spark.implicits._
+    val batches = Seq(corpus.filter(_._1 < 100), corpus.filter(_._1 >= 100))
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val tmp = new java.io.File(stageDir.getParent, s"near_tmp_$i")
+      rows.map { case (id, toks) =>
+        val text = toks.mkString(" ")
+        (id, text, "en", "synthetic", text.length.toLong)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(stageDir, f"batch_$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + i * 60000L)
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+    }
+    val out = graft.streaming.Streams.streamDedupNearMultiBatch(spark,
+      stageDir.getAbsolutePath, "near_mb").collect()
+    assert(out.length == corpus.size)
+    val flagged = out.filter(_.getBoolean(3))
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = ((0 until 5).map(i => (100 + i).toLong -> i.toLong) ++
+      (0 until 5).map(i => (200 + i).toLong -> (10 + i).toLong) ++
+      Seq(300L -> 20L, 301L -> 20L) ++
+      (0 until 5).map(i => (400 + i).toLong -> (70 + i).toLong)).toMap
+    assert(flagged == expected,
+      s"flagged ${flagged.toSeq.sorted} expected ${expected.toSeq.sorted}")
+  }
+
   test("cluster extraction reconstructs the planted components exactly") {
     val out = Dedup.dedupClusters(spark, fixtureDir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
