@@ -538,8 +538,58 @@ object PipelineOps {
       |  < LEAST(10000, (t.total * 10000) // (t.k * s.cnt))
       |ORDER BY d.doc_id""".stripMargin
 
+  /** C28 — cross-document duplicated-span fraction (the RefinedWeb/Dolma
+    * dedup-priority signal): per document, the fraction of its distinct word
+    * 5-grams that also occur in at least one OTHER document. Complements C25
+    * (intra-doc repetition) with corpus-level evidence: high ratios mark
+    * shared boilerplate — headers, license blocks, templated pages — that
+    * sits below the document-level near-dup threshold yet still floods a
+    * training set with repeated spans.
+    *
+    * Shape at 100 TB: gram rows are distinct per doc (gramSet), so "occurs
+    * in another document" is exactly "the gram has ≥ 2 rows corpus-wide".
+    * A count window over the gram computes that with ONE exchange on g —
+    * no join-back, no second gram shuffle — and the per-doc rollup is the
+    * only other exchange. No collected state, no skew blowup (a hot gram
+    * only inflates one window partition's count, never a pair set). */
+  def dedupSpans(spark: SparkSession, sfDir: String): DataFrame = {
+    val byGram = org.apache.spark.sql.expressions.Window.partitionBy("g")
+    gramSet(Tables.load(spark, sfDir, "documents"), 5)
+      .withColumn("n_docs", count(lit(1)).over(byGram))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        count(when(col("n_docs") >= 2, lit(1))).as("n_dup_spans"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+        (col("n_dup_spans") / col("n_spans")).as("dup_span_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Same distinct-grams-per-doc CTE as contaminationSql; COUNT FILTER keeps
+    * both counts BIGINT (a SUM(CASE) would widen to HUGEINT → float in the
+    * compare), and the ratio is the same long/long → double division Spark
+    * emits. */
+  val dedupSpansSql: String =
+    """WITH grams AS (
+      | SELECT doc_id,
+      |  CASE WHEN len(string_split(text, ' ')) >= 5
+      |   THEN list_distinct(list_transform(
+      |     range(1, len(string_split(text, ' ')) - 3),
+      |     i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]
+      |       || ' ' || string_split(text, ' ')[i + 2] || ' ' || string_split(text, ' ')[i + 3]
+      |       || ' ' || string_split(text, ' ')[i + 4]))
+      |   ELSE [text] END AS gs
+      | FROM documents),
+      |w AS (
+      | SELECT doc_id, COUNT(*) OVER (PARTITION BY g) AS n_docs
+      | FROM (SELECT doc_id, unnest(gs) AS g FROM grams) t)
+      |SELECT doc_id, COUNT(*) AS n_spans,
+      | COUNT(*) FILTER (WHERE n_docs >= 2) AS n_dup_spans,
+      | COUNT(*) FILTER (WHERE n_docs >= 2) / COUNT(*) AS dup_span_ratio
+      |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_split" -> (corpusSplit _),
+    "dedup_spans" -> (dedupSpans _),
     "split_leakage" -> (splitLeakage _),
     "corpus_shuffle" -> (corpusShuffle _),
     "mix_sources" -> (mixSources _),
@@ -555,6 +605,7 @@ object PipelineOps {
 
   val oracles: Map[String, String] = Map(
     "corpus_split" -> corpusSplitSql,
+    "dedup_spans" -> dedupSpansSql,
     "split_leakage" -> splitLeakageSql,
     "corpus_shuffle" -> corpusShuffleSql,
     "mix_sources" -> mixSourcesSql,

@@ -615,8 +615,45 @@ object Relational {
       | COUNT(p_ts) AS n_purchased_after
       |FROM u""".stripMargin
 
+  /** B20 — correlated scalar subqueries: customers' orders priced above 1.5×
+    * their OWN average order value. Declared as SQL because the correlation
+    * is the point: Catalyst's RewriteCorrelatedScalarSubquery decorrelates
+    * both inner aggregates into grouped joins — each inner scan aggregates
+    * ONCE per customer, never per outer row (the reference's only recourse
+    * would be a per-row loop). The 1.5×-average predicate is cross-multiplied
+    * into integer cents (2·cents·n > 3·Σcents), so the decision — and the
+    * oracle hash — is exact in both engines with no float averaging. */
+  def qCorrelatedSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    // per-dir view name: concurrent callers over different dirs never race
+    val view = "b20_orders_" + sfDir.replaceAll("[^A-Za-z0-9]+", "_")
+    Tables.load(spark, sfDir, "orders").createOrReplaceTempView(view)
+    spark.sql(
+      s"""SELECT o_custkey, COUNT(*) AS n_above
+         |FROM $view o
+         |WHERE CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) * 2
+         |   * (SELECT COUNT(*) FROM $view i WHERE i.o_custkey = o.o_custkey)
+         |   > (SELECT SUM(CAST(CAST(i.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+         |      FROM $view i WHERE i.o_custkey = o.o_custkey) * 3
+         |GROUP BY o_custkey
+         |ORDER BY o_custkey""".stripMargin)
+  }
+
+  /** Identical SQL over the raw table (DuckDB decorrelates the same way; its
+    * SUM(BIGINT) widens to HUGEINT but only feeds the exact comparison, never
+    * the output schema). */
+  val qCorrelatedSubquerySql: String =
+    """SELECT o_custkey, COUNT(*) AS n_above
+      |FROM orders o
+      |WHERE CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) * 2
+      |   * (SELECT COUNT(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
+      |   > (SELECT SUM(CAST(CAST(i.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+      |      FROM orders i WHERE i.o_custkey = o.o_custkey) * 3
+      |GROUP BY o_custkey
+      |ORDER BY o_custkey""".stripMargin
+
   /** All relational queries + oracles, keyed per SURVEY §2B. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_correlated_subquery" -> (qCorrelatedSubquery _),
     "q_funnel" -> (qFunnel _),
     "q_approx_percentiles" -> (qApproxPercentiles _),
     "q1_pricing_summary" -> (q1PricingSummary _),
@@ -640,6 +677,7 @@ object Relational {
     "q_set_ops" -> (qSetOps _))
 
   val oracles: Map[String, String] = Map(
+    "q_correlated_subquery" -> qCorrelatedSubquerySql,
     "q_funnel" -> qFunnelSql,
     "q1_pricing_summary" -> q1Sql,
     "q3_shipping_priority" -> q3Sql,

@@ -468,12 +468,86 @@ object Similarity {
       | END AS n_saturated
       |FROM s ORDER BY vec_id""".stripMargin
 
+  /** C29 — semantic dedup (the SemDeDup recipe: Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-cluster the embedding space with the SAME
+    * Lloyd codebook C7b trains, then inside each cluster mark any vector
+    * whose cosine to a lower-id cluster-mate is ≥ τ as a duplicate of the
+    * smallest such mate. This is the tier above MinHash: it catches
+    * paraphrase-level redundancy (same meaning, different tokens) that no
+    * lexical signature can see.
+    *
+    * The codebook IS the scale story: candidate pairs are confined to one
+    * inverted list each, so pairwise cost is Σ c_k², never N² — at 100 TB
+    * K is sized so lists hold O(10³) vectors (SemDeDup runs 50k clusters
+    * over LAION), keeping each list's compare batch executor-local after
+    * ONE exchange on cid. C5 (hyperplane buckets) is the untrained analog;
+    * here the partition function is learned, so recall concentrates where
+    * the data does. In production the assignment is the C7c index layout —
+    * already materialized, so this op reads its lists straight off disk. */
+  def dedupSemantic(spark: SparkSession, sfDir: String): DataFrame = {
+    val tau = 0.45
+    val codebook = trainCodebook(spark, sfDir)
+    val assigned = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), col("v"), nearestCid(spark, codebook).as("cid"))
+    val pairs = assigned.as("x").join(assigned.as("y"),
+        col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id"))
+      .withColumn("cosine",
+        graft.functions.GraftFunctions.cosine(spark, col("x.v"), col("y.v")))
+      .filter(col("cosine") >= tau)
+      .select(col("y.vec_id").as("vec_id"), col("x.vec_id").as("va"), col("cosine"))
+    val dupOf = pairs.groupBy(col("vec_id"))
+      .agg(min(col("va")).as("dup_of"), max(col("cosine")).as("max_cosine"))
+    assigned.select(col("vec_id"), col("cid"))
+      .join(dupOf, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"), col("dup_of"),
+        coalesce(col("max_cosine"), lit(0.0)).as("max_cosine"),
+        col("dup_of").isNotNull.as("is_duplicate"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Generated oracle for C29: trained centroids inlined (same binding rules
+    * as simIvfSql), assignment via the same ROW_NUMBER argmax, pairwise
+    * cosine as the same sequential fold — decisions at τ are bit-exact
+    * across engines. */
+  def dedupSemanticSql(sfDir: String): String = {
+    def sq(vec: String) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> $vec[i] * $vec[i])), (a, b) -> a + b)"
+    def dotv(a: String, b: String) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> $a[i] * $b[i])), (a, b) -> a + b)"
+    def cos(a: String, b: String) = s"${dotv(a, b)} / (sqrt(${sq(a)}) * sqrt(${sq(b)}))"
+    val centroidCte = centroidValuesCte(cachedCodebook(sfDir))
+      .getOrElse(s"c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $IvfK)")
+    s"""WITH e AS (
+       | SELECT vec_id, list_transform(embedding, z -> CAST(z AS DOUBLE)) AS v
+       | FROM embeddings),
+       |$centroidCte,
+       |asn AS (
+       | SELECT vec_id, v, cid,
+       |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rk
+       | FROM (SELECT x.vec_id, x.v, c.cid, ${cos("x.v", "c.cv")} AS csim FROM e x, c) t),
+       |assigned AS (SELECT vec_id, v, cid FROM asn WHERE rk = 1),
+       |pairs AS (
+       | SELECT y.vec_id AS vec_id, x.vec_id AS va, ${cos("x.v", "y.v")} AS cosine
+       | FROM assigned x JOIN assigned y
+       |  ON x.cid = y.cid AND x.vec_id < y.vec_id),
+       |agg AS (
+       | SELECT vec_id, MIN(va) AS dup_of, MAX(cosine) AS max_cosine
+       | FROM pairs WHERE cosine >= 0.45 GROUP BY vec_id)
+       |SELECT b.vec_id, b.cid, a.dup_of,
+       | COALESCE(a.max_cosine, 0.0) AS max_cosine,
+       | a.dup_of IS NOT NULL AS is_duplicate
+       |FROM assigned b LEFT JOIN agg a ON b.vec_id = a.vec_id
+       |ORDER BY b.vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk" -> (simTopk _),
     "sim_ann" -> (simAnn _),
     "sim_ivf" -> (simIvf _),
     "sim_ivf_pruned" -> (simIvfPruned _),
     "sim_ivf_append" -> (simIvfAppend _),
+    "dedup_semantic" -> (dedupSemantic _),
     "embed_quantize" -> (embedQuantize _))
 
   /** Generated oracle for C7b — the TRAINED centroids are inlined as list
@@ -544,6 +618,7 @@ object Similarity {
     // identical candidate set + bit-identical cosine → C7c shares C7b's oracle
     "sim_ivf_pruned" -> simIvfSql(sfDir),
     "sim_ivf_append" -> simIvfAppendSql(sfDir),
+    "dedup_semantic" -> dedupSemanticSql(sfDir),
     "embed_quantize" -> embedQuantizeSql)
 
   /** Dir-less contract form, total for any JVM state: one trained codebook →
@@ -565,6 +640,7 @@ object Similarity {
         s"${several.sorted.mkString(", ")}; use the dir-bound oracle dump\n"
       oracles(sfDir = "") ++ (Seq("sim_ivf", "sim_ivf_pruned")
         .map(k => k -> (banner + simIvfSql(""))) :+
-        ("sim_ivf_append" -> (banner + simIvfAppendSql(""))))
+        ("sim_ivf_append" -> (banner + simIvfAppendSql(""))) :+
+        ("dedup_semantic" -> (banner + dedupSemanticSql(""))))
   }
 }

@@ -93,6 +93,53 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 2, s"ANN recall dropped to $recall/10")
   }
 
+  test("semantic dedup decisions match a brute-force within-cluster pairwise sweep") {
+    val out = Similarity.dedupSemantic(spark, sfDir).collect()
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    assert(out.length == vecs.size)
+    // same sequential fold the kernel and the oracle run → bit-equal cosines
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cid = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val id = r.getLong(0)
+      // brute force over ALL lower-id cluster-mates, exactly the C29 rule
+      val mates = vecs.keys.filter(m => m < id && cid(m) == cid(id))
+        .map(m => (m, cos(vecs(m), vecs(id)))).filter(_._2 >= 0.45)
+      if (r.getBoolean(4)) {
+        assert(mates.nonEmpty, s"vec $id flagged dup with no qualifying mate")
+        assert(r.getLong(2) == mates.map(_._1).min,
+          s"vec $id dup_of should be the smallest qualifying mate")
+        assert(r.getDouble(3) == mates.map(_._2).max,
+          s"vec $id max_cosine disagrees with brute force")
+      } else {
+        assert(mates.isEmpty, s"vec $id missed a qualifying mate: $mates")
+        assert(r.isNullAt(2) && r.getDouble(3) == 0.0)
+      }
+    }
+  }
+
+  test("correlated subquery equals the decorrelated join it should plan to") {
+    val got = Relational.qCorrelatedSubquery(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val orders = Tables.load(spark, sfDir, "orders")
+      .select(col("o_custkey"), col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 100)))
+    val byCust = orders.groupBy(_._1)
+    val want = byCust.flatMap { case (ck, os) =>
+      val total = os.map(_._2).sum
+      val n = os.map(c => 2L * c._2 * os.length > 3L * total).count(identity)
+      if (n > 0) Some(ck -> n.toLong) else None
+    }
+    assert(got == want, "correlated-subquery counts disagree with brute force")
+    assert(got.nonEmpty)
+  }
+
   test("int8 quantization meets its error bound on every vector") {
     val rows = Similarity.embedQuantize(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -306,6 +306,31 @@ class PipelineOpsSpec extends SparkSpec {
       "repetition should not shuffle an aggregation")
   }
 
+  test("duplicated-span fraction equals a brute-force cross-document count") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // same domain rule as gramSet: <5-token docs own their whole text
+    def gramsOf(t: String): Set[String] = {
+      val w = t.split(" ", -1)
+      if (w.length < 5) Set(t) else w.sliding(5).map(_.mkString(" ")).toSet
+    }
+    val per = docs.map { case (id, t) => id -> gramsOf(t) }.toMap
+    val nDocs = per.values.flatten.groupBy(identity).map { case (g, o) => g -> o.size }
+    val out = operators.PipelineOps.dedupSpans(spark, sfDir).collect()
+    assert(out.length == docs.length)
+    var anyDup = false
+    out.foreach { r =>
+      val gs = per(r.getLong(0))
+      val dup = gs.count(g => nDocs(g) >= 2)
+      assert(r.getLong(1) == gs.size, s"doc ${r.getLong(0)} n_spans")
+      assert(r.getLong(2) == dup, s"doc ${r.getLong(0)} n_dup_spans")
+      assert(r.getDouble(3) == dup.toDouble / gs.size)
+      anyDup |= dup > 0
+    }
+    assert(anyDup, "fixture has no cross-document span overlap — test is vacuous")
+  }
+
   test("graft_might_contain: no false negatives, bounded false positives") {
     import spark.implicits._
     val keys = (0L until 2000L).map(i => s"key_$i").toDF("k")
