@@ -538,6 +538,39 @@ object PipelineOps {
       |  < LEAST(10000, (t.total * 10000) // (t.k * s.cnt))
       |ORDER BY d.doc_id""".stripMargin
 
+  /** C30 — temperature-balanced language mixing (α = 0.5, the mT5/XLM-R
+    * multilingual move): sampled share ∝ √n_l, implemented as deterministic
+    * downsampling at rate √(n_min/n_l) so the smallest language keeps every
+    * document and nothing is upsampled (dedup-safe: no repeated rows). The
+    * rates are DATA-dependent — where C13 hard-codes percentages and C23
+    * equalizes shares, this computes each language's rate from the corpus at
+    * runtime: two tiny aggregates broadcast back over one corpus scan, no
+    * corpus shuffle. The keep decision buckets the id hash into 10⁶ against
+    * floor(10⁶·rate); √ and the divide are correctly-rounded IEEE ops over
+    * exact integer inputs, so both engines compute the identical threshold
+    * (α generalizes via pow, but 0.5 keeps the oracle exact — IEEE 754
+    * requires correct rounding of sqrt, not of pow). */
+  def mixTemperature(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.load(spark, sfDir, "documents").select(col("doc_id"), col("lang"))
+    val byLang = d.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+    val mn = byLang.agg(min(col("n_l")).as("n_min"))
+    val thr = floor(lit(1000000.0) * sqrt(col("n_min").cast("double") / col("n_l")))
+    d.join(broadcast(byLang), "lang")
+      .crossJoin(broadcast(mn))
+      .filter(pmod(idHash(col("doc_id")), lit(1000000)) < thr)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  val mixTemperatureSql: String =
+    """WITH c AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang),
+      |m AS (SELECT MIN(n_l) AS n_min FROM c)
+      |SELECT doc_id, lang
+      |FROM documents d JOIN c USING (lang) CROSS JOIN m
+      |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS INT64) % 1000000
+      |   < floor(1000000 * sqrt(CAST(n_min AS DOUBLE) / n_l))
+      |ORDER BY doc_id""".stripMargin
+
   /** C28 — cross-document duplicated-span fraction (the RefinedWeb/Dolma
     * dedup-priority signal): per document, the fraction of its distinct word
     * 5-grams that also occur in at least one OTHER document. Complements C25
@@ -593,6 +626,7 @@ object PipelineOps {
     "split_leakage" -> (splitLeakage _),
     "corpus_shuffle" -> (corpusShuffle _),
     "mix_sources" -> (mixSources _),
+    "mix_temperature" -> (mixTemperature _),
     "prepare_corpus" -> (prepareCorpus _),
     "sample_stratified" -> (sampleStratified _),
     "ngram_topk" -> (ngramTopk _),
@@ -609,6 +643,7 @@ object PipelineOps {
     "split_leakage" -> splitLeakageSql,
     "corpus_shuffle" -> corpusShuffleSql,
     "mix_sources" -> mixSourcesSql,
+    "mix_temperature" -> mixTemperatureSql,
     "prepare_corpus" -> prepareCorpusSql,
     "sample_stratified" -> sampleStratifiedSql,
     "ngram_topk" -> ngramTopkSql,

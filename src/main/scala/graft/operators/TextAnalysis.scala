@@ -80,10 +80,10 @@ object TextAnalysis {
        | len(regexp_extract_all(text, '$BpePattern')) AS bpe_tokens
        |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** C9 — quality scoring: length/punctuation/stopword signals combined into a
-    * deterministic [0,1] score (all ratios are int/int → identical doubles). */
-  def textQuality(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = Tables.load(spark, sfDir, "documents")
+  /** The C9 metric projection over any (doc_id, text) relation — shared by
+    * the batch query and D6's streaming gate (a stream is just another
+    * unbounded relation to project over; every signal is row-local). */
+  private[graft] def qualityProjection(spark: SparkSession, d: DataFrame): DataFrame = {
     val nTok = wsTokenCount(col("text"))
     val nPunct = punctCount(col("text"))
     // native StopwordHits, not the interpreted filter(split) HOF
@@ -93,12 +93,33 @@ object TextAnalysis {
       nTok.cast("bigint").as("ws_tokens"),
       nPunct.as("n_punct"), nStop.as("n_stopwords"))
     base.select(col("doc_id"), col("n_chars_calc"), col("ws_tokens"),
-        (col("n_punct") / col("n_chars_calc")).as("punct_ratio"),
-        (col("n_stopwords") / col("ws_tokens")).as("stopword_ratio"),
-        (least(col("ws_tokens"), lit(200)) / lit(200)
-          - col("n_punct") / col("n_chars_calc")).as("quality_score"))
-      .orderBy(col("doc_id"))
+      (col("n_punct") / col("n_chars_calc")).as("punct_ratio"),
+      (col("n_stopwords") / col("ws_tokens")).as("stopword_ratio"),
+      (least(col("ws_tokens"), lit(200)) / lit(200)
+        - col("n_punct") / col("n_chars_calc")).as("quality_score"))
   }
+
+  /** C9 — quality scoring: length/punctuation/stopword signals combined into a
+    * deterministic [0,1] score (all ratios are int/int → identical doubles). */
+  def textQuality(spark: SparkSession, sfDir: String): DataFrame =
+    qualityProjection(spark, Tables.load(spark, sfDir, "documents"))
+      .orderBy(col("doc_id"))
+
+  /** D6's oracle: C9's SQL with the gate predicate folded in (the stream is
+    * stateless, so the drained backlog equals the gated batch query). */
+  private[graft] def qualityGateSql(threshold: String): String =
+    s"""SELECT doc_id, n_chars_calc, ws_tokens,
+       | n_punct / n_chars_calc AS punct_ratio,
+       | n_stopwords / ws_tokens AS stopword_ratio,
+       | least(ws_tokens, 200) / 200 - n_punct / n_chars_calc AS quality_score
+       |FROM (
+       | SELECT doc_id, length(text) AS n_chars_calc,
+       |  length(text) - length(regexp_replace(text, ' ', '', 'g')) + 1 AS ws_tokens,
+       |  len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS n_punct,
+       |  ${stopHitsSql(EnStops)} AS n_stopwords
+       | FROM documents) t
+       |WHERE least(ws_tokens, 200) / 200 - n_punct / n_chars_calc > $threshold
+       |ORDER BY doc_id""".stripMargin
 
   val textQualitySql: String =
     s"""SELECT doc_id, n_chars_calc, ws_tokens,

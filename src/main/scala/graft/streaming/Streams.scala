@@ -365,6 +365,27 @@ object Streams extends Serializable {
     dedupRun(spark, docsStream(spark, sfDir), "stream_dedup", cp)
   }
 
+  /** D6 — streaming quality gate: the filter tier of continuous ingest,
+    * running AHEAD of the dedup tiers (D4/D5) so junk never reaches the
+    * signature stores. The C9 score is a pure row-local projection, so its
+    * streaming form is STATELESS — no watermark, no state store, no
+    * shuffle; each micro-batch scores and filters independently, which is
+    * why this tier scales to any ingest rate by adding executors alone.
+    * Gate: quality_score > 0.25 (int/int ratios → identical doubles across
+    * engines, so the threshold decision is exact). Stateless ⇒ trivially
+    * batch-equivalent on a finite backlog → carries C9's SQL with the gate
+    * folded in. */
+  def streamQualityGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val cp = new java.io.File(checkpointDir(sfDir, "stream_quality_gate"))
+    org.apache.commons.io.FileUtils.deleteQuietly(cp)
+    spark.catalog.dropTempView("stream_quality_gate")
+    val scored = graft.operators.TextAnalysis
+      .qualityProjection(spark, docsStream(spark, sfDir))
+      .filter(col("quality_score") > 0.25)
+    runToMemory(spark, scored, "stream_quality_gate", cp, OutputMode.Append())
+      .orderBy(col("doc_id"))
+  }
+
   /** Test hook: every staged file its own micro-batch (maxFilesPerTrigger=1),
     * so cross-batch keeper persistence runs for real. */
   private[graft] def streamDedupMultiBatch(spark: SparkSession,
@@ -623,7 +644,8 @@ object Streams extends Serializable {
     "stream_sessions" -> (streamSessions _),
     "stream_to_catalog" -> (streamToCatalog _),
     "stream_dedup" -> (streamDedup _),
-    "stream_dedup_near" -> (streamDedupNear _))
+    "stream_dedup_near" -> (streamDedupNear _),
+    "stream_quality_gate" -> (streamQualityGate _))
 
   /** With sentinel-driven finalization all three streaming queries are exactly
     * batch-equivalent on a finite backlog, so each carries a sql oracle:
@@ -641,6 +663,8 @@ object Streams extends Serializable {
     // D5's closed-form oracle: rank-guarded band candidates + signature
     // agreement (see Dedup.streamDedupNearSql's scaladoc)
     "stream_dedup_near" -> graft.operators.Dedup.streamDedupNearSql,
+    // D6 is stateless → exactly the gated C9 on the drained backlog
+    "stream_quality_gate" -> graft.operators.TextAnalysis.qualityGateSql("0.25"),
     // D4 ≡ the batch window-min dedup on a single-batch backlog (in-batch
     // groups decide by ascending doc_id, matching MIN OVER the digest)
     "stream_dedup" ->

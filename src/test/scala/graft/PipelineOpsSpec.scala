@@ -306,6 +306,28 @@ class PipelineOpsSpec extends SparkSpec {
       "repetition should not shuffle an aggregation")
   }
 
+  test("temperature mixing keeps the smallest language whole and tracks sqrt shares") {
+    val d = Tables.load(spark, sfDir, "documents").select(col("doc_id"), col("lang"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val nL = d.groupBy(_._2).map { case (l, xs) => l -> xs.length }
+    val nMin = nL.values.min
+    // the exact idHash decision, replicated independently
+    def h(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16)
+    }
+    val want = d.filter { case (id, l) =>
+      h(id) % 1000000L < math.floor(1000000.0 * math.sqrt(nMin.toDouble / nL(l))).toLong
+    }.map(_._1).toSet
+    val out = operators.PipelineOps.mixTemperature(spark, sfDir).collect()
+    assert(out.map(_.getLong(0)).toSet == want)
+    nL.filter(_._2 == nMin).keySet.foreach { l =>
+      assert(out.count(_.getString(1) == l) == nMin, s"smallest lang $l must keep all docs")
+    }
+    assert(out.length < d.length, "dominant languages must be downsampled")
+  }
+
   test("duplicated-span fraction equals a brute-force cross-document count") {
     val docs = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("text")).collect()

@@ -106,6 +106,16 @@ class StreamingSpec extends SparkSpec {
     assert(staged == "new", s"stale staged copy served: $staged")
   }
 
+  test("streaming quality gate is stateless and equals the gated batch query exactly") {
+    val total = Tables.load(spark, sfDir, "documents").count()
+    val got = Streams.streamQualityGate(spark, sfDir).collect().map(_.toSeq).toSeq
+    val want = graft.operators.TextAnalysis.textQuality(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("quality_score") > 0.25)
+      .collect().map(_.toSeq).toSeq
+    assert(got == want, "stream/batch divergence in the quality gate")
+    assert(got.nonEmpty && got.length < total, "gate must pass some docs and drop some")
+  }
+
   test("streaming dedup equals the batch window-min form on one backlog") {
     import org.apache.spark.sql.functions._
     val streamed = Streams.streamDedup(spark, sfDir).collect().map(_.toSeq).toSet
