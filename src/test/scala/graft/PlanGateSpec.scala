@@ -45,7 +45,17 @@ class PlanGateSpec extends SparkSpec {
     Gate("embed_quantize", maxHashEx = 0),
     Gate("contamination_bloom", maxHashEx = 4, minBroadcast = 1),
     Gate("sim_ivf_pruned", maxHashEx = 0, maxRangeEx = 0, needPartitionFilters = true),
-    Gate("sim_ivf_append", maxHashEx = 0, maxRangeEx = 0, needPartitionFilters = true))
+    Gate("sim_ivf_append", maxHashEx = 0, maxRangeEx = 0, needPartitionFilters = true),
+    // C28: two count windows + the per-doc rollup — and NO join-back (the
+    // n_docs>=2 test must stay a window, never a gram self-join)
+    Gate("dedup_spans", maxHashEx = 3),
+    // C29: pairwise stays confined to the cid SMJ; the dup rollup broadcasts
+    Gate("dedup_semantic", maxHashEx = 3, minBroadcast = 1, maxSortMerge = 1),
+    // C30: corpus scan never shuffles — only the tiny per-lang aggregates do,
+    // and they come back as a broadcast
+    Gate("mix_temperature", maxHashEx = 2, minBroadcast = 1, needPushdown = true),
+    // B20: both correlated aggregates decorrelate to BROADCAST joins
+    Gate("q_correlated_subquery", maxHashEx = 3, minBroadcast = 2, needPushdown = true))
 
   gates.foreach { g =>
     test(s"plan gate: ${g.name}") {
