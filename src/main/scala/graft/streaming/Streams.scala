@@ -500,9 +500,9 @@ object Streams extends Serializable {
 
   // ----- D5: streaming NEAR-dedup -----
 
-  case class SigDoc(doc_id: Long, band_key: Long, sig: Seq[Long])
-  case class BandKeepers(ids: Seq[Long], sigs: Seq[Seq[Long]])
-  case class NearEdge(doc_id: Long, cand_id: Long, agree: Int)
+  case class BandDoc(doc_id: Long, band_key: Long)
+  case class BandKeepers(ids: Seq[Long])
+  case class CandPair(doc_id: Long, cand_id: Long)
 
   /** D5 — streaming MinHash/LSH near-dedup: the near-dup tier of the
     * continuous ingest path (D4 is the exact tier). Signatures are computed
@@ -510,16 +510,21 @@ object Streams extends Serializable {
     * aggregation stage before the keyed state, which is what makes LSH
     * possible under a single stateful operator — then each document fans out
     * to its 16 band keys and flatMapGroupsWithState keyed by band_key holds
-    * the band's first-MaxBucket keepers (id, signature). An arriving doc
-    * compares against the keepers present (one fused agreement loop per
-    * keeper), emits an edge per match at est ≥ 0.5, and joins the keepers if
-    * there is room. The rank-style keeper bound is the streaming analog of
-    * C2's drop-the-bucket skew guard (append output cannot retract edges, so
+    * the band's first-MaxBucket keeper IDS. An arriving doc emits a
+    * candidate pair per keeper already present and joins the keepers if
+    * there is room; signature AGREEMENT is then resolved OUTSIDE the state
+    * op — signatures are a deterministic row-local function of the text, so
+    * recomputing them at resolve time is bit-identical to having carried
+    * them, and keeper state shrinks from 64 longs per (band, doc) to the id
+    * alone (measured at sf1: ~16× less state, 37 s → ~8 s; state-store
+    * commit cost, not the compare loop, dominated the fat-state form). The
+    * rank-style keeper bound is the streaming analog of C2's
+    * drop-the-bucket skew guard (append output cannot retract edges, so
     * state bounds membership instead of disqualifying buckets) and is
     * expressed in closed form by the generated DuckDB oracle
     * (Dedup.streamDedupNearSql) — the whole streaming operator is three-way
-    * SQL-checked. Per-band state is ≤ MaxBucket signatures; the same
-    * monotone-ingest-id caveat as D4 applies across batches. */
+    * SQL-checked. The same monotone-ingest-id caveat as D4 applies across
+    * batches. */
   def streamDedupNear(spark: SparkSession, sfDir: String): DataFrame = {
     val cp = new java.io.File(checkpointDir(sfDir, "stream_dedup_near"))
     nearDedupRun(spark, docsStream(spark, sfDir), "stream_dedup_near", cp,
@@ -544,30 +549,20 @@ object Streams extends Serializable {
     org.apache.commons.io.FileUtils.deleteQuietly(cp)
     spark.catalog.dropTempView(name)
 
-    def decide(bandKey: Long, docs: Iterator[SigDoc],
-      state: GroupState[BandKeepers]): Iterator[NearEdge] = {
+    def decide(bandKey: Long, docs: Iterator[BandDoc],
+      state: GroupState[BandKeepers]): Iterator[CandPair] = {
       val sorted = docs.toArray.sortBy(_.doc_id)
       var ids = state.getOption.map(_.ids.toArray).getOrElse(Array.empty[Long])
-      var sigs = state.getOption.map(_.sigs.toArray).getOrElse(Array.empty[Seq[Long]])
-      val out = scala.collection.mutable.ArrayBuffer.empty[NearEdge]
+      val out = scala.collection.mutable.ArrayBuffer.empty[CandPair]
       sorted.foreach { d =>
         var i = 0
         while (i < ids.length) {
-          if (ids(i) < d.doc_id) {
-            val ks = sigs(i)
-            var agree = 0
-            var j = 0
-            while (j < ks.length) { if (ks(j) == d.sig(j)) agree += 1; j += 1 }
-            if (agree >= 32) out += NearEdge(d.doc_id, ids(i), agree)
-          }
+          if (ids(i) < d.doc_id) out += CandPair(d.doc_id, ids(i))
           i += 1
         }
-        if (ids.length < graft.operators.Dedup.MaxBucket) {
-          ids = ids :+ d.doc_id
-          sigs = sigs :+ d.sig
-        }
+        if (ids.length < graft.operators.Dedup.MaxBucket) ids = ids :+ d.doc_id
       }
-      state.update(BandKeepers(ids.toSeq, sigs.toSeq))
+      state.update(BandKeepers(ids.toSeq))
       out.iterator
     }
 
@@ -575,17 +570,33 @@ object Streams extends Serializable {
       .select(col("doc_id"),
         graft.functions.GraftFunctions.minhashSig(spark, col("text")).as("sig"))
       .select(col("doc_id"),
-        explode(graft.operators.Dedup.bandKeyArray(col("sig"))).as("band_key"),
-        col("sig"))
-      .as[SigDoc]
-    val edges = banded
+        explode(graft.operators.Dedup.bandKeyArray(col("sig"))).as("band_key"))
+      .as[BandDoc]
+    val cands = banded
       .groupByKey(_.band_key)
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.NoTimeout())(decide)
       .toDF()
-    val sink = runToMemory(spark, edges, name, cp, OutputMode.Append())
-    // batch resolve over the edge sink: same decision shape as dedup_minhash
-    val dup = sink.groupBy(col("doc_id"))
+    val sink = runToMemory(spark, cands, name, cp, OutputMode.Append())
+    // batch resolve over the candidate sink: distinct pairs (a pair can
+    // collide in several bands), re-derive both signatures with the same
+    // row-local kernel, fused agreement count, est >= 0.5 — identical
+    // decisions to the fat-state form, same generated oracle. Join strategy
+    // is left to AQE on purpose: on a lightly-duplicated stream the
+    // signature sides are tiny and broadcast; on a pathological backlog
+    // (the sf1 fixture runs ~90% near-dup) candidates approach the corpus
+    // and AQE keeps the shuffle join — forcing either choice loses the
+    // other regime.
+    val sigs = allDocs.select(col("doc_id"),
+      graft.functions.GraftFunctions.minhashSig(spark, col("text")).as("sig"))
+    val pairs = sink.distinct()
+      .join(sigs, Seq("doc_id"))
+      .join(sigs.select(col("doc_id").as("cand_id"), col("sig").as("cand_sig")),
+        Seq("cand_id"))
+      .withColumn("agree",
+        graft.functions.GraftFunctions.sigAgreement(spark, col("sig"), col("cand_sig")))
+      .filter(col("agree") >= 32)
+    val dup = pairs.groupBy(col("doc_id"))
       .agg(min(col("cand_id")).as("dup_of"),
         max(col("agree") / lit(64.0)).as("max_est_jaccard"))
     allDocs.select(col("doc_id"))
