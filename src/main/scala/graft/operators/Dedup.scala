@@ -121,7 +121,7 @@ object Dedup {
     * race and each recomputes the build before the cache fills (~3×). */
   private val memo = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  private def memoize(spark: SparkSession, sfDir: String, tag: String)
+  private[operators] def memoize(spark: SparkSession, sfDir: String, tag: String)
     (build: => DataFrame): DataFrame =
     memo.computeIfAbsent(s"${spark.sparkContext.applicationId}:$sfDir:$tag", { _ =>
       val df = build.cache()

@@ -176,8 +176,11 @@ object PipelineOps {
       .orderBy(col("doc_id"))
   }
 
-  val contaminationSql: String =
-    """WITH grams AS (
+  /** The distinct-5-grams-per-doc CTE C15's and C28's oracles both build on —
+    * ONE copy, mirroring gramSet's domain rule (incl. the <5-token whole-text
+    * fallback), so the two oracles can never drift apart. */
+  private val gramsCte: String =
+    """grams AS (
       | SELECT doc_id,
       |  CASE WHEN len(string_split(text, ' ')) >= 5
       |   THEN list_distinct(list_transform(
@@ -186,8 +189,13 @@ object PipelineOps {
       |       || ' ' || string_split(text, ' ')[i + 2] || ' ' || string_split(text, ' ')[i + 3]
       |       || ' ' || string_split(text, ' ')[i + 4]))
       |   ELSE [text] END AS gs
-      | FROM documents),
-      |bench AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 97 = 0),
+      | FROM documents)""".stripMargin
+
+  // NB: gramsCte is concatenated OUTSIDE the stripMargin region — its '||'
+  // concatenation lines would otherwise lose a pipe to the outer stripMargin
+  val contaminationSql: String =
+    s"WITH $gramsCte,\n" +
+    """bench AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 97 = 0),
       |corpus AS (SELECT * FROM grams WHERE doc_id % 97 != 0),
       |hits AS (
       | SELECT e.doc_id, COUNT(*) AS n_contaminated
@@ -602,17 +610,8 @@ object PipelineOps {
     * compare), and the ratio is the same long/long → double division Spark
     * emits. */
   val dedupSpansSql: String =
-    """WITH grams AS (
-      | SELECT doc_id,
-      |  CASE WHEN len(string_split(text, ' ')) >= 5
-      |   THEN list_distinct(list_transform(
-      |     range(1, len(string_split(text, ' ')) - 3),
-      |     i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]
-      |       || ' ' || string_split(text, ' ')[i + 2] || ' ' || string_split(text, ' ')[i + 3]
-      |       || ' ' || string_split(text, ' ')[i + 4]))
-      |   ELSE [text] END AS gs
-      | FROM documents),
-      |w AS (
+    s"WITH $gramsCte,\n" +
+    """w AS (
       | SELECT doc_id, COUNT(*) OVER (PARTITION BY g) AS n_docs
       | FROM (SELECT doc_id, unnest(gs) AS g FROM grams) t)
       |SELECT doc_id, COUNT(*) AS n_spans,

@@ -487,9 +487,17 @@ object Similarity {
   def dedupSemantic(spark: SparkSession, sfDir: String): DataFrame = {
     val tau = 0.45
     val codebook = trainCodebook(spark, sfDir)
-    val assigned = Tables.load(spark, sfDir, "embeddings")
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .select(col("vec_id"), col("v"), nearestCid(spark, codebook).as("cid"))
+    // memoized like C5's signature table (Dedup.memoize): the projection
+    // feeds both self-join sides plus the final rollup, and the production
+    // analog — the C7c cid-partitioned index — is likewise built once. The
+    // fingerprint in the tag keeps a mid-app data regeneration from pairing
+    // a stale cached assignment with freshly-retrained oracle centroids.
+    val assigned = Dedup.memoize(spark, sfDir,
+      "semcid:" + graft.Tables.fingerprint(sfDir, "embeddings")) {
+      Tables.load(spark, sfDir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .select(col("vec_id"), col("v"), nearestCid(spark, codebook).as("cid"))
+    }
     val pairs = assigned.as("x").join(assigned.as("y"),
         col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id"))
       .withColumn("cosine",

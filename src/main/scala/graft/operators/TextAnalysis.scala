@@ -105,34 +105,28 @@ object TextAnalysis {
     qualityProjection(spark, Tables.load(spark, sfDir, "documents"))
       .orderBy(col("doc_id"))
 
+  /** ONE source for the C9 score SQL — shared by the batch oracle and D6's
+    * gated form so a future score change can never desynchronize them. */
+  private def qualitySql(where: String): String =
+    s"""SELECT doc_id, n_chars_calc, ws_tokens,
+       | n_punct / n_chars_calc AS punct_ratio,
+       | n_stopwords / ws_tokens AS stopword_ratio,
+       | least(ws_tokens, 200) / 200 - n_punct / n_chars_calc AS quality_score
+       |FROM (
+       | SELECT doc_id, length(text) AS n_chars_calc,
+       |  length(text) - length(regexp_replace(text, ' ', '', 'g')) + 1 AS ws_tokens,
+       |  len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS n_punct,
+       |  ${stopHitsSql(EnStops)} AS n_stopwords
+       | FROM documents) t
+       |${where}ORDER BY doc_id""".stripMargin
+
   /** D6's oracle: C9's SQL with the gate predicate folded in (the stream is
     * stateless, so the drained backlog equals the gated batch query). */
   private[graft] def qualityGateSql(threshold: String): String =
-    s"""SELECT doc_id, n_chars_calc, ws_tokens,
-       | n_punct / n_chars_calc AS punct_ratio,
-       | n_stopwords / ws_tokens AS stopword_ratio,
-       | least(ws_tokens, 200) / 200 - n_punct / n_chars_calc AS quality_score
-       |FROM (
-       | SELECT doc_id, length(text) AS n_chars_calc,
-       |  length(text) - length(regexp_replace(text, ' ', '', 'g')) + 1 AS ws_tokens,
-       |  len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS n_punct,
-       |  ${stopHitsSql(EnStops)} AS n_stopwords
-       | FROM documents) t
-       |WHERE least(ws_tokens, 200) / 200 - n_punct / n_chars_calc > $threshold
-       |ORDER BY doc_id""".stripMargin
+    qualitySql("WHERE least(ws_tokens, 200) / 200" +
+      s" - n_punct / n_chars_calc > $threshold\n")
 
-  val textQualitySql: String =
-    s"""SELECT doc_id, n_chars_calc, ws_tokens,
-       | n_punct / n_chars_calc AS punct_ratio,
-       | n_stopwords / ws_tokens AS stopword_ratio,
-       | least(ws_tokens, 200) / 200 - n_punct / n_chars_calc AS quality_score
-       |FROM (
-       | SELECT doc_id, length(text) AS n_chars_calc,
-       |  length(text) - length(regexp_replace(text, ' ', '', 'g')) + 1 AS ws_tokens,
-       |  len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS n_punct,
-       |  ${stopHitsSql(EnStops)} AS n_stopwords
-       | FROM documents) t
-       |ORDER BY doc_id""".stripMargin
+  val textQualitySql: String = qualitySql("")
 
   /** C8 — language-ID heuristic: stopword-dictionary votes + a CJK character
     * probe; deterministic tie-break en > es > de > fr > und.

@@ -122,6 +122,8 @@ class OperatorsSpec extends SparkSpec {
         assert(r.isNullAt(2) && r.getDouble(3) == 0.0)
       }
     }
+    assert(out.exists(_.getBoolean(4)),
+      "fixture yields no semantic dups — the dup branch was never exercised")
   }
 
   test("correlated subquery equals the decorrelated join it should plan to") {
