@@ -516,7 +516,7 @@ object Streams extends Serializable {
     * op — signatures are a deterministic row-local function of the text, so
     * recomputing them at resolve time is bit-identical to having carried
     * them, and keeper state shrinks from 64 longs per (band, doc) to the id
-    * alone (measured at sf1: ~16× less state, 37.4 → 17.3 s committed in
+    * alone (measured at sf1: ~16× less state, 37.4 → 19.2 s committed in
     * BENCH_sf1_r6; state-store commit cost, not the compare loop, dominated
     * the fat-state form). The trade the move makes: sub-threshold band
     * collisions now reach the sink (bounded at bands × MaxBucket pairs per
