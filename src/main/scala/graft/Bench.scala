@@ -23,6 +23,7 @@ object Bench {
       operators.Pmr.ensureOrdersByPriceRange(spark, sfDir)
       operators.Dedup.warmSignatures(spark, sfDir)
       operators.Similarity.trainCodebook(spark, sfDir)
+      operators.Similarity.trainSemanticCodebook(spark, sfDir)
       operators.Similarity.ensureIvfIndex(spark, sfDir)
       operators.Similarity.ensureIvfAppendIndex(spark, sfDir)
       streaming.Streams.stage(spark, sfDir)

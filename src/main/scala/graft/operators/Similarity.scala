@@ -155,10 +155,12 @@ object Similarity {
   }
 
   /** The Lloyd loop over an arbitrary (vec_id, v) set — shared by the
-    * full-table codebook (C7b/C7c) and the corpus-only codebook (C7d). */
-  private def lloyd(spark: SparkSession, e: DataFrame): Array[(Int, Array[Double])] = {
+    * full-table codebook (C7b/C7c), the corpus-only codebook (C7d), and
+    * C29's size-proportional semantic codebook (k parameter). */
+  private def lloyd(spark: SparkSession, e: DataFrame,
+    k: Int = IvfK): Array[(Int, Array[Double])] = {
     val sample = e.filter(pmod(col("vec_id"), lit(3)) === 0)
-    var codebook: Array[(Int, Array[Double])] = e.filter(col("vec_id") < IvfK)
+    var codebook: Array[(Int, Array[Double])] = e.filter(col("vec_id") < k)
       .collect().map { r =>
         (r.getAs[Number]("vec_id").intValue, r.getAs[Seq[Double]]("v").toArray)
       }.sortBy(_._1)
@@ -468,6 +470,41 @@ object Similarity {
       | END AS n_saturated
       |FROM s ORDER BY vec_id""".stripMargin
 
+  // ----- C29: semantic dedup -----
+
+  /** Semantic-dedup cluster count: K ∝ N (clamped), targeting ~256-vector
+    * inverted lists. This is what makes SemDeDup linear — Σc² ≈ N²/K stays
+    * ≈ 256·N when K grows with the corpus (the paper sizes 50k clusters for
+    * LAION the same way). The upper clamp bounds the width of the inlined
+    * argmax expression; past it a production corpus moves assignment to the
+    * C7c stored-index layout, where K is a partition count, not an
+    * expression width. */
+  private def semanticK(n: Long): Int =
+    math.max(16L, math.min(64L, n / 256L)).toInt
+
+  // dir -> (embeddings fingerprint, size-proportional codebook) — separate
+  // from the K=16 IVF codebook: the two operators size K by different rules
+  private val semanticCodebookCache =
+    scala.collection.concurrent.TrieMap.empty[String, (String, Array[(Int, Array[Double])])]
+
+  private def cachedSemanticCodebook(sfDir: String): Option[Array[(Int, Array[Double])]] =
+    semanticCodebookCache.get(sfDir)
+      .filter(_._1 == graft.Tables.fingerprint(sfDir, "embeddings"))
+      .map(_._2)
+
+  def trainSemanticCodebook(spark: SparkSession,
+    sfDir: String): Array[(Int, Array[Double])] =
+    cachedSemanticCodebook(sfDir).getOrElse(this.synchronized {
+      cachedSemanticCodebook(sfDir).getOrElse {
+        val fp = graft.Tables.fingerprint(sfDir, "embeddings")
+        val e = Tables.load(spark, sfDir, "embeddings")
+          .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        val cb = lloyd(spark, e, semanticK(e.count()))
+        semanticCodebookCache(sfDir) = (fp, cb)
+        cb
+      }
+    })
+
   /** C29 — semantic dedup (the SemDeDup recipe: Abbas et al. 2023,
     * arXiv:2303.09540): k-means-cluster the embedding space with the SAME
     * Lloyd codebook C7b trains, then inside each cluster mark any vector
@@ -477,16 +514,18 @@ object Similarity {
     * lexical signature can see.
     *
     * The codebook IS the scale story: candidate pairs are confined to one
-    * inverted list each, so pairwise cost is Σ c_k², never N² — at 100 TB
-    * K is sized so lists hold O(10³) vectors (SemDeDup runs 50k clusters
-    * over LAION), keeping each list's compare batch executor-local after
-    * ONE exchange on cid. C5 (hyperplane buckets) is the untrained analog;
-    * here the partition function is learned, so recall concentrates where
-    * the data does. In production the assignment is the C7c index layout —
-    * already materialized, so this op reads its lists straight off disk. */
+    * inverted list each, so pairwise cost is Σ c_k², never N² — and K is
+    * sized ∝ N (semanticK, ~256-vector lists), which makes the whole op
+    * LINEAR in the corpus: Σ c² ≈ 256·N whatever the scale (SemDeDup sizes
+    * 50k clusters for LAION the same way). Each list's compare batch is
+    * executor-local after ONE exchange on cid. C5 (hyperplane buckets) is
+    * the untrained analog; here the partition function is learned, so
+    * recall concentrates where the data does. In production the assignment
+    * is the C7c index layout — already materialized, so this op reads its
+    * lists straight off disk. */
   def dedupSemantic(spark: SparkSession, sfDir: String): DataFrame = {
     val tau = 0.45
-    val codebook = trainCodebook(spark, sfDir)
+    val codebook = trainSemanticCodebook(spark, sfDir)
     // memoized like C5's signature table (Dedup.memoize): the projection
     // feeds both self-join sides plus the final rollup, and the production
     // analog — the C7c cid-partitioned index — is likewise built once. The
@@ -524,7 +563,9 @@ object Similarity {
     def dotv(a: String, b: String) =
       s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> $a[i] * $b[i])), (a, b) -> a + b)"
     def cos(a: String, b: String) = s"${dotv(a, b)} / (sqrt(${sq(a)}) * sqrt(${sq(b)}))"
-    val centroidCte = centroidValuesCte(cachedCodebook(sfDir))
+    // the SEMANTIC codebook (K ∝ N), not the IVF one; the untrained seed
+    // fallback is labeled fail-evident like simIvfSql's
+    val centroidCte = centroidValuesCte(cachedSemanticCodebook(sfDir))
       .getOrElse(s"c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $IvfK)")
     s"""WITH e AS (
        | SELECT vec_id, list_transform(embedding, z -> CAST(z AS DOUBLE)) AS v
