@@ -33,7 +33,11 @@ object Bench {
     // Map-iteration order made cross-round per-query diffs noisy, and a single
     // rep conflates first-run codegen/JIT cost with steady-state latency. The
     // min of 2 is the reproducible per-query number (±10% across rounds).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional targeted run (same env contract as Verify); driver-unset →
+    // the full sorted sweep.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(kv => only.forall(_.contains(kv._1))).map { case (name, fn) =>
       // noop sink: every column and the output ordering are actually computed —
       // count() would let the optimizer drop final sorts and prune all columns
       // (parquet count-star pushdown), understating real query cost.
