@@ -171,6 +171,87 @@ case class DistinctBigrams(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Top-gram kernel for [[TopGramStats]]: one hashing pass over a document's
+  * word bigrams (the SAME contiguous-byte-span domain as [[BigramKernel]]:
+  * single-space splits, empties included) producing the two Gopher-family
+  * repetition maxima —
+  *   - `top_count`: occurrences of the document's most frequent bigram;
+  *   - `top_chars`: max over bigrams of count × gram CHAR length (the char
+  *     mass the worst repeated gram accounts for).
+  * Both are maxima of exact integers, so no tie-break rule is needed for
+  * cross-engine determinism (ties collapse under max). Sub-2-token documents
+  * have no bigrams → (0, 0); operators filter them out before projecting. */
+object TopGramKernel {
+  def stats(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = s.getBytes
+    var starts = new Array[Int](16)
+    var nStarts = 1 // starts(0) = 0
+    var i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' ') {
+        if (nStarts == starts.length) starts = java.util.Arrays.copyOf(starts, nStarts * 2)
+        starts(nStarts) = i + 1
+        nStarts += 1
+      }
+      i += 1
+    }
+    var topCount = 0L
+    var topChars = 0L
+    if (nStarts >= 2) {
+      // int[1] counter cells: one box per DISTINCT gram, none per occurrence
+      val counts = new java.util.HashMap[UTF8String, Array[Int]]()
+      var t = 0
+      while (t < nStarts - 1) {
+        val from = starts(t)
+        val until = if (t + 2 < nStarts) starts(t + 2) - 1 else bytes.length
+        val g = UTF8String.fromBytes(bytes, from, until - from)
+        val cell = counts.get(g)
+        if (cell == null) counts.put(g, Array(1)) else cell(0) += 1
+        t += 1
+      }
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val c = e.getValue()(0).toLong
+        if (c > topCount) topCount = c
+        val cov = c * e.getKey.numChars()
+        if (cov > topChars) topChars = cov
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](topCount, topChars))
+  }
+}
+
+/** Per-document top-bigram statistics as ONE projected struct expression —
+  * the shuffle-free core of the C31 top-gram coverage rule (the Gopher
+  * "fraction of characters in the most common n-gram" family). Like C25's
+  * distinct count, both maxima are row-local; the explode + per-gram count +
+  * per-doc max pipeline form shuffles every bigram of the corpus twice to
+  * answer them. */
+case class TopGramStats(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_top_gram expects a string column, got $other")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("top_count", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("top_chars", LongType, nullable = false)))
+  override def prettyName: String = "graft_top_gram"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TopGramKernel.stats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TopGramKernel.stats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TopGramStats =
+    copy(child = newChild)
+}
+
 /** Count-only kernel for [[BpeTokenCount]]: one byte pass emulating
   * `size(regexp_extract_all(text, "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"))` without
   * materializing a single match — a letters RUN counts once, each digit

@@ -216,6 +216,15 @@ object GraftFunctions {
       s"graft_fingerprint expects 1 argument, got ${other.size}")
   }
 
+  val topGramInfo = new ExpressionInfo(
+    classOf[TopGramStats].getName, "graft_top_gram")
+
+  private[functions] val topGramBuilder: Seq[Expression] => Expression = {
+    case Seq(c) => TopGramStats(c)
+    case other => throw new IllegalArgumentException(
+      s"graft_top_gram expects 1 argument, got ${other.size}")
+  }
+
   val minhashSigInfo = new ExpressionInfo(
     classOf[MinHashSignature].getName, "graft_minhash_sig")
 
@@ -236,6 +245,7 @@ object GraftFunctions {
       (FunctionIdentifier("graft_stop_hits"), stopHitsInfo, stopHitsBuilder),
       (FunctionIdentifier("graft_distinct_bigrams"), distinctBigramsInfo, distinctBigramsBuilder),
       (FunctionIdentifier("graft_bpe_count"), bpeCountInfo, bpeCountBuilder),
+      (FunctionIdentifier("graft_top_gram"), topGramInfo, topGramBuilder),
       (FunctionIdentifier("graft_minhash_sig"), minhashSigInfo, minhashSigBuilder))
       .foreach { case (id, info, builder) =>
         if (!registry.functionExists(id)) registry.registerFunction(id, info, builder)
@@ -273,6 +283,12 @@ object GraftFunctions {
   def sigAgreement(spark: SparkSession, a: Column, b: Column): Column = {
     ensureRegistered(spark)
     call_function("graft_sig_agreement", a, b)
+  }
+
+  /** Column-API entry point: per-doc top-bigram stats struct (C31). */
+  def topGram(spark: SparkSession, text: Column): Column = {
+    ensureRegistered(spark)
+    call_function("graft_top_gram", text)
   }
 
   /** Column-API entry point: row-local 64-wide MinHash signature (C2b). */

@@ -96,6 +96,48 @@ object PipelineOps {
       | ROUND(1 - COUNT(DISTINCT g) / COUNT(*), 6) AS repetition_ratio
       |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** C31 — top-gram character coverage (the other Gopher repetition rule
+    * family: "fraction of characters in the most common n-gram"): per
+    * document, the most frequent word bigram's occurrence count and the max
+    * char mass any single bigram accounts for (count × gram chars), as a
+    * fraction of the document. Catches looping generation and template spam
+    * that C25's distinct-ratio misses (a doc can have MANY distinct bigrams
+    * yet one dominating it).
+    *
+    * Both statistics are per-doc maxima of exact integers, so they are
+    * row-local: ONE native kernel pass (functions.TopGramStats) inside the
+    * scan's codegen — no Generate, no Exchange, the same zero-shuffle map
+    * shape as C25 (pinned in PlanGateSpec). The explode → per-gram count →
+    * per-doc max form would shuffle the corpus' bigrams twice. Maxima need
+    * no tie-break for determinism (ties collapse); sub-2-token docs carry no
+    * bigram evidence and are excluded, same domain rule as C25. */
+  def textTopgram(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.load(spark, sfDir, "documents")
+    val nToks = TextAnalysis.wsTokenCount(col("text"))
+    d.filter(nToks >= 2)
+      .select(col("doc_id"), length(col("text")).cast("bigint").as("n_chars_calc"),
+        graft.functions.GraftFunctions.topGram(spark, col("text")).as("tg"))
+      .select(col("doc_id"),
+        col("tg.top_count").as("top_count"),
+        col("tg.top_chars").as("top_chars"),
+        (col("tg.top_chars") / col("n_chars_calc")).as("topgram_char_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textTopgramSql: String =
+    """WITH b AS (
+      | SELECT doc_id, length(text) AS n_chars,
+      |  unnest(list_transform(range(1, len(string_split(text, ' '))),
+      |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS g
+      | FROM documents
+      | WHERE len(string_split(text, ' ')) >= 2),
+      |c AS (SELECT doc_id, n_chars, g, COUNT(*) AS cnt
+      |      FROM b GROUP BY doc_id, n_chars, g)
+      |SELECT doc_id, MAX(cnt) AS top_count,
+      | MAX(cnt * length(g)) AS top_chars,
+      | MAX(cnt * length(g)) / MAX(n_chars) AS topgram_char_frac
+      |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Window-FREE n-gram assembly for consumers that don't need per-doc
     * clustering: n aligned `slice`s of the token array zipped into one array
     * of n-token structs, exploded once. arrays_zip/slice/concat_ws are all
@@ -632,6 +674,7 @@ object PipelineOps {
     "contamination" -> (contamination _),
     "contamination_bloom" -> (contaminationBloom _),
     "text_repetition" -> (textRepetition _),
+    "text_topgram" -> (textTopgram _),
     "corpus_stats" -> (corpusStats _),
     "text_redact" -> (textRedact _),
     "seq_pack" -> (seqPack _))
@@ -651,6 +694,7 @@ object PipelineOps {
     // bloom variant shares C15's oracle verbatim
     "contamination_bloom" -> contaminationSql,
     "text_repetition" -> textRepetitionSql,
+    "text_topgram" -> textTopgramSql,
     "corpus_stats" -> corpusStatsSql,
     "text_redact" -> textRedactSql,
     "seq_pack" -> seqPackSql)

@@ -156,6 +156,46 @@ class FunctionsSpec extends SparkSpec {
     assert(!plan.contains("Generate"), "langid should not explode")
   }
 
+  test("graft_top_gram equals a per-row reference on corpus + edges") {
+    import spark.implicits._
+    // independent reference: string-assembled bigrams (split limit -1,
+    // empties included), count map, maxima; char length = code points
+    def ref(text: String): (Long, Long) = {
+      val toks = text.split(" ", -1).toSeq
+      if (toks.size < 2) (0L, 0L)
+      else {
+        val counts = toks.sliding(2).map(_.mkString(" ")).toSeq
+          .groupBy(identity).map { case (g, occ) => (g, occ.size.toLong) }
+        (counts.values.max,
+          counts.map { case (g, c) => c * g.codePointCount(0, g.length) }.max)
+      }
+    }
+    val corpus = Tables.load(spark, sfDir, "documents").select(col("text"))
+    val edges = Seq("", " ", "a", "a b", "a  b", "a b ", "a b a b a",
+      "x x x", "é é wörld é é", "one two three two one two").toDF("text")
+    Seq(corpus, edges).foreach { df =>
+      val rows = df.select(col("text"),
+        graft.functions.GraftFunctions.topGram(spark, col("text")).as("tg"))
+        .select(col("text"), col("tg.top_count"), col("tg.top_chars"))
+        .collect()
+      rows.foreach { r =>
+        val (wc, wch) = ref(r.getString(0))
+        assert(r.getLong(1) == wc && r.getLong(2) == wch,
+          s"'${r.getString(0)}': got (${r.getLong(1)},${r.getLong(2)}), want ($wc,$wch)")
+      }
+    }
+    // handcrafted exact values: "a b a b a" bigrams = a b, b a, a b, b a →
+    // top_count 2; coverage 2×3 chars = 6 either way
+    val h = Seq("a b a b a").toDF("text")
+      .select(graft.functions.GraftFunctions.topGram(spark, col("text")).as("tg"))
+      .select(col("tg.top_count"), col("tg.top_chars")).head()
+    assert(h.getLong(0) == 2L && h.getLong(1) == 6L)
+    // null propagates
+    val n = Seq(Option.empty[String]).toDF("text")
+      .select(graft.functions.GraftFunctions.topGram(spark, col("text")))
+    assert(n.head().isNullAt(0))
+  }
+
   test("row-local minhash kernel equals the reference signature semantics") {
     import spark.implicits._
     import graft.functions.MinHashFamily

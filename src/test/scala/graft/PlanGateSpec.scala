@@ -39,6 +39,7 @@ class PlanGateSpec extends SparkSpec {
     Gate("text_tokens", maxHashEx = 0),
     Gate("text_fingerprint", maxHashEx = 0),
     Gate("text_repetition", maxHashEx = 0),
+    Gate("text_topgram", maxHashEx = 0),
     Gate("ngram_topk", maxHashEx = 1),
     Gate("mm_pipeline", maxHashEx = 1),
     Gate("corpus_split", maxHashEx = 0),
