@@ -523,20 +523,26 @@ object Similarity {
     * recall concentrates where the data does. In production the assignment
     * is the C7c index layout — already materialized, so this op reads its
     * lists straight off disk. */
-  def dedupSemantic(spark: SparkSession, sfDir: String): DataFrame = {
-    val tau = 0.45
+  /** The memoized semantic-codebook assignment shared by C29 and C32 (like
+    * C5's signature table, Dedup.memoize): the projection feeds self-join
+    * sides, window ranks and rollups across both operators, and the
+    * production analog — the C7c cid-partitioned index — is likewise built
+    * once. The fingerprint in the tag keeps a mid-app data regeneration from
+    * pairing a stale cached assignment with freshly-retrained oracle
+    * centroids. */
+  private def semanticAssigned(spark: SparkSession, sfDir: String): DataFrame = {
     val codebook = trainSemanticCodebook(spark, sfDir)
-    // memoized like C5's signature table (Dedup.memoize): the projection
-    // feeds both self-join sides plus the final rollup, and the production
-    // analog — the C7c cid-partitioned index — is likewise built once. The
-    // fingerprint in the tag keeps a mid-app data regeneration from pairing
-    // a stale cached assignment with freshly-retrained oracle centroids.
-    val assigned = Dedup.memoize(spark, sfDir,
+    Dedup.memoize(spark, sfDir,
       "semcid:" + graft.Tables.fingerprint(sfDir, "embeddings")) {
       Tables.load(spark, sfDir, "embeddings")
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
         .select(col("vec_id"), col("v"), nearestCid(spark, codebook).as("cid"))
     }
+  }
+
+  def dedupSemantic(spark: SparkSession, sfDir: String): DataFrame = {
+    val tau = 0.45
+    val assigned = semanticAssigned(spark, sfDir)
     val pairs = assigned.as("x").join(assigned.as("y"),
         col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id"))
       .withColumn("cosine",
@@ -590,6 +596,72 @@ object Similarity {
        |ORDER BY b.vec_id""".stripMargin
   }
 
+  /** C32 — prototypicality pruning (the SSL-prototypes recipe of Sorscher et
+    * al. 2022, "Beyond neural scaling laws", arXiv:2206.14486): rank every
+    * vector within its semantic cluster by cosine to the cluster centroid
+    * and prune the most prototypical quartile — when data is abundant, easy
+    * (prototypical) examples teach the least, and dropping them beats random
+    * sampling. The complement of C29: semantic dedup removes redundancy
+    * BETWEEN examples, this removes redundancy with the cluster CENTER.
+    *
+    * Scale shape: reuses C29's memoized assignment (projected argmax over
+    * centroid literals — zero exchanges), joins the K-row centroid table as
+    * a broadcast, and ranks with ONE window exchange on cid — at 100 TB the
+    * cid partitioning IS the C7c index layout, so the rank is a per-file
+    * sort. The keep rule is integer-exact (rank·4 > size ⇔ keep the bottom
+    * ¾), so decisions are reproducible across engines; ranks tie-break on
+    * vec_id, and cross-engine rank agreement is guaranteed because both
+    * engines fold the SAME centroid literals in the same index order. */
+  def embedPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    val codebook = trainSemanticCodebook(spark, sfDir)
+    val centroids = {
+      import spark.implicits._
+      codebook.toSeq.map { case (c, v) => (c.toLong, v.toSeq) }.toDF("cid", "cv")
+    }
+    val byCid = org.apache.spark.sql.expressions.Window.partitionBy("cid")
+    val rankW = byCid.orderBy(col("proto_cos").desc, col("vec_id"))
+    semanticAssigned(spark, sfDir)
+      .join(broadcast(centroids), "cid")
+      .select(col("vec_id"), col("cid"),
+        graft.functions.GraftFunctions.cosine(spark, col("v"), col("cv")).as("proto_cos"))
+      .withColumn("proto_rank", row_number().over(rankW).cast("bigint"))
+      .withColumn("cluster_size", count(lit(1)).over(byCid))
+      .withColumn("kept", col("proto_rank") * 4 > col("cluster_size"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Generated oracle for C32: same centroid literals, same sequential-fold
+    * cosine, same integer keep rule. */
+  def embedPruneSql(sfDir: String): String = {
+    def sq(vec: String) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> $vec[i] * $vec[i])), (a, b) -> a + b)"
+    def dotv(a: String, b: String) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> $a[i] * $b[i])), (a, b) -> a + b)"
+    def cos(a: String, b: String) = s"${dotv(a, b)} / (sqrt(${sq(a)}) * sqrt(${sq(b)}))"
+    val centroidCte = centroidValuesCte(cachedSemanticCodebook(sfDir))
+      .getOrElse(s"c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $IvfK)")
+    s"""WITH e AS (
+       | SELECT vec_id, list_transform(embedding, z -> CAST(z AS DOUBLE)) AS v
+       | FROM embeddings),
+       |$centroidCte,
+       |asn AS (
+       | SELECT vec_id, v, cid,
+       |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rk
+       | FROM (SELECT x.vec_id, x.v, c.cid, ${cos("x.v", "c.cv")} AS csim FROM e x, c) t),
+       |assigned AS (SELECT vec_id, v, cid FROM asn WHERE rk = 1),
+       |p AS (
+       | SELECT a.vec_id, a.cid, ${cos("a.v", "c.cv")} AS proto_cos
+       | FROM assigned a JOIN c ON a.cid = c.cid),
+       |r AS (
+       | SELECT vec_id, cid, proto_cos,
+       |  ROW_NUMBER() OVER (PARTITION BY cid ORDER BY proto_cos DESC, vec_id) AS proto_rank,
+       |  COUNT(*) OVER (PARTITION BY cid) AS cluster_size
+       | FROM p)
+       |SELECT vec_id, cid, proto_cos, proto_rank, cluster_size,
+       | proto_rank * 4 > cluster_size AS kept
+       |FROM r ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk" -> (simTopk _),
     "sim_ann" -> (simAnn _),
@@ -597,7 +669,8 @@ object Similarity {
     "sim_ivf_pruned" -> (simIvfPruned _),
     "sim_ivf_append" -> (simIvfAppend _),
     "dedup_semantic" -> (dedupSemantic _),
-    "embed_quantize" -> (embedQuantize _))
+    "embed_quantize" -> (embedQuantize _),
+    "embed_prune" -> (embedPrune _))
 
   /** Generated oracle for C7b — the TRAINED centroids are inlined as list
     * literals (Scala's Double.toString round-trips exactly, so DuckDB parses
@@ -668,7 +741,8 @@ object Similarity {
     "sim_ivf_pruned" -> simIvfSql(sfDir),
     "sim_ivf_append" -> simIvfAppendSql(sfDir),
     "dedup_semantic" -> dedupSemanticSql(sfDir),
-    "embed_quantize" -> embedQuantizeSql)
+    "embed_quantize" -> embedQuantizeSql,
+    "embed_prune" -> embedPruneSql(sfDir))
 
   /** Dir-less contract form, total for any JVM state: one trained codebook →
     * that dir's centroid-literal oracle; none → the data-derived seed
@@ -690,6 +764,7 @@ object Similarity {
       oracles(sfDir = "") ++ (Seq("sim_ivf", "sim_ivf_pruned")
         .map(k => k -> (banner + simIvfSql(""))) :+
         ("sim_ivf_append" -> (banner + simIvfAppendSql(""))) :+
-        ("dedup_semantic" -> (banner + dedupSemanticSql(""))))
+        ("dedup_semantic" -> (banner + dedupSemanticSql(""))) :+
+        ("embed_prune" -> (banner + embedPruneSql(""))))
   }
 }

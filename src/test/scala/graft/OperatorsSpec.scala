@@ -126,6 +126,32 @@ class OperatorsSpec extends SparkSpec {
       "fixture yields no semantic dups — the dup branch was never exercised")
   }
 
+  test("prototypicality pruning keeps exactly the bottom three quarters per cluster") {
+    val out = Similarity.embedPrune(spark, sfDir).collect()
+    val total = Tables.load(spark, sfDir, "embeddings").count()
+    assert(out.length == total, "every vector must get a prune decision")
+    // per cluster: ranks are 1..n dense, kept = rank*4 > n ⇔ n - floor(n/4)
+    // vectors survive, and the pruned ones are exactly the TOP-ranked
+    // (most prototypical) prefix
+    out.groupBy(_.getLong(1)).foreach { case (cid, rows) =>
+      val n = rows.length.toLong
+      val ranks = rows.map(_.getLong(3)).sorted
+      assert(ranks.toSeq == (1L to n).toSeq, s"cluster $cid ranks not dense")
+      rows.foreach { r =>
+        assert(r.getLong(4) == n, s"cluster $cid size mismatch")
+        assert(r.getBoolean(5) == (r.getLong(3) * 4 > n))
+      }
+      val kept = rows.count(_.getBoolean(5)).toLong
+      assert(kept == n - n / 4, s"cluster $cid kept $kept of $n")
+      // prototypicality ordering: every pruned cosine >= every kept cosine
+      val prunedMin = rows.filter(!_.getBoolean(5)).map(_.getDouble(2))
+      val keptMax = rows.filter(_.getBoolean(5)).map(_.getDouble(2))
+      if (prunedMin.nonEmpty && keptMax.nonEmpty)
+        assert(prunedMin.min >= keptMax.max,
+          s"cluster $cid pruned a less prototypical vector than one it kept")
+    }
+  }
+
   test("correlated subquery equals the decorrelated join it should plan to") {
     val got = Relational.qCorrelatedSubquery(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -52,6 +52,9 @@ class PlanGateSpec extends SparkSpec {
     Gate("dedup_spans", maxHashEx = 3),
     // C29: pairwise stays confined to the cid SMJ; the dup rollup broadcasts
     Gate("dedup_semantic", maxHashEx = 3, minBroadcast = 1, maxSortMerge = 1),
+    // C32: assignment is a projected argmax, centroids broadcast; the ONLY
+    // hash exchange is the cid window rank (the C7c layout partitioning)
+    Gate("embed_prune", maxHashEx = 1, minBroadcast = 1),
     // C30: corpus scan never shuffles — only the tiny per-lang aggregates do,
     // and they come back as a broadcast
     Gate("mix_temperature", maxHashEx = 2, minBroadcast = 1, needPushdown = true),
