@@ -511,6 +511,57 @@ object Relational {
       | COALESCE(CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE), 0.0) AS qty_o
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** B14b — unpivot (melt): the four lineitem measures to long form, then a
+    * per-(flag, measure) statistical profile. Spark's `unpivot` compiles to
+    * ONE Expand pass (×4 rows inside the scan stage, no join, no transpose),
+    * and map-side partial aggregation collapses the expansion back to
+    * 3 flags × 4 measures partials before the plan's single shuffle — at
+    * 100 TB the op stays scan-bound. Measures are converted to exact long
+    * cents BEFORE the unpivot so one value column carries all four
+    * decimal-exact; sums/mins/maxes re-emerge as doubles through the same
+    * decimal path the oracle takes. */
+  def qUnpivot(spark: SparkSession, sfDir: String): DataFrame = {
+    def asDouble2(c: Column): Column =
+      (c.cast("decimal(38,0)") * lit(java.math.BigDecimal.valueOf(1L, 2))).cast("double")
+    val l = Tables.load(spark, sfDir, "lineitem")
+    l.select(col("l_returnflag"),
+        cents(col("l_quantity")).as("quantity"),
+        cents(col("l_extendedprice")).as("extendedprice"),
+        cents(col("l_discount")).as("discount"),
+        cents(col("l_tax")).as("tax"))
+      .unpivot(
+        ids = Array(col("l_returnflag")),
+        values = Array(col("quantity"), col("extendedprice"),
+          col("discount"), col("tax")),
+        variableColumnName = "measure",
+        valueColumnName = "v_c")
+      .groupBy(col("l_returnflag"), col("measure"))
+      .agg(count(lit(1)).as("n"),
+        sumFixed(col("v_c"), 2).as("sum_v"),
+        (sumFixed(col("v_c"), 2) / count(lit(1))).as("avg_v"),
+        asDouble2(min(col("v_c"))).as("min_v"),
+        asDouble2(max(col("v_c"))).as("max_v"))
+      .orderBy(col("l_returnflag"), col("measure"))
+  }
+
+  val qUnpivotSql: String =
+    """WITH u AS (
+      | SELECT l_returnflag, 'quantity' AS measure,
+      |  CAST(l_quantity AS DECIMAL(12,2)) AS v FROM lineitem
+      | UNION ALL SELECT l_returnflag, 'extendedprice',
+      |  CAST(l_extendedprice AS DECIMAL(12,2)) FROM lineitem
+      | UNION ALL SELECT l_returnflag, 'discount',
+      |  CAST(l_discount AS DECIMAL(12,2)) FROM lineitem
+      | UNION ALL SELECT l_returnflag, 'tax',
+      |  CAST(l_tax AS DECIMAL(12,2)) FROM lineitem)
+      |SELECT l_returnflag, measure, COUNT(*) AS n,
+      | CAST(SUM(v) AS DOUBLE) AS sum_v,
+      | CAST(SUM(v) AS DOUBLE) / COUNT(*) AS avg_v,
+      | CAST(MIN(v) AS DOUBLE) AS min_v,
+      | CAST(MAX(v) AS DOUBLE) AS max_v
+      |FROM u GROUP BY l_returnflag, measure
+      |ORDER BY l_returnflag, measure""".stripMargin
+
   /** B6b — cube: all grouping-set combinations in one pass. */
   def qCube(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables.load(spark, sfDir, "orders")
@@ -673,6 +724,7 @@ object Relational {
     "q_events_props" -> (qEventsProps _),
     "q_percentiles" -> (qPercentiles _),
     "q_pivot" -> (qPivot _),
+    "q_unpivot" -> (qUnpivot _),
     "q_cube" -> (qCube _),
     "q_set_ops" -> (qSetOps _))
 
@@ -695,6 +747,7 @@ object Relational {
     "q_events_props" -> qEventsPropsSql,
     "q_percentiles" -> qPercentilesSql,
     "q_pivot" -> qPivotSql,
+    "q_unpivot" -> qUnpivotSql,
     "q_cube" -> qCubeSql,
     "q_set_ops" -> qSetOpsSql)
 }

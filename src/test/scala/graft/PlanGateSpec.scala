@@ -40,6 +40,8 @@ class PlanGateSpec extends SparkSpec {
     Gate("text_fingerprint", maxHashEx = 0),
     Gate("text_repetition", maxHashEx = 0),
     Gate("text_topgram", maxHashEx = 0),
+    // B14b: the Expand stays inside the scan stage; ONE aggregation exchange
+    Gate("q_unpivot", maxHashEx = 1),
     Gate("ngram_topk", maxHashEx = 1),
     Gate("mm_pipeline", maxHashEx = 1),
     Gate("corpus_split", maxHashEx = 0),
