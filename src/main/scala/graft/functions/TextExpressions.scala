@@ -171,6 +171,86 @@ case class DistinctBigrams(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Gram-set kernel for [[GramSetStats]]: one pass over a document's DISTINCT
+  * word n-grams (contiguous byte spans, single-space splits with empties —
+  * the same domain as PipelineOps.gramSet, including the <n-token whole-text
+  * fallback), counting the total and how many are members of a reference
+  * gram set. The decontamination decision of C15 made row-local: with the
+  * eval-suite grams riding along as a plan reference, a streaming gate needs
+  * NO per-doc aggregation and NO join — the property that keeps the tier
+  * stateless. */
+object GramSetKernel {
+  def stats(s: UTF8String, n: Int,
+    dict: java.util.HashSet[UTF8String]): org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = s.getBytes
+    var starts = new Array[Int](16)
+    var nStarts = 1 // starts(0) = 0
+    var i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' ') {
+        if (nStarts == starts.length) starts = java.util.Arrays.copyOf(starts, nStarts * 2)
+        starts(nStarts) = i + 1
+        nStarts += 1
+      }
+      i += 1
+    }
+    val seen = new java.util.HashSet[UTF8String]()
+    var hits = 0L
+    def add(g: UTF8String): Unit =
+      if (seen.add(g) && dict.contains(g)) hits += 1
+    if (nStarts < n) add(s)
+    else {
+      var t = 0
+      while (t <= nStarts - n) {
+        val until = if (t + n < nStarts) starts(t + n) - 1 else bytes.length
+        add(UTF8String.fromBytes(bytes, starts(t), until - starts(t)))
+        t += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](seen.size.toLong, hits))
+  }
+}
+
+/** Per-document distinct-n-gram count + reference-set hit count as ONE
+  * projected struct expression. The gram dictionary travels as a
+  * newline-delimited blob (grams contain spaces; a gram may never contain a
+  * newline — the builder enforces it) and is parsed into a hash set once per
+  * plan, not per row. */
+case class GramSetStats(child: Expression, n: Int, dictBlob: String)
+  extends UnaryExpression {
+
+  @transient private lazy val dict: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String]()
+    dictBlob.split("\n", -1).foreach(g => s.add(UTF8String.fromString(g)))
+    s
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_gram_hits expects a string column, got $other")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_grams", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_contaminated", LongType, nullable = false)))
+  override def prettyName: String = "graft_gram_hits"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GramSetKernel.stats(input.asInstanceOf[UTF8String], n, dict)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val dictRef = ctx.addReferenceObj("gramDict", dict,
+      "java.util.HashSet<org.apache.spark.unsafe.types.UTF8String>")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.GramSetKernel.stats($c, $n, $dictRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GramSetStats =
+    copy(child = newChild)
+}
+
 /** Top-gram kernel for [[TopGramStats]]: one hashing pass over a document's
   * word bigrams (the SAME contiguous-byte-span domain as [[BigramKernel]]:
   * single-space splits, empties included) producing the two Gopher-family

@@ -216,6 +216,22 @@ object GraftFunctions {
       s"graft_fingerprint expects 1 argument, got ${other.size}")
   }
 
+  val gramHitsInfo = new ExpressionInfo(
+    classOf[GramSetStats].getName, "graft_gram_hits")
+
+  /** (text, n literal, blob literal) — n and the newline-delimited gram blob
+    * are plan metadata, same contract as graft_stop_hits' dictionary. */
+  private[functions] val gramHitsBuilder: Seq[Expression] => Expression = {
+    case Seq(text, nArg, blobArg)
+      if nArg.foldable && nArg.dataType.isInstanceOf[org.apache.spark.sql.types.IntegerType] &&
+        nArg.eval(null) != null &&
+        blobArg.foldable && blobArg.dataType.isInstanceOf[org.apache.spark.sql.types.StringType] &&
+        blobArg.eval(null) != null =>
+      GramSetStats(text, nArg.eval(null).asInstanceOf[Int], blobArg.eval(null).toString)
+    case _ => throw new IllegalArgumentException(
+      "graft_gram_hits expects (text, n int literal, gram-blob string literal)")
+  }
+
   val topGramInfo = new ExpressionInfo(
     classOf[TopGramStats].getName, "graft_top_gram")
 
@@ -246,6 +262,7 @@ object GraftFunctions {
       (FunctionIdentifier("graft_distinct_bigrams"), distinctBigramsInfo, distinctBigramsBuilder),
       (FunctionIdentifier("graft_bpe_count"), bpeCountInfo, bpeCountBuilder),
       (FunctionIdentifier("graft_top_gram"), topGramInfo, topGramBuilder),
+      (FunctionIdentifier("graft_gram_hits"), gramHitsInfo, gramHitsBuilder),
       (FunctionIdentifier("graft_minhash_sig"), minhashSigInfo, minhashSigBuilder))
       .foreach { case (id, info, builder) =>
         if (!registry.functionExists(id)) registry.registerFunction(id, info, builder)
@@ -283,6 +300,18 @@ object GraftFunctions {
   def sigAgreement(spark: SparkSession, a: Column, b: Column): Column = {
     ensureRegistered(spark)
     call_function("graft_sig_agreement", a, b)
+  }
+
+  /** Column-API entry point: distinct-n-gram + reference-set hit counts
+    * (the row-local C15 decision; D7's stateless gate). The blob is one
+    * newline-delimited string of grams — rejected here if any gram embeds a
+    * newline, which would silently split it into two. */
+  def gramHits(spark: SparkSession, text: Column, n: Int, blob: String): Column = {
+    require(blob.isEmpty || blob.split("\n", -1).forall(_.nonEmpty),
+      "gram blob contains an empty gram (embedded newline in a gram?)")
+    ensureRegistered(spark)
+    call_function("graft_gram_hits", text,
+      org.apache.spark.sql.functions.lit(n), org.apache.spark.sql.functions.lit(blob))
   }
 
   /** Column-API entry point: per-doc top-bigram stats struct (C31). */

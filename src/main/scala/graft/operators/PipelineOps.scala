@@ -221,7 +221,7 @@ object PipelineOps {
   /** The distinct-5-grams-per-doc CTE C15's and C28's oracles both build on —
     * ONE copy, mirroring gramSet's domain rule (incl. the <5-token whole-text
     * fallback), so the two oracles can never drift apart. */
-  private val gramsCte: String =
+  private[graft] val gramsCte: String =
     """grams AS (
       | SELECT doc_id,
       |  CASE WHEN len(string_split(text, ' ')) >= 5
@@ -297,6 +297,36 @@ object PipelineOps {
       benchBloomCache(sfDir) = (fp, bytes)
       bytes
     }
+
+  /** The EXACT eval-suite gram set as one newline-delimited blob — D7's
+    * stateless streaming gate broadcasts this as a plan reference for a
+    * fully row-local decontamination decision (functions.GramSetStats).
+    * This is deliberately the C15 regime (eval suites, ~10^5 grams, exact);
+    * at C24's 10^8-gram blocklist scale the streaming tier would ship the
+    * bloom sketch instead and divert the ~1% suspicious docs to a batch-side
+    * exact verify. Collected once per scale dir (the offline eval-suite
+    * build), cached under the same replace-on-stale rule as the sketch. */
+  private val benchGramsCache =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  private[graft] def benchGramBlob(spark: SparkSession, sfDir: String): String = {
+    val fp = graft.Tables.fingerprint(sfDir, "documents")
+    benchGramsCache.get(sfDir).filter(_._1 == fp).map(_._2)
+      .getOrElse(this.synchronized {
+        benchGramsCache.get(sfDir).filter(_._1 == fp).map(_._2).getOrElse {
+          val grams = gramSet(
+            Tables.load(spark, sfDir, "documents").filter(col("doc_id") % 97 === 0), 5)
+            .select(col("g")).distinct().collect().map(_.getString(0))
+          // fail-evident: an embedded newline would silently split a gram
+          // into two wrong dictionary entries at parse time
+          require(grams.forall(g => g.nonEmpty && !g.contains("\n")),
+            "eval grams must be newline-free and non-empty to ride in the blob")
+          val blob = grams.mkString("\n")
+          benchGramsCache(sfDir) = (fp, blob)
+          blob
+        }
+      })
+  }
 
   def contaminationBloom(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.load(spark, sfDir, "documents")

@@ -386,6 +386,37 @@ object Streams extends Serializable {
       .orderBy(col("doc_id"))
   }
 
+  /** D7 — streaming decontamination gate: the eval-overlap tier of
+    * continuous ingest, between D6's quality filter and the dedup tiers —
+    * benchmark-contaminated crawl output should never reach the corpus at
+    * all. The C15 decision (count of a doc's distinct 5-grams that appear
+    * in the eval-suite gram set) is made ROW-LOCAL by shipping the exact
+    * gram set as a plan reference probed inside codegen
+    * (functions.GramSetStats) — so like D6 the tier is STATELESS: no
+    * watermark, no state store, no join, no shuffle; throughput scales with
+    * executors alone. This is deliberately the C15 regime (eval suites are
+    * ~10^5 grams); a 10^8-gram blocklist ships C24's bloom sketch instead
+    * and diverts the ~1% suspicious docs to a batch-side exact verify.
+    * Stateless ⇒ batch-equivalent on a finite backlog: the oracle is C15's
+    * contamination report with the gate verdict folded in. */
+  def streamDecontamGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val cp = new java.io.File(checkpointDir(sfDir, "stream_decontam_gate"))
+    org.apache.commons.io.FileUtils.deleteQuietly(cp)
+    spark.catalog.dropTempView("stream_decontam_gate")
+    // the offline eval-suite build (batch side, cached per dir)
+    val blob = graft.operators.PipelineOps.benchGramBlob(spark, sfDir)
+    val gated = docsStream(spark, sfDir)
+      .filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.gramHits(spark, col("text"), 5, blob).as("gh"))
+      .select(col("doc_id"),
+        col("gh.n_grams").as("n_grams"),
+        col("gh.n_contaminated").as("n_contaminated"),
+        (col("gh.n_contaminated") === 0).as("kept"))
+    runToMemory(spark, gated, "stream_decontam_gate", cp, OutputMode.Append())
+      .orderBy(col("doc_id"))
+  }
+
   /** Test hook: every staged file its own micro-batch (maxFilesPerTrigger=1),
     * so cross-batch keeper persistence runs for real. */
   private[graft] def streamDedupMultiBatch(spark: SparkSession,
@@ -660,7 +691,8 @@ object Streams extends Serializable {
     "stream_to_catalog" -> (streamToCatalog _),
     "stream_dedup" -> (streamDedup _),
     "stream_dedup_near" -> (streamDedupNear _),
-    "stream_quality_gate" -> (streamQualityGate _))
+    "stream_quality_gate" -> (streamQualityGate _),
+    "stream_decontam_gate" -> (streamDecontamGate _))
 
   /** With sentinel-driven finalization all three streaming queries are exactly
     * batch-equivalent on a finite backlog, so each carries a sql oracle:
@@ -680,6 +712,22 @@ object Streams extends Serializable {
     "stream_dedup_near" -> graft.operators.Dedup.streamDedupNearSql,
     // D6 is stateless → exactly the gated C9 on the drained backlog
     "stream_quality_gate" -> graft.operators.TextAnalysis.qualityGateSql("0.25"),
+    // D7 is stateless → exactly C15's report with the gate verdict; shares
+    // the gramsCte domain (incl. the <5-token whole-text fallback)
+    "stream_decontam_gate" ->
+      (s"WITH ${graft.operators.PipelineOps.gramsCte},\n" +
+      """bench AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 97 = 0),
+        |corpus AS (SELECT * FROM grams WHERE doc_id % 97 != 0),
+        |hits AS (
+        | SELECT e.doc_id, COUNT(*) AS n_contaminated
+        | FROM (SELECT doc_id, unnest(gs) AS g FROM corpus) e
+        | JOIN bench b ON e.g = b.g
+        | GROUP BY e.doc_id)
+        |SELECT c.doc_id, CAST(len(c.gs) AS BIGINT) AS n_grams,
+        | COALESCE(h.n_contaminated, 0) AS n_contaminated,
+        | COALESCE(h.n_contaminated, 0) = 0 AS kept
+        |FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
+        |ORDER BY c.doc_id""".stripMargin),
     // D4 ≡ the batch window-min dedup on a single-batch backlog (in-batch
     // groups decide by ascending doc_id, matching MIN OVER the digest)
     "stream_dedup" ->

@@ -116,6 +116,24 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got.length < total, "gate must pass some docs and drop some")
   }
 
+  test("streaming decontamination gate equals the batch contamination report") {
+    import org.apache.spark.sql.functions._
+    val got = Streams.streamDecontamGate(spark, sfDir).collect()
+    // C15 is the batch semantic reference: same corpus split, same distinct
+    // 5-gram domain; the gate verdict is ratio == 0
+    val want = graft.operators.PipelineOps.contamination(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.length == want.size, "gate must emit one verdict per corpus doc")
+    got.foreach { r =>
+      val (nGrams, nCont) = want(r.getLong(0))
+      assert(r.getLong(1) == nGrams && r.getLong(2) == nCont,
+        s"doc ${r.getLong(0)}: stream (${r.getLong(1)},${r.getLong(2)}) != batch ($nGrams,$nCont)")
+      assert(r.getBoolean(3) == (nCont == 0L))
+    }
+    assert(got.exists(!_.getBoolean(3)), "fixture has no contaminated doc — gate never fired")
+    assert(got.exists(_.getBoolean(3)), "gate dropped everything")
+  }
+
   test("streaming dedup equals the batch window-min form on one backlog") {
     import org.apache.spark.sql.functions._
     val streamed = Streams.streamDedup(spark, sfDir).collect().map(_.toSeq).toSet
