@@ -130,8 +130,57 @@ object Multimodal {
   def mmPipeline(spark: SparkSession, sfDir: String): DataFrame =
     decodePipeline(spark, mediaTable(spark, sfDir), StubCodec)
 
+  /** One sampled frame's features. frame_idx is a position in the decoded
+    * stream, 0-based; n_frames rides along so downstream can reason about
+    * coverage (sampled = ceil(n_frames / stride)). */
+  case class FrameFeatures(media_id: Long, frame_idx: Long, n_frames: Int,
+    frame_feature: Double)
+
+  /** The frame-sampling seam: decode only every `stride`-th frame of a video
+    * payload. A production implementation seeks — it decodes I-frames near
+    * the sample points, never the full stream (ffmpeg `-skip_frame` /
+    * `av_seek_frame`); that contract (output depends only on bytes + stride)
+    * is what the stub honors. */
+  trait FrameSampler extends Serializable {
+    def sample(row: MediaRow, stride: Int): Iterator[FrameFeatures]
+  }
+
+  /** Deterministic fake sampler: frame count from the stub codec's rule,
+    * per-frame feature from md5(payload ++ "#idx") — every emitted value is
+    * reproducible in portable SQL, so the fan-out plumbing gets a full
+    * value-level oracle like C12's. */
+  object StubFrameSampler extends FrameSampler {
+    def sample(row: MediaRow, stride: Int): Iterator[FrameFeatures] = {
+      val n = (row.media.length % 30) + 1
+      (0 until n by stride).iterator.map { i =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(row.media ++ s"#$i".getBytes("UTF-8"))
+        val h = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+          ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+        FrameFeatures(row.media_id, i.toLong, n, (h % 100000) / 100000.0)
+      }
+    }
+  }
+
+  /** C12b — frame sampling: video rows fan out to one row per sampled frame
+    * (stride 5) through the same per-partition batching as the decode
+    * pipeline. The fan-out is BOUNDED (ceil(n/stride) rows per video, never
+    * the full frame count), which is the property that keeps a 100 TB video
+    * corpus's feature table proportional to sampled — not decoded — frames;
+    * the format filter prunes audio/image rows before the codec pass. */
+  def mmFrameSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, sfDir)
+      .filter(col("format") === "video")
+      .repartition(col("media_id"))
+      .mapPartitions { it => it.flatMap(StubFrameSampler.sample(_, 5)) }
+      .toDF()
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm_pipeline" -> (mmPipeline _))
+    "mm_pipeline" -> (mmPipeline _),
+    "mm_frame_sample" -> (mmFrameSample _))
 
   /** DuckDB replica of the media fabrication + StubCodec feature math: the
     * payload is the document's UTF-8 bytes in both engines, md5 agrees on
@@ -150,6 +199,25 @@ object Multimodal {
       | (h % 100000) / 100000.0 AS feature_norm
       |FROM m ORDER BY media_id""".stripMargin
 
+  /** DuckDB replica of the video fan-out: same format rule (doc_id%3 = 2 →
+    * 'video'), same frame count, same stride-5 range, same per-frame md5
+    * feature (frame_idx concatenates as its decimal string in both
+    * engines). */
+  val mmFrameSampleSql: String =
+    """WITH m AS (
+      | SELECT doc_id AS media_id, text,
+      |  CAST(octet_length(CAST(text AS BLOB)) % 30 AS INT) + 1 AS n_frames
+      | FROM documents WHERE doc_id % 3 = 2),
+      |f AS (
+      | SELECT media_id, text, n_frames,
+      |  unnest(range(0, n_frames, 5)) AS frame_idx
+      | FROM m)
+      |SELECT media_id, frame_idx, n_frames,
+      | CAST(('0x' || substr(md5(text || '#' || frame_idx), 1, 8)) AS INT64)
+      |   % 100000 / 100000.0 AS frame_feature
+      |FROM f ORDER BY media_id, frame_idx""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "mm_pipeline" -> mmPipelineSql)
+    "mm_pipeline" -> mmPipelineSql,
+    "mm_frame_sample" -> mmFrameSampleSql)
 }

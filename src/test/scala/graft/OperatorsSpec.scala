@@ -126,6 +126,23 @@ class OperatorsSpec extends SparkSpec {
       "fixture yields no semantic dups — the dup branch was never exercised")
   }
 
+  test("frame sampling fans out to exactly ceil(n_frames/stride) rows per video") {
+    val rows = Multimodal.mmFrameSample(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (id, fs) =>
+      val n = fs.head.getInt(2)
+      assert(fs.forall(_.getInt(2) == n), s"video $id inconsistent n_frames")
+      assert(fs.length == (n + 4) / 5, s"video $id sampled ${fs.length} of $n")
+      assert(fs.map(_.getLong(1)).sorted.toSeq == (0 until n by 5).map(_.toLong),
+        s"video $id frame indices off-stride")
+      fs.foreach(f => assert(f.getDouble(3) >= 0.0 && f.getDouble(3) < 1.0))
+    }
+    // only video rows fan out: a third of the corpus (doc_id % 3 == 2)
+    val videos = Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id") % 3 === 2).count()
+    assert(rows.map(_.getLong(0)).distinct.length == videos)
+  }
+
   test("prototypicality pruning keeps exactly the bottom three quarters per cluster") {
     val out = Similarity.embedPrune(spark, sfDir).collect()
     val total = Tables.load(spark, sfDir, "embeddings").count()
