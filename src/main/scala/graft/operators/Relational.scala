@@ -293,6 +293,43 @@ object Relational {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  /** B5b — moving-frame window aggregates: per-user trailing statistics over
+    * the last 4 events (ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) — the
+    * rolling-metric shape (moving average, trailing spend) B5's rank and
+    * B8's unbounded-cumulative forms don't cover. ONE shuffle on user_id;
+    * the frame sum runs over exact long cents, so Spark's sliding window
+    * arithmetic stays integer-exact and the emitted doubles match the
+    * oracle's decimal window sums bit-for-bit. Frame order ties break on
+    * event_id (unique), making the frame contents — not just the output
+    * order — deterministic across engines. */
+  def qWindowFrames(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.load(spark, sfDir, "events")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id")).rowsBetween(-3, Window.currentRow)
+    e.select(col("event_id"), col("user_id"), col("ts"),
+        cents(col("value")).as("v_c"))
+      .withColumn("mv_n", count(lit(1)).over(w))
+      .withColumn("mv_sum_c", sum(col("v_c")).over(w))
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
+        col("mv_n"),
+        (col("mv_sum_c").cast("decimal(38,0)")
+          * lit(java.math.BigDecimal.valueOf(1L, 2))).cast("double").as("mv_sum"))
+      .withColumn("mv_avg", col("mv_sum") / col("mv_n"))
+      .orderBy(col("event_id"))
+  }
+
+  val qWindowFramesSql: String =
+    """SELECT event_id, user_id,
+      | strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+      | COUNT(*) OVER w AS mv_n,
+      | CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS mv_sum,
+      | CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) / COUNT(*) OVER w AS mv_avg
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      | ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
   /** B8 — gap-based sessionization: a session break is a >30 min silence per
     * user. lag + running sum over a per-user window; single shuffle on user_id.
     * (D2 re-expresses this with flatMapGroupsWithState for streams.) */
@@ -725,6 +762,7 @@ object Relational {
     "q_percentiles" -> (qPercentiles _),
     "q_pivot" -> (qPivot _),
     "q_unpivot" -> (qUnpivot _),
+    "q_window_frames" -> (qWindowFrames _),
     "q_cube" -> (qCube _),
     "q_set_ops" -> (qSetOps _))
 
@@ -748,6 +786,7 @@ object Relational {
     "q_percentiles" -> qPercentilesSql,
     "q_pivot" -> qPivotSql,
     "q_unpivot" -> qUnpivotSql,
+    "q_window_frames" -> qWindowFramesSql,
     "q_cube" -> qCubeSql,
     "q_set_ops" -> qSetOpsSql)
 }

@@ -42,6 +42,8 @@ class PlanGateSpec extends SparkSpec {
     Gate("text_topgram", maxHashEx = 0),
     // B14b: the Expand stays inside the scan stage; ONE aggregation exchange
     Gate("q_unpivot", maxHashEx = 1),
+    // B5b: one user_id window exchange, frame math in exact long cents
+    Gate("q_window_frames", maxHashEx = 1),
     Gate("ngram_topk", maxHashEx = 1),
     Gate("mm_pipeline", maxHashEx = 1),
     Gate("corpus_split", maxHashEx = 0),
