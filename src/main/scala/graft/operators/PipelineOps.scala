@@ -157,6 +157,42 @@ object PipelineOps {
         concat_ws(" ", (0 until n).map(j => col("z").getField(j.toString)): _*).as("g"))
   }
 
+  /** C33 — token-novelty scoring: each document's mean corpus frequency over
+    * its token occurrences. The data-selection signal (DSIR/importance-
+    * sampling family): low mean frequency = rare vocabulary = novel content
+    * worth keeping; high = boilerplate built from the corpus's most common
+    * tokens. Everything is integer-exact (occurrence counts, integer sums,
+    * one final int/int division), so the score is oracle-hashable.
+    *
+    * Scale shape: the token stream aggregates to a VOCAB-sized frequency
+    * table (map-side partial agg collapses per-task duplicates first), and
+    * the join back is on the token — AQE broadcasts the frequency side when
+    * it fits (vocabularies are ~10^6-10^8 rows, orders of magnitude under
+    * the corpus) and falls back to a token-key shuffle when it doesn't. The
+    * corpus token stream itself is shuffled at most once; the per-doc rollup
+    * reuses nothing and pays the one doc_id exchange every per-doc
+    * aggregation costs. */
+  def textNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.load(spark, sfDir, "documents")
+    val toks = d.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+    val freq = toks.groupBy(col("t")).agg(count(lit(1)).as("f"))
+    toks.join(freq, Seq("t"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("f")).as("sum_freq"))
+      .withColumn("mean_freq", col("sum_freq") / col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textNoveltySql: String =
+    """WITH toks AS (
+      | SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      |freq AS (SELECT t, COUNT(*) AS f FROM toks GROUP BY t)
+      |SELECT doc_id, COUNT(*) AS n_tokens,
+      | CAST(SUM(f) AS BIGINT) AS sum_freq,
+      | CAST(SUM(f) AS BIGINT) / COUNT(*) AS mean_freq
+      |FROM toks JOIN freq USING (t)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** C14 — corpus n-gram statistics: top-50 word bigrams by frequency.
     * explode → groupBy(count) is the canonical distributed shape: map-side
     * partial counts shrink the shuffle to one row per distinct bigram per
@@ -705,6 +741,7 @@ object PipelineOps {
     "contamination_bloom" -> (contaminationBloom _),
     "text_repetition" -> (textRepetition _),
     "text_topgram" -> (textTopgram _),
+    "text_novelty" -> (textNovelty _),
     "corpus_stats" -> (corpusStats _),
     "text_redact" -> (textRedact _),
     "seq_pack" -> (seqPack _))
@@ -725,6 +762,7 @@ object PipelineOps {
     "contamination_bloom" -> contaminationSql,
     "text_repetition" -> textRepetitionSql,
     "text_topgram" -> textTopgramSql,
+    "text_novelty" -> textNoveltySql,
     "corpus_stats" -> corpusStatsSql,
     "text_redact" -> textRedactSql,
     "seq_pack" -> seqPackSql)

@@ -45,6 +45,9 @@ class PlanGateSpec extends SparkSpec {
     // B5b: one user_id window exchange, frame math in exact long cents
     Gate("q_window_frames", maxHashEx = 1),
     Gate("ngram_topk", maxHashEx = 1),
+    // C33: vocab agg + token-key join + doc rollup; the corpus token stream
+    // is shuffled at most twice (freq build + rollup), never more
+    Gate("text_novelty", maxHashEx = 4),
     Gate("mm_pipeline", maxHashEx = 1),
     Gate("corpus_split", maxHashEx = 0),
     Gate("embed_quantize", maxHashEx = 0),
