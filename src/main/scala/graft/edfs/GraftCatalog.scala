@@ -168,7 +168,24 @@ class GraftCatalog(spark: SparkSession, root: String,
         rangeBounds = Some((lo, hi))
     }
     // after the data write: overwrite mode clears the directory first
-    writeSidecar(path, toSidecar(df.schema, scheme, rangeBounds, embeddedNl))
+    writeSidecar(path, toSidecar(df.schema, scheme, rangeBounds, embeddedNl)
+      .copy(versions = Seq(listLeafFiles(path))))
+  }
+
+  /** All committed data files of a table, as sorted table-relative paths —
+    * the snapshot manifest. One recursive namenode listing per WRITE (reads
+    * never list); metadata files (`_`/`.` prefixed) are excluded. */
+  private def listLeafFiles(path: String): Seq[String] = {
+    val base = abs(path)
+    val baseStr = base.toUri.getPath
+    val it = fs.listFiles(base, true)
+    val buf = scala.collection.mutable.ArrayBuffer[String]()
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (!f.getName.startsWith("_") && !f.getName.startsWith("."))
+        buf += f.toUri.getPath.stripPrefix(baseStr).stripPrefix("/")
+    }
+    buf.sorted.toSeq
   }
 
   /** The deterministic equi-width bucket id for a range layout. The bounds
@@ -266,13 +283,18 @@ class GraftCatalog(spark: SparkSession, root: String,
     // NOT the merged read schema: that re-types partition columns from
     // directory-name inference (BIGINT → INT), reorders them to the end, and
     // records the internal bucket column as if it were user data.
+    // Snapshot history: append only ADDS files, so the post-write listing IS
+    // the new cumulative manifest; every older manifest stays valid. An
+    // untracked legacy table (versions empty) stays untracked — starting
+    // history mid-life would fabricate a v1 that never existed.
     meta.foreach { m =>
       val newFields = df.schema.fields.filterNot(f =>
         f.name == BucketCol || m.schema.fieldNames.contains(f.name))
-      if (newFields.nonEmpty)
-        writeSidecar(path, m.copy(
-          schema = StructType(m.schema.fields ++ newFields),
-          embeddedNewlines = m.embeddedNewlines || nlUpgrade))
+      writeSidecar(path, m.copy(
+        schema = StructType(m.schema.fields ++ newFields),
+        embeddedNewlines = m.embeddedNewlines || nlUpgrade,
+        versions =
+          if (m.versions.nonEmpty) m.versions :+ listLeafFiles(path) else Nil))
     }
   }
 
@@ -285,9 +307,16 @@ class GraftCatalog(spark: SparkSession, root: String,
     * string value in any written batch contained a newline, so reads may use
     * `multiLine=false` and every leaf file SPLITS into parallel tasks. True
     * (also the default when the sidecar predates the flag) forces the safe
-    * unsplittable whole-file parse. */
+    * unsplittable whole-file parse.
+    * `versions` is the snapshot history (A19): one CUMULATIVE manifest of
+    * relative leaf-file paths per committed write — version v reads exactly
+    * versions(v-1). Append-only writes make old manifests permanently valid
+    * (old files are never rewritten); compact IS a rewrite, so it truncates
+    * history to the single post-compact snapshot. Nil = an untracked legacy
+    * table: time travel refuses rather than guessing v1. */
   private case class Sidecar(schema: StructType, scheme: SidecarScheme,
-    permission: String, format: String, embeddedNewlines: Boolean = true)
+    permission: String, format: String, embeddedNewlines: Boolean = true,
+    versions: Seq[Seq[String]] = Nil)
 
   /** Does any string column of the batch carry an embedded newline? One cheap
     * early-out scan (stops at the first hit) paid only on csv writes — the
@@ -327,6 +356,13 @@ class GraftCatalog(spark: SparkSession, root: String,
     root.put("permission", m.permission)
     root.put("format", m.format)
     if (m.format == "csv") root.put("embedded_newlines", m.embeddedNewlines)
+    if (m.versions.nonEmpty) {
+      val va = root.putArray("versions")
+      m.versions.foreach { files =>
+        val fa = va.addArray()
+        files.foreach(fa.add)
+      }
+    }
     root.toString
   }
 
@@ -361,7 +397,12 @@ class GraftCatalog(spark: SparkSession, root: String,
         optNode(sc, "range_hi").map(_.asDouble).getOrElse(0.0)),
       optNode(top, "permission").map(_.asText).getOrElse("644"),
       optNode(top, "format").map(_.asText).getOrElse(format),
-      optNode(top, "embedded_newlines").map(_.asBoolean).getOrElse(true))
+      optNode(top, "embedded_newlines").map(_.asBoolean).getOrElse(true),
+      optNode(top, "versions").map { v =>
+        import scala.jdk.CollectionConverters._
+        v.elements().asScala.map(arr =>
+          arr.elements().asScala.map(_.asText).toSeq).toSeq
+      }.getOrElse(Nil))
   }
 
   /** Refuse layout-dependent writes when the recorded scheme is incoherent —
@@ -514,6 +555,28 @@ class GraftCatalog(spark: SparkSession, root: String,
   def readPartition(path: String, column: String, value: Any): DataFrame =
     loadTable(path).filter(col(column) === lit(value))
 
+  /** Number of committed snapshots (0 = untracked legacy table). */
+  def snapshotCount(path: String): Int =
+    readMeta(path).map(_.versions.length).getOrElse(0)
+
+  /** readVersion — time travel (A19): the table EXACTLY as of commit `v`
+    * (1-based; v = snapshotCount is the current state). The read plans over
+    * the manifest's file list with the table root as basePath, so partition
+    * discovery — and partition PRUNING of downstream filters — work exactly
+    * as on a current-state read; cost is proportional to the files in the
+    * snapshot, never to the table's full history. Append-only writes are
+    * what make this O(metadata): an old version is a file subset, not a
+    * reconstruction. */
+  def readVersion(path: String, v: Int): DataFrame = {
+    val m = readMeta(path).getOrElse(sys.error(s"time travel: no sidecar at $path"))
+    require(m.versions.nonEmpty,
+      s"time travel: $path has no snapshot history (written by a pre-snapshot writer?)")
+    require(v >= 1 && v <= m.versions.length,
+      s"time travel: version $v out of range 1..${m.versions.length} at $path")
+    loadData(path, Some(m.versions(v - 1).map(rel => new Path(abs(path), rel))))
+      .drop(BucketCol)
+  }
+
   /** The raw sidecar text, if present. Falls back to the `.__new` temp file
     * when the main one is missing — the only way that happens is a crash
     * between writeSidecar's delete and rename, and the temp is complete. */
@@ -610,6 +673,14 @@ class GraftCatalog(spark: SparkSession, root: String,
         require(fs.rename(base, old), s"compact: park $base -> $old failed")
         require(fs.rename(tmp, base), s"compact: swap $tmp -> $base failed")
         fs.delete(old, true)
+    }
+    // compact REWRITES files, so every pre-compact manifest now names paths
+    // that no longer exist: truncate history to the single current snapshot
+    // (production lakehouses either rewrite old manifests or GC snapshots on
+    // rewrite — truncation is the honest minimal form). Tables that early-
+    // returned above changed nothing and keep their full history.
+    readMeta(path).filter(_.versions.nonEmpty).foreach { m =>
+      writeSidecar(path, m.copy(versions = Seq(listLeafFiles(path))))
     }
   }
 

@@ -130,6 +130,29 @@ object Pmr {
     """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
       |FROM supplier ORDER BY s_suppkey""".stripMargin
 
+  /** A19 — time travel: read a table EXACTLY as of an earlier commit. Put
+    * 80% of orders (v1), append the rest (v2), then read snapshot 1 — the
+    * appended rows must be invisible. Append-only writes make a snapshot a
+    * FILE SUBSET (the sidecar's cumulative manifest), so the historical read
+    * costs the same as a current-state read of that much data — no log
+    * replay, no reconstruction; partition pruning still applies through the
+    * manifest's basePath read. */
+  def edfsTimeTravel(spark: SparkSession, sfDir: String): DataFrame = {
+    val cat = catalog(spark, sfDir)
+    cat.mkdir("warehouse")
+    val orders = Tables.load(spark, sfDir, "orders")
+    cat.put(orders.filter(col("o_orderkey") % 5 =!= 0),
+      "warehouse/orders_tt", HashPartition("o_orderstatus"))
+    cat.append(orders.filter(col("o_orderkey") % 5 === 0), "warehouse/orders_tt")
+    cat.readVersion("warehouse/orders_tt", 1)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val edfsTimeTravelSql: String =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice
+      |FROM orders WHERE o_orderkey % 5 != 0 ORDER BY o_orderkey""".stripMargin
+
   /** A15 — append + schema evolution: the incremental-ingest write path. A
     * second batch arrives carrying a NEW column; parquet per-file schemas +
     * a merged read make that a metadata-only evolution (old files are never
@@ -429,6 +452,7 @@ object Pmr {
     "edfs_cat" -> (edfsCat _),
     "edfs_compact" -> (edfsCompact _),
     "edfs_append_evolve" -> (edfsAppendEvolve _),
+    "edfs_time_travel" -> (edfsTimeTravel _),
     "edfs_read_partition" -> (edfsReadPartition _),
     "edfs_partition_locations" -> (edfsPartitionLocations _),
     "edfs_ls" -> (edfsLs _),
@@ -449,6 +473,7 @@ object Pmr {
     "edfs_cat" -> edfsCatSql,
     "edfs_compact" -> edfsCompactSql,
     "edfs_append_evolve" -> edfsAppendEvolveSql,
+    "edfs_time_travel" -> edfsTimeTravelSql,
     "edfs_read_partition" -> edfsReadPartitionSql,
     "pmr_avg" -> pmrAvgSql,
     "pmr_min" -> pmrMinSql,

@@ -34,6 +34,44 @@ class CatalogSpec extends SparkSpec {
       src.select(sum("c_custkey")).head().getLong(0))
   }
 
+  test("time travel reads each snapshot exactly; compact truncates history") {
+    val cat = freshCatalog("timetravel")
+    val nation = Tables.load(spark, sfDir, "nation")
+    val v1 = nation.filter(col("n_nationkey") < 10)
+    val v2batch = nation.filter(col("n_nationkey") >= 10)
+    cat.put(v1.repartition(4), "t", HashPartition("n_regionkey"))
+    assert(cat.snapshotCount("t") == 1)
+    cat.append(v2batch, "t")
+    assert(cat.snapshotCount("t") == 2)
+    // each snapshot is exact: v1 excludes the appended rows, v2 is current
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.select("n_nationkey").collect()
+        .map(_.getAs[Number](0).longValue).toSet
+    assert(keys(cat.readVersion("t", 1)) == keys(v1))
+    assert(keys(cat.readVersion("t", 2)) == keys(nation))
+    // a third append keeps all history valid
+    cat.append(nation.filter(col("n_nationkey") === 0)
+      .withColumn("n_nationkey", col("n_nationkey") + 100), "t")
+    assert(cat.snapshotCount("t") == 3)
+    assert(keys(cat.readVersion("t", 1)) == keys(v1))
+    // out-of-range versions refuse loudly
+    intercept[IllegalArgumentException](cat.readVersion("t", 4))
+    intercept[IllegalArgumentException](cat.readVersion("t", 0))
+    // compact rewrites files -> history truncates to the current snapshot,
+    // which still reads the full current state
+    cat.compact("t")
+    assert(cat.snapshotCount("t") == 1)
+    assert(keys(cat.readVersion("t", 1)) ==
+      keys(nation) + 100L)
+    // a snapshot read prunes partitions like a current read
+    val pruned = cat.readVersion("t", 1).filter(col("n_regionkey") === 1)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[\\w".r.findFirstIn(plan).nonEmpty,
+      s"snapshot read lost partition pruning:\n${plan.take(1500)}")
+    assert(pruned.count() ==
+      nation.filter(col("n_regionkey") === 1).count())
+  }
+
   test("readPartition prunes to the single matching directory") {
     val cat = freshCatalog("prune")
     cat.put(Tables.load(spark, sfDir, "customer"), "t", HashPartition("c_nationkey"))
