@@ -34,8 +34,13 @@ object Bench {
     // rep conflates first-run codegen/JIT cost with steady-state latency. The
     // min of 2 is the reproducible per-query number (±10% across rounds).
     // Optional targeted run (same env contract as Verify); driver-unset →
-    // the full sorted sweep.
+    // the full sorted sweep. A typo'd name must fail, not time nothing.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(names.nonEmpty && unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.mkString(", ")}")
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(kv => only.forall(_.contains(kv._1))).map { case (name, fn) =>
       // noop sink: every column and the output ordering are actually computed —

@@ -92,7 +92,29 @@ class GraftCatalog(spark: SparkSession, root: String,
     if (!fs.exists(p)) false
     else if (!recursive && fs.getFileStatus(p).isDirectory &&
       fs.listStatus(p).nonEmpty && !isTable(path)) false
-    else fs.delete(p, true)
+    else {
+      val deleted = fs.delete(p, true)
+      // a physical delete INSIDE a tracked table invalidates every snapshot
+      // manifest naming the deleted files — truncate history to the current
+      // state (same policy as compact, which is also a physical rewrite)
+      if (deleted) truncateHistoryOfEnclosingTable(path)
+      deleted
+    }
+  }
+
+  /** Nearest enclosing committed table of a just-deleted subpath, if any:
+    * its snapshot history now names missing files, so reset it to the single
+    * current snapshot. A deleted TABLE ROOT took its sidecar with it and
+    * needs nothing. */
+  private def truncateHistoryOfEnclosingTable(path: String): Unit = {
+    val parts = path.split("/").filter(_.nonEmpty)
+    (parts.length - 1 to 1 by -1).map(i => parts.take(i).mkString("/"))
+      .find(isTable)
+      .foreach { t =>
+        readMeta(t).filter(_.versions.nonEmpty).foreach { m =>
+          writeSidecar(t, m.copy(versions = Seq(listLeafFiles(t))))
+        }
+      }
   }
 
   /** ls — list a namespace directory with the reference's full metadata row
@@ -287,18 +309,24 @@ class GraftCatalog(spark: SparkSession, root: String,
     // NOT the merged read schema: that re-types partition columns from
     // directory-name inference (BIGINT → INT), reorders them to the end, and
     // records the internal bucket column as if it were user data.
-    // Snapshot history: append only ADDS files, so the post-write listing IS
-    // the new cumulative manifest; every older manifest stays valid. An
-    // untracked legacy table (versions empty) stays untracked — starting
-    // history mid-life would fabricate a v1 that never existed.
+    // Snapshot history: append only ADDS files, so this commit's DELTA is
+    // the post-write listing minus everything earlier deltas recorded; older
+    // deltas stay valid untouched. An untracked legacy table (versions
+    // empty) stays untracked — starting history mid-life would fabricate a
+    // v1 that never existed.
     meta.foreach { m =>
       val newFields = df.schema.fields.filterNot(f =>
         f.name == BucketCol || m.schema.fieldNames.contains(f.name))
+      val versions =
+        if (m.versions.isEmpty) Nil
+        else {
+          val known = m.versions.flatten.toSet
+          m.versions :+ listLeafFiles(path).filterNot(known)
+        }
       writeSidecar(path, m.copy(
         schema = StructType(m.schema.fields ++ newFields),
         embeddedNewlines = m.embeddedNewlines || nlUpgrade,
-        versions =
-          if (m.versions.nonEmpty) m.versions :+ listLeafFiles(path) else Nil))
+        versions = versions))
     }
   }
 
@@ -312,12 +340,16 @@ class GraftCatalog(spark: SparkSession, root: String,
     * `multiLine=false` and every leaf file SPLITS into parallel tasks. True
     * (also the default when the sidecar predates the flag) forces the safe
     * unsplittable whole-file parse.
-    * `versions` is the snapshot history (A19): one CUMULATIVE manifest of
-    * relative leaf-file paths per committed write — version v reads exactly
-    * versions(v-1). Append-only writes make old manifests permanently valid
-    * (old files are never rewritten); compact IS a rewrite, so it truncates
-    * history to the single post-compact snapshot. Nil = an untracked legacy
-    * table: time travel refuses rather than guessing v1. */
+    * `versions` is the snapshot history (A19): one DELTA manifest of
+    * relative leaf-file paths per committed write — the files that commit
+    * ADDED; snapshot v is the union of deltas 1..v. Deltas keep the sidecar
+    * linear in total files (a cumulative-per-commit encoding would retain
+    * O(commits x files) — the growth curve incremental manifest designs like
+    * Iceberg's exist to avoid). Append-only writes make old deltas
+    * permanently valid; compact and rm-inside-a-table are physical
+    * deletes, so they truncate history to the single current snapshot. Nil =
+    * an untracked legacy table: time travel refuses rather than guessing
+    * v1. */
   private case class Sidecar(schema: StructType, scheme: SidecarScheme,
     permission: String, format: String, embeddedNewlines: Boolean = true,
     versions: Seq[Seq[String]] = Nil)
@@ -577,8 +609,18 @@ class GraftCatalog(spark: SparkSession, root: String,
       s"time travel: $path has no snapshot history (written by a pre-snapshot writer?)")
     require(v >= 1 && v <= m.versions.length,
       s"time travel: version $v out of range 1..${m.versions.length} at $path")
-    loadData(path, Some(m.versions(v - 1).map(rel => new Path(abs(path), rel))))
-      .drop(BucketCol)
+    val files = m.versions.take(v).flatten.map(rel => new Path(abs(path), rel))
+    // loud, diagnosable failure over a runtime FileNotFound mid-scan: a
+    // dangling manifest means some physical delete bypassed the truncation
+    // hooks (a crash inside compact's swap window, or an out-of-catalog
+    // delete). One driver-side stat per manifest file — the same stats the
+    // scan's file index would pay anyway.
+    val missing = files.filterNot(fs.exists)
+    require(missing.isEmpty,
+      s"time travel: snapshot $v of $path references ${missing.size} missing " +
+        s"file(s) (e.g. ${missing.head}) — history was invalidated by a " +
+        "physical delete outside put/append/compact/rm")
+    loadData(path, Some(files)).drop(BucketCol)
   }
 
   /** The raw sidecar text, if present. Falls back to the `.__new` temp file

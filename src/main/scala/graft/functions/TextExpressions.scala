@@ -107,6 +107,28 @@ case class StopwordHits(child: Expression, words: Seq[String]) extends UnaryExpr
     copy(child = newChild)
 }
 
+/** Token-start offsets of a document's single-space split (empties
+  * included) — the ONE tokenizer every byte-walking kernel shares. Returns
+  * (starts, count); starts(0)=0, starts(i) = byte after the (i-1)th space.
+  * Factored so a domain tweak (or bounds fix) can never fork the gram
+  * domain between kernels the oracles pin. */
+private[functions] object TokenStarts {
+  def of(bytes: Array[Byte]): (Array[Int], Int) = {
+    var starts = new Array[Int](16)
+    var n = 1 // starts(0) = 0
+    var i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' ') {
+        if (n == starts.length) starts = java.util.Arrays.copyOf(starts, n * 2)
+        starts(n) = i + 1
+        n += 1
+      }
+      i += 1
+    }
+    (starts, n)
+  }
+}
+
 /** Distinct-bigram kernel for [[DistinctBigrams]]: a word bigram is a
   * CONTIGUOUS byte span of the document (from one token's first byte to the
   * next token's last), so distinct counting needs no string assembly at all —
@@ -116,19 +138,7 @@ case class StopwordHits(child: Expression, words: Seq[String]) extends UnaryExpr
 object BigramKernel {
   def distinct(s: UTF8String): Long = {
     val bytes = s.getBytes
-    // primitive int array, grown by doubling — this is a per-row hot kernel,
-    // a boxing ArrayBuffer would allocate an Integer per token
-    var starts = new Array[Int](16)
-    var nStarts = 1 // starts(0) = 0
-    var i = 0
-    while (i < bytes.length) {
-      if (bytes(i) == ' ') {
-        if (nStarts == starts.length) starts = java.util.Arrays.copyOf(starts, nStarts * 2)
-        starts(nStarts) = i + 1
-        nStarts += 1
-      }
-      i += 1
-    }
+    val (starts, nStarts) = TokenStarts.of(bytes)
     if (nStarts < 2) return 0L
     val seen = new java.util.HashSet[UTF8String]()
     var t = 0
@@ -183,17 +193,7 @@ object GramSetKernel {
   def stats(s: UTF8String, n: Int,
     dict: java.util.HashSet[UTF8String]): org.apache.spark.sql.catalyst.InternalRow = {
     val bytes = s.getBytes
-    var starts = new Array[Int](16)
-    var nStarts = 1 // starts(0) = 0
-    var i = 0
-    while (i < bytes.length) {
-      if (bytes(i) == ' ') {
-        if (nStarts == starts.length) starts = java.util.Arrays.copyOf(starts, nStarts * 2)
-        starts(nStarts) = i + 1
-        nStarts += 1
-      }
-      i += 1
-    }
+    val (starts, nStarts) = TokenStarts.of(bytes)
     val seen = new java.util.HashSet[UTF8String]()
     var hits = 0L
     def add(g: UTF8String): Unit =
@@ -222,7 +222,11 @@ case class GramSetStats(child: Expression, n: Int, dictBlob: String)
 
   @transient private lazy val dict: java.util.HashSet[UTF8String] = {
     val s = new java.util.HashSet[UTF8String]()
-    dictBlob.split("\n", -1).foreach(g => s.add(UTF8String.fromString(g)))
+    // an empty blob is an EMPTY dictionary — "".split yields Array(""),
+    // which would otherwise plant the empty-string gram and wrongly match
+    // empty documents' whole-text fallback
+    if (dictBlob.nonEmpty)
+      dictBlob.split("\n", -1).foreach(g => s.add(UTF8String.fromString(g)))
     s
   }
 
@@ -264,17 +268,7 @@ case class GramSetStats(child: Expression, n: Int, dictBlob: String)
 object TopGramKernel {
   def stats(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
     val bytes = s.getBytes
-    var starts = new Array[Int](16)
-    var nStarts = 1 // starts(0) = 0
-    var i = 0
-    while (i < bytes.length) {
-      if (bytes(i) == ' ') {
-        if (nStarts == starts.length) starts = java.util.Arrays.copyOf(starts, nStarts * 2)
-        starts(nStarts) = i + 1
-        nStarts += 1
-      }
-      i += 1
-    }
+    val (starts, nStarts) = TokenStarts.of(bytes)
     var topCount = 0L
     var topChars = 0L
     if (nStarts >= 2) {
@@ -455,17 +449,7 @@ object MinHashKernel {
     val b = MinHashFamily.b
     val P = MinHashFamily.P
     val bytes = s.getBytes
-    var starts = new Array[Int](16)
-    var n = 1 // starts(0) = 0
-    var i = 0
-    while (i < bytes.length) {
-      if (bytes(i) == ' ') {
-        if (n == starts.length) starts = java.util.Arrays.copyOf(starts, n * 2)
-        starts(n) = i + 1
-        n += 1
-      }
-      i += 1
-    }
+    val (starts, n) = TokenStarts.of(bytes)
     val mins = Array.fill(a.length)(Long.MaxValue)
     val digest = md.get()
     def addGram(from: Int, until: Int): Unit = {

@@ -559,6 +559,15 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** UNTRAINED-fallback centroid CTE for the semantic-codebook oracles: only
+    * reachable when the queries never ran for this dir (cold cache), so it
+    * carries a visible banner AND reproduces the semantic seed rule
+    * (first semanticK(n) vectors — NOT the IVF K=16) so the mismatch mode is
+    * "untrained vs trained centroids", never a silently wrong K. */
+  private def semanticSeedCte: String =
+    """c AS (SELECT vec_id AS cid, v AS cv FROM e  -- UNTRAINED SEED FALLBACK: codebook cache cold for this dir
+      | WHERE vec_id < GREATEST(16, LEAST(64, (SELECT COUNT(*) FROM e) // 256)))""".stripMargin
+
   /** Generated oracle for C29: trained centroids inlined (same binding rules
     * as simIvfSql), assignment via the same ROW_NUMBER argmax, pairwise
     * cosine as the same sequential fold — decisions at τ are bit-exact
@@ -569,10 +578,9 @@ object Similarity {
     def dotv(a: String, b: String) =
       s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> $a[i] * $b[i])), (a, b) -> a + b)"
     def cos(a: String, b: String) = s"${dotv(a, b)} / (sqrt(${sq(a)}) * sqrt(${sq(b)}))"
-    // the SEMANTIC codebook (K ∝ N), not the IVF one; the untrained seed
-    // fallback is labeled fail-evident like simIvfSql's
+    // the SEMANTIC codebook (K ∝ N), not the IVF one
     val centroidCte = centroidValuesCte(cachedSemanticCodebook(sfDir))
-      .getOrElse(s"c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $IvfK)")
+      .getOrElse(semanticSeedCte)
     s"""WITH e AS (
        | SELECT vec_id, list_transform(embedding, z -> CAST(z AS DOUBLE)) AS v
        | FROM embeddings),
@@ -639,7 +647,7 @@ object Similarity {
       s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> $a[i] * $b[i])), (a, b) -> a + b)"
     def cos(a: String, b: String) = s"${dotv(a, b)} / (sqrt(${sq(a)}) * sqrt(${sq(b)}))"
     val centroidCte = centroidValuesCte(cachedSemanticCodebook(sfDir))
-      .getOrElse(s"c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $IvfK)")
+      .getOrElse(semanticSeedCte)
     s"""WITH e AS (
        | SELECT vec_id, list_transform(embedding, z -> CAST(z AS DOUBLE)) AS v
        | FROM embeddings),

@@ -70,6 +70,18 @@ class CatalogSpec extends SparkSpec {
       s"snapshot read lost partition pruning:\n${plan.take(1500)}")
     assert(pruned.count() ==
       nation.filter(col("n_regionkey") === 1).count())
+    // rm INSIDE the table is a physical delete: history truncates to the
+    // current state (dangling manifests would otherwise name deleted files)
+    cat.append(nation.filter(col("n_nationkey") === 1)
+      .withColumn("n_nationkey", col("n_nationkey") + 200), "t")
+    assert(cat.snapshotCount("t") == 2)
+    assert(cat.rm("t/n_regionkey=1", recursive = true))
+    assert(cat.snapshotCount("t") == 1)
+    val survivors = cat.readVersion("t", 1)
+    assert(survivors.filter(col("n_regionkey") === 1).count() == 0,
+      "rm'd partition rows must be gone from the surviving snapshot")
+    assert(survivors.count() == cat.cat("t").count(),
+      "the surviving snapshot must equal the current state")
   }
 
   test("readPartition prunes to the single matching directory") {

@@ -196,6 +196,17 @@ class FunctionsSpec extends SparkSpec {
     assert(n.head().isNullAt(0))
   }
 
+  test("graft_gram_hits with an empty dictionary never matches, even empty docs") {
+    import spark.implicits._
+    // "".split would plant the empty-string gram; an empty doc's whole-text
+    // fallback must NOT match it
+    val rows = Seq("", "a b c d e f", " ").toDF("text")
+      .select(graft.functions.GraftFunctions.gramHits(spark, col("text"), 5, "").as("gh"))
+      .select(col("gh.n_contaminated")).collect()
+    assert(rows.forall(_.getLong(0) == 0L),
+      "empty dictionary produced a contamination hit")
+  }
+
   test("row-local minhash kernel equals the reference signature semantics") {
     import spark.implicits._
     import graft.functions.MinHashFamily
