@@ -330,6 +330,66 @@ class GraftCatalog(spark: SparkSession, root: String,
     }
   }
 
+  /** merge — upsert a batch by key (Delta/Iceberg MERGE semantics: matched
+    * keys are replaced by the batch row, unmatched batch rows insert). The
+    * property that matters at 100 TB: only partitions the batch TOUCHES are
+    * read, merged and rewritten — a 1%-of-partitions batch costs 1% of the
+    * table, not a full rewrite. Protocol per touched partition mirrors
+    * compact's park-and-swap (no point loses both copies). The touched-value
+    * list is driver-side metadata (bounded by partition count, like every
+    * partition listing here). A physical rewrite ⇒ snapshot history
+    * truncates, same policy as compact/rm. Hash-partitioned tables only —
+    * range/bucketed layouts route through their bucket column the same way,
+    * but the query surface only needs the reference's hash scheme. */
+  def merge(batch: DataFrame, path: String, key: String): Unit = {
+    require(isTable(path), s"merge target $path is not a committed table")
+    requireCoherentScheme(path, "merge")
+    val meta = readMeta(path).getOrElse(sys.error(s"merge: no sidecar at $path"))
+    require(meta.scheme.kind == "hash",
+      s"merge: only hash-partitioned tables are supported, got ${meta.scheme.kind}")
+    val c = meta.scheme.column
+    require(batch.columns.sorted.sameElements(meta.schema.fieldNames.sorted),
+      s"merge: batch schema ${batch.columns.sorted.mkString(",")} must equal " +
+        s"the table's ${meta.schema.fieldNames.sorted.mkString(",")}")
+    // cast to the sidecar's DECLARED types: a wider-typed batch (e.g. LONG
+    // keys into an INT table) would otherwise widen the union and write
+    // files the recorded schema can no longer read
+    val aligned = coerceNullKey(
+      batch.select(meta.schema.fields.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*), c)
+    val touched = aligned.select(col(c)).distinct().collect().map(_.get(0))
+    // partition-pruned read of ONLY the touched directories; batch rows win
+    // on key collision (left_anti drops the old versions)
+    val current = loadTable(path).filter(col(c).isInCollection(touched))
+    val merged = current
+      .join(aligned.select(col(key).as(key)), Seq(key), "left_anti")
+      .unionByName(aligned)
+    val base = abs(path)
+    val tmp = new Path(base.getParent, base.getName + "__merging")
+    fs.delete(tmp, true)
+    capped(merged.repartition(col(c)).write.partitionBy(c))
+      .mode("overwrite").format(format).save(tmp.toString)
+    val oldRoot = new Path(base.getParent, base.getName + "__old")
+    fs.delete(oldRoot, true)
+    fs.mkdirs(oldRoot)
+    fs.listStatus(tmp)
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      .foreach { d =>
+        val name = d.getPath.getName
+        val dest = new Path(base, name)
+        // park-and-swap; a touched value new to the table has nothing to park
+        if (fs.exists(dest))
+          require(fs.rename(dest, new Path(oldRoot, name)),
+            s"merge: park $name failed")
+        require(fs.rename(d.getPath, dest), s"merge: swap $name failed")
+      }
+    fs.delete(oldRoot, true)
+    fs.delete(tmp, true)
+    readMeta(path).filter(_.versions.nonEmpty).foreach { m =>
+      writeSidecar(path, m.copy(versions = Seq(listLeafFiles(path))))
+    }
+  }
+
   /** The sidecar's scheme descriptor. */
   private case class SidecarScheme(kind: String, column: String, buckets: Int,
     lo: Double, hi: Double)

@@ -153,6 +153,43 @@ object Pmr {
     """SELECT o_orderkey, o_orderstatus, o_totalprice
       |FROM orders WHERE o_orderkey % 5 != 0 ORDER BY o_orderkey""".stripMargin
 
+  /** A20 — MERGE (upsert by key): every 10th customer gets a corrected
+    * balance (update), a shifted-key copy of every customer ≡ 1 (mod 10)
+    * arrives new (insert). Only the touched nation partitions are read,
+    * merged and swapped — the 100 TB property is that an upsert batch costs
+    * the partitions it lands in, never a table rewrite (CatalogSpec pins
+    * untouched partitions' files byte-identical). Read-back proves exact
+    * MERGE semantics against a CASE/UNION oracle. */
+  def edfsMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val cat = catalog(spark, sfDir)
+    cat.mkdir("warehouse")
+    val customer = Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"), col("c_mktsegment"))
+    cat.put(customer, "warehouse/customer_merge", HashPartition("c_nationkey"))
+    val updates = customer.filter(col("c_custkey") % 10 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + lit(100.0))
+    val inserts = customer.filter(col("c_custkey") % 10 === 1)
+      .withColumn("c_custkey", col("c_custkey") + lit(1000000L))
+    cat.merge(updates.unionByName(inserts), "warehouse/customer_merge", "c_custkey")
+    cat.cat("warehouse/customer_merge")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey").cast("int"),
+        col("c_acctbal"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  // c_acctbal + 100.0: both engines perform the identical correctly-rounded
+  // double add on identical inputs, so the updated balances hash-match
+  val edfsMergeSql: String =
+    """SELECT c_custkey, c_name, c_nationkey,
+      | CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal,
+      | c_mktsegment
+      |FROM customer
+      |UNION ALL
+      |SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal, c_mktsegment
+      |FROM customer WHERE c_custkey % 10 = 1
+      |ORDER BY c_custkey""".stripMargin
+
   /** A15 — append + schema evolution: the incremental-ingest write path. A
     * second batch arrives carrying a NEW column; parquet per-file schemas +
     * a merged read make that a metadata-only evolution (old files are never
@@ -453,6 +490,7 @@ object Pmr {
     "edfs_compact" -> (edfsCompact _),
     "edfs_append_evolve" -> (edfsAppendEvolve _),
     "edfs_time_travel" -> (edfsTimeTravel _),
+    "edfs_merge" -> (edfsMerge _),
     "edfs_read_partition" -> (edfsReadPartition _),
     "edfs_partition_locations" -> (edfsPartitionLocations _),
     "edfs_ls" -> (edfsLs _),
@@ -474,6 +512,7 @@ object Pmr {
     "edfs_compact" -> edfsCompactSql,
     "edfs_append_evolve" -> edfsAppendEvolveSql,
     "edfs_time_travel" -> edfsTimeTravelSql,
+    "edfs_merge" -> edfsMergeSql,
     "edfs_read_partition" -> edfsReadPartitionSql,
     "pmr_avg" -> pmrAvgSql,
     "pmr_min" -> pmrMinSql,

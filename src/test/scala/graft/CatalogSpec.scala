@@ -84,6 +84,42 @@ class CatalogSpec extends SparkSpec {
       "the surviving snapshot must equal the current state")
   }
 
+  test("merge upserts by key and rewrites ONLY the touched partitions") {
+    val cat = freshCatalog("merge")
+    val nation = Tables.load(spark, sfDir, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    cat.put(nation, "t", HashPartition("n_regionkey"))
+    val root = new java.io.File(s"${GraftConf.localRoot}/test_edfs/merge/t")
+    def files(region: Int): Map[String, Long] = {
+      val d = new java.io.File(root, s"n_regionkey=$region")
+      d.listFiles().filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val untouchedBefore = files(4)
+    // batch: update nation 0 (region 0), insert key 500 into region 1
+    import spark.implicits._
+    val batch = Seq((0L, "RENAMED", 0L), (500L, "NEWLAND", 1L))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    cat.merge(batch, "t", "n_nationkey")
+    val back = cat.cat("t").collect()
+      .map(r => r.getAs[Number]("n_nationkey").longValue ->
+        r.getAs[String]("n_name")).toMap
+    assert(back.size == nation.count() + 1, "one insert expected")
+    assert(back(0L) == "RENAMED", "matched key must take the batch row")
+    assert(back(500L) == "NEWLAND", "unmatched batch key must insert")
+    assert(back(5L) == nation.filter(col("n_nationkey") === 5)
+      .head().getString(1), "unrelated rows unchanged")
+    // the partition-scoped-rewrite property: untouched region 4's files are
+    // byte-for-byte the same (names AND mtimes)
+    assert(files(4) == untouchedBefore,
+      "merge rewrote an untouched partition")
+    // physical rewrite of touched partitions truncates snapshot history
+    assert(cat.snapshotCount("t") == 1)
+    // schema mismatch refuses loudly
+    intercept[IllegalArgumentException](
+      cat.merge(batch.withColumn("extra", lit(1)), "t", "n_nationkey"))
+  }
+
   test("readPartition prunes to the single matching directory") {
     val cat = freshCatalog("prune")
     cat.put(Tables.load(spark, sfDir, "customer"), "t", HashPartition("c_nationkey"))
