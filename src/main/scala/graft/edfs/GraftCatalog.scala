@@ -390,6 +390,122 @@ class GraftCatalog(spark: SparkSession, root: String,
     }
   }
 
+  // ----- A21: 2× replication with per-file failover reads -----
+
+  private val ReplicaDirs = Seq("replica-1", "replica-2")
+
+  /** putReplicated — ingest with the reference's 2× replication
+    * (init.sql:27-30: every block records a replica1 and replica2 location;
+    * proj-firebase-flask.py:496 writes each block to two of three datanodes).
+    * Spark-native form: the partitioned layout is COMPUTED AND WRITTEN ONCE
+    * under `replica-1/`, then the committed bytes are cloned to `replica-2/`
+    * by a distributed per-file copy job (the distcp shape — replication is a
+    * storage-layer byte copy, never a second execution of the query, so a
+    * nondeterministic input can't produce diverging replicas). The table-root
+    * sidecar records the shared replica-relative manifest; on a real cluster
+    * the two subtrees would map to different failure domains the way the
+    * reference spreads replicas across datanodes. */
+  def putReplicated(df: DataFrame, path: String, scheme: PartitionScheme): Unit = {
+    val r1 = s"$path/${ReplicaDirs(0)}"
+    val r2 = s"$path/${ReplicaDirs(1)}"
+    put(df, r1, scheme)
+    // clear any stale second replica BEFORE cloning: manifest-driven reads
+    // would never touch leftovers, but dead bytes are storage leaks
+    fs.delete(abs(r2), true)
+    val files = listLeafFiles(r1)
+    val srcRoot = abs(r1).toString
+    val dstRoot = abs(r2).toString
+    // one copy task per leaf file, executor-side streams, nothing routes
+    // through the driver — at 100 TB this is exactly distcp's plan. The
+    // Hadoop conf travels as serialized entries (Configuration itself is not
+    // serializable), so s3a/hdfs credentials reach the tasks.
+    val confPairs = {
+      import scala.jdk.CollectionConverters._
+      spark.sessionState.newHadoopConf().asScala
+        .map(e => (e.getKey, e.getValue)).toSeq
+    }
+    spark.sparkContext
+      .parallelize(files, math.max(1, math.min(files.size, 32)))
+      .foreach { rel =>
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confPairs.foreach { case (k, v) => conf.set(k, v) }
+        val src = new Path(srcRoot, rel)
+        val dst = new Path(dstRoot, rel)
+        org.apache.hadoop.fs.FileUtil.copy(
+          src.getFileSystem(conf), src, dst.getFileSystem(conf), dst,
+          false, true, conf)
+      }
+    val m = readMeta(r1).getOrElse(sys.error(s"putReplicated: no sidecar at $r1"))
+    writeSidecar(path, m.copy(replication = 2, versions = Seq(files)))
+  }
+
+  /** catReplicated — read a replicated table with per-file failover: the
+    * manifest resolves each file to replica-1 when it survives, replica-2
+    * otherwise — `IFNULL(replica1, replica2)` (combined_flask.py:284,:522)
+    * lifted from a per-block SQL coalesce to manifest resolution. The check
+    * is one driver-side stat per manifest file (metadata-class work, the same
+    * stats a file index pays); data files are scanned exactly once, each
+    * replica subset under its own basePath so partition discovery and
+    * pruning behave exactly as on an unreplicated read, then unioned —
+    * scan ∪ scan, no shuffle. Files lost from BOTH replicas fail loudly with
+    * names (the reference would silently emit NULL content). */
+  def catReplicated(path: String): DataFrame = {
+    val m = readMeta(path).getOrElse(sys.error(s"catReplicated: no sidecar at $path"))
+    require(m.replication > 1,
+      s"catReplicated: $path is not a replicated table (replication=${m.replication})")
+    val manifest = m.versions.flatten
+    val roots = ReplicaDirs.map(d => new Path(abs(path), d))
+    val (fromR1, rest) = manifest.partition(rel => fs.exists(new Path(roots(0), rel)))
+    val fromR2 = rest.filter(rel => fs.exists(new Path(roots(1), rel)))
+    val lost = rest.filterNot(fromR2.contains)
+    require(lost.isEmpty,
+      s"catReplicated: ${lost.size} file(s) of $path lost from BOTH replicas " +
+        s"(e.g. ${lost.head}) — data loss, refusing to return a partial table")
+    Seq((roots(0), fromR1), (roots(1), fromR2))
+      .filter(_._2.nonEmpty)
+      .map { case (root, rels) =>
+        scanReplica(root, rels.map(new Path(root, _)), m) }
+      .reduceOption(_.unionByName(_))
+      .getOrElse(spark.createDataFrame(spark.sparkContext.emptyRDD[Row], m.schema))
+      .drop(BucketCol)
+  }
+
+  /** One replica subtree's surviving subset, schema'd from the table-root
+    * sidecar (same authority rules as loadData). */
+  private def scanReplica(root: Path, files: Seq[Path], m: Sidecar): DataFrame = {
+    val reader = spark.read.format(m.format).option("basePath", root.toString)
+    (if (m.schema.nonEmpty) reader.schema(m.schema)
+     else reader.option("mergeSchema", "true"))
+      .load(files.map(_.toString): _*)
+  }
+
+  /** Per-manifest-file serving report — the namenode's replica map
+    * (reference getPartitionLocations joins both replica columns,
+    * combined_flask.py:254-259): 1 = primary serves, 2 = failed over,
+    * 0 = lost from both. Driver-side metadata only. */
+  def replicaStatus(path: String): DataFrame = {
+    val m = readMeta(path).getOrElse(sys.error(s"replicaStatus: no sidecar at $path"))
+    val roots = ReplicaDirs.map(d => new Path(abs(path), d))
+    val rows = m.versions.flatten.map { rel =>
+      val served =
+        if (fs.exists(new Path(roots(0), rel))) 1
+        else if (fs.exists(new Path(roots(1), rel))) 2
+        else 0
+      Row(rel, served)
+    }
+    val schema = StructType(Seq(
+      StructField("file", StringType), StructField("served_by", IntegerType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** TEST/SIMULATION hook — knock out one partition directory of one replica,
+    * emulating the loss of the datanode holding those blocks. Returns whether
+    * anything was deleted. */
+  def failReplicaPartition(path: String, replica: Int, dirName: String): Boolean = {
+    require(replica >= 1 && replica <= ReplicaDirs.length, s"no replica $replica")
+    fs.delete(new Path(new Path(abs(path), ReplicaDirs(replica - 1)), dirName), true)
+  }
+
   /** The sidecar's scheme descriptor. */
   private case class SidecarScheme(kind: String, column: String, buckets: Int,
     lo: Double, hi: Double)
@@ -409,10 +525,13 @@ class GraftCatalog(spark: SparkSession, root: String,
     * permanently valid; compact and rm-inside-a-table are physical
     * deletes, so they truncate history to the single current snapshot. Nil =
     * an untracked legacy table: time travel refuses rather than guessing
-    * v1. */
+    * v1.
+    * `replication` > 1 marks a table written by [[putReplicated]]: the data
+    * lives under `replica-1/` and `replica-2/` subtrees and `versions` holds
+    * the REPLICA-RELATIVE manifest both copies share. */
   private case class Sidecar(schema: StructType, scheme: SidecarScheme,
     permission: String, format: String, embeddedNewlines: Boolean = true,
-    versions: Seq[Seq[String]] = Nil)
+    versions: Seq[Seq[String]] = Nil, replication: Int = 1)
 
   /** Does any string column of the batch carry an embedded newline? One cheap
     * early-out scan (stops at the first hit) paid only on csv writes — the
@@ -459,6 +578,7 @@ class GraftCatalog(spark: SparkSession, root: String,
         files.foreach(fa.add)
       }
     }
+    if (m.replication > 1) root.put("replication", m.replication)
     root.toString
   }
 
@@ -498,7 +618,8 @@ class GraftCatalog(spark: SparkSession, root: String,
         import scala.jdk.CollectionConverters._
         v.elements().asScala.map(arr =>
           arr.elements().asScala.map(_.asText).toSeq).toSeq
-      }.getOrElse(Nil))
+      }.getOrElse(Nil),
+      optNode(top, "replication").map(_.asInt).getOrElse(1))
   }
 
   /** Refuse layout-dependent writes when the recorded scheme is incoherent —

@@ -109,6 +109,32 @@ object Pmr {
     """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
       |FROM part ORDER BY p_partkey""".stripMargin
 
+  /** A21 — 2× replication with failover reads (reference init.sql:27-30,
+    * combined_flask.py:284: every block has replica1/replica2 locations and
+    * reads coalesce `IFNULL(replica1, replica2)`). The query ingests customer
+    * replicated, then simulates TWO independent datanode losses — one replica
+    * loses the BUILDING and MACHINERY partitions, the OTHER loses FURNITURE —
+    * and proves the read still reassembles the complete table byte-exact:
+    * per-file manifest failover serves the damaged partitions from the
+    * surviving copy. Both directions of the IFNULL are exercised. */
+  def edfsReplicaRead(spark: SparkSession, sfDir: String): DataFrame = {
+    val cat = catalog(spark, sfDir)
+    cat.mkdir("warehouse")
+    cat.putReplicated(Tables.load(spark, sfDir, "customer"),
+      "warehouse/customer_replicated", HashPartition("c_mktsegment"))
+    cat.failReplicaPartition("warehouse/customer_replicated", 1, "c_mktsegment=BUILDING")
+    cat.failReplicaPartition("warehouse/customer_replicated", 1, "c_mktsegment=MACHINERY")
+    cat.failReplicaPartition("warehouse/customer_replicated", 2, "c_mktsegment=FURNITURE")
+    cat.catReplicated("warehouse/customer_replicated")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val edfsReplicaReadSql: String =
+    """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
   /** A14 — compact: collapse the many-small-files state incremental ingest
     * leaves behind (here fabricated by an 8-way pre-repartition before the
     * put, so every nation directory holds up to 8 files) into exactly one
@@ -488,6 +514,7 @@ object Pmr {
     "edfs_put_range" -> (edfsPutRange _),
     "edfs_cat" -> (edfsCat _),
     "edfs_compact" -> (edfsCompact _),
+    "edfs_replica_read" -> (edfsReplicaRead _),
     "edfs_append_evolve" -> (edfsAppendEvolve _),
     "edfs_time_travel" -> (edfsTimeTravel _),
     "edfs_merge" -> (edfsMerge _),
@@ -510,6 +537,7 @@ object Pmr {
     "edfs_put_range" -> edfsPutRangeSql,
     "edfs_cat" -> edfsCatSql,
     "edfs_compact" -> edfsCompactSql,
+    "edfs_replica_read" -> edfsReplicaReadSql,
     "edfs_append_evolve" -> edfsAppendEvolveSql,
     "edfs_time_travel" -> edfsTimeTravelSql,
     "edfs_merge" -> edfsMergeSql,

@@ -464,4 +464,33 @@ class CatalogSpec extends SparkSpec {
     assert(cat.cat("t").count() == src.count() + 50)
     assert(cat.partitionLocations("t").count() == n1)
   }
+
+  test("replicated put survives single-replica loss; double loss is loud") {
+    val cat = freshCatalog("replica")
+    val src = Tables.load(spark, sfDir, "nation")
+    cat.putReplicated(src, "t", HashPartition("n_regionkey"))
+    // undamaged: everything serves from the primary and reads back lossless
+    val st0 = cat.replicaStatus("t").collect()
+    assert(st0.nonEmpty && st0.forall(_.getInt(1) == 1))
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.select("n_nationkey").collect().map(_.getAs[Number](0).longValue).toSet
+    assert(keys(cat.catReplicated("t")) == keys(src))
+    // knock out one partition on the primary -> failover MUST fire
+    assert(cat.failReplicaPartition("t", 1, "n_regionkey=2"))
+    val st1 = cat.replicaStatus("t").collect()
+    assert(st1.exists(_.getInt(1) == 2), "some files must serve from replica 2")
+    assert(st1.forall(_.getInt(1) != 0))
+    assert(keys(cat.catReplicated("t")) == keys(src))
+    // knock out a DIFFERENT partition on the secondary -> still complete
+    assert(cat.failReplicaPartition("t", 2, "n_regionkey=4"))
+    assert(keys(cat.catReplicated("t")) == keys(src))
+    // lose the SAME partition from both replicas -> refuse loudly, with names
+    assert(cat.failReplicaPartition("t", 2, "n_regionkey=2"))
+    val e = intercept[IllegalArgumentException](cat.catReplicated("t"))
+    assert(e.getMessage.contains("BOTH replicas"))
+    assert(cat.replicaStatus("t").collect().exists(_.getInt(1) == 0))
+    // an unreplicated table refuses the replicated read path
+    cat.put(src, "plain", HashPartition("n_regionkey"))
+    intercept[IllegalArgumentException](cat.catReplicated("plain"))
+  }
 }
