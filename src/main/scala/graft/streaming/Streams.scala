@@ -642,6 +642,70 @@ object Streams extends Serializable {
       .orderBy(col("doc_id"))
   }
 
+  // ----- D8: stream-stream interval join -----
+
+  /** D8 — watermarked stream-stream interval join: click→purchase attribution
+    * (every purchase joined to the same user's clicks in the preceding hour).
+    * Both sides carry a 2-hour watermark and the join condition carries the
+    * time range, so Spark derives per-side STATE WATERMARKS: a buffered click
+    * is dropped once the purchase-side watermark passes click_ts + 1h, a
+    * buffered purchase once the click-side watermark passes it — state is
+    * bounded by the join window + delay at ANY stream length, the property
+    * that makes this runnable on an unbounded 100 TB/day stream. Matching is
+    * co-partitioned by the user_id equality (one Exchange per side, same as
+    * the batch join's shuffle).
+    *
+    * No sentinel dependency: append-mode INNER join emits a pair the moment
+    * both rows have arrived — the watermark only EVICTS state, it never gates
+    * emission — so the drained backlog equals the batch join exactly and the
+    * query shares a plain two-sided SQL-join oracle (the type filters also
+    * drop the sentinel on both sides before it reaches the join). */
+  def streamJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val cp = new java.io.File(checkpointDir(sfDir, "stream_join"))
+    org.apache.commons.io.FileUtils.deleteQuietly(cp)
+    spark.catalog.dropTempView("stream_join")
+    joinRun(spark, eventsStream(spark, sfDir), eventsStream(spark, sfDir),
+      "stream_join", cp)
+  }
+
+  /** Test hook: each staged file its own micro-batch, so pairs whose two
+    * sides arrive in DIFFERENT batches must match through buffered state. */
+  private[graft] def streamJoinMultiBatch(spark: SparkSession,
+    stageDir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val cp = new java.io.File(stageDir + "_cp_" + name)
+    org.apache.commons.io.FileUtils.deleteQuietly(cp)
+    spark.catalog.dropTempView(name)
+    def src() = spark.readStream.schema(EventsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stageDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    joinRun(spark, src(), src(), name, cp)
+  }
+
+  private def joinRun(spark: SparkSession, clickSrc: DataFrame,
+    purchaseSrc: DataFrame, name: String, cp: java.io.File): DataFrame = {
+    val clicks = clickSrc
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = purchaseSrc
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "2 hours")
+    val joined = purchases.join(clicks,
+      col("c_user") === col("user_id") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+          .as("gap_us"))
+    runToMemory(spark, joined, name, cp, OutputMode.Append())
+      .orderBy(col("purchase_id"), col("click_id"))
+  }
+
   /** D3 — streaming sink into the catalog: the windowed aggregate lands as
     * partitioned parquet under the EDFS root (partitioned by event_type so the
     * sink layout is query-prunable), then is read back through the batch path.
@@ -692,7 +756,8 @@ object Streams extends Serializable {
     "stream_dedup" -> (streamDedup _),
     "stream_dedup_near" -> (streamDedupNear _),
     "stream_quality_gate" -> (streamQualityGate _),
-    "stream_decontam_gate" -> (streamDecontamGate _))
+    "stream_decontam_gate" -> (streamDecontamGate _),
+    "stream_join" -> (streamJoin _))
 
   /** With sentinel-driven finalization all three streaming queries are exactly
     * batch-equivalent on a finite backlog, so each carries a sql oracle:
@@ -728,6 +793,19 @@ object Streams extends Serializable {
         | COALESCE(h.n_contaminated, 0) = 0 AS kept
         |FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
         |ORDER BY c.doc_id""".stripMargin),
+    // D8: inner interval joins emit watermark-independently, so the drained
+    // backlog is exactly the batch join (timestamps compared at the micro
+    // precision both engines truncate to)
+    "stream_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |  CAST(ts AS TIMESTAMP) AS ts_us FROM events)
+        |SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+        | epoch_us(p.ts_us) - epoch_us(c.ts_us) AS gap_us
+        |FROM e p JOIN e c
+        | ON p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.user_id = p.user_id
+        | AND c.ts_us <= p.ts_us AND c.ts_us >= p.ts_us - INTERVAL 1 HOUR
+        |ORDER BY purchase_id, click_id""".stripMargin,
     // D4 ≡ the batch window-min dedup on a single-batch backlog (in-batch
     // groups decide by ascending doc_id, matching MIN OVER the digest)
     "stream_dedup" ->

@@ -68,6 +68,64 @@ class StreamingSpec extends SparkSpec {
       s"multi-batch divergence: extra=${(streamed diff batch).take(3)} missing=${(batch diff streamed).take(3)}")
   }
 
+  test("stream-stream interval join equals the batch join on one backlog") {
+    import org.apache.spark.sql.functions._
+    val streamed = Streams.streamJoin(spark, sfDir).collect().map(_.toSeq).toSet
+    val ev = Tables.events(spark, sfDir)
+    val batch = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+      .join(ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+          col("ts").as("click_ts")),
+        col("c_user") === col("user_id") &&
+          col("click_ts") <= col("purchase_ts") &&
+          col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      s"stream/batch divergence: ${(streamed diff batch).take(3)} vs ${(batch diff streamed).take(3)}")
+  }
+
+  test("stream-stream join matches pairs across micro-batch boundaries") {
+    import org.apache.spark.sql.functions._
+    // a click and its purchase land in DIFFERENT micro-batches: the click
+    // must wait in join state until the purchase's batch arrives
+    val stageDir = new java.io.File("/root/repo/target/test_stream_join_mb")
+    org.apache.commons.io.FileUtils.deleteQuietly(stageDir)
+    stageDir.mkdirs()
+    val us = 1000L * 1000  // micros -> the raw column is NANOS
+    def ns(sec: Long) = sec * 1000L * us
+    val rows = Seq(
+      // user 1: click then purchase 10 min later (cross-batch pair)
+      (1L, ns(1000), 1L, "click", 1.0, "{}"),
+      (2L, ns(1600), 1L, "purchase", 5.0, "{}"),
+      // user 2: click a full 2h before the purchase — outside the window
+      (3L, ns(1000), 2L, "click", 1.0, "{}"),
+      (4L, ns(1000 + 7200), 2L, "purchase", 5.0, "{}"),
+      // user 3: purchase BEFORE the click — must not match
+      (5L, ns(2000), 3L, "purchase", 5.0, "{}"),
+      (6L, ns(2500), 3L, "click", 1.0, "{}"))
+    val slices = Seq(rows.take(1), rows.drop(1)) // click alone, rest later
+    slices.zipWithIndex.foreach { case (slice, i) =>
+      val tmp = new java.io.File(stageDir.getParent, s"sj_tmp_$i")
+      import spark.implicits._
+      slice.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(stageDir, f"slice_$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + i * 60000L)
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+    }
+    val got = Streams.streamJoinMultiBatch(spark, stageDir.getAbsolutePath,
+      "sj_mb").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((2L, 1L, 1L, 600L * us)),
+      s"expected exactly the cross-batch pair, got ${got.mkString(", ")}")
+  }
+
   test("resuming the catalog sink from its checkpoint adds nothing (exactly-once)") {
     val first = Streams.streamToCatalog(spark, sfDir).count()
     val resumed = Streams.streamToCatalog(spark, sfDir, fresh = false).count()
