@@ -390,6 +390,108 @@ class GraftCatalog(spark: SparkSession, root: String,
     }
   }
 
+  // ----- A22: vacuum + snapshot expiration (lakehouse maintenance) -----
+
+  /** vacuum — delete everything in and around the table that no snapshot
+    * references: leaf files absent from the manifest union (residue of a
+    * write that died after task commit but before its delta was recorded),
+    * partition directories left empty by those deletes, and the parked
+    * sibling roots a crashed compact/merge leaves behind (`<name>__old`,
+    * `__compacting`, `__merging` — their swap protocols delete them on
+    * success, so their existence IS the crash marker). Returns the number of
+    * paths removed.
+    *
+    * Safety model: single writer (the catalog's standing assumption — every
+    * swap protocol here parks-and-renames rather than locking). An in-flight
+    * Spark write stages under `_temporary`, which the `_`-prefix rule already
+    * excludes from listing, so vacuum cannot eat a running job's output.
+    * Time-based retention (Delta's RETAIN n HOURS) exists to protect
+    * concurrent READERS of just-rewritten files; manifest-driven reads here
+    * pin exact file lists at plan time, so the window is the plan-to-scan gap
+    * — vacuum during an active read is the same hazard as compact during one.
+    * Cost: one recursive listing + one namenode op per orphan — maintenance
+    * is metadata-class work, proportional to residue, never to table size.
+    * Works on replicated tables too: the shared manifest is resolved under
+    * each replica root. */
+  def vacuum(path: String): Long = {
+    val m = readMeta(path).getOrElse(sys.error(s"vacuum: no sidecar at $path"))
+    require(m.versions.nonEmpty,
+      s"vacuum: $path has no snapshot history — untracked tables have no " +
+        "manifest to define liveness against")
+    val live: Set[String] =
+      if (m.replication > 1)
+        ReplicaDirs.flatMap(d => m.versions.flatten.map(rel => s"$d/$rel")).toSet
+      else m.versions.flatten.toSet
+    val base = abs(path)
+    var removed = 0L
+    listLeafFiles(path).filterNot(live).foreach { rel =>
+      if (fs.delete(new Path(base, rel), false)) removed += 1
+    }
+    // sweep now-empty data directories bottom-up (a partition dir whose every
+    // file was orphaned — e.g. the uncommitted partition of a crashed write);
+    // metadata names (_/. prefixed) are never data and never counted
+    def sweepEmpty(p: Path): Boolean = { // returns "p is (now) removable"
+      val children = fs.listStatus(p)
+      val keep = children.filterNot { st =>
+        st.isDirectory && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith(".") && sweepEmpty(st.getPath)
+      }
+      if (keep.isEmpty && p != base) { fs.delete(p, false); removed += 1; true }
+      else false
+    }
+    sweepEmpty(base)
+    // crashed-swap residue parks OUTSIDE the table root
+    Seq("__old", "__compacting", "__merging").foreach { suffix =>
+      val parked = new Path(base.getParent, base.getName + suffix)
+      if (fs.exists(parked) && fs.delete(parked, true)) removed += 1
+    }
+    removed
+  }
+
+  /** expireSnapshots — bound history growth: fold the oldest deltas into one
+    * base so only the most recent `keepLast` snapshots stay readable. Pure
+    * sidecar metadata (append-only deltas mean every old file is still part
+    * of the CURRENT snapshot — no data becomes deletable, so expiration
+    * deletes none); what it bounds is manifest count, the thing that
+    * otherwise grows one delta per commit forever. readVersion(i) afterwards
+    * addresses the i-th SURVIVING snapshot, oldest first. */
+  def expireSnapshots(path: String, keepLast: Int): Unit = {
+    require(keepLast >= 1, s"expireSnapshots: keepLast must be >= 1, got $keepLast")
+    val m = readMeta(path).getOrElse(sys.error(s"expireSnapshots: no sidecar at $path"))
+    require(m.versions.nonEmpty, s"expireSnapshots: $path has no snapshot history")
+    if (keepLast < m.versions.length) {
+      val fold = m.versions.length - keepLast + 1
+      writeSidecar(path, m.copy(versions =
+        m.versions.take(fold).flatten +: m.versions.drop(fold)))
+    }
+  }
+
+  /** TEST/SIMULATION hook — fabricate the residue of a writer that died
+    * mid-protocol: an orphan data file inside a live partition (task output
+    * promoted but its delta never recorded — directory-discovery reads would
+    * double-count it), an entire uncommitted partition directory, and a
+    * parked `__old` root from a crashed compact/merge swap. Exactly the
+    * states [[vacuum]] exists to clean. */
+  def plantCrashResidue(path: String): Unit = {
+    val base = abs(path)
+    val first = listLeafFiles(path).headOption
+      .getOrElse(sys.error(s"plantCrashResidue: $path has no data files"))
+    val src = new Path(base, first)
+    val orphan = new Path(src.getParent, "part-00999-uncommitted.snappy.parquet")
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, orphan, false, true, fs.getConf)
+    if (src.getParent != base) { // partitioned: also a whole stray directory
+      // the stray value must parse under ANY declared partition-column type,
+      // so it is numeric (a non-numeric marker would fail an INT column's
+      // partition discovery outright instead of over-counting)
+      val strayDir = new Path(base, src.getParent.getName.takeWhile(_ != '=') + "=999999")
+      org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
+        new Path(strayDir, "part-00000.snappy.parquet"), false, true, fs.getConf)
+    }
+    val parked = new Path(base.getParent, base.getName + "__old")
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
+      new Path(parked, "leftover.parquet"), false, true, fs.getConf)
+  }
+
   // ----- A21: 2× replication with per-file failover reads -----
 
   private val ReplicaDirs = Seq("replica-1", "replica-2")

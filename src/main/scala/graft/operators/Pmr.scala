@@ -135,6 +135,34 @@ object Pmr {
     """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
       |FROM customer ORDER BY c_custkey""".stripMargin
 
+  /** A22 — vacuum + snapshot expiration: the maintenance pass that keeps a
+    * long-lived table healthy. The query ingests orders in two commits,
+    * plants the residue of a crashed writer (an orphan file inside a live
+    * partition, a whole uncommitted partition directory, a parked `__old`
+    * root), vacuums, folds history to one snapshot, and reads back. The
+    * oracle equality IS the proof vacuum removed exactly the residue:
+    * directory-discovery reads would double-count the orphan rows if vacuum
+    * missed them, and would lose live rows if it overreached. */
+  def edfsVacuum(spark: SparkSession, sfDir: String): DataFrame = {
+    val cat = catalog(spark, sfDir)
+    cat.mkdir("warehouse")
+    val src = Tables.load(spark, sfDir, "orders")
+    cat.put(src.filter(col("o_orderkey") % 2 === 0),
+      "warehouse/orders_vacuum", HashPartition("o_orderstatus"))
+    cat.append(src.filter(col("o_orderkey") % 2 =!= 0), "warehouse/orders_vacuum")
+    cat.plantCrashResidue("warehouse/orders_vacuum")
+    cat.vacuum("warehouse/orders_vacuum")
+    cat.expireSnapshots("warehouse/orders_vacuum", keepLast = 1)
+    cat.cat("warehouse/orders_vacuum")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderstatus"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val edfsVacuumSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   /** A14 — compact: collapse the many-small-files state incremental ingest
     * leaves behind (here fabricated by an 8-way pre-repartition before the
     * put, so every nation directory holds up to 8 files) into exactly one
@@ -515,6 +543,7 @@ object Pmr {
     "edfs_cat" -> (edfsCat _),
     "edfs_compact" -> (edfsCompact _),
     "edfs_replica_read" -> (edfsReplicaRead _),
+    "edfs_vacuum" -> (edfsVacuum _),
     "edfs_append_evolve" -> (edfsAppendEvolve _),
     "edfs_time_travel" -> (edfsTimeTravel _),
     "edfs_merge" -> (edfsMerge _),
@@ -538,6 +567,7 @@ object Pmr {
     "edfs_cat" -> edfsCatSql,
     "edfs_compact" -> edfsCompactSql,
     "edfs_replica_read" -> edfsReplicaReadSql,
+    "edfs_vacuum" -> edfsVacuumSql,
     "edfs_append_evolve" -> edfsAppendEvolveSql,
     "edfs_time_travel" -> edfsTimeTravelSql,
     "edfs_merge" -> edfsMergeSql,

@@ -465,6 +465,50 @@ class CatalogSpec extends SparkSpec {
     assert(cat.partitionLocations("t").count() == n1)
   }
 
+  test("vacuum removes exactly the crash residue; expire folds history") {
+    val cat = freshCatalog("vacuum")
+    val src = Tables.load(spark, sfDir, "nation")
+    val v1 = src.filter(col("n_nationkey") < 10)
+    cat.put(v1, "t", HashPartition("n_regionkey"))
+    cat.append(src.filter(col("n_nationkey") >= 10), "t")
+    val cleanCount = cat.cat("t").count()
+    assert(cleanCount == src.count())
+    // residue makes directory-discovery reads over-count...
+    cat.plantCrashResidue("t")
+    assert(cat.cat("t").count() > cleanCount, "planted residue must be visible")
+    // ...vacuum restores exactness and reports what it removed
+    val removed = cat.vacuum("t")
+    assert(removed >= 3, s"orphan + stray dir + parked root, got $removed")
+    assert(cat.cat("t").count() == cleanCount)
+    // a second vacuum finds nothing
+    assert(cat.vacuum("t") == 0)
+    // live data, history and time travel all intact
+    assert(cat.snapshotCount("t") == 2)
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.select("n_nationkey").collect().map(_.getAs[Number](0).longValue).toSet
+    assert(keys(cat.readVersion("t", 1)) == keys(v1))
+    // expiration folds the oldest deltas: v1 becomes unreadable, the current
+    // snapshot is untouched, and no data files are deleted (append-only
+    // deltas mean every old file is still live)
+    cat.expireSnapshots("t", keepLast = 1)
+    assert(cat.snapshotCount("t") == 1)
+    assert(keys(cat.readVersion("t", 1)) == keys(src))
+    intercept[IllegalArgumentException](cat.readVersion("t", 2))
+    assert(cat.cat("t").count() == cleanCount)
+    // untracked tables refuse both ops
+    cat.put(src, "legacy", HashPartition("n_regionkey"))
+    val m = new java.io.File(s"${GraftConf.localRoot}/test_edfs/vacuum/legacy/_graft.json")
+    // strip the versions array to simulate a pre-snapshot writer
+    val raw = new String(java.nio.file.Files.readAllBytes(m.toPath))
+    java.nio.file.Files.write(m.toPath,
+      raw.replaceAll(""","versions":\[.*]""", "").getBytes)
+    // the edit bypassed the checksummed fs: drop the stale .crc sidecar-sidecar
+    java.nio.file.Files.deleteIfExists(
+      new java.io.File(m.getParentFile, "._graft.json.crc").toPath)
+    intercept[RuntimeException](cat.vacuum("legacy"))
+    intercept[RuntimeException](cat.expireSnapshots("legacy", 1))
+  }
+
   test("replicated put survives single-replica loss; double loss is loud") {
     val cat = freshCatalog("replica")
     val src = Tables.load(spark, sfDir, "nation")
