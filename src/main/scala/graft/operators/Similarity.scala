@@ -470,6 +470,199 @@ object Similarity {
       | END AS n_saturated
       |FROM s ORDER BY vec_id""".stripMargin
 
+  // ----- C7e: product quantization + ADC scoring -----
+
+  private val PqM = 8       // subspaces
+  private val PqDsub = 8    // dims per subspace (64 = PqM * PqDsub)
+  private val PqKs = 16     // codes per subspace
+  private val PqIters = 3
+  private val PqRerank = 128 // ADC shortlist size fed to the exact re-rank
+
+  // same staleness discipline as codebookCache: keyed by the embeddings
+  // fingerprint so in-place data regeneration retrains
+  private val pqCache =
+    scala.collection.concurrent.TrieMap.empty[String, (String, Array[Array[Array[Double]]])]
+
+  private def cachedPq(sfDir: String): Option[Array[Array[Array[Double]]]] =
+    pqCache.get(sfDir)
+      .filter(_._1 == graft.Tables.fingerprint(sfDir, "embeddings"))
+      .map(_._2)
+
+  /** The L2-argmin PQ code of subspace `m` as one projected least() over
+    * (l2, code) structs — smallest distance, ties to the lowest code, the
+    * same shape as nearestCid and the same ROW_NUMBER(l2 ASC, c ASC)
+    * tie-break the oracle uses. Fold order is pinned (0.0-seeded left fold)
+    * so the doubles are bit-identical cross-engine. */
+  private def pqCodeExpr(m: Int, books: Array[Array[Array[Double]]]): Column = {
+    val sv = slice(col("v"), m * PqDsub + 1, PqDsub)
+    least((0 until PqKs).map { c =>
+      struct(
+        aggregate(zip_with(sv, lit(books(m)(c)), (x, cc) => (x - cc) * (x - cc)),
+          lit(0.0), (acc, z) => acc + z).as("l2"),
+        lit(c).as("c"))
+    }: _*).getField("c")
+  }
+
+  /** Train the PQ codebooks: independent Lloyd runs in each of the 8
+    * subspaces, batched as ONE scan per iteration (subspace structs explode →
+    * groupBy(m, code, dim) with DECIMAL-exact means — determinism contract as
+    * trainCodebook). Seeded by the first Ks vectors' subvectors; the 1-in-3
+    * sample matches the coarse codebook's. Only M×Ks×dsub = 1024 doubles ever
+    * reach the driver. */
+  def trainPqCodebooks(spark: SparkSession, sfDir: String): Array[Array[Array[Double]]] =
+    cachedPq(sfDir).getOrElse(this.synchronized {
+      cachedPq(sfDir).getOrElse {
+        val fp = graft.Tables.fingerprint(sfDir, "embeddings")
+        val e = Tables.load(spark, sfDir, "embeddings")
+          .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        val seeds = e.filter(col("vec_id") < PqKs).collect()
+          .sortBy(_.getAs[Number]("vec_id").intValue)
+          .map(_.getAs[Seq[Double]]("v").toArray)
+        var books = Array.tabulate(PqM, PqKs) { (m, c) =>
+          seeds(c).slice(m * PqDsub, (m + 1) * PqDsub)
+        }
+        val sample = e.filter(pmod(col("vec_id"), lit(3)) === 0)
+        for (_ <- 1 to PqIters) {
+          val subStructs = array((0 until PqM).map { m =>
+            struct(lit(m).as("m"), pqCodeExpr(m, books).as("code"),
+              slice(col("v"), m * PqDsub + 1, PqDsub).as("sv"))
+          }: _*)
+          val means = sample.select(explode(subStructs).as("s"))
+            .select(col("s.m").as("m"), col("s.code").as("code"),
+              posexplode(col("s.sv")).as(Seq("dim", "x")))
+            .groupBy(col("m"), col("code"), col("dim"))
+            .agg((sum(col("x").cast("decimal(30,12)")) / count(lit(1)))
+              .cast("double").as("mn"))
+            .collect()
+            .groupBy(r => (r.getAs[Number]("m").intValue, r.getAs[Number]("code").intValue))
+          books = Array.tabulate(PqM, PqKs) { (m, c) =>
+            means.get((m, c)) match {
+              case None => books(m)(c) // emptied cluster keeps its centroid
+              case Some(rows) =>
+                rows.sortBy(_.getAs[Number]("dim").intValue)
+                  .map(_.getAs[Double]("mn"))
+            }
+          }
+        }
+        pqCache(sfDir) = (fp, books)
+        books
+      }
+    })
+
+  /** C7e — product quantization with asymmetric distance computation (ADC),
+    * the memory side of scale-out ANN (IVFADC): each 64-dim float vector is
+    * encoded as 8 four-bit codes (one L2-nearest centroid per 8-dim
+    * subspace) — 512 bytes of float64 (256 of float32) become 4 bytes, the
+    * ~64× compression that lets a 100 TB vector store's index live in
+    * memory. A query never decodes: it builds an M×Ks table of
+    * probe-subvector · centroid inner products ONCE (driver-side here, 1024
+    * doubles — the classic per-query ADC table), then every row's
+    * approximate inner product is 8 table lookups summed in fixed subspace
+    * order. Encode is a pure projection (the stored form at ingest); scoring
+    * is scan + lookups + one TakeOrdered — no Exchange anywhere, and it
+    * composes with C7c's cid-partition pruning for the full IVFADC layout.
+    * Every arithmetic step (0.0-seeded left folds, fixed-order sum, argmin
+    * tie-break) is op-sequence-matched in the generated oracle, so the
+    * float-heavy op is hash-checkable; the recall floor vs exact search is
+    * pinned in OperatorsSpec. */
+  def simPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val books = trainPqCodebooks(spark, sfDir)
+    val e = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val probe = e.filter(col("vec_id") === 0).select(col("v")).head()
+      .getAs[Seq[Double]]("v").toArray
+    // the ADC lookup table: table(m)(c) = probe_sv_m · centroid — the same
+    // 0.0-seeded left fold the oracle writes, so literals match bit-exactly
+    val table = Array.tabulate(PqM, PqKs) { (m, c) =>
+      var s = 0.0
+      var d = 0
+      while (d < PqDsub) { s += probe(m * PqDsub + d) * books(m)(c)(d); d += 1 }
+      s
+    }
+    // codes materialize in their own projection (the "stored" encoded form),
+    // so each argmin tree is evaluated once, not once per CASE branch
+    val encoded = e.filter(col("vec_id") =!= 0)
+      .select(col("vec_id") +: col("v") +:
+        (0 until PqM).map(m => pqCodeExpr(m, books).as(s"c$m")): _*)
+    val score = (0 until PqM).map { m =>
+      (0 until PqKs).foldLeft(lit(Double.NaN)) { (acc, c) =>
+        when(col(s"c$m") === lit(c), lit(table(m)(c))).otherwise(acc)
+      }
+    }.reduce(_ + _) // left-assoc: fixed subspace order, same as the oracle
+    // ADC shortlist → exact re-rank, the standard two-stage ADC search: the
+    // compressed scan ranks everything cheaply, then ONLY the top-R
+    // candidates' full vectors are scored exactly (at 100 TB the rerank is
+    // R point-reads against the vector store, not a second scan). Both
+    // stages are TakeOrdered — still no Exchange. R=128 recovers 9-10/10 of
+    // the exact top-10 on this worst-case near-uniform corpus.
+    encoded
+      .select(col("vec_id"), col("v"), score.as("adc"))
+      .orderBy(col("adc").desc, col("vec_id"))
+      .limit(PqRerank)
+      .select(col("vec_id"),
+        aggregate(zip_with(col("v"), lit(probe), (x, y) => x * y),
+          lit(0.0), (acc, z) => acc + z).as("ip"))
+      .orderBy(col("ip").desc, col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"), round(col("ip"), 6).as("ip_r"))
+  }
+
+  /** The PQ oracle: centroid literals (or the seed-subvector fallback when
+    * untrained), ROW_NUMBER argmin codes, the probe-side ADC table, and a
+    * fixed-order CASE sum — every double produced by the same IEEE op
+    * sequence as the Spark plan. */
+  def simPqSql(sfDir: String): String = {
+    val fp = if (sfDir.nonEmpty) graft.Tables.fingerprint(sfDir, "embeddings") else ""
+    val books = pqCache.get(sfDir).filter(_._1 == fp).map(_._2)
+    val centCte = books match {
+      case Some(b) =>
+        val rows = (for (m <- 0 until PqM; c <- 0 until PqKs)
+          yield s"($m, $c, ${b(m)(c).mkString("[", ", ", "]")})").mkString(",\n  ")
+        s"cent AS (SELECT m, c, cv FROM (VALUES\n  $rows) t(m, c, cv))"
+      case None => // untrained: the seed codebooks, derived in SQL
+        s"""cent AS (
+           | SELECT t.m, CAST(e.vec_id AS INT) AS c,
+           |  list_transform(range(1, ${PqDsub + 1}), i -> e.v[t.m * $PqDsub + i]) AS cv
+           | FROM e, range($PqM) t(m) WHERE e.vec_id < $PqKs)""".stripMargin
+    }
+    def fold(body: String) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, ${PqDsub + 1}), i -> $body)), (a, b) -> a + b)"
+    val scoreSum = (0 until PqM)
+      .map(m => s"MAX(CASE WHEN s.m = $m THEN t.ip END)").mkString(" + ")
+    s"""WITH e AS (
+       | SELECT vec_id, list_transform(embedding, z -> CAST(z AS DOUBLE)) AS v
+       | FROM embeddings),
+       |$centCte,
+       |l2 AS (
+       | SELECT e.vec_id, cent.m, cent.c,
+       |  ${fold("(e.v[cent.m * " + PqDsub + " + i] - cent.cv[i]) * (e.v[cent.m * " + PqDsub + " + i] - cent.cv[i])")} AS l2
+       | FROM e, cent),
+       |codes AS (
+       | SELECT vec_id, m, c AS code FROM (
+       |  SELECT vec_id, m, c,
+       |   ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY l2, c) AS rk
+       |  FROM l2) x WHERE rk = 1),
+       |p AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+       |tbl AS (
+       | SELECT m, c, ${fold("p.pv[cent.m * " + PqDsub + " + i] * cent.cv[i]")} AS ip
+       | FROM cent, p),
+       |scores AS (
+       | SELECT s.vec_id, $scoreSum AS score
+       | FROM codes s JOIN tbl t ON t.m = s.m AND t.c = s.code
+       | WHERE s.vec_id <> 0
+       | GROUP BY s.vec_id),
+       |short AS (
+       | SELECT vec_id FROM (
+       |  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY score DESC, vec_id) AS rk
+       |  FROM scores) x WHERE rk <= $PqRerank),
+       |rer AS (
+       | SELECT e.vec_id,
+       |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> e.v[i] * p.pv[i])), (a, b) -> a + b) AS ip
+       | FROM e JOIN short USING (vec_id) CROSS JOIN p)
+       |SELECT vec_id, ROUND(ip, 6) AS ip_r FROM rer
+       |ORDER BY ip DESC, vec_id LIMIT 10""".stripMargin
+  }
+
   // ----- C29: semantic dedup -----
 
   /** Semantic-dedup cluster count: K ∝ N (clamped), targeting ~256-vector
@@ -678,7 +871,8 @@ object Similarity {
     "sim_ivf_append" -> (simIvfAppend _),
     "dedup_semantic" -> (dedupSemantic _),
     "embed_quantize" -> (embedQuantize _),
-    "embed_prune" -> (embedPrune _))
+    "embed_prune" -> (embedPrune _),
+    "sim_pq" -> (simPq _))
 
   /** Generated oracle for C7b — the TRAINED centroids are inlined as list
     * literals (Scala's Double.toString round-trips exactly, so DuckDB parses
@@ -750,7 +944,8 @@ object Similarity {
     "sim_ivf_append" -> simIvfAppendSql(sfDir),
     "dedup_semantic" -> dedupSemanticSql(sfDir),
     "embed_quantize" -> embedQuantizeSql,
-    "embed_prune" -> embedPruneSql(sfDir))
+    "embed_prune" -> embedPruneSql(sfDir),
+    "sim_pq" -> simPqSql(sfDir))
 
   /** Dir-less contract form, total for any JVM state: one trained codebook →
     * that dir's centroid-literal oracle; none → the data-derived seed
@@ -773,6 +968,7 @@ object Similarity {
         .map(k => k -> (banner + simIvfSql(""))) :+
         ("sim_ivf_append" -> (banner + simIvfAppendSql(""))) :+
         ("dedup_semantic" -> (banner + dedupSemanticSql(""))) :+
-        ("embed_prune" -> (banner + embedPruneSql(""))))
+        ("embed_prune" -> (banner + embedPruneSql(""))) :+
+        ("sim_pq" -> (banner + simPqSql(""))))
   }
 }
