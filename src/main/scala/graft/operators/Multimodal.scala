@@ -11,9 +11,10 @@ import org.apache.spark.sql.functions._
   * pluggable interface, `StubCodec` is a deterministic fake that exercises the
   * full Spark-side pipeline — schema, encoders, per-partition batching,
   * partition sizing — exactly as a real codec would. The swap claim is
-  * proven, not argued: `ImageIoCodec` is a real pure-JVM PNG decoder behind
-  * the same seam (spec-exercised end-to-end); a JNI/FFM libjpeg/ffmpeg
-  * implementation slots in the same way.
+  * proven, not argued: `ImageIoCodec` is a real pure-JVM PNG decoder and
+  * `WavCodec` a real pure-JVM PCM-WAV audio decoder behind the same seam
+  * (both spec-exercised end-to-end on planted payloads); a JNI/FFM
+  * libjpeg/ffmpeg implementation slots in the same way.
   *
   * Scale notes: media rows are wide, so the pipeline repartitions by a
   * size-aware key before the codec pass (here: hash of id — in production,
@@ -94,6 +95,56 @@ object Multimodal {
         }
         MediaFeatures(row.media_id, row.media.length, row.format, w, h, 1,
           sum / (w.toLong * h) / 255.0)
+      }
+    }
+  }
+
+  /** A REAL pure-JVM AUDIO codec behind the same seam: javax.sound.sampled
+    * parses WAV/AIFF/AU containers without native libraries — the audio leg
+    * of the image/audio/video mandate, exercised end-to-end by a spec that
+    * synthesizes PCM WAV bytes of known content. Field mapping onto the
+    * seam's feature schema (documented, since audio axes differ from image
+    * axes): `width` := sample rate (the resolution axis), `height` :=
+    * channel count, `n_frames` := PCM frame count (the time axis, exactly
+    * like video), `feature_norm` := RMS amplitude normalized to [0,1] (the
+    * loudness feature a filtering pipeline thresholds on). Same contract as
+    * every codec here: pure, and unparseable payloads degrade to a marked
+    * zero row instead of failing the task. Only 16-bit PCM is computed —
+    * other encodings would need a JNI decoder and degrade likewise. */
+  object WavCodec extends MediaCodec {
+    def decode(row: MediaRow): MediaFeatures = {
+      val zero = MediaFeatures(row.media_id, row.media.length, row.format, 0, 0, 0, 0.0)
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(row.media))
+        try {
+          val fmt = in.getFormat
+          val pcm16 =
+            fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+              fmt.getSampleSizeInBits == 16
+          if (!pcm16) zero
+          else {
+            val bytes = org.apache.commons.io.IOUtils.toByteArray(in)
+            var sumSq = 0.0
+            var i = 0
+            while (i + 1 < bytes.length) {
+              val s =
+                if (fmt.isBigEndian) ((bytes(i) << 8) | (bytes(i + 1) & 0xFF)).toShort
+                else ((bytes(i + 1) << 8) | (bytes(i) & 0xFF)).toShort
+              val x = s / 32768.0
+              sumSq += x * x
+              i += 2
+            }
+            val nSamples = bytes.length / 2
+            val nFrames = nSamples / math.max(1, fmt.getChannels)
+            MediaFeatures(row.media_id, row.media.length, row.format,
+              fmt.getSampleRate.toInt, fmt.getChannels, nFrames,
+              if (nSamples == 0) 0.0 else math.sqrt(sumSq / nSamples))
+          }
+        } finally in.close()
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => zero
+        case _: java.io.IOException => zero
       }
     }
   }

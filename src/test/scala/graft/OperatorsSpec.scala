@@ -484,6 +484,53 @@ class OperatorsSpec extends SparkSpec {
       s"corrupt payload should degrade to zero dims: $corrupt")
   }
 
+  test("real WAV decoder behind the codec seam recovers planted audio") {
+    import Multimodal.{MediaRow, WavCodec}
+    // synthesize 16-bit PCM WAV bytes: a sine of known amplitude, so sample
+    // rate / channels / frame count / RMS are all ground truth
+    def wav(rateHz: Float, channels: Int, nFrames: Int, amp: Double,
+      freqHz: Double): Array[Byte] = {
+      val pcm = new Array[Byte](nFrames * channels * 2)
+      for (f <- 0 until nFrames; c <- 0 until channels) {
+        val x = (amp * math.sin(2 * math.Pi * freqHz * f / rateHz) * 32767).toInt
+        val i = (f * channels + c) * 2
+        pcm(i) = (x & 0xFF).toByte
+        pcm(i + 1) = ((x >> 8) & 0xFF).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(rateHz, 16, channels, true, false)
+      val in = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(in,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      MediaRow(1L, wav(8000f, 1, 8000, 0.5, 440.0), "audio", 0, 0),
+      MediaRow(2L, wav(16000f, 2, 4000, 0.25, 1000.0), "audio", 0, 0),
+      MediaRow(99L, Array[Byte](9, 9, 9), "audio", 0, 0)) // corrupt payload
+    import spark.implicits._
+    val out = Multimodal.decodePipeline(spark, spark.createDataset(rows), WavCodec)
+      .as[Multimodal.MediaFeatures].collect()
+    // the distributed pass equals a driver-side decode row for row
+    assert(out.toSeq == rows.map(WavCodec.decode).sortBy(_.media_id).toSeq)
+    val mono = out.find(_.media_id == 1L).get
+    assert(mono.width == 8000 && mono.height == 1 && mono.n_frames == 8000,
+      s"mono: $mono")
+    // a full-period sine of amplitude A has RMS A/sqrt(2); 16-bit
+    // quantization keeps it within a tight tolerance
+    assert(math.abs(mono.feature_norm - 0.5 / math.sqrt(2.0)) < 1e-3,
+      s"mono RMS ${mono.feature_norm}")
+    val stereo = out.find(_.media_id == 2L).get
+    assert(stereo.width == 16000 && stereo.height == 2 && stereo.n_frames == 4000,
+      s"stereo: $stereo")
+    assert(math.abs(stereo.feature_norm - 0.25 / math.sqrt(2.0)) < 1e-3,
+      s"stereo RMS ${stereo.feature_norm}")
+    val corrupt = out.find(_.media_id == 99L).get
+    assert(corrupt.width == 0 && corrupt.n_frames == 0 && corrupt.feature_norm == 0.0,
+      s"corrupt payload should degrade to the zero row: $corrupt")
+  }
+
   test("PMR NaN modes: default SQL semantics vs reference fidelity") {
     import spark.implicits._
     // all-negative column with a NaN and a null — the case where the two
