@@ -34,16 +34,32 @@ object Tables {
     if (name == "events") events(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to map to its
-    * microsecond TimestampType. Read the raw int64 nanos (legacy conf, set at
-    * runtime so it works under any driver-built session) and truncate to micros
-    * — the same truncation DuckDB applies when it reads NANOS into its µs
-    * timestamps, so oracle comparisons agree. */
+  /** Schema-adaptive events loader. The driver has shipped `ts` in two
+    * physical encodings across testdata generations — int64 NANOS (read as
+    * LongType under the legacy nanosAsLong conf) and
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as TimestampNTZType) — so
+    * the loader branches on the type it actually finds instead of assuming
+    * one. Every branch normalizes to microsecond TimestampType under the UTC
+    * session, which is the instant DuckDB sees when it reads the same file
+    * (NANOS truncate to µs; NTZ wall-clock == UTC instant), so oracle
+    * comparisons agree for every encoding. An unrecognized type fails fast
+    * with a named diagnostic rather than 11 scattered downstream errors. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
+    // set BEFORE the read so a NANOS footer maps to LongType instead of
+    // throwing; a no-op for µs-encoded files
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val tsNorm = raw.schema("ts").dataType match {
+      case LongType         => expr("timestamp_micros(ts div 1000)") // raw nanos
+      case TimestampNTZType => col("ts").cast(TimestampType) // wall-clock, UTC session
+      case TimestampType    => col("ts")
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported type $other in $sfDir/events.parquet — " +
+          "extend Tables.events (expected int64 nanos, TIMESTAMP_NTZ, or TIMESTAMP)")
+    }
+    raw.withColumn("ts", tsNorm)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"), col("props"))
   }

@@ -30,7 +30,12 @@ object Streams extends Serializable {
   /** Sentinel marker: event_id/user_id -1, this event_type. */
   private val SentinelType = "__graft_eos"
 
-  private val EventsSchema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+  /** Canonical staged-events schema: `ts` is ALWAYS microsecond TimestampType
+    * in the landing dir — stageEventsNormalized rewrites whatever encoding the
+    * source testdata ships (int64 nanos or TIMESTAMP_NTZ; see Tables.events)
+    * into this one form at stage time, so the streaming read schema never
+    * guesses about physical encodings. */
+  private[graft] val EventsSchema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
     "event_type STRING, value DOUBLE, props STRING"
 
   /** Pre-create the staged landing directories (testdata copy + EOS sentinel)
@@ -73,37 +78,73 @@ object Streams extends Serializable {
     !fresh
   }
 
-  /** The events stream: same NANOS-timestamp normalization as the batch loader
-    * (Tables.events), via readStream with an explicit schema (ts read as raw
-    * nanos BIGINT, converted after). The file-stream source monitors a
-    * directory, so the testdata file plus the end-of-stream sentinel are staged
-    * into one (in production this is the landing directory new files arrive
-    * in). Callers apply `withWatermark` and then filter the sentinel out —
-    * the sentinel must pass through the EventTimeWatermark operator to advance
-    * the watermark, so the filter has to come after it. */
+  /** Stage the events table into the landing dir in the CANONICAL encoding:
+    * read through the schema-adaptive batch loader (Tables.events — handles
+    * every physical ts encoding the driver has shipped) and rewrite as flat
+    * `events_NNNNN.parquet` part files with µs TimestampType. Same
+    * fingerprint-based staleness rule as stageCopy. Flat files (not a nested
+    * part-file directory) keep the landing dir a plain one-level file-stream
+    * source — no partition-discovery ambiguity. Returns true when (re)staged. */
+  private[graft] def stageEventsNormalized(spark: SparkSession, sfDir: String,
+    stageDir: java.io.File): Boolean = {
+    val fpFile = new java.io.File(stageDir, ".events.src_fp")
+    val fp = graft.Tables.fingerprint(sfDir, "events")
+    // a raw-copy landing dir from the pre-normalization layout must restage —
+    // its events.parquet would be read by the stream source in the old encoding
+    val legacy = new java.io.File(stageDir, "events.parquet")
+    def parts = Option(stageDir.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.getName.startsWith("events_") && f.getName.endsWith(".parquet"))
+    val fresh = parts.nonEmpty && !legacy.exists() && fpFile.exists() &&
+      new String(java.nio.file.Files.readAllBytes(fpFile.toPath)) == fp
+    if (!fresh) {
+      stageDir.mkdirs()
+      org.apache.commons.io.FileUtils.deleteQuietly(legacy)
+      parts.foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+      val tmp = new java.io.File(stageDir.getParentFile, "events_norm_tmp")
+      graft.Tables.events(spark, sfDir)
+        .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      tmp.listFiles().filter(_.getName.endsWith(".parquet")).zipWithIndex
+        .foreach { case (p, i) =>
+          java.nio.file.Files.move(p.toPath,
+            new java.io.File(stageDir, f"events_$i%05d.parquet").toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+      java.nio.file.Files.write(fpFile.toPath, fp.getBytes)
+    }
+    !fresh
+  }
+
+  /** The events stream: readStream over the staged landing dir, which holds
+    * the canonically-encoded testdata copy (stageEventsNormalized) plus the
+    * end-of-stream sentinel (in production this is the landing directory new
+    * files arrive in). Callers apply `withWatermark` and then filter the
+    * sentinel out — the sentinel must pass through the EventTimeWatermark
+    * operator to advance the watermark, so the filter has to come after it. */
   private def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val stageDir = new java.io.File(
       s"${graft.GraftConf.localRoot}/graft_stream/${sfDir.replaceAll("[^A-Za-z0-9]+", "_")}/in")
-    val restaged = stageCopy(sfDir, "events", stageDir)
-    val staged = new java.io.File(stageDir, "events.parquet")
+    val restaged = stageEventsNormalized(spark, sfDir, stageDir)
     val sentinel = new java.io.File(stageDir, "z_sentinel.parquet")
-    if (restaged || !sentinel.exists()) writeSentinel(spark, staged, sentinel)
+    if (restaged || !sentinel.exists()) writeSentinel(spark, stageDir, sentinel)
     spark.readStream.schema(EventsSchema).parquet(stageDir.getAbsolutePath)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
   /** Write the end-of-stream sentinel: one row whose event time clears every
     * real window end (≤ maxTs+1h) and session timeout (≤ maxTs+30min) even
-    * after the 2h watermark delay is subtracted. 8h total margin. */
-  private def writeSentinel(spark: SparkSession, staged: java.io.File,
+    * after the 2h watermark delay is subtracted. 8h total margin. Reads only
+    * the staged events_* part files (never the previous sentinel — that would
+    * ratchet the EOS time forward on every restage). */
+  private def writeSentinel(spark: SparkSession, stageDir: java.io.File,
     sentinel: java.io.File): Unit = {
     import spark.implicits._
-    val maxTs = spark.read.schema(EventsSchema)
-      .parquet(staged.getAbsolutePath)
-      .agg(max(col("ts"))).head().getLong(0)
-    val eosTs = maxTs + 8L * 3600 * 1000 * 1000 * 1000 // +8h in nanos
-    val tmp = new java.io.File(sentinel.getParentFile.getParentFile, "sentinel_tmp")
+    val dataFiles = stageDir.listFiles()
+      .filter(f => f.getName.startsWith("events_") && f.getName.endsWith(".parquet"))
+      .map(_.getAbsolutePath)
+    val maxTs = spark.read.schema(EventsSchema).parquet(dataFiles.toSeq: _*)
+      .agg(max(col("ts"))).head().getTimestamp(0)
+    val eosTs = java.sql.Timestamp.from(maxTs.toInstant.plusSeconds(8L * 3600))
+    val tmp = new java.io.File(stageDir.getParentFile, "sentinel_tmp")
     Seq((-1L, eosTs, -1L, SentinelType, 0.0d, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
@@ -239,12 +280,10 @@ object Streams extends Serializable {
     * single-batch fixture. */
   private[graft] def streamSessionsMultiBatch(spark: SparkSession,
     stageDir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val cp = new java.io.File(stageDir + "_cp_" + name)
     val src = spark.readStream.schema(EventsSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(stageDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     sessionRun(spark, src, name, cp)
   }
 
@@ -672,14 +711,12 @@ object Streams extends Serializable {
     * sides arrive in DIFFERENT batches must match through buffered state. */
   private[graft] def streamJoinMultiBatch(spark: SparkSession,
     stageDir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val cp = new java.io.File(stageDir + "_cp_" + name)
     org.apache.commons.io.FileUtils.deleteQuietly(cp)
     spark.catalog.dropTempView(name)
     def src() = spark.readStream.schema(EventsSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(stageDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     joinRun(spark, src(), src(), name, cp)
   }
 

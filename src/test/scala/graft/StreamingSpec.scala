@@ -39,18 +39,16 @@ class StreamingSpec extends SparkSpec {
     val stageDir = new java.io.File("/root/repo/target/test_stream_multibatch")
     org.apache.commons.io.FileUtils.deleteQuietly(stageDir)
     stageDir.mkdirs()
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
-      "event_type STRING, value DOUBLE, props STRING"
-    val raw = spark.read.schema(schema).parquet(s"$sfDir/events.parquet")
-    val Array(t1, t2) = raw.stat.approxQuantile("ts", Array(0.33, 0.66), 0.001)
-    val maxTs = raw.agg(max(col("ts"))).head().getLong(0)
+    // slice the CANONICAL (µs TimestampType) form — the landing dir's contract
+    val raw = Tables.events(spark, sfDir).withColumn("us", unix_micros(col("ts")))
+    val Array(t1, t2) = raw.stat.approxQuantile("us", Array(0.33, 0.66), 0.001)
+    val maxUs = raw.agg(max(col("us"))).head().getLong(0)
     val slices = Seq(
-      raw.filter(col("ts") <= t1.toLong),
-      raw.filter(col("ts") > t1.toLong && col("ts") <= t2.toLong),
-      raw.filter(col("ts") > t2.toLong))
+      raw.filter(col("us") <= t1.toLong).drop("us"),
+      raw.filter(col("us") > t1.toLong && col("us") <= t2.toLong).drop("us"),
+      raw.filter(col("us") > t2.toLong).drop("us"))
     val sentinel = spark.range(1).select(lit(-1L).as("event_id"),
-      lit(maxTs + 8L * 3600 * 1000 * 1000 * 1000).as("ts"), lit(-1L).as("user_id"),
+      timestamp_micros(lit(maxUs + 8L * 3600 * 1000 * 1000)).as("ts"), lit(-1L).as("user_id"),
       lit("__graft_eos").as("event_type"), lit(0.0).as("value"), lit("{}").as("props"))
     (slices :+ sentinel).zipWithIndex.foreach { case (df, i) =>
       val tmp = new java.io.File(stageDir.getParent, s"mb_tmp_$i")
@@ -96,18 +94,18 @@ class StreamingSpec extends SparkSpec {
     val stageDir = new java.io.File("/root/repo/target/test_stream_join_mb")
     org.apache.commons.io.FileUtils.deleteQuietly(stageDir)
     stageDir.mkdirs()
-    val us = 1000L * 1000  // micros -> the raw column is NANOS
-    def ns(sec: Long) = sec * 1000L * us
+    val us = 1000L * 1000
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L) // canonical µs form
     val rows = Seq(
       // user 1: click then purchase 10 min later (cross-batch pair)
-      (1L, ns(1000), 1L, "click", 1.0, "{}"),
-      (2L, ns(1600), 1L, "purchase", 5.0, "{}"),
+      (1L, ts(1000), 1L, "click", 1.0, "{}"),
+      (2L, ts(1600), 1L, "purchase", 5.0, "{}"),
       // user 2: click a full 2h before the purchase — outside the window
-      (3L, ns(1000), 2L, "click", 1.0, "{}"),
-      (4L, ns(1000 + 7200), 2L, "purchase", 5.0, "{}"),
+      (3L, ts(1000), 2L, "click", 1.0, "{}"),
+      (4L, ts(1000 + 7200), 2L, "purchase", 5.0, "{}"),
       // user 3: purchase BEFORE the click — must not match
-      (5L, ns(2000), 3L, "purchase", 5.0, "{}"),
-      (6L, ns(2500), 3L, "click", 1.0, "{}"))
+      (5L, ts(2000), 3L, "purchase", 5.0, "{}"),
+      (6L, ts(2500), 3L, "click", 1.0, "{}"))
     val slices = Seq(rows.take(1), rows.drop(1)) // click alone, rest later
     slices.zipWithIndex.foreach { case (slice, i) =>
       val tmp = new java.io.File(stageDir.getParent, s"sj_tmp_$i")

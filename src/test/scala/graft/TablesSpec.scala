@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Loader portability: the driver regenerates /root/testdata between rounds
+  * and has already shipped events.ts in two physical encodings (int64 nanos in
+  * rounds 1-5, TIMESTAMP(MICROS, isAdjustedToUTC=false) since round 6). These
+  * specs pin BOTH encodings locally — so a regeneration can never silently
+  * break one path again — and run an acceptance canary over every live
+  * testdata table so NEW drift fails fast with a named diagnostic instead of
+  * scattered downstream errors. */
+class TablesSpec extends SparkSpec {
+
+  /** Write `rows` as <dir>/events.parquet with ts produced by `tsCol` applied
+    * to the raw µs epoch column, mimicking one driver encoding. */
+  private def writeEncoded(tag: String, tsCol: org.apache.spark.sql.Column): String = {
+    import spark.implicits._
+    val dir = new java.io.File(s"/root/repo/target/test_events_enc_$tag")
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    Seq(
+      (1L, 1700000000000000L, 10L, "click", 1.5, "{}"),
+      (2L, 1700000123456789L, 11L, "purchase", 2.5, "{}"),
+      (3L, 1700003600000001L, 10L, "view", 0.5, "{}"))
+      .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), tsCol.as("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(new java.io.File(dir, "events.parquet").getAbsolutePath)
+    dir.getAbsolutePath
+  }
+
+  test("events loader normalizes every shipped ts encoding to the same µs instants") {
+    val nanosDir = writeEncoded("nanos", col("us") * 1000L) // rounds 1-5: raw int64 nanos
+    val ntzDir = writeEncoded("ntz", // round 6+: TIMESTAMP_NTZ micros
+      timestamp_micros(col("us")).cast("timestamp_ntz"))
+    val tsDir = writeEncoded("tz", timestamp_micros(col("us"))) // plain µs TimestampType
+    val want = Seq(1700000000000000L, 1700000123456789L, 1700003600000001L)
+    for (dir <- Seq(nanosDir, ntzDir, tsDir)) {
+      val got = Tables.events(spark, dir)
+        .select(col("event_id"), unix_micros(col("ts")).as("us"))
+        .orderBy(col("event_id")).collect().map(_.getLong(1)).toSeq
+      assert(got == want, s"encoding at $dir decoded to $got, want $want")
+      assert(Tables.events(spark, dir).schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampType,
+        s"loader must normalize ts to TimestampType (dir $dir)")
+    }
+  }
+
+  test("an unrecognized events.ts type fails fast with a named diagnostic") {
+    val dir = writeEncoded("bad", col("us").cast("string"))
+    val e = intercept[IllegalStateException](Tables.events(spark, dir))
+    assert(e.getMessage.contains("events.ts"), s"diagnostic must name the column: ${e.getMessage}")
+  }
+
+  test("driver-format drift canary: loaders accept every live testdata table") {
+    // acceptance check, not a frozen schema: whatever types the current
+    // regeneration shipped, every loader must read them and the normalized
+    // events.ts must come out as µs TimestampType
+    Tables.all.foreach { t =>
+      val df =
+        try Tables.load(spark, sfDir, t)
+        catch { case e: Throwable => fail(
+          s"loader rejected $sfDir/$t.parquet — driver format drift? " +
+            s"physical schema: ${spark.read.parquet(s"$sfDir/$t.parquet").schema.treeString}", e)
+        }
+      try df.limit(1).collect()
+      catch { case e: Throwable => fail(
+        s"reading $sfDir/$t.parquet failed — driver format drift in a column type? " +
+          s"loaded schema: ${df.schema.treeString}", e)
+      }
+    }
+    assert(Tables.events(spark, sfDir).schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+  }
+}
