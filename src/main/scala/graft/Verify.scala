@@ -27,6 +27,15 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a crashed query must surface as `err` in the driver's report, never
+        // silently vanish from it: leave a parquet-free result dir with a
+        // named error marker, so the driver's read of this key fails loudly
+        // instead of the key being absent (round-6 lesson: 7 crashes hid)
+        val dir = new java.io.File(outDir, name)
+        org.apache.commons.io.FileUtils.deleteQuietly(dir)
+        dir.mkdirs()
+        Files.writeString(Paths.get(s"$outDir/$name/_error.txt"),
+          s"$name failed: ${e}\n")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
