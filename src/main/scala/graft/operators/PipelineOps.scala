@@ -485,41 +485,60 @@ object PipelineOps {
       |   '\+[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g') AS clean_text
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Sub-shard count for seq_pack. 16 here; in production size it so
+    * corpus_tokens / (langs × shards) windows sort comfortably in one task —
+    * a 100 TB, 80%-English corpus wants O(thousands). */
+  val SeqPackShards = 16
+
   /** C20 — sequence packing: concat-and-chunk documents into 4096-token
-    * context windows per language, greedy in doc_id order (the GPT-style
-    * "concatenate the corpus, split at window boundaries" packing). A doc
-    * counts toward the window its first token lands in: window id =
-    * floor(tokens_before / 4096) via a running-sum window — ONE shuffle on
-    * lang, no driver loop, and the per-window occupancy report tells a
-    * training job exactly how many batches each language fills. */
+    * context windows, greedy in doc_id order (the GPT-style "concatenate the
+    * corpus, split at window boundaries" packing). A doc counts toward the
+    * window its first token lands in: window id = floor(tokens_before / 4096)
+    * via a running-sum window, and the per-window occupancy report tells a
+    * training job exactly how many batches each language fills.
+    *
+    * Scale posture: an unbounded cumulative sum partitioned by lang ALONE
+    * would make a dominant language one sequential sorted task — a
+    * single-task straggler on a 100 TB, mostly-English corpus. Packing
+    * therefore runs within deterministic `(lang, shard)` sub-shards, shard =
+    * pmod(idHash(doc_id), SeqPackShards): every sub-shard packs its own
+    * contiguous windows independently and in parallel, window state stays
+    * bounded by the shard's token count, and the assignment is stable across
+    * runs/engines/corpus growth (same portable id hash as C21's split). The
+    * deliberate trade: windows are contiguous per (lang, shard), not globally
+    * per lang — which is how a distributed trainer consumes packed streams
+    * anyway (one reader per shard, no cross-reader coordination). */
   def seqPack(spark: SparkSession, sfDir: String): DataFrame = {
     val winTokens = 4096L
     val d = Tables.load(spark, sfDir, "documents")
       .select(col("lang"), col("doc_id"),
+        pmod(idHash(col("doc_id")), lit(SeqPackShards.toLong)).as("shard"),
         size(split(col("text"), " ")).cast("bigint").as("n_tok"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lang")).orderBy(col("doc_id"))
+      .partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     d.withColumn("win_id",
         floor(coalesce(sum(col("n_tok")).over(w), lit(0L)) / winTokens))
-      .groupBy(col("lang"), col("win_id"))
+      .groupBy(col("lang"), col("shard"), col("win_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("window_tokens"))
-      .orderBy(col("lang"), col("win_id"))
+      .orderBy(col("lang"), col("shard"), col("win_id"))
   }
 
   val seqPackSql: String =
-    """SELECT lang, win_id, COUNT(*) AS n_docs,
+    s"""SELECT lang, shard, win_id, COUNT(*) AS n_docs,
       | CAST(SUM(n_tok) AS BIGINT) AS window_tokens
       |FROM (
-      | SELECT lang, doc_id, n_tok,
-      |  CAST(FLOOR(COALESCE(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+      | SELECT lang, shard, doc_id, n_tok,
+      |  CAST(FLOOR(COALESCE(SUM(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 4096.0) AS BIGINT)
       |    AS win_id
       | FROM (SELECT lang, doc_id,
+      |   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS INT64)
+      |     % $SeqPackShards AS shard,
       |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents) t
       |) p
-      |GROUP BY lang, win_id
-      |ORDER BY lang, win_id""".stripMargin
+      |GROUP BY lang, shard, win_id
+      |ORDER BY lang, shard, win_id""".stripMargin
 
   /** C21 — deterministic train/val/test split: the portable id hash buckets
     * every document into 90/5/5. A pure per-row projection — no shuffle, no

@@ -191,9 +191,9 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
-  test("sequence packing conserves tokens in contiguous per-language windows") {
+  test("sequence packing conserves tokens in contiguous per-(lang,shard) windows") {
     val out = PipelineOps.seqPack(spark, sfDir).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     val byLang = out.groupBy(_._1)
     val truth = Tables.load(spark, sfDir, "documents")
       .groupBy(col("lang"))
@@ -201,19 +201,29 @@ class PipelineOpsSpec extends SparkSpec {
         count(lit(1)).as("docs"))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(byLang.keySet == truth.keySet)
+    // conservation holds per LANGUAGE across its shards: every token and doc
+    // lands in exactly one (shard, window)
     byLang.foreach { case (lang, wins) =>
-      val ids = wins.map(_._2).sorted.toSeq
+      assert(wins.map(_._5).sum == truth(lang)._1, s"$lang token sum drifted")
+      assert(wins.map(_._4).sum == truth(lang)._2, s"$lang doc count drifted")
+    }
+    // the de-straggler property: the corpus actually spreads over many shards
+    // (one sorted task per (lang, shard), not one per lang)
+    val shards = out.map(s => (s._1, s._2)).distinct
+    assert(shards.length > byLang.size,
+      s"sharding inactive: ${shards.length} (lang,shard) groups for ${byLang.size} langs")
+    assert(out.forall(s => s._2 >= 0 && s._2 < PipelineOps.SeqPackShards.toLong))
+    // contiguity + boundary law now hold within each (lang, shard) sub-stream
+    out.groupBy(s => (s._1, s._2)).foreach { case ((lang, shard), wins) =>
+      val ids = wins.map(_._3).sorted.toSeq
       assert(ids == (0L until ids.length.toLong),
-        s"$lang windows not contiguous from 0: $ids")
-      // conservation: every token and every doc lands in exactly one window
-      assert(wins.map(_._4).sum == truth(lang)._1, s"$lang token sum drifted")
-      assert(wins.map(_._3).sum == truth(lang)._2, s"$lang doc count drifted")
-      // boundary law: window w only exists once the running total crossed
-      // w·4096, so the cumulative tokens of windows 0..w-1 must reach it
-      val sorted = wins.sortBy(_._2)
-      sorted.map(_._4).scanLeft(0L)(_ + _).zipWithIndex.drop(1).dropRight(1)
+        s"$lang/$shard windows not contiguous from 0: $ids")
+      // window w only exists once the running total crossed w·4096, so the
+      // cumulative tokens of windows 0..w-1 must reach it
+      val sorted = wins.sortBy(_._3)
+      sorted.map(_._5).scanLeft(0L)(_ + _).zipWithIndex.drop(1).dropRight(1)
         .foreach { case (cum, w) =>
-          assert(cum >= 4096L * w, s"$lang window $w starts before its boundary")
+          assert(cum >= 4096L * w, s"$lang/$shard window $w starts before its boundary")
         }
     }
   }
