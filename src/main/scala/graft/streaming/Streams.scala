@@ -192,6 +192,19 @@ object Streams extends Serializable {
     try f finally spark.conf.set(key, prev)
   }
 
+  /** Executed plan of the last completed micro-batch (test hook: plan gates
+    * for streaming operators — the batch noop-write gate can't see inside a
+    * streaming query). Reflection keeps the internal StreamExecution access
+    * contained; an incompatible runtime just leaves the hook empty. */
+  @volatile private[graft] var lastStreamPlan: String = ""
+
+  private def capturePlan(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    try {
+      val se = q.getClass.getMethod("streamingQuery").invoke(q)
+      val le = se.getClass.getMethod("lastExecution").invoke(se)
+      lastStreamPlan = le.getClass.getMethod("executedPlan").invoke(le).toString
+    } catch { case _: Throwable => lastStreamPlan = "" }
+
   private def runToMemory(spark: SparkSession, df: DataFrame, name: String,
     cp: java.io.File, outputMode: OutputMode): DataFrame =
     withStreamShufflePartitions(spark) {
@@ -203,6 +216,7 @@ object Streams extends Serializable {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      capturePlan(q)
       spark.table(name)
     }
 

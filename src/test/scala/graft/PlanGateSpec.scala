@@ -68,6 +68,24 @@ class PlanGateSpec extends SparkSpec {
     // B20: both correlated aggregates decorrelate to BROADCAST joins
     Gate("q_correlated_subquery", maxHashEx = 3, minBroadcast = 2, needPushdown = true))
 
+  test("plan gate: seq_pack windows on (lang, shard), never lang alone") {
+    // the de-straggler property: the cumulative-sum window's exchange must
+    // key on the sub-shard too, or a dominant language collapses to one
+    // sequential sorted task at scale
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("seq_pack")(spark, sfDir)
+      df.write.format("noop").mode("overwrite").save()
+      val plan = df.queryExecution.executedPlan.toString
+      val winEx = plan.linesIterator.filter(_.contains("Exchange hashpartitioning(lang"))
+      assert(winEx.forall(_.contains("shard")),
+        s"seq_pack window exchange keys on lang alone:\n${plan.take(2000)}")
+      assert("hashpartitioning\\(lang[^)]*shard".r.findFirstIn(plan).nonEmpty,
+        s"seq_pack plan lost the (lang, shard) window key:\n${plan.take(2000)}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   gates.foreach { g =>
     test(s"plan gate: ${g.name}") {
       // static (non-AQE) plan, like PlanAudit: exposes codegen subtrees and

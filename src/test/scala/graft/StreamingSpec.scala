@@ -124,6 +124,24 @@ class StreamingSpec extends SparkSpec {
       s"expected exactly the cross-batch pair, got ${got.mkString(", ")}")
   }
 
+  test("stream-stream join plan: symmetric hash join, one exchange per side, two state watermarks") {
+    // the scale contract of D8: matching is co-partitioned by the user-id
+    // equality (exactly one Exchange per side, REQUIRED_BY_STATEFUL_OPERATOR)
+    // into a StreamingSymmetricHashJoin whose per-side state-cleanup
+    // predicates bound buffered state at any stream length — if this ever
+    // degrades to a non-equi-keyed cross-stream compare (no exchanges, or
+    // state never cleaned), the query stops being runnable on an unbounded
+    // stream even though results on a finite backlog stay correct
+    Streams.streamJoin(spark, sfDir)
+    val plan = Streams.lastStreamPlan
+    assert(plan.contains("StreamingSymmetricHashJoin"),
+      s"interval join lost the symmetric hash join operator:\n${plan.take(2000)}")
+    val ex = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(ex == 2, s"expected exactly one exchange per side, got $ex:\n${plan.take(2000)}")
+    assert(plan.contains("left value predicate:") && plan.contains("right value predicate:"),
+      s"state cleanup must carry BOTH per-side watermark predicates:\n${plan.take(2000)}")
+  }
+
   test("resuming the catalog sink from its checkpoint adds nothing (exactly-once)") {
     val first = Streams.streamToCatalog(spark, sfDir).count()
     val resumed = Streams.streamToCatalog(spark, sfDir, fresh = false).count()
