@@ -21,10 +21,11 @@ import graft.GraftConf
   * exact duplicates — a dup-heavy stress corpus that pushes the dedup family's
   * banding/skew guards; ties in similarity break on the shifted unique ids.
   *
-  * events.ts is parquet TIMESTAMP(NANOS); Spark cannot write NANOS, so the
-  * copy keeps the raw int64 nanos as plain BIGINT — Tables.events and the
-  * streaming schema already read it as a long either way, and tools/check.py
-  * rebuilds a timestamp view for DuckDB when it sees a BIGINT ts.
+  * events.ts replicates in whatever physical encoding the source dir ships
+  * (int64 nanos in early driver generations → copied as plain BIGINT;
+  * TIMESTAMP_NTZ micros since round 6 → copied as NTZ). Tables.events is
+  * schema-adaptive over both, and tools/check.py rebuilds a timestamp view
+  * for DuckDB when it sees a BIGINT ts.
   */
 object ScaleData {
   def main(args: Array[String]): Unit = {
@@ -81,7 +82,8 @@ object ScaleData {
     writeOne(replicate(read("lineitem"),
       Map("l_orderkey" -> ok, "l_partkey" -> pk, "l_suppkey" -> sk)), "lineitem")
 
-    // events: raw int64 nanos read (see scaladoc); ts itself is NOT shifted —
+    // events: raw read in the source's own ts encoding (see scaladoc — the
+    // legacy conf only matters for NANOS-era dirs); ts itself is NOT shifted —
     // 10× the users act in the same time window, so windows/session counts
     // scale in rows while the watermark horizon stays put
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
