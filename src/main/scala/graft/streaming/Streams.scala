@@ -56,11 +56,7 @@ object Streams extends Serializable {
     * rebuild too. */
   private[graft] def stageCopy(sfDir: String, table: String, stageDir: java.io.File): Boolean = {
     val staged = new java.io.File(stageDir, s"$table.parquet")
-    val fpFile = new java.io.File(stageDir, s".$table.src_fp")
-    val fp = graft.Tables.fingerprint(sfDir, table)
-    val fresh = staged.exists() && fpFile.exists() &&
-      new String(java.nio.file.Files.readAllBytes(fpFile.toPath)) == fp
-    if (!fresh) {
+    withFingerprint(sfDir, table, stageDir, freshData = staged.exists()) {
       stageDir.mkdirs()
       val src = new java.io.File(s"$sfDir/$table.parquet")
       // a part-file DIRECTORY source (plain Spark write layout) must copy
@@ -73,7 +69,26 @@ object Streams extends Serializable {
         java.nio.file.Files.copy(src.toPath, staged.toPath,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
-      java.nio.file.Files.write(fpFile.toPath, fp.getBytes)
+    }
+  }
+
+  /** The shared staleness contract every staged copy uses: run `restage` when
+    * the recorded source fingerprint is missing/mismatched OR the caller's own
+    * data check fails, and make the fingerprint file the COMMIT MARKER —
+    * deleted before the mutation starts, written only after it completes — so
+    * a crash mid-restage (OOM-kill, Ctrl-C during a multi-file move) leaves
+    * the dir verifiably stale and the next run self-heals instead of serving
+    * a partial copy as fresh. Returns true when (re)staged. */
+  private def withFingerprint(sfDir: String, table: String,
+    stageDir: java.io.File, freshData: Boolean)(restage: => Unit): Boolean = {
+    val fpFile = new java.io.File(stageDir, s".$table.src_fp")
+    val fp = graft.Tables.fingerprint(sfDir, table)
+    val fresh = freshData && fpFile.exists() &&
+      new String(java.nio.file.Files.readAllBytes(fpFile.toPath)) == fp
+    if (!fresh) {
+      java.nio.file.Files.deleteIfExists(fpFile.toPath) // invalidate FIRST
+      restage
+      java.nio.file.Files.write(fpFile.toPath, fp.getBytes) // commit LAST
     }
     !fresh
   }
@@ -87,16 +102,13 @@ object Streams extends Serializable {
     * source — no partition-discovery ambiguity. Returns true when (re)staged. */
   private[graft] def stageEventsNormalized(spark: SparkSession, sfDir: String,
     stageDir: java.io.File): Boolean = {
-    val fpFile = new java.io.File(stageDir, ".events.src_fp")
-    val fp = graft.Tables.fingerprint(sfDir, "events")
     // a raw-copy landing dir from the pre-normalization layout must restage —
     // its events.parquet would be read by the stream source in the old encoding
     val legacy = new java.io.File(stageDir, "events.parquet")
     def parts = Option(stageDir.listFiles()).getOrElse(Array.empty[java.io.File])
       .filter(f => f.getName.startsWith("events_") && f.getName.endsWith(".parquet"))
-    val fresh = parts.nonEmpty && !legacy.exists() && fpFile.exists() &&
-      new String(java.nio.file.Files.readAllBytes(fpFile.toPath)) == fp
-    if (!fresh) {
+    withFingerprint(sfDir, "events", stageDir,
+      freshData = parts.nonEmpty && !legacy.exists()) {
       stageDir.mkdirs()
       org.apache.commons.io.FileUtils.deleteQuietly(legacy)
       parts.foreach(org.apache.commons.io.FileUtils.deleteQuietly)
@@ -110,9 +122,7 @@ object Streams extends Serializable {
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         }
       org.apache.commons.io.FileUtils.deleteQuietly(tmp)
-      java.nio.file.Files.write(fpFile.toPath, fp.getBytes)
     }
-    !fresh
   }
 
   /** The events stream: readStream over the staged landing dir, which holds
@@ -138,11 +148,16 @@ object Streams extends Serializable {
   private def writeSentinel(spark: SparkSession, stageDir: java.io.File,
     sentinel: java.io.File): Unit = {
     import spark.implicits._
-    val dataFiles = stageDir.listFiles()
+    val dataFiles = Option(stageDir.listFiles()).getOrElse(Array.empty[java.io.File])
       .filter(f => f.getName.startsWith("events_") && f.getName.endsWith(".parquet"))
       .map(_.getAbsolutePath)
+    require(dataFiles.nonEmpty,
+      s"no staged events_*.parquet in $stageDir — staging must run before the sentinel")
     val maxTs = spark.read.schema(EventsSchema).parquet(dataFiles.toSeq: _*)
       .agg(max(col("ts"))).head().getTimestamp(0)
+    require(maxTs != null,
+      s"staged events backlog in $stageDir is EMPTY (max(ts) is null) — " +
+        "cannot place an end-of-stream sentinel; check the source events table")
     val eosTs = java.sql.Timestamp.from(maxTs.toInstant.plusSeconds(8L * 3600))
     val tmp = new java.io.File(stageDir.getParentFile, "sentinel_tmp")
     Seq((-1L, eosTs, -1L, SentinelType, 0.0d, "{}"))

@@ -180,6 +180,34 @@ class StreamingSpec extends SparkSpec {
     assert(staged == "new", s"stale staged copy served: $staged")
   }
 
+  test("interrupted events restage self-heals (fingerprint is the commit marker)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val srcDir = new java.io.File("/root/repo/target/test_evnorm_src")
+    val stageDir = new java.io.File("/root/repo/target/test_evnorm_dst")
+    Seq(srcDir, stageDir).foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+    srcDir.mkdirs()
+    Seq((1L, new java.sql.Timestamp(1700000000000L), 1L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"${srcDir.getAbsolutePath}/events.parquet")
+    assert(Streams.stageEventsNormalized(spark, srcDir.getAbsolutePath, stageDir),
+      "first call must stage")
+    assert(!Streams.stageEventsNormalized(spark, srcDir.getAbsolutePath, stageDir),
+      "unchanged source must not re-stage")
+    // crash mid-restage: data mutated but the commit marker never written —
+    // the next run must treat the dir as stale and restage, not serve it
+    new java.io.File(stageDir, ".events.src_fp").delete()
+    assert(Streams.stageEventsNormalized(spark, srcDir.getAbsolutePath, stageDir),
+      "missing commit marker must force a restage")
+    // a pre-normalization raw-copy layout must restage even with a valid
+    // marker, and the old-encoding copy must be gone afterwards
+    val legacy = new java.io.File(stageDir, "events.parquet")
+    java.nio.file.Files.writeString(legacy.toPath, "old-layout")
+    assert(Streams.stageEventsNormalized(spark, srcDir.getAbsolutePath, stageDir),
+      "legacy raw-copy layout must force a restage")
+    assert(!legacy.exists(), "legacy events.parquet must be removed by the restage")
+  }
+
   test("streaming quality gate is stateless and equals the gated batch query exactly") {
     val total = Tables.load(spark, sfDir, "documents").count()
     val got = Streams.streamQualityGate(spark, sfDir).collect().map(_.toSeq).toSeq

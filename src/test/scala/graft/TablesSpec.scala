@@ -56,17 +56,23 @@ class TablesSpec extends SparkSpec {
     // acceptance check, not a frozen schema: whatever types the current
     // regeneration shipped, every loader must read them and the normalized
     // events.ts must come out as µs TimestampType
+    // the raw-footer probe is itself best-effort: if the file is so far gone
+    // that Spark can't even infer a schema, the canary's named diagnostic
+    // must still surface rather than being replaced by the probe's exception
+    def rawSchema(t: String): String =
+      scala.util.Try(spark.read.parquet(s"$sfDir/$t.parquet").schema.treeString)
+        .getOrElse("<unreadable footer>")
     Tables.all.foreach { t =>
       val df =
         try Tables.load(spark, sfDir, t)
         catch { case e: Throwable => fail(
           s"loader rejected $sfDir/$t.parquet — driver format drift? " +
-            s"physical schema: ${spark.read.parquet(s"$sfDir/$t.parquet").schema.treeString}", e)
+            s"physical schema: ${rawSchema(t)}", e)
         }
       try df.limit(1).collect()
       catch { case e: Throwable => fail(
         s"reading $sfDir/$t.parquet failed — driver format drift in a column type? " +
-          s"loaded schema: ${df.schema.treeString}", e)
+          s"loaded schema: ${scala.util.Try(df.schema.treeString).getOrElse(rawSchema(t))}", e)
       }
     }
     assert(Tables.events(spark, sfDir).schema("ts").dataType ==
