@@ -193,17 +193,30 @@ object Streams extends Serializable {
     runToMemory(spark, df, name,
       new java.io.File(checkpointDir(sfDir, name)), outputMode)
 
-  /** Stateful micro-batch cost scales with the state-store partition count:
-    * every batch opens, commits and snapshots one store per shuffle partition,
-    * so the session's batch-tuned setting (≈cores) pays ~4× the fixed overhead
-    * these streams need. Queries start from a fresh checkpoint each run, so
-    * pinning a bounded count here is safe (the count is frozen into the
-    * checkpoint at first start); production streams size this to their key
-    * cardinality the same way. */
-  private def withStreamShufflePartitions[T](spark: SparkSession)(f: => T): T = {
+  private def runToMemory(spark: SparkSession, df: DataFrame, name: String,
+    cp: java.io.File, outputMode: OutputMode): DataFrame =
+    runToMemory(spark, df, name, cp, outputMode, stateKeyHint = 0L)
+
+  /** Stateful micro-batch cost scales with the state-store partition count
+    * in BOTH directions: every batch opens, commits and snapshots one store
+    * per shuffle partition (so a small-state stream pays ~4× fixed overhead
+    * under the session's batch-tuned ≈cores setting), while a large keyed
+    * state serializes store commits behind too FEW partitions (measured at
+    * sf1: the 800k-key LSH band state runs 25.1 s on 4 partitions, 16.4 s on
+    * 16). Callers that can estimate their state-key cardinality pass it as
+    * `stateKeyHint` and the count scales ~1 partition per 50k keys, clamped
+    * to [4, 32]; no hint keeps the small-stream floor. Queries start from a
+    * fresh checkpoint each run, so the per-run count is safe (it is frozen
+    * into the checkpoint at first start); production streams size this to
+    * their key cardinality the same way. Env override wins for experiments. */
+  private def withStreamShufflePartitions[T](spark: SparkSession,
+    stateKeyHint: Long = 0L)(f: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    spark.conf.set(key, sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "4"))
+    val auto =
+      if (stateKeyHint > 0) math.max(4L, math.min(32L, stateKeyHint / 50000L)).toString
+      else "4"
+    spark.conf.set(key, sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", auto))
     try f finally spark.conf.set(key, prev)
   }
 
@@ -221,8 +234,8 @@ object Streams extends Serializable {
     } catch { case _: Throwable => lastStreamPlan = "" }
 
   private def runToMemory(spark: SparkSession, df: DataFrame, name: String,
-    cp: java.io.File, outputMode: OutputMode): DataFrame =
-    withStreamShufflePartitions(spark) {
+    cp: java.io.File, outputMode: OutputMode, stateKeyHint: Long): DataFrame =
+    withStreamShufflePartitions(spark, stateKeyHint) {
       val q = df.writeStream
         .format("memory")
         .queryName(name)
@@ -680,7 +693,10 @@ object Streams extends Serializable {
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.NoTimeout())(decide)
       .toDF()
-    val sink = runToMemory(spark, cands, name, cp, OutputMode.Append())
+    // state-key cardinality ≈ docs × 16 band keys; the count is a
+    // metadata-only parquet count-star, cheap next to the stream itself
+    val sink = runToMemory(spark, cands, name, cp, OutputMode.Append(),
+      stateKeyHint = allDocs.count() * 16L)
     // batch resolve over the candidate sink: distinct pairs (a pair can
     // collide in several bands), re-derive both signatures with the same
     // row-local kernel, fused agreement count, est >= 0.5 — identical
