@@ -4,6 +4,25 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Dump one query result as `<outDir>/<name>/` parquet. A crashed query
+    * must surface as `err` in the driver's report, never silently vanish
+    * from it: on failure the result dir is left parquet-free with a named
+    * `_error.txt` marker, so the driver's read of this key fails loudly
+    * instead of the key being absent (round-6 lesson: 7 crashes hid). */
+  private[graft] def dumpOne(spark: SparkSession, sfDir: String, outDir: String,
+    name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+    try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/$name")
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      val dir = new java.io.File(outDir, name)
+      org.apache.commons.io.FileUtils.deleteQuietly(dir)
+      dir.mkdirs()
+      Files.writeString(Paths.get(s"$outDir/$name/_error.txt"),
+        s"$name failed: ${e}\n")
+    }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -23,20 +42,7 @@ object Verify {
     }
     def keep(name: String): Boolean = only.forall(_.contains(name))
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        // a crashed query must surface as `err` in the driver's report, never
-        // silently vanish from it: leave a parquet-free result dir with a
-        // named error marker, so the driver's read of this key fails loudly
-        // instead of the key being absent (round-6 lesson: 7 crashes hid)
-        val dir = new java.io.File(outDir, name)
-        org.apache.commons.io.FileUtils.deleteQuietly(dir)
-        dir.mkdirs()
-        Files.writeString(Paths.get(s"$outDir/$name/_error.txt"),
-          s"$name failed: ${e}\n")
-      }
+      dumpOne(spark, sfDir, outDir, name, fn)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
