@@ -133,6 +133,120 @@ case class SigAgreement(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Nearest-centroid assignment over a plan-literal codebook: returns the cid
+  * of the codebook row with the highest cosine to the input vector, ties
+  * broken by lowest cid — identical selection semantics to
+  * `greatest(struct(cosine(v, cv), -cid)...)` and to the oracle's
+  * `ROW_NUMBER() OVER (ORDER BY csim DESC, cid ASC)`.
+  *
+  * Why a custom Expression (SURVEY §3 preference (b)): the unrolled
+  * `greatest` form inlines one cosine-kernel call PER CENTROID, so the
+  * generated code grows O(K·dim) — past K≈64 the method blows the JIT/
+  * codegen size limits and the plan falls back to interpreted mode. That
+  * width limit is exactly what forced the semantic-dedup K≤64 clamp
+  * (SemDeDup sizes K ∝ N — ~50k clusters for LAION). Here the codebook is
+  * DATA (two array literals → one reference object), the generated code is
+  * O(1) regardless of K, and the K·dim fused loop stays inside whole-stage
+  * codegen. At cluster scale the same expression ships the codebook to
+  * executors once per task via the plan broadcast, like any literal.
+  *
+  * Cosine accumulation is the same left-to-right fold as [[CosineSimilarity]]
+  * (dot/norms over `min(len)` elements), so scores — and therefore every
+  * assignment decision — are bit-identical to the composed form and to the
+  * DuckDB list_reduce oracle. Double comparison mirrors Spark's ordering
+  * (NaN greatest, NaN ties equal; `==` keeps -0.0 == 0.0), matching what the
+  * struct-ordering `greatest` did.
+  *
+  * The codebook travels as `(cids, flat, dim)` Seq fields — value equality,
+  * so Catalyst subexpression elimination and plan canonicalization treat two
+  * copies with one trained codebook as equal (Array fields would compare by
+  * reference and silently break that).
+  */
+case class NearestCentroid(child: Expression, cids: Seq[Long],
+  flat: Seq[Double], dim: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(dim > 0, "graft_nearest_cid: dim must be positive")
+  require(cids.nonEmpty, "graft_nearest_cid: empty codebook")
+  require(flat.size == cids.size * dim,
+    s"graft_nearest_cid: flat size ${flat.size} != ${cids.size} cids x $dim dims")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_nearest_cid expects array<double>, got $t")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_nearest_cid"
+
+  @transient private lazy val centMat: Array[Array[Double]] =
+    flat.toArray.grouped(dim).toArray
+  @transient private lazy val cidArr: Array[Long] = cids.toArray
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var best = Double.NegativeInfinity
+    var bestCid = Long.MaxValue
+    var k = 0
+    while (k < centMat.length) {
+      val cv = centMat(k)
+      val n = math.min(x.numElements(), cv.length)
+      var dot = 0.0; var nx = 0.0; var ny = 0.0
+      var i = 0
+      while (i < n) {
+        val xi = x.getDouble(i); val yi = cv(i)
+        dot += xi * yi; nx += xi * xi; ny += yi * yi
+        i += 1
+      }
+      val s = dot / (math.sqrt(nx) * math.sqrt(ny))
+      val better = s > best || (s.isNaN && !best.isNaN)
+      val tie = s == best || (s.isNaN && best.isNaN)
+      if (better || (tie && cidArr(k) < bestCid)) { best = s; bestCid = cidArr(k) }
+      k += 1
+    }
+    bestCid
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cents = ctx.addReferenceObj("cents", centMat, "double[][]")
+      val ids = ctx.addReferenceObj("cids", cidArr, "long[]")
+      val k = ctx.freshName("k"); val i = ctx.freshName("i")
+      val n = ctx.freshName("n"); val cv = ctx.freshName("cv")
+      val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny"); val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi"); val s = ctx.freshName("s")
+      val best = ctx.freshName("best"); val bestCid = ctx.freshName("bestCid")
+      val better = ctx.freshName("better"); val tie = ctx.freshName("tie")
+      s"""
+         |double $best = Double.NEGATIVE_INFINITY;
+         |long $bestCid = Long.MAX_VALUE;
+         |for (int $k = 0; $k < $cents.length; $k++) {
+         |  final double[] $cv = $cents[$k];
+         |  final int $n = java.lang.Math.min($a.numElements(), $cv.length);
+         |  double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final double $xi = $a.getDouble($i);
+         |    final double $yi = $cv[$i];
+         |    $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |  }
+         |  final double $s = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |  final boolean $better = $s > $best ||
+         |    (Double.isNaN($s) && !Double.isNaN($best));
+         |  final boolean $tie = $s == $best ||
+         |    (Double.isNaN($s) && Double.isNaN($best));
+         |  if ($better || ($tie && $ids[$k] < $bestCid)) {
+         |    $best = $s; $bestCid = $ids[$k];
+         |  }
+         |}
+         |${ev.value} = $bestCid;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+}
+
 /** Registration for graft's native functions — both via SparkSessionExtensions
   * (`spark.sql.extensions=graft.functions.GraftExtensions`) and imperatively
   * for sessions built without the config. */
@@ -170,6 +284,30 @@ object GraftFunctions {
     case Seq(a, b) => SigAgreement(a, b)
     case other => throw new IllegalArgumentException(
       s"graft_sig_agreement expects 2 arguments, got ${other.size}")
+  }
+
+  val nearestCidInfo = new ExpressionInfo(
+    classOf[NearestCentroid].getName, "graft_nearest_cid")
+
+  /** (v, cids array literal, flat centroid array literal, dim literal) — the
+    * codebook is plan metadata (the offline-trained artifact), same contract
+    * as graft_stop_hits' dictionary. */
+  private[functions] val nearestCidBuilder: Seq[Expression] => Expression = {
+    case Seq(v, cidsArg, flatArg, dimArg)
+      if cidsArg.foldable && cidsArg.dataType.isInstanceOf[ArrayType] &&
+        cidsArg.dataType.asInstanceOf[ArrayType].elementType == LongType &&
+        flatArg.foldable && flatArg.dataType.isInstanceOf[ArrayType] &&
+        flatArg.dataType.asInstanceOf[ArrayType].elementType == DoubleType &&
+        dimArg.foldable && dimArg.dataType == IntegerType &&
+        cidsArg.eval(null) != null && flatArg.eval(null) != null &&
+        dimArg.eval(null) != null =>
+      NearestCentroid(v,
+        cidsArg.eval(null).asInstanceOf[ArrayData].toLongArray().toSeq,
+        flatArg.eval(null).asInstanceOf[ArrayData].toDoubleArray().toSeq,
+        dimArg.eval(null).asInstanceOf[Int])
+    case _ => throw new IllegalArgumentException(
+      "graft_nearest_cid expects (vector, bigint-array LITERAL, " +
+        "double-array LITERAL, int LITERAL) — the codebook is plan metadata")
   }
 
   val fingerprintInfo = new ExpressionInfo(
@@ -255,6 +393,7 @@ object GraftFunctions {
   def ensureRegistered(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     Seq((FunctionIdentifier("graft_cosine"), cosineInfo, cosineBuilder),
+      (FunctionIdentifier("graft_nearest_cid"), nearestCidInfo, nearestCidBuilder),
       (FunctionIdentifier("graft_sig_agreement"), sigAgreementInfo, sigAgreementBuilder),
       (FunctionIdentifier("graft_might_contain"), mightContainInfo, mightContainBuilder),
       (FunctionIdentifier("graft_fingerprint"), fingerprintInfo, fingerprintBuilder),
@@ -326,6 +465,24 @@ object GraftFunctions {
     call_function("graft_minhash_sig", text)
   }
 
+  /** Column-API entry point: nearest-centroid cid for vector column `v`
+    * under `codebook` (highest cosine, lowest-cid tie-break). The codebook
+    * rides as two array literals — O(1) generated code at any K, which is
+    * what lets semantic-dedup size K ∝ N instead of clamping at expression
+    * width (C7b-C7e, C29, C32). */
+  def nearestCid(spark: SparkSession, v: Column,
+    codebook: Array[(Int, Array[Double])]): Column = {
+    require(codebook.nonEmpty, "nearestCid: empty codebook")
+    val dim = codebook.head._2.length
+    require(codebook.forall(_._2.length == dim),
+      "nearestCid: ragged codebook (mixed centroid dims)")
+    ensureRegistered(spark)
+    call_function("graft_nearest_cid", v,
+      org.apache.spark.sql.functions.lit(codebook.map(_._1.toLong)),
+      org.apache.spark.sql.functions.lit(codebook.flatMap(_._2)),
+      org.apache.spark.sql.functions.lit(dim))
+  }
+
   /** Column-API entry point: `cosine(a, b)`. */
   def cosine(spark: SparkSession, a: Column, b: Column): Column = {
     ensureRegistered(spark)
@@ -348,6 +505,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     // MatchErrors on wrong arity instead of the builders' argument errors
     ext.injectFunction((FunctionIdentifier("graft_cosine"),
       GraftFunctions.cosineInfo, GraftFunctions.cosineBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_nearest_cid"),
+      GraftFunctions.nearestCidInfo, GraftFunctions.nearestCidBuilder))
     ext.injectFunction((FunctionIdentifier("graft_sig_agreement"),
       GraftFunctions.sigAgreementInfo, GraftFunctions.sigAgreementBuilder))
     ext.injectFunction((FunctionIdentifier("graft_might_contain"),

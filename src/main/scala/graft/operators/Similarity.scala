@@ -102,20 +102,21 @@ object Similarity {
   private val IvfK = 16
   private val IvfLloydIters = 3
 
-  /** The nearest-centroid id for vector column `v` as ONE projected argmax:
-    * greatest() over (csim, -cid) structs takes the highest cosine, then the
-    * lowest cid — matching the oracle's ROW_NUMBER (csim DESC, cid ASC)
-    * tie-break. No K× row expansion, no exchange. Shared by Lloyd training
-    * and final assignment so both bin identically. */
+  /** The nearest-centroid id for vector column `v` as ONE projected argmax —
+    * highest cosine, then lowest cid, matching the oracle's ROW_NUMBER
+    * (csim DESC, cid ASC) tie-break. No K× row expansion, no exchange.
+    * Shared by Lloyd training and final assignment so both bin identically.
+    *
+    * Implemented by the native `graft_nearest_cid` kernel
+    * (functions.NearestCentroid): the codebook rides as array literals and
+    * the generated code is O(1) in K, so assignment scales to K ∝ N (the
+    * SemDeDup sizing) instead of clamping at the expression width the old
+    * unrolled greatest(struct...) form hit at K≈64. Scores come from the
+    * same left-to-right cosine fold, so assignments are bit-identical to
+    * the unrolled form and to the DuckDB oracle. */
   private def nearestCid(spark: SparkSession,
-    codebook: Array[(Int, Array[Double])]): Column = {
-    val best = greatest(codebook.map { case (cid, cv) =>
-      struct(
-        graft.functions.GraftFunctions.cosine(spark, col("v"), lit(cv)).as("csim"),
-        lit(-cid).as("ncid"))
-    }: _*)
-    (-best.getField("ncid")).cast("bigint")
-  }
+    codebook: Array[(Int, Array[Double])]): Column =
+    graft.functions.GraftFunctions.nearestCid(spark, col("v"), codebook)
 
   /** Train the IVF codebook: Lloyd's k-means over a deterministic 1-in-3
     * sample, seeded by the first K vectors. Pure DataFrame ops — assignment is
@@ -665,15 +666,18 @@ object Similarity {
 
   // ----- C29: semantic dedup -----
 
-  /** Semantic-dedup cluster count: K ∝ N (clamped), targeting ~256-vector
-    * inverted lists. This is what makes SemDeDup linear — Σc² ≈ N²/K stays
-    * ≈ 256·N when K grows with the corpus (the paper sizes 50k clusters for
-    * LAION the same way). The upper clamp bounds the width of the inlined
-    * argmax expression; past it a production corpus moves assignment to the
-    * C7c stored-index layout, where K is a partition count, not an
-    * expression width. */
+  /** Semantic-dedup cluster count: K ∝ N, targeting ~128-vector inverted
+    * lists. This is what makes SemDeDup linear — Σc² ≈ N²/K stays ≈ 128·N
+    * when K grows with the corpus (the paper sizes 50k clusters for LAION
+    * the same way). K is unclamped in the scaling direction: assignment is
+    * the native graft_nearest_cid kernel, whose generated code is O(1) in K
+    * (the codebook is data, not expression width), so nothing structural
+    * caps K anymore — the 65536 bound is only a sanity cap on the plan-
+    * literal codebook size (65536×64 doubles = 32 MiB, the point where a
+    * production deployment would hand the codebook to executors as a real
+    * broadcast variable instead of a plan literal). */
   private def semanticK(n: Long): Int =
-    math.max(16L, math.min(64L, n / 256L)).toInt
+    math.max(16L, math.min(65536L, n / 128L)).toInt
 
   // dir -> (embeddings fingerprint, size-proportional codebook) — separate
   // from the K=16 IVF codebook: the two operators size K by different rules
@@ -708,8 +712,8 @@ object Similarity {
     *
     * The codebook IS the scale story: candidate pairs are confined to one
     * inverted list each, so pairwise cost is Σ c_k², never N² — and K is
-    * sized ∝ N (semanticK, ~256-vector lists), which makes the whole op
-    * LINEAR in the corpus: Σ c² ≈ 256·N whatever the scale (SemDeDup sizes
+    * sized ∝ N (semanticK, ~128-vector lists), which makes the whole op
+    * LINEAR in the corpus: Σ c² ≈ 128·N whatever the scale (SemDeDup sizes
     * 50k clusters for LAION the same way). Each list's compare batch is
     * executor-local after ONE exchange on cid. C5 (hyperplane buckets) is
     * the untrained analog; here the partition function is learned, so
@@ -759,7 +763,7 @@ object Similarity {
     * "untrained vs trained centroids", never a silently wrong K. */
   private def semanticSeedCte: String =
     """c AS (SELECT vec_id AS cid, v AS cv FROM e  -- UNTRAINED SEED FALLBACK: codebook cache cold for this dir
-      | WHERE vec_id < GREATEST(16, LEAST(64, (SELECT COUNT(*) FROM e) // 256)))""".stripMargin
+      | WHERE vec_id < GREATEST(16, LEAST(65536, (SELECT COUNT(*) FROM e) // 128)))""".stripMargin
 
   /** Generated oracle for C29: trained centroids inlined (same binding rules
     * as simIvfSql), assignment via the same ROW_NUMBER argmax, pairwise

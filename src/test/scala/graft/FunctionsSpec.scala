@@ -24,6 +24,61 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(native(2)) < 1e-15) // orthogonal vectors
   }
 
+  test("graft_nearest_cid matches the unrolled greatest(struct) argmax at K > 64") {
+    import spark.implicits._
+    // deterministic pseudo-random corpus + a K=100 codebook: past the K≈64
+    // width where the unrolled form stops being codegen-viable, the kernel
+    // must still agree with it decision-for-decision (same cosine fold, same
+    // csim-DESC/cid-ASC selection)
+    def vec(seed: Int): Array[Double] =
+      Array.tabulate(16)(i => math.sin(seed * 31 + i * 7).toDouble)
+    val codebook = Array.tabulate(100)(c => (c, vec(c + 1000)))
+    val df = (0 until 200).map(i => (i.toLong, vec(i))).toDF("vec_id", "v")
+    val unrolled = greatest(codebook.map { case (cid, cv) =>
+      struct(
+        GraftFunctions.cosine(spark, col("v"), lit(cv)).as("csim"),
+        lit(-cid).as("ncid"))
+    }.toIndexedSeq: _*)
+    val expect = df.select(col("vec_id"), (-unrolled.getField("ncid")).cast("bigint").as("cid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = df.select(col("vec_id"),
+        GraftFunctions.nearestCid(spark, col("v"), codebook).as("cid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+    assert(got.values.toSet.size > 10, "degenerate corpus: argmax never varied")
+  }
+
+  test("graft_nearest_cid breaks exact cosine ties on the LOWEST cid") {
+    import spark.implicits._
+    // centroids 3 and 7 are the same direction (2x scaling leaves cosine
+    // bit-identical: (2a·v)/(|2a||v|) folds to the same double here because
+    // scaling by a power of two is exact) → tie must resolve to cid 3
+    val base = Array(1.0, 2.0, 4.0)
+    val codebook = Array(
+      (1, Array(-1.0, 0.0, 0.0)),
+      (3, base),
+      (7, base.map(_ * 2.0)))
+    val got = Seq(Tuple1(base)).toDF("v")
+      .select(GraftFunctions.nearestCid(spark, col("v"), codebook))
+      .head().getLong(0)
+    assert(got == 3L)
+  }
+
+  test("graft_nearest_cid rejects non-literal codebook args and ragged codebooks") {
+    import spark.implicits._
+    GraftFunctions.ensureRegistered(spark)
+    intercept[IllegalArgumentException] {
+      GraftFunctions.nearestCid(spark, col("v"),
+        Array((0, Array(1.0, 2.0)), (1, Array(1.0))))
+    }
+    val err = intercept[Exception] {
+      Seq((Array(1.0), Array(1L))).toDF("v", "c")
+        .select(call_function("graft_nearest_cid",
+          col("v"), col("c"), array(lit(1.0)), lit(1))).collect()
+    }
+    assert(err.getMessage.contains("LITERAL"))
+  }
+
   test("graft_cosine is callable from SQL after registration") {
     import spark.implicits._
     GraftFunctions.ensureRegistered(spark)
