@@ -729,14 +729,17 @@ object Dedup {
        |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 50""".stripMargin
 
   /** Generated DuckDB oracle for D5 (streaming near-dedup): the streaming
-    * form's per-band state holds the FIRST MaxBucket keepers in doc_id order
-    * (an arriving doc compares against the keepers present, then joins them
-    * if there is room), which in closed form is: candidate (x, y) iff they
-    * share a band, x.doc_id < y.doc_id, and x's rank within the band (by
-    * doc_id) is ≤ MaxBucket. ROW_NUMBER expresses that exactly — the rank
-    * guard is the streaming analog of C2's drop-the-whole-bucket skew guard
-    * (an append stream cannot retract already-emitted edges, so it bounds
-    * keepers instead of disqualifying buckets retroactively). */
+    * form's per-band state holds the FIRST MaxBucket keepers in doc_id order,
+    * and a band that has saturated (MaxBucket keepers) emits nothing for
+    * later arrivals — the append analog of C2's drop-the-whole-bucket skew
+    * guard (a stream cannot retract already-emitted edges, so it freezes the
+    * bucket at the cap instead of disqualifying it retroactively; the batch
+    * tier drops such buckets entirely, and both hand the degenerate cluster
+    * to the exact tier C1/D4). In closed form: candidate (x, y) iff they
+    * share a band, x.doc_id < y.doc_id, and y's rank within the band (by
+    * doc_id) is ≤ MaxBucket — which implies x.rk < y.rk ≤ MaxBucket, so the
+    * emitter side is bounded too. ROW_NUMBER expresses that exactly, and it
+    * caps a band's lifetime emission at C(MaxBucket, 2) pairs. */
   def streamDedupNearSql: String =
     s"""WITH ${sigCtes("documents", "")},
        |rk AS (
@@ -746,7 +749,7 @@ object Dedup {
        |pairs AS (
        | SELECT DISTINCT x.doc_id AS cand_id, y.doc_id AS doc_id
        | FROM rk x JOIN rk y
-       |  ON x.band_key = y.band_key AND x.doc_id < y.doc_id AND x.rk <= $MaxBucket),
+       |  ON x.band_key = y.band_key AND x.doc_id < y.doc_id AND y.rk <= $MaxBucket),
        |est AS (
        | SELECT p.doc_id, p.cand_id, ${agreeExpr("sa", "sb")} AS agree
        | FROM pairs p

@@ -671,12 +671,22 @@ object Streams extends Serializable {
       var ids = state.getOption.map(_.ids.toArray).getOrElse(Array.empty[Long])
       val out = scala.collection.mutable.ArrayBuffer.empty[CandPair]
       sorted.foreach { d =>
-        var i = 0
-        while (i < ids.length) {
-          if (ids(i) < d.doc_id) out += CandPair(d.doc_id, ids(i))
-          i += 1
+        // Saturation guard — the streaming analog of the batch MaxBucket
+        // drop-the-bucket rule: once a band holds MaxBucket keepers it is a
+        // degenerate boilerplate cluster (handled by the exact tier, C1/D4),
+        // and later arrivals emit NOTHING from it. Without this, a hot band
+        // emits MaxBucket pairs per arriving doc FOREVER — O(N·bands·64)
+        // candidate volume on a dup-heavy stream, the one super-linear bench
+        // row at sf1. With it, a band's lifetime emission is capped at
+        // C(MaxBucket, 2) pairs, mirroring batch's bounded per-bucket work.
+        if (ids.length < graft.operators.Dedup.MaxBucket) {
+          var i = 0
+          while (i < ids.length) {
+            if (ids(i) < d.doc_id) out += CandPair(d.doc_id, ids(i))
+            i += 1
+          }
+          ids = ids :+ d.doc_id
         }
-        if (ids.length < graft.operators.Dedup.MaxBucket) ids = ids :+ d.doc_id
       }
       state.update(BandKeepers(ids.toSeq))
       out.iterator
