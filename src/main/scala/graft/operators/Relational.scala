@@ -664,7 +664,11 @@ object Relational {
     * that view, per user. Three chained per-user minima computed as stacked
     * window aggregates over ONE user_id partitioning — a single shuffle, no
     * self-joins (the naive form joins events against itself once per stage).
-    * Output is the 3-stage conversion count. */
+    * The per-user collapse is groupBy(user_id).agg(first(...)) — the window
+    * values are constant within a user, and grouping on the window's own
+    * partitioning key lets the aggregate REUSE the window exchange (a
+    * 4-column distinct here repartitioned the whole events table a second
+    * time). Output is the 3-stage conversion count. */
   def qFunnel(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.load(spark, sfDir, "events")
     val byUser = Window.partitionBy(col("user_id"))
@@ -677,8 +681,9 @@ object Relational {
       .withColumn("p_ts",
         min(when(col("event_type") === "purchase" && col("ts") > col("v_ts"), col("ts")))
           .over(byUser))
-      .select(col("user_id"), col("s_ts"), col("v_ts"), col("p_ts"))
-      .distinct()
+      .groupBy(col("user_id"))
+      .agg(first(col("s_ts")).as("s_ts"), first(col("v_ts")).as("v_ts"),
+        first(col("p_ts")).as("p_ts"))
     staged.agg(count(col("s_ts")).as("n_signup"),
       count(col("v_ts")).as("n_viewed_after"),
       count(col("p_ts")).as("n_purchased_after"))

@@ -66,7 +66,11 @@ class PlanGateSpec extends SparkSpec {
     // and they come back as a broadcast
     Gate("mix_temperature", maxHashEx = 2, minBroadcast = 1, needPushdown = true),
     // B20: both correlated aggregates decorrelate to BROADCAST joins
-    Gate("q_correlated_subquery", maxHashEx = 3, minBroadcast = 2, needPushdown = true))
+    Gate("q_correlated_subquery", maxHashEx = 3, minBroadcast = 2, needPushdown = true),
+    // B19: ONE user_id exchange shared by the stacked windows AND the
+    // per-user collapse (groupBy on the window key — a 4-column distinct
+    // here used to repartition events a second time)
+    Gate("q_funnel", maxHashEx = 1, maxRangeEx = 0))
 
   test("plan gate: seq_pack windows on (lang, shard), never lang alone") {
     // the de-straggler property: the cumulative-sum window's exchange must
