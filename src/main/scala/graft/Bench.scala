@@ -57,13 +57,27 @@ object Bench {
       }
       name -> (if (times.size == reps) times.min else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal rounding keeps the full 102-entry line under ~3 KB: the
+    // driver captures a bounded stdout tail, and 9-decimal doubles pushed the
+    // line past it, truncating the FRONT of the map (r7's "parsed": null).
+    // ms resolution is far below the ±10% cross-run noise floor anyway.
+    def r3(v: Double): java.math.BigDecimal =
+      new java.math.BigDecimal(v).setScale(3, java.math.RoundingMode.HALF_UP)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     // total sums only successful runs; the -1 markers stay visible per-query
     // but must not shrink (or negate) the headline number
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // sidecar copy: survives any stdout capture window regardless of length
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/bench_last.json"), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] sidecar: ${e.getMessage}") }
     operators.Dedup.clear()
     spark.stop()
+    // the JSON line is the LAST stdout line of the process (after stop(), so
+    // no late Spark shutdown chatter can land beneath it in the tail)
+    println(line)
   }
 }
