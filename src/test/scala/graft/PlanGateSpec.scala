@@ -72,6 +72,35 @@ class PlanGateSpec extends SparkSpec {
     // here used to repartition events a second time)
     Gate("q_funnel", maxHashEx = 1, maxRangeEx = 0))
 
+  test("plan gate: LSH dedup candidates come from key-equality joins with the MaxBucket guard") {
+    // the 100 TB property of the whole near-dup family: candidate pairs are
+    // generated ONLY by equality joins on band/block keys (shuffle carries
+    // (key, doc) rows), never an all-pairs product, and the degenerate-bucket
+    // skew guard (bucket membership <= MaxBucket) must survive in the
+    // physical plan — losing either silently turns linear LSH into O(n²)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      Seq("dedup_minhash", "dedup_minhash_local", "dedup_simhash",
+        "dedup_jaccard").foreach { name =>
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        df.write.format("noop").mode("overwrite").save()
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("CartesianProduct"),
+          s"$name: candidate generation degraded to a cross join:\n${plan.take(2000)}")
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name: candidate generation degraded to a nested-loop join:\n${plan.take(2000)}")
+        // dedup_jaccard's shortlist localCheckpoint truncates the visible
+        // plan above the exact-verify stage; its candidate generation is the
+        // same bandCandidates call dedup_minhash pins here
+        if (name != "dedup_jaccard")
+          assert(plan.linesIterator.exists(l =>
+              l.contains("Filter") && l.contains(s"<= ${operators.Dedup.MaxBucket}")),
+            s"$name: MaxBucket degenerate-bucket guard missing from plan:\n${plan.take(2000)}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("plan gate: seq_pack windows on (lang, shard), never lang alone") {
     // the de-straggler property: the cumulative-sum window's exchange must
     // key on the sub-shard too, or a dominant language collapses to one
