@@ -544,21 +544,39 @@ class GraftCatalog(spark: SparkSession, root: String,
   /** catReplicated — read a replicated table with per-file failover: the
     * manifest resolves each file to replica-1 when it survives, replica-2
     * otherwise — `IFNULL(replica1, replica2)` (combined_flask.py:284,:522)
-    * lifted from a per-block SQL coalesce to manifest resolution. The check
-    * is one driver-side stat per manifest file (metadata-class work, the same
-    * stats a file index pays); data files are scanned exactly once, each
-    * replica subset under its own basePath so partition discovery and
-    * pruning behave exactly as on an unreplicated read, then unioned —
-    * scan ∪ scan, no shuffle. Files lost from BOTH replicas fail loudly with
-    * names (the reference would silently emit NULL content). */
+    * lifted from a per-block SQL coalesce to manifest resolution. Survival
+    * is checked with ONE listStatus per partition directory diffed against
+    * the manifest — O(#dirs) driver RPCs, the same listing a file index
+    * pays, where a per-file exists() was O(#files) serial round-trips
+    * (minutes of driver stalling at object-store latency once a table holds
+    * 10⁶-10⁷ files). Data files are scanned exactly once, each replica
+    * subset under its own basePath so partition discovery and pruning
+    * behave exactly as on an unreplicated read, then unioned — scan ∪ scan,
+    * no shuffle. Files lost from BOTH replicas fail loudly with names (the
+    * reference would silently emit NULL content). */
   def catReplicated(path: String): DataFrame = {
     val m = readMeta(path).getOrElse(sys.error(s"catReplicated: no sidecar at $path"))
     require(m.replication > 1,
       s"catReplicated: $path is not a replicated table (replication=${m.replication})")
     val manifest = m.versions.flatten
     val roots = ReplicaDirs.map(d => new Path(abs(path), d))
-    val (fromR1, rest) = manifest.partition(rel => fs.exists(new Path(roots(0), rel)))
-    val fromR2 = rest.filter(rel => fs.exists(new Path(roots(1), rel)))
+    // manifest-relative parent dir ("" = table root) → one listing each
+    def parentOf(rel: String): String = {
+      val i = rel.lastIndexOf('/')
+      if (i < 0) "" else rel.substring(0, i)
+    }
+    def survivors(root: Path, rels: Seq[String]): Set[String] =
+      rels.map(parentOf).distinct.iterator.flatMap { d =>
+        val dir = if (d.isEmpty) root else new Path(root, d)
+        val listed =
+          try fs.listStatus(dir).toSeq
+          catch { case _: java.io.FileNotFoundException => Seq.empty }
+        listed.filter(_.isFile).map(st =>
+          if (d.isEmpty) st.getPath.getName else s"$d/${st.getPath.getName}")
+      }.toSet
+    val r1 = survivors(roots(0), manifest)
+    val (fromR1, rest) = manifest.partition(r1.contains)
+    val fromR2 = rest.filter(survivors(roots(1), rest).contains)
     val lost = rest.filterNot(fromR2.contains)
     require(lost.isEmpty,
       s"catReplicated: ${lost.size} file(s) of $path lost from BOTH replicas " +
