@@ -48,6 +48,13 @@ object Tables {
     // set BEFORE the read so a NANOS footer maps to LongType instead of
     // throwing; a no-op for µs-encoded files
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the NTZ branch's cast reads wall-clock AS the session zone — its
+    // "wall-clock == UTC instant" contract silently depends on
+    // session.timeZone=UTC. GraftConf-built sessions already pin it; enforce
+    // here too so a driver-built session without the config can't shift
+    // every event instant by its zone offset (the loader is session-agnostic
+    // for tz exactly like it is for the nanosAsLong footer conf).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = spark.read.parquet(s"$sfDir/events.parquet")

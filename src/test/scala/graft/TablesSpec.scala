@@ -30,12 +30,21 @@ class TablesSpec extends SparkSpec {
   }
 
   test("events loader normalizes every shipped ts encoding to the same µs instants") {
-    val nanosDir = writeEncoded("nanos", col("us") * 1000L) // rounds 1-5: raw int64 nanos
+    val nanosDir = writeEncoded("nanos", col("us") * 1000L) // plain unannotated int64
     val ntzDir = writeEncoded("ntz", // round 6+: TIMESTAMP_NTZ micros
       timestamp_micros(col("us")).cast("timestamp_ntz"))
     val tsDir = writeEncoded("tz", timestamp_micros(col("us"))) // plain µs TimestampType
+    // rounds 1-5's REAL encoding: int64 annotated TIMESTAMP(NANOS,
+    // isAdjustedToUTC=false). Spark cannot write that annotation, so the
+    // committed fixture was produced once outside Spark
+    // (tools/make_nanos_fixture.py) — without it the nanosAsLong branch
+    // would only ever be exercised over unannotated int64, and a Spark
+    // upgrade breaking annotated-NANOS reads would surface only in the field
+    val realNanosDir = new java.io.File(
+      getClass.getResource("/nanos_events/events.parquet").toURI)
+      .getParentFile.getAbsolutePath
     val want = Seq(1700000000000000L, 1700000123456789L, 1700003600000001L)
-    for (dir <- Seq(nanosDir, ntzDir, tsDir)) {
+    for (dir <- Seq(nanosDir, ntzDir, tsDir, realNanosDir)) {
       val got = Tables.events(spark, dir)
         .select(col("event_id"), unix_micros(col("ts")).as("us"))
         .orderBy(col("event_id")).collect().map(_.getLong(1)).toSeq
@@ -44,6 +53,27 @@ class TablesSpec extends SparkSpec {
         org.apache.spark.sql.types.TimestampType,
         s"loader must normalize ts to TimestampType (dir $dir)")
     }
+  }
+
+  test("events loader pins the UTC session its NTZ cast depends on") {
+    // the NTZ→Timestamp cast reads wall-clock AS the session zone: under a
+    // driver-built non-UTC session every instant would shift by the zone
+    // offset (moving window/session boundaries vs the oracle). The loader
+    // must enforce UTC itself, like it enforces nanosAsLong.
+    val dir = writeEncoded("ntz_nonutc",
+      timestamp_micros(col("us")).cast("timestamp_ntz"))
+    val want = Seq(1700000000000000L, 1700000123456789L, 1700003600000001L)
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val got = Tables.events(spark, dir)
+        .select(col("event_id"), unix_micros(col("ts")).as("us"))
+        .orderBy(col("event_id")).collect().map(_.getLong(1)).toSeq
+      assert(got == want,
+        s"NTZ instants shifted under a non-UTC driver session: $got, want $want")
+      assert(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+        "loader did not pin the session to UTC")
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
   }
 
   test("an unrecognized events.ts type fails fast with a named diagnostic") {
