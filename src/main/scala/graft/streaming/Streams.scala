@@ -99,16 +99,22 @@ object Streams extends Serializable {
     * `events_NNNNN.parquet` part files with µs TimestampType. Same
     * fingerprint-based staleness rule as stageCopy. Flat files (not a nested
     * part-file directory) keep the landing dir a plain one-level file-stream
-    * source — no partition-discovery ambiguity. Returns true when (re)staged. */
+    * source — no partition-discovery ambiguity. The EOS sentinel is rewritten
+    * INSIDE the commit boundary (before the fingerprint marker lands) and its
+    * absence fails the freshness check, so no crash point can leave fresh
+    * staging paired with a stale or missing sentinel — a stale sentinel would
+    * silently stop windows/sessions past the OLD corpus's end-of-stream time,
+    * and nothing downstream would ever notice. Returns true when (re)staged. */
   private[graft] def stageEventsNormalized(spark: SparkSession, sfDir: String,
     stageDir: java.io.File): Boolean = {
     // a raw-copy landing dir from the pre-normalization layout must restage —
     // its events.parquet would be read by the stream source in the old encoding
     val legacy = new java.io.File(stageDir, "events.parquet")
+    val sentinel = new java.io.File(stageDir, "z_sentinel.parquet")
     def parts = Option(stageDir.listFiles()).getOrElse(Array.empty[java.io.File])
       .filter(f => f.getName.startsWith("events_") && f.getName.endsWith(".parquet"))
     withFingerprint(sfDir, "events", stageDir,
-      freshData = parts.nonEmpty && !legacy.exists()) {
+      freshData = parts.nonEmpty && !legacy.exists() && sentinel.exists()) {
       stageDir.mkdirs()
       org.apache.commons.io.FileUtils.deleteQuietly(legacy)
       parts.foreach(org.apache.commons.io.FileUtils.deleteQuietly)
@@ -122,6 +128,7 @@ object Streams extends Serializable {
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         }
       org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+      writeSentinel(spark, stageDir, sentinel)
     }
   }
 
@@ -134,9 +141,10 @@ object Streams extends Serializable {
   private def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     val stageDir = new java.io.File(
       s"${graft.GraftConf.localRoot}/graft_stream/${sfDir.replaceAll("[^A-Za-z0-9]+", "_")}/in")
-    val restaged = stageEventsNormalized(spark, sfDir, stageDir)
-    val sentinel = new java.io.File(stageDir, "z_sentinel.parquet")
-    if (restaged || !sentinel.exists()) writeSentinel(spark, stageDir, sentinel)
+    // staging owns the sentinel: a fresh dir implies a committed sentinel
+    // (sentinel existence is part of the freshness check, and restages
+    // rewrite it before the fingerprint marker commits)
+    stageEventsNormalized(spark, sfDir, stageDir)
     spark.readStream.schema(EventsSchema).parquet(stageDir.getAbsolutePath)
   }
 

@@ -206,6 +206,16 @@ class StreamingSpec extends SparkSpec {
     assert(Streams.stageEventsNormalized(spark, srcDir.getAbsolutePath, stageDir),
       "legacy raw-copy layout must force a restage")
     assert(!legacy.exists(), "legacy events.parquet must be removed by the restage")
+    // the EOS sentinel is INSIDE the commit boundary: staging writes it, its
+    // absence fails the freshness check even under a valid marker, and a
+    // restage recreates it — so a crash between data commit and sentinel
+    // write can never serve fresh data with a stale/missing sentinel
+    val sentinel = new java.io.File(stageDir, "z_sentinel.parquet")
+    assert(sentinel.exists(), "staging must write the EOS sentinel itself")
+    sentinel.delete()
+    assert(Streams.stageEventsNormalized(spark, srcDir.getAbsolutePath, stageDir),
+      "missing sentinel must force a restage despite a valid marker")
+    assert(sentinel.exists(), "restage must recreate the EOS sentinel")
   }
 
   test("streaming quality gate is stateless and equals the gated batch query exactly") {
