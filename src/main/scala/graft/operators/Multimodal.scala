@@ -229,9 +229,86 @@ object Multimodal {
       .orderBy(col("media_id"), col("frame_idx"))
   }
 
+  /** Synthetic REAL-container payloads (SURVEY §2 C12c/C12d): each doc_id
+    * becomes an actual PNG / PCM-WAV byte stream built on the executor, so
+    * the real codecs run in the measured bench lane — the seam's cost model
+    * is a committed number, not an assumption. Content is chosen so every
+    * decoded feature is EXACT integer-derived arithmetic (solid-gray pixels,
+    * constant-amplitude samples), which makes the real decode path fully
+    * DuckDB-oracle-checkable: mean Rec.601 luma of gray c is exactly c (299 +
+    * 587 + 114 = 1000), and the RMS of a constant signal A is exactly
+    * |A|/32768 — both correctly-rounded identically in both engines. */
+  private def pngBytes(id: Long): Array[Byte] = {
+    val w = (id % 13).toInt + 4
+    val h = (id % 7).toInt + 4
+    val c = (id % 256).toInt
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (c << 16) | (c << 8) | c
+    var y = 0
+    while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Hand-rolled RIFF/WAVE container (44-byte header + 16-bit LE PCM): the
+    * layout javax.sound.sampled parses, with no dependence on an encoder's
+    * chunk choices — same bytes on every JVM. Mono, 8 kHz, constant
+    * amplitude (id % 30001) - 15000 over (id % 50) + 10 frames. */
+  private def wavBytes(id: Long): Array[Byte] = {
+    val nFrames = (id % 50).toInt + 10
+    val amp = ((id % 30001) - 15000).toInt
+    val sr = 8000
+    val dataLen = nFrames * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(sr).putInt(sr * 2).putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < nFrames) { bb.putShort(amp.toShort); i += 1 }
+    bb.array()
+  }
+
+  /** One media row per document, payload built by `mk` ON THE EXECUTOR inside
+    * the same mapPartitions seam the codec uses — the driver never holds
+    * payload bytes, exactly as a 100 TB corpus requires. */
+  private def syntheticMediaTable(spark: SparkSession, sfDir: String,
+    format: String, mk: Long => Array[Byte]): Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => MediaRow(id, mk(id), format, 0, 0)))
+  }
+
+  /** C12c — REAL image decode in the bench lane: synthesized PNGs through
+    * the full decodePipeline with ImageIoCodec (actual javax.imageio parse +
+    * per-pixel luma pass). byte_len is dropped from the output — the PNG
+    * container size is codec-internal (zlib framing), not oracle
+    * arithmetic; every retained column is exact. */
+  def mmDecodePng(spark: SparkSession, sfDir: String): DataFrame =
+    decodePipeline(spark, syntheticMediaTable(spark, sfDir, "image", pngBytes),
+      ImageIoCodec)
+      .select(col("media_id"), col("width"), col("height"), col("n_frames"),
+        col("feature_norm"))
+
+  /** C12d — REAL audio decode in the bench lane: synthesized PCM WAVs through
+    * the same pipeline with WavCodec (actual javax.sound.sampled parse + RMS
+    * over every sample). */
+  def mmDecodeWav(spark: SparkSession, sfDir: String): DataFrame =
+    decodePipeline(spark, syntheticMediaTable(spark, sfDir, "audio", wavBytes),
+      WavCodec)
+      .select(col("media_id"), col("width"), col("height"), col("n_frames"),
+        col("feature_norm"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_pipeline" -> (mmPipeline _),
-    "mm_frame_sample" -> (mmFrameSample _))
+    "mm_frame_sample" -> (mmFrameSample _),
+    "mm_decode_png" -> (mmDecodePng _),
+    "mm_decode_wav" -> (mmDecodeWav _))
 
   /** DuckDB replica of the media fabrication + StubCodec feature math: the
     * payload is the document's UTF-8 bytes in both engines, md5 agrees on
@@ -268,7 +345,31 @@ object Multimodal {
       |   % 100000 / 100000.0 AS frame_feature
       |FROM f ORDER BY media_id, frame_idx""".stripMargin
 
+  /** Oracles for the REAL-codec lanes: pure integer arithmetic on doc_id —
+    * the payload generators were designed so decoded features collapse to
+    * exactly these expressions (see pngBytes/wavBytes scaladoc). The real
+    * codecs' only job the oracle can't see — parsing actual PNG zlib streams
+    * / RIFF chunks — is exercised because ANY parse deviation would move
+    * width/height/n_frames/feature_norm off the closed form. */
+  val mmDecodePngSql: String =
+    """SELECT doc_id AS media_id,
+      | CAST(doc_id % 13 AS INT) + 4 AS width,
+      | CAST(doc_id % 7 AS INT) + 4 AS height,
+      | 1 AS n_frames,
+      | CAST(doc_id % 256 AS DOUBLE) / 255.0 AS feature_norm
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  val mmDecodeWavSql: String =
+    """SELECT doc_id AS media_id,
+      | 8000 AS width,
+      | 1 AS height,
+      | CAST(doc_id % 50 AS INT) + 10 AS n_frames,
+      | abs((doc_id % 30001) - 15000) / 32768.0 AS feature_norm
+      |FROM documents ORDER BY media_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "mm_pipeline" -> mmPipelineSql,
-    "mm_frame_sample" -> mmFrameSampleSql)
+    "mm_frame_sample" -> mmFrameSampleSql,
+    "mm_decode_png" -> mmDecodePngSql,
+    "mm_decode_wav" -> mmDecodeWavSql)
 }

@@ -531,6 +531,32 @@ class OperatorsSpec extends SparkSpec {
       s"corrupt payload should degrade to the zero row: $corrupt")
   }
 
+  test("real-codec bench lanes decode to the exact closed form (C12c/C12d)") {
+    // mm_decode_png / mm_decode_wav promise their DuckDB oracles bit-exact
+    // features from REAL container parses; verify the closed form here so
+    // the promise is pinned even where the driver oracle doesn't run
+    val png = Multimodal.mmDecodePng(spark, sfDir).collect()
+    val nDocs = Tables.load(spark, sfDir, "documents").count()
+    assert(png.length == nDocs)
+    png.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == (id % 13).toInt + 4 && r.getInt(2) == (id % 7).toInt + 4,
+        s"png $id: ${r.getInt(1)}x${r.getInt(2)}")
+      assert(r.getInt(3) == 1)
+      assert(r.getDouble(4) == (id % 256).toDouble / 255.0,
+        s"png $id luma ${r.getDouble(4)}")
+    }
+    val wav = Multimodal.mmDecodeWav(spark, sfDir).collect()
+    assert(wav.length == nDocs)
+    wav.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == 8000 && r.getInt(2) == 1)
+      assert(r.getInt(3) == (id % 50).toInt + 10, s"wav $id frames ${r.getInt(3)}")
+      assert(r.getDouble(4) == math.abs((id % 30001) - 15000).toDouble / 32768.0,
+        s"wav $id rms ${r.getDouble(4)}")
+    }
+  }
+
   test("PMR NaN modes: default SQL semantics vs reference fidelity") {
     import spark.implicits._
     // all-negative column with a NaN and a null — the case where the two
