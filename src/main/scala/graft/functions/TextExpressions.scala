@@ -45,6 +45,37 @@ object FingerprintHelper {
     }
     acc
   }
+
+  /** Hashing-trick linear-model pass for [[TokenWeightSum]] (C34): each
+    * token's weight is derived from its hash — w(t) = (h(t) mod 1001) − 500,
+    * an integer in [−500, 500] — and the document score is the exact BIGINT
+    * sum of its token weights. Same tokenization and per-token hash as
+    * [[fingerprint]] (single-space splits, empties included; first 4 md5
+    * bytes unsigned), so the DuckDB oracle reproduces every weight. The
+    * hash-derived table stands in for trained fastText-style weights: in
+    * production the md5→bucket step is identical and only the bucket→weight
+    * array changes (a broadcast literal), so the kernel's shape — one fused
+    * pass, no token explode, no shuffle — is the production shape. */
+  def weightSum(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    val digest = md.get()
+    var acc = 0L
+    var start = 0
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        digest.reset()
+        digest.update(bytes, start, i - start)
+        val d = digest.digest()
+        val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        acc += h % 1001L - 500L
+        start = i + 1
+      }
+      i += 1
+    }
+    acc
+  }
 }
 
 /** Token-membership kernel for [[StopwordHits]]: one pass over the document
@@ -412,6 +443,33 @@ case class TokenFingerprint(child: Expression) extends UnaryExpression {
       s"graft.functions.FingerprintHelper.fingerprint($c)")
 
   override protected def withNewChildInternal(newChild: Expression): TokenFingerprint =
+    copy(child = newChild)
+}
+
+/** Native Catalyst expression for the C34 hashing-trick classifier score
+  * ([[FingerprintHelper.weightSum]]): the same fused one-generated-call shape
+  * as [[TokenFingerprint]] — the alternative explode(split)→join-weights→sum
+  * form would shuffle the entire tokenized corpus just to add integers that a
+  * row-local pass produces for free. */
+case class TokenWeightSum(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_token_weight expects a string column, got $other")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_token_weight"
+
+  override protected def nullSafeEval(input: Any): Any =
+    FingerprintHelper.weightSum(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.FingerprintHelper.weightSum($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenWeightSum =
     copy(child = newChild)
 }
 

@@ -354,6 +354,15 @@ object GraftFunctions {
       s"graft_fingerprint expects 1 argument, got ${other.size}")
   }
 
+  val tokenWeightInfo = new ExpressionInfo(
+    classOf[TokenWeightSum].getName, "graft_token_weight")
+
+  private[functions] val tokenWeightBuilder: Seq[Expression] => Expression = {
+    case Seq(c) => TokenWeightSum(c)
+    case other => throw new IllegalArgumentException(
+      s"graft_token_weight expects 1 argument, got ${other.size}")
+  }
+
   val gramHitsInfo = new ExpressionInfo(
     classOf[GramSetStats].getName, "graft_gram_hits")
 
@@ -397,6 +406,7 @@ object GraftFunctions {
       (FunctionIdentifier("graft_sig_agreement"), sigAgreementInfo, sigAgreementBuilder),
       (FunctionIdentifier("graft_might_contain"), mightContainInfo, mightContainBuilder),
       (FunctionIdentifier("graft_fingerprint"), fingerprintInfo, fingerprintBuilder),
+      (FunctionIdentifier("graft_token_weight"), tokenWeightInfo, tokenWeightBuilder),
       (FunctionIdentifier("graft_stop_hits"), stopHitsInfo, stopHitsBuilder),
       (FunctionIdentifier("graft_distinct_bigrams"), distinctBigramsInfo, distinctBigramsBuilder),
       (FunctionIdentifier("graft_bpe_count"), bpeCountInfo, bpeCountBuilder),
@@ -412,6 +422,12 @@ object GraftFunctions {
   def fingerprint(spark: SparkSession, text: Column): Column = {
     ensureRegistered(spark)
     call_function("graft_fingerprint", text)
+  }
+
+  /** Column-API entry point: fused hashing-trick token-weight sum (C34). */
+  def tokenWeight(spark: SparkSession, text: Column): Column = {
+    ensureRegistered(spark)
+    call_function("graft_token_weight", text)
   }
 
   /** Column-API entry point: count-only BPE-ish tokenization (C10). */
@@ -513,6 +529,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       GraftFunctions.mightContainInfo, GraftFunctions.mightContainBuilder))
     ext.injectFunction((FunctionIdentifier("graft_fingerprint"),
       GraftFunctions.fingerprintInfo, GraftFunctions.fingerprintBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_token_weight"),
+      GraftFunctions.tokenWeightInfo, GraftFunctions.tokenWeightBuilder))
     ext.injectFunction((FunctionIdentifier("graft_stop_hits"),
       GraftFunctions.stopHitsInfo, GraftFunctions.stopHitsBuilder))
     ext.injectFunction((FunctionIdentifier("graft_distinct_bigrams"),

@@ -746,7 +746,55 @@ object PipelineOps {
       | COUNT(*) FILTER (WHERE n_docs >= 2) / COUNT(*) AS dup_span_ratio
       |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** C35 — corpus snapshot diff: classify every document across two corpus
+    * generations as added / removed / changed / unchanged, comparing CONTENT
+    * HASHES rather than text so the join moves 16 bytes per side instead of
+    * documents (at 100 TB the text never leaves the scan). The two snapshots
+    * here are deterministic views of the one `documents` table (old = ids
+    * with id mod 17 ≠ 3, new = ids with id mod 17 ≠ 0, every id mod 11 = 0
+    * doc revised in new), so the oracle reproduces them exactly; a real
+    * pipeline swaps in yesterday's and today's parquet roots unchanged.
+    * Scale shape: one full-outer join hash-partitioned on doc_id — one
+    * Exchange per side over (id, hash) pairs only; snapshots stored
+    * bucketed by doc_id (the B18 layout) make it exchange-free. This is the
+    * incremental-ingest primitive: its 'added'+'changed' output is exactly
+    * the delta C16/C16b dedup against the standing corpus. */
+  def corpusDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.load(spark, sfDir, "documents")
+    val old = d.filter(col("doc_id") % 17 =!= 3)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("old_fp"))
+    val neu = d.filter(col("doc_id") % 17 =!= 0)
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % 11 === 0, concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text")).cast("binary")).as("new_fp"))
+    old.join(neu, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("old_fp").isNull, "added")
+          .when(col("new_fp").isNull, "removed")
+          .when(col("old_fp") =!= col("new_fp"), "changed")
+          .otherwise("unchanged").as("status"),
+        col("old_fp"), col("new_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val corpusDiffSql: String =
+    """WITH snap_old AS (
+      | SELECT doc_id, md5(text) AS old_fp FROM documents WHERE doc_id % 17 <> 3),
+      |snap_new AS (
+      | SELECT doc_id,
+      |  md5(CASE WHEN doc_id % 11 = 0 THEN text || ' [rev2]' ELSE text END) AS new_fp
+      | FROM documents WHERE doc_id % 17 <> 0)
+      |SELECT COALESCE(snap_old.doc_id, snap_new.doc_id) AS doc_id,
+      | CASE WHEN snap_old.doc_id IS NULL THEN 'added'
+      |      WHEN snap_new.doc_id IS NULL THEN 'removed'
+      |      WHEN old_fp <> new_fp THEN 'changed'
+      |      ELSE 'unchanged' END AS status,
+      | old_fp, new_fp
+      |FROM snap_old FULL JOIN snap_new ON snap_old.doc_id = snap_new.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_diff" -> (corpusDiff _),
     "corpus_split" -> (corpusSplit _),
     "dedup_spans" -> (dedupSpans _),
     "split_leakage" -> (splitLeakage _),
@@ -766,6 +814,7 @@ object PipelineOps {
     "seq_pack" -> (seqPack _))
 
   val oracles: Map[String, String] = Map(
+    "corpus_diff" -> corpusDiffSql,
     "corpus_split" -> corpusSplitSql,
     "dedup_spans" -> dedupSpansSql,
     "split_leakage" -> splitLeakageSql,

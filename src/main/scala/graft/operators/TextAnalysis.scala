@@ -234,15 +234,74 @@ object TextAnalysis {
       | length(text) - length(regexp_replace(text, ' ', '', 'g')) + 1 AS ws_tokens
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** C34 — hashing-trick linear classifier (fastText-style quality filter):
+    * every token hashes to a weight bucket, the document score is the exact
+    * integer weight sum normalized by token count, and the keep decision is a
+    * threshold on the score. The weight table here is derived from the hash
+    * itself (w = h mod 1001 − 500 — see FingerprintHelper.weightSum for why
+    * that stands in for trained weights without changing the execution
+    * shape); scoring is ONE native fused kernel call per row — no token
+    * explode, no weight-table join, no shuffle, the same
+    * embarrassingly-parallel pure-map plan as C8/C10/C11, which is the only
+    * shape a classifier gate over 100 TB of crawl text can afford.
+    * `clf_score` is the division of two exactly-represented integers
+    * (|weight_sum| ≤ 500·tokens), so both engines round it identically. */
+  def textClassify(spark: SparkSession, sfDir: String): DataFrame =
+    classifyProjection(spark, Tables.load(spark, sfDir, "documents"))
+      .orderBy(col("doc_id"))
+
+  /** The C34 score projection over any (doc_id, text) relation — shared by
+    * the batch query and D9's streaming gate (every signal is row-local, so
+    * a stream is just another unbounded relation to project over, exactly
+    * like C9/D6). */
+  private[graft] def classifyProjection(spark: SparkSession, d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+        graft.functions.GraftFunctions.tokenWeight(spark, col("text")).as("weight_sum"),
+        wsTokens(col("text")))
+      .select(col("doc_id"), col("weight_sum"), col("ws_tokens"),
+        (col("weight_sum") / (lit(500L) * col("ws_tokens"))).as("clf_score"))
+      .withColumn("kept", col("clf_score") > lit(0.0))
+
+  /** The composed (interpreted-HOF) scoring form TokenWeightSum replaces —
+    * kept as the executable semantic spec the native kernel is tested
+    * against (FunctionsSpec). */
+  private[graft] def weightSumComposed(c: Column): Column =
+    aggregate(split(c, " "), lit(0L),
+      (acc, t) => acc + pmod(hexHash(t), lit(1001L)) - lit(500L))
+
+  /** ONE source for the C34 score SQL — shared by the batch oracle and D9's
+    * gated form (the same single-definition discipline as qualitySql/D6). */
+  private def classifySql(where: String): String =
+    s"""SELECT doc_id, weight_sum, ws_tokens,
+       | weight_sum / (500 * ws_tokens) AS clf_score,
+       | weight_sum / (500 * ws_tokens) > 0.0 AS kept
+       |FROM (
+       | SELECT doc_id,
+       |  CAST(list_sum(list_transform(string_split(text, ' '),
+       |    t -> CAST(CAST(('0x' || substr(md5(t), 1, 8)) AS INT64) AS BIGINT) % 1001 - 500))
+       |   AS BIGINT) AS weight_sum,
+       |  length(text) - length(regexp_replace(text, ' ', '', 'g')) + 1 AS ws_tokens
+       | FROM documents) t
+       |${where}ORDER BY doc_id""".stripMargin
+
+  val textClassifySql: String = classifySql("")
+
+  /** D9's oracle: C34's SQL with the gate predicate folded in (the stream is
+    * stateless, so the drained backlog equals the gated batch query). */
+  private[graft] def classifyGateSql: String =
+    classifySql("WHERE weight_sum / (500 * ws_tokens) > 0.0\n")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
-    "text_fingerprint" -> (textFingerprint _))
+    "text_fingerprint" -> (textFingerprint _),
+    "text_classify" -> (textClassify _))
 
   val oracles: Map[String, String] = Map(
     "text_tokens" -> textTokensSql,
     "text_quality" -> textQualitySql,
     "text_langid" -> textLangidSql,
-    "text_fingerprint" -> textFingerprintSql)
+    "text_fingerprint" -> textFingerprintSql,
+    "text_classify" -> textClassifySql)
 }

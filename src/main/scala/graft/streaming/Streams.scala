@@ -499,6 +499,24 @@ object Streams extends Serializable {
       .orderBy(col("doc_id"))
   }
 
+  /** D9 — streaming classifier gate: the C34 hashing-trick linear model as a
+    * continuous-ingest filter, the production form of a learned quality gate
+    * (score each arriving document, admit positives downstream). Stateless
+    * like D6 — scoring is ONE fused kernel call per row inside the
+    * micro-batch's scan, no state store, no watermark, so throughput is the
+    * batch kernel's throughput and the drained backlog equals the gated
+    * batch query exactly (shared classifySql oracle). */
+  def streamClassify(spark: SparkSession, sfDir: String): DataFrame = {
+    val cp = new java.io.File(checkpointDir(sfDir, "stream_classify"))
+    org.apache.commons.io.FileUtils.deleteQuietly(cp)
+    spark.catalog.dropTempView("stream_classify")
+    val scored = graft.operators.TextAnalysis
+      .classifyProjection(spark, docsStream(spark, sfDir))
+      .filter(col("clf_score") > 0.0)
+    runToMemory(spark, scored, "stream_classify", cp, OutputMode.Append())
+      .orderBy(col("doc_id"))
+  }
+
   /** D7 — streaming decontamination gate: the eval-overlap tier of
     * continuous ingest, between D6's quality filter and the dedup tiers —
     * benchmark-contaminated crawl output should never reach the corpus at
@@ -880,6 +898,7 @@ object Streams extends Serializable {
     "stream_dedup" -> (streamDedup _),
     "stream_dedup_near" -> (streamDedupNear _),
     "stream_quality_gate" -> (streamQualityGate _),
+    "stream_classify" -> (streamClassify _),
     "stream_decontam_gate" -> (streamDecontamGate _),
     "stream_join" -> (streamJoin _))
 
@@ -901,6 +920,8 @@ object Streams extends Serializable {
     "stream_dedup_near" -> graft.operators.Dedup.streamDedupNearSql,
     // D6 is stateless → exactly the gated C9 on the drained backlog
     "stream_quality_gate" -> graft.operators.TextAnalysis.qualityGateSql("0.25"),
+    // D9 is stateless → exactly the gated C34 on the drained backlog
+    "stream_classify" -> graft.operators.TextAnalysis.classifyGateSql,
     // D7 is stateless → exactly C15's report with the gate verdict; shares
     // the gramsCte domain (incl. the <5-token whole-text fallback)
     "stream_decontam_gate" ->

@@ -123,6 +123,31 @@ class FunctionsSpec extends SparkSpec {
     assert(n.head().isNullAt(0))
   }
 
+  test("graft_token_weight equals the composed HOF form on the corpus + edges") {
+    import spark.implicits._
+    val corpus = Tables.load(spark, sfDir, "documents").select(col("text"))
+    val edges = Seq("", " ", "a", "a b", "a  b", "a b ", " a", "héllo wörld é")
+      .toDF("text")
+    Seq(corpus, edges).foreach { df =>
+      val rows = df.select(
+        graft.functions.GraftFunctions.tokenWeight(spark, col("text")).as("fused"),
+        graft.operators.TextAnalysis.weightSumComposed(col("text")).as("composed"))
+        .collect()
+      rows.foreach(r => assert(r.getLong(0) == r.getLong(1),
+        s"fused ${r.getLong(0)} != composed ${r.getLong(1)}"))
+    }
+    // independently-computed anchor: md5("a") = 0cc175b9..., first 8 hex
+    // parse to 214005177; 214005177 % 1001 - 500 = -114
+    val one = Seq("a").toDF("text")
+      .select(graft.functions.GraftFunctions.tokenWeight(spark, col("text")))
+      .head().getLong(0)
+    assert(one == 214005177L % 1001L - 500L)
+    // null propagates
+    val n = Seq(Option.empty[String]).toDF("text")
+      .select(graft.functions.GraftFunctions.tokenWeight(spark, col("text")))
+    assert(n.head().isNullAt(0))
+  }
+
   test("graft_bpe_count equals the regex extract-all count on corpus + edges") {
     import spark.implicits._
     val corpus = Tables.load(spark, sfDir, "documents").select(col("text"))

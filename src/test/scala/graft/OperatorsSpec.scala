@@ -403,6 +403,44 @@ class OperatorsSpec extends SparkSpec {
     assert(langs.subsetOf(Set("en", "es", "de", "fr", "zh", "und")))
   }
 
+  test("classifier scores are the normalized weight sum and bound to [-1, 1]") {
+    val rows = TextAnalysis.textClassify(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ws, n, score, kept) =
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))
+      assert(math.abs(ws) <= 500L * n) // each token weight is in [-500, 500]
+      assert(score == ws.toDouble / (500L * n))
+      assert(kept == score > 0.0)
+    }
+    // hash weights are ~uniform on [-500,500]: a real corpus lands docs on
+    // both sides of the gate (a degenerate all-kept/all-dropped output would
+    // mean the weight derivation collapsed)
+    assert(rows.exists(_.getBoolean(4)) && rows.exists(!_.getBoolean(4)))
+  }
+
+  test("corpus diff statuses follow the snapshot-membership closed form") {
+    val rows = PipelineOps.corpusDiff(spark, sfDir).collect()
+    val byStatus = rows.groupBy(_.getString(1)).map { case (k, v) => k -> v.length }
+    // the deterministic views guarantee every class is populated
+    Seq("added", "removed", "changed", "unchanged").foreach(s =>
+      assert(byStatus.getOrElse(s, 0) > 0, s"no '$s' rows"))
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val expected =
+        if (id % 17 == 3) "added"
+        else if (id % 17 == 0) "removed"
+        else if (id % 11 == 0) "changed"
+        else "unchanged"
+      assert(r.getString(1) == expected, s"doc $id: ${r.getString(1)} != $expected")
+      // hash presence mirrors membership: added has no old_fp, removed no new_fp
+      assert(r.isNullAt(2) == (expected == "added"))
+      assert(r.isNullAt(3) == (expected == "removed"))
+    }
+    // the diff covers the union of both snapshots exactly once
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+  }
+
   test("fingerprints are stable across runs and within modulus") {
     val a = TextAnalysis.textFingerprint(spark, sfDir).collect()
     val b = TextAnalysis.textFingerprint(spark, sfDir).collect()

@@ -40,6 +40,12 @@ class PlanGateSpec extends SparkSpec {
     Gate("text_fingerprint", maxHashEx = 0),
     Gate("text_repetition", maxHashEx = 0),
     Gate("text_topgram", maxHashEx = 0),
+    // C34: classifier scoring is one fused kernel call per row — a weight
+    // join or token explode would show up as a hash exchange here
+    Gate("text_classify", maxHashEx = 0),
+    // C35: the snapshot diff moves only (id, hash) pairs — one hash exchange
+    // per join side, never the corpus text, never a nested-loop join
+    Gate("corpus_diff", maxHashEx = 2, maxSortMerge = 1),
     // B14b: the Expand stays inside the scan stage; ONE aggregation exchange
     Gate("q_unpivot", maxHashEx = 1),
     // B5b: one user_id window exchange, frame math in exact long cents

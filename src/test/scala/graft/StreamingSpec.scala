@@ -228,6 +228,16 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got.length < total, "gate must pass some docs and drop some")
   }
 
+  test("streaming classifier gate is stateless and equals the gated batch query exactly") {
+    val total = Tables.load(spark, sfDir, "documents").count()
+    val got = Streams.streamClassify(spark, sfDir).collect().map(_.toSeq).toSeq
+    val want = graft.operators.TextAnalysis.textClassify(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("clf_score") > 0.0)
+      .collect().map(_.toSeq).toSeq
+    assert(got == want, "stream/batch divergence in the classifier gate")
+    assert(got.nonEmpty && got.length < total, "gate must pass some docs and drop some")
+  }
+
   test("streaming decontamination gate equals the batch contamination report") {
     import org.apache.spark.sql.functions._
     val got = Streams.streamDecontamGate(spark, sfDir).collect()
