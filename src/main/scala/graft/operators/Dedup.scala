@@ -366,14 +366,20 @@ object Dedup {
     * DuckDB oracle is shared verbatim), different 100 TB shape: C2 amortizes
     * a persisted signature store, C2b is the single-pass / streaming-ready
     * form where no store exists yet. */
-  def dedupMinhashLocal(spark: SparkSession, sfDir: String): DataFrame = {
-    val sigs = memoize(spark, sfDir, "minhash_rowlocal") {
+  def dedupMinhashLocal(spark: SparkSession, sfDir: String): DataFrame =
+    minhashDecisions(spark, sfDir, rowLocalSigs(spark, sfDir))
+
+  /** The memoized row-local signature store over the corpus — C2b's input,
+    * and the resolve-side store D5's candidate verification probes (ONE
+    * signature pass amortized across the batch and streaming near-dup
+    * tiers; the production analog is the signature table the ingest
+    * pipeline maintains). */
+  private[graft] def rowLocalSigs(spark: SparkSession, sfDir: String): DataFrame =
+    memoize(spark, sfDir, "minhash_rowlocal") {
       val d = Tables.load(spark, sfDir, "documents")
       d.select(col("doc_id"),
         graft.functions.GraftFunctions.minhashSig(spark, col("text")).as("sig"))
     }
-    minhashDecisions(spark, sfDir, sigs)
-  }
 
   private def minhashDecisions(spark: SparkSession, sfDir: String,
     sigs: DataFrame): DataFrame = {

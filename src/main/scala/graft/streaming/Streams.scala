@@ -675,10 +675,10 @@ object Streams extends Serializable {
     * the band's first-MaxBucket keeper IDS. An arriving doc emits a
     * candidate pair per keeper already present and joins the keepers if
     * there is room; signature AGREEMENT is then resolved OUTSIDE the state
-    * op — signatures are a deterministic row-local function of the text, so
-    * recomputing them at resolve time is bit-identical to having carried
-    * them, and keeper state shrinks from 64 longs per (band, doc) to the id
-    * alone (measured at sf1: ~16× less state, 37.4 → 19.2 s committed in
+    * op against the memoized corpus signature store C2b maintains —
+    * signatures are a deterministic row-local function of the text, so the
+    * store lookup is bit-identical to having carried them, and keeper state
+    * shrinks from 64 longs per (band, doc) to the id alone (measured at sf1: ~16× less state, 37.4 → 19.2 s committed in
     * BENCH_sf1_r6; state-store commit cost, not the compare loop, dominated
     * the fat-state form). The trade the move makes: sub-threshold band
     * collisions now reach the sink (bounded at bands × MaxBucket pairs per
@@ -693,8 +693,13 @@ object Streams extends Serializable {
     * batches. */
   def streamDedupNear(spark: SparkSession, sfDir: String): DataFrame = {
     val cp = new java.io.File(checkpointDir(sfDir, "stream_dedup_near"))
+    // resolve probes the SAME memoized signature store as C2b — one corpus
+    // signature pass amortized across the batch and streaming near-dup tiers
+    // (the sigs DataFrame is joined on both pair sides; uncached it would be
+    // recomputed per join because the two shuffles partition differently)
     nearDedupRun(spark, docsStream(spark, sfDir), "stream_dedup_near", cp,
-      graft.Tables.load(spark, sfDir, "documents"))
+      graft.Tables.load(spark, sfDir, "documents"),
+      graft.operators.Dedup.rowLocalSigs(spark, sfDir))
   }
 
   /** Test hook: every staged file its own micro-batch, so keepers persist
@@ -705,12 +710,14 @@ object Streams extends Serializable {
     val src = spark.readStream.schema(DocsSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(stageDir)
-    nearDedupRun(spark, src, name, cp,
-      spark.read.schema(DocsSchema).parquet(stageDir))
+    val staged = spark.read.schema(DocsSchema).parquet(stageDir)
+    nearDedupRun(spark, src, name, cp, staged,
+      staged.select(col("doc_id"),
+        graft.functions.GraftFunctions.minhashSig(spark, col("text")).as("sig")))
   }
 
   private def nearDedupRun(spark: SparkSession, src: DataFrame, name: String,
-    cp: java.io.File, allDocs: DataFrame): DataFrame = {
+    cp: java.io.File, allDocs: DataFrame, sigs: DataFrame): DataFrame = {
     import spark.implicits._
     org.apache.commons.io.FileUtils.deleteQuietly(cp)
     spark.catalog.dropTempView(name)
@@ -758,16 +765,16 @@ object Streams extends Serializable {
     val sink = runToMemory(spark, cands, name, cp, OutputMode.Append(),
       stateKeyHint = allDocs.count() * 16L)
     // batch resolve over the candidate sink: distinct pairs (a pair can
-    // collide in several bands), re-derive both signatures with the same
-    // row-local kernel, fused agreement count, est >= 0.5 — identical
-    // decisions to the fat-state form, same generated oracle. Join strategy
+    // collide in several bands), look both signatures up in the caller's
+    // signature store (memoized corpus store in production; signatures are a
+    // deterministic row-local function of the text, so a lookup is
+    // bit-identical to re-deriving), fused agreement count, est >= 0.5 —
+    // identical decisions to the fat-state form, same generated oracle. Join strategy
     // is left to AQE on purpose: on a lightly-duplicated stream the
     // signature sides are tiny and broadcast; on a pathological backlog
     // (the sf1 fixture runs ~90% near-dup) candidates approach the corpus
     // and AQE keeps the shuffle join — forcing either choice loses the
     // other regime.
-    val sigs = allDocs.select(col("doc_id"),
-      graft.functions.GraftFunctions.minhashSig(spark, col("text")).as("sig"))
     val pairs = sink.distinct()
       .join(sigs, Seq("doc_id"))
       .join(sigs.select(col("doc_id").as("cand_id"), col("sig").as("cand_sig")),

@@ -236,6 +236,14 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(got == want, "stream/batch divergence in the classifier gate")
     assert(got.nonEmpty && got.length < total, "gate must pass some docs and drop some")
+    // the statelessness contract: scoring is a pure projected kernel — a
+    // state store or a shuffle in the micro-batch plan would mean the gate
+    // stopped being a free-throughput filter tier
+    val plan = Streams.lastStreamPlan
+    assert(!plan.contains("StateStore"),
+      s"classifier gate grew a state store:\n${plan.take(2000)}")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"classifier gate grew a shuffle:\n${plan.take(2000)}")
   }
 
   test("streaming decontamination gate equals the batch contamination report") {
