@@ -228,6 +228,28 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got.length < total, "gate must pass some docs and drop some")
   }
 
+  test("streaming dedup decisions are state-store-provider agnostic (RocksDB = HDFS)") {
+    // the deployment-scale switch (SPARK_GRAFT_STATE_STORE) must never change
+    // WHAT a stateful query decides — this pins that the RocksDB provider is
+    // actually runnable in this build and bit-agrees with the on-heap default
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    def run(provider: String): Seq[Seq[Any]] = {
+      spark.conf.set(key, provider)
+      try Streams.streamDedup(spark, sfDir).collect().map(_.toSeq).toSeq
+      finally prev match {
+        case Some(p) => spark.conf.set(key, p)
+        case None => spark.conf.unset(key)
+      }
+    }
+    val hdfs = run(
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    val rocks = run(
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    assert(rocks.nonEmpty, "provider check ran an empty stream")
+    assert(rocks == hdfs, "state-store provider changed dedup decisions")
+  }
+
   test("streaming classifier gate is stateless and equals the gated batch query exactly") {
     val total = Tables.load(spark, sfDir, "documents").count()
     val got = Streams.streamClassify(spark, sfDir).collect().map(_.toSeq).toSeq
