@@ -181,6 +181,38 @@ object Dedup {
     """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
       |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
 
+  /** C36 — source-priority dedup: C1 with the keeper chosen by SOURCE RANK
+    * instead of min id — when the same text appears in a curated source and
+    * a crawl source, keep the curated copy (the RefinedWeb/Dolma "dedup
+    * priority" rule; provenance decides which bytes survive). Priority here
+    * is the source's numeric rank (src0 most curated); the keeper is the
+    * per-hash argmin of (priority, doc_id), computed as ONE `min(struct)`
+    * aggregation — structs order lexicographically, so the argmin rides the
+    * same single hash-shuffle C1 pays, with map-side partial aggregation
+    * (no window, no second pass, no join-back). */
+  def dedupPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.load(spark, sfDir, "documents")
+    d.select(md5(col("text").cast("binary")).as("text_hash"),
+        substring(col("source"), 4, 16).cast("bigint").as("pri"), col("doc_id"))
+      .groupBy(col("text_hash"))
+      .agg(min(struct(col("pri"), col("doc_id"))).as("k"),
+        count(lit(1)).as("n_copies"))
+      .select(col("text_hash"), col("k.doc_id").as("keep_id"),
+        col("k.pri").as("keep_priority"), col("n_copies"))
+      .orderBy(col("keep_id"))
+  }
+
+  val dedupPrioritySql: String =
+    """WITH ranked AS (
+      | SELECT md5(text) AS text_hash, doc_id,
+      |  CAST(substr(source, 4) AS BIGINT) AS pri,
+      |  COUNT(*) OVER (PARTITION BY md5(text)) AS n_copies,
+      |  ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY
+      |   CAST(substr(source, 4) AS BIGINT), doc_id) AS rn
+      | FROM documents)
+      |SELECT text_hash, doc_id AS keep_id, pri AS keep_priority, n_copies
+      |FROM ranked WHERE rn = 1 ORDER BY keep_id""".stripMargin
+
   /** The persisted corpus digest table for C16, written `bucketBy(8, h)` +
     * sorted (the B18 storage-layout pattern, Joins.scala qBucketedJoin): the
     * steady-state ingest asset a training pipeline maintains. Built once as
@@ -848,6 +880,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
+    "dedup_priority" -> (dedupPriority _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_incremental_near" -> (dedupIncrementalNear _),
     "dedup_minhash" -> (dedupMinhash _),
@@ -859,6 +892,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
+    "dedup_priority" -> dedupPrioritySql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_incremental_near" -> dedupIncrementalNearSql,
     "dedup_minhash" -> dedupMinhashSql,

@@ -419,6 +419,38 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.exists(_.getBoolean(4)) && rows.exists(!_.getBoolean(4)))
   }
 
+  test("priority dedup keeps the best-provenance copy of every distinct text") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), md5(col("text").cast("binary")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1).drop(3).toLong, r.getString(2)))
+    val expect = docs.groupBy(_._3).map { case (h, g) =>
+      val k = g.minBy(d => (d._2, d._1))
+      h -> (k._1, k._2, g.length.toLong)
+    }
+    val got = Dedup.dedupPriority(spark, sfDir).collect()
+    assert(got.length == expect.size, "one row per distinct text")
+    got.foreach { r =>
+      val (keepId, pri, n) = expect(r.getString(0))
+      assert(r.getLong(1) == keepId && r.getLong(2) == pri && r.getLong(3) == n,
+        s"hash ${r.getString(0)}: got (${r.getLong(1)},${r.getLong(2)},${r.getLong(3)})" +
+          s" want ($keepId,$pri,$n)")
+    }
+    // the rule must actually bite — the live corpus has no cross-source exact
+    // dups at this sf, so plant one: the LOWER id sits in the WORSE source,
+    // and provenance must override C1's min-id choice
+    import spark.implicits._
+    val dir = s"${GraftConf.localRoot}/test_fixture_priority"
+    Seq((1L, "same text", "en", "src9", 9L), (2L, "same text", "en", "src2", 9L),
+        (3L, "other text", "en", "src0", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val planted = Dedup.dedupPriority(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val dupGroup = planted.values.find(_._3 == 2L).get
+    assert(dupGroup == ((2L, 2L, 2L)),
+      s"provenance must pick doc 2 (src2) over doc 1 (src9): got $dupGroup")
+  }
+
   test("corpus diff statuses follow the snapshot-membership closed form") {
     val rows = PipelineOps.corpusDiff(spark, sfDir).collect()
     val byStatus = rows.groupBy(_.getString(1)).map { case (k, v) => k -> v.length }
