@@ -226,6 +226,11 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(got == want, "stream/batch divergence in the quality gate")
     assert(got.nonEmpty && got.length < total, "gate must pass some docs and drop some")
+    // statelessness contract (same as D9): the filter tier must never grow a
+    // state store or a shuffle — that's what makes it free-throughput
+    val plan = Streams.lastStreamPlan
+    assert(!plan.contains("StateStore") && !plan.contains("Exchange hashpartitioning"),
+      s"quality gate stopped being stateless:\n${plan.take(2000)}")
   }
 
   test("streaming dedup decisions are state-store-provider agnostic (RocksDB = HDFS)") {
@@ -284,6 +289,11 @@ class StreamingSpec extends SparkSpec {
     }
     assert(got.exists(!_.getBoolean(3)), "fixture has no contaminated doc — gate never fired")
     assert(got.exists(_.getBoolean(3)), "gate dropped everything")
+    // statelessness contract (same as D6/D9): the gram-set probe is a plan
+    // reference evaluated in the scan — no state store, no shuffle
+    val plan = Streams.lastStreamPlan
+    assert(!plan.contains("StateStore") && !plan.contains("Exchange hashpartitioning"),
+      s"decontamination gate stopped being stateless:\n${plan.take(2000)}")
   }
 
   test("streaming dedup equals the batch window-min form on one backlog") {
