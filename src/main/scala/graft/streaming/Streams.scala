@@ -265,6 +265,28 @@ object Streams extends Serializable {
       lastStreamPlan = le.getClass.getMethod("executedPlan").invoke(le).toString
     } catch { case _: Throwable => lastStreamPlan = "" }
 
+  /** Drain a stream into a parquet FILE sink and hand back a batch reader
+    * over it — the production shape for high-volume intermediate streams
+    * (the memory sink materializes every row on the driver; fine for the
+    * harness's small final outputs, unbounded for candidate-pair volumes).
+    * The explicit schema makes an empty drain read as an empty relation
+    * instead of failing schema inference. */
+  private def runToFiles(spark: SparkSession, df: DataFrame, outDir: java.io.File,
+    cp: java.io.File, stateKeyHint: Long): DataFrame =
+    withStreamShufflePartitions(spark, stateKeyHint) {
+      org.apache.commons.io.FileUtils.deleteQuietly(outDir)
+      val q = df.writeStream
+        .format("parquet")
+        .option("path", outDir.getAbsolutePath)
+        .option("checkpointLocation", cp.getAbsolutePath)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      capturePlan(q)
+      spark.read.schema(df.schema).parquet(outDir.getAbsolutePath)
+    }
+
   private def runToMemory(spark: SparkSession, df: DataFrame, name: String,
     cp: java.io.File, outputMode: OutputMode, stateKeyHint: Long): DataFrame =
     withStreamShufflePartitions(spark, stateKeyHint) {
@@ -761,8 +783,15 @@ object Streams extends Serializable {
         GroupStateTimeout.NoTimeout())(decide)
       .toDF()
     // state-key cardinality ≈ docs × 16 band keys; the count is a
-    // metadata-only parquet count-star, cheap next to the stream itself
-    val sink = runToMemory(spark, cands, name, cp, OutputMode.Append(),
+    // metadata-only parquet count-star, cheap next to the stream itself.
+    // Candidates land in a FILE sink, not the memory sink the other
+    // streaming queries use for the harness: on a dup-heavy backlog the
+    // candidate volume approaches the corpus, and a memory sink would
+    // round-trip every pair through the driver (unbounded driver heap at
+    // 100 TB; measured 8.5 s of a 15.9 s sf1 run in the driver-held
+    // resolve) — the parquet sink keeps pairs distributed end-to-end.
+    val sink = runToFiles(spark, cands,
+      new java.io.File(cp.getAbsolutePath + "_cands"), cp,
       stateKeyHint = allDocs.count() * 16L)
     // batch resolve over the candidate sink: distinct pairs (a pair can
     // collide in several bands), look both signatures up in the caller's
