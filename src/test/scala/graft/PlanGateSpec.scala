@@ -46,6 +46,9 @@ class PlanGateSpec extends SparkSpec {
     // C35: the snapshot diff moves only (id, hash) pairs — one hash exchange
     // per join side, never the corpus text, never a nested-loop join
     Gate("corpus_diff", maxHashEx = 2, maxSortMerge = 1),
+    // C36: the provenance argmin is ONE min(struct) aggregation riding C1's
+    // single hash shuffle — a window or join-back form would add exchanges
+    Gate("dedup_priority", maxHashEx = 1),
     // B14b: the Expand stays inside the scan stage; ONE aggregation exchange
     Gate("q_unpivot", maxHashEx = 1),
     // B5b: one user_id window exchange, frame math in exact long cents
