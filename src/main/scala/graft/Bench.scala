@@ -71,9 +71,13 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // sidecar copy: survives any stdout capture window regardless of length
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("target/bench_last.json"), line + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] sidecar: ${e.getMessage}") }
+    // (create target/ first — a cwd without it must not lose the one copy
+    // the sidecar exists to preserve)
+    try {
+      val p = java.nio.file.Paths.get("target/bench_last.json")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, line + "\n")
+    } catch { case e: Throwable => System.err.println(s"[bench] sidecar: ${e.getMessage}") }
     operators.Dedup.clear()
     spark.stop()
     // the JSON line is the LAST stdout line of the process (after stop(), so

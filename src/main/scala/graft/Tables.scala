@@ -48,19 +48,25 @@ object Tables {
     // set BEFORE the read so a NANOS footer maps to LongType instead of
     // throwing; a no-op for µs-encoded files
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // the NTZ branch's cast reads wall-clock AS the session zone — its
-    // "wall-clock == UTC instant" contract silently depends on
-    // session.timeZone=UTC. GraftConf-built sessions already pin it; enforce
-    // here too so a driver-built session without the config can't shift
-    // every event instant by its zone offset (the loader is session-agnostic
-    // for tz exactly like it is for the nanosAsLong footer conf).
+    // session-zone pin: the NTZ instant below is session-independent by
+    // construction, but downstream RENDERING (date_format in window labels,
+    // oracle string dumps) still reads the session zone — keep driver-built
+    // sessions on the same UTC footing GraftConf-built ones get.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     val tsNorm = raw.schema("ts").dataType match {
       case LongType         => expr("timestamp_micros(ts div 1000)") // raw nanos
-      case TimestampNTZType => col("ts").cast(TimestampType) // wall-clock, UTC session
+      // NTZ wall-clock == UTC instant, enforced IN THE EXPRESSION: a bare
+      // cast interprets the wall-clock in whatever session zone holds at
+      // EXECUTION time (a conf pin at load time doesn't survive a later
+      // session-zone change before the plan runs). Both types carry the same
+      // µs-since-epoch long under this contract, so the native kernel
+      // (functions.NtzAsUtcInstant) reinterprets the physical value as a UTC
+      // instant — zone-independent by construction, zero per-row cost.
+      case TimestampNTZType =>
+        graft.functions.GraftFunctions.ntzUtc(spark, col("ts"))
       case TimestampType    => col("ts")
       case other => throw new IllegalStateException(
         s"events.ts has unsupported type $other in $sfDir/events.parquet — " +

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, TimestampNTZType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Single-pass token-fingerprint kernel shared by the interpreted and
@@ -52,6 +52,12 @@ object FingerprintHelper {
     * sum of its token weights. Same tokenization and per-token hash as
     * [[fingerprint]] (single-space splits, empties included; first 4 md5
     * bytes unsigned), so the DuckDB oracle reproduces every weight. The
+    * byte-walk is deliberately duplicated from [[fingerprint]] rather than
+    * folded through a shared higher-order helper — these are the two hottest
+    * generated kernels and the fold-free loops keep them trivially JIT-
+    * inlinable; the lockstep risk is pinned by FunctionsSpec, which checks
+    * BOTH kernels against composed HOF forms that share one hexHash
+    * definition (a tokenization fork in either loop fails its spec). The
     * hash-derived table stands in for trained fastText-style weights: in
     * production the md5→bucket step is identical and only the bucket→weight
     * array changes (a broadcast literal), so the kernel's shape — one fused
@@ -470,6 +476,36 @@ case class TokenWeightSum(child: Expression) extends UnaryExpression {
       s"graft.functions.FingerprintHelper.weightSum($c)")
 
   override protected def withNewChildInternal(newChild: Expression): TokenWeightSum =
+    copy(child = newChild)
+}
+
+/** Reinterpret a TIMESTAMP_NTZ wall-clock as the UTC instant with that
+  * wall-clock — ZONE-INDEPENDENT BY CONSTRUCTION. No built-in can express
+  * this safely: `cast(ntz as timestamp)` reads the wall-clock in the session
+  * zone resolved at EXECUTION time (a conf pin at load time doesn't protect a
+  * plan executed after a later zone change), and `current_timezone()` folds
+  * at ANALYSIS time, so the two can disagree. Internally both types carry
+  * microseconds-since-epoch longs — NTZ of the wall-clock, TIMESTAMP of the
+  * UTC instant — and "wall-clock == UTC instant" makes those the SAME number,
+  * so the kernel is the identity on the physical value; only the type
+  * changes. TablesSpec pins the plan-then-rezone-then-run ordering. */
+case class NtzAsUtcInstant(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case TimestampNTZType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_ntz_utc expects a timestamp_ntz column, got $other")
+  }
+
+  override def dataType: DataType = TimestampType
+  override def prettyName: String = "graft_ntz_utc"
+
+  override protected def nullSafeEval(input: Any): Any = input
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => c)
+
+  override protected def withNewChildInternal(newChild: Expression): NtzAsUtcInstant =
     copy(child = newChild)
 }
 

@@ -155,7 +155,12 @@ case class SigAgreement(left: Expression, right: Expression)
   * assignment decision — are bit-identical to the composed form and to the
   * DuckDB list_reduce oracle. Double comparison mirrors Spark's ordering
   * (NaN greatest, NaN ties equal; `==` keeps -0.0 == 0.0), matching what the
-  * struct-ordering `greatest` did.
+  * struct-ordering `greatest` did. ONE deliberate divergence from the
+  * unrolled form: a NULL input vector yields NULL (standard null-intolerant
+  * UnaryExpression semantics) where the old struct ordering fell through
+  * null csim fields to the lowest cid — assigning a vectorless row to a real
+  * cluster was an artifact, not a semantic; corpus embeddings are non-null
+  * by schema, so no live path sees the difference.
   *
   * The codebook travels as `(cids, flat, dim)` Seq fields — value equality,
   * so Catalyst subexpression elimination and plan canonicalization treat two
@@ -363,6 +368,15 @@ object GraftFunctions {
       s"graft_token_weight expects 1 argument, got ${other.size}")
   }
 
+  val ntzUtcInfo = new ExpressionInfo(
+    classOf[NtzAsUtcInstant].getName, "graft_ntz_utc")
+
+  private[functions] val ntzUtcBuilder: Seq[Expression] => Expression = {
+    case Seq(c) => NtzAsUtcInstant(c)
+    case other => throw new IllegalArgumentException(
+      s"graft_ntz_utc expects 1 argument, got ${other.size}")
+  }
+
   val gramHitsInfo = new ExpressionInfo(
     classOf[GramSetStats].getName, "graft_gram_hits")
 
@@ -407,6 +421,7 @@ object GraftFunctions {
       (FunctionIdentifier("graft_might_contain"), mightContainInfo, mightContainBuilder),
       (FunctionIdentifier("graft_fingerprint"), fingerprintInfo, fingerprintBuilder),
       (FunctionIdentifier("graft_token_weight"), tokenWeightInfo, tokenWeightBuilder),
+      (FunctionIdentifier("graft_ntz_utc"), ntzUtcInfo, ntzUtcBuilder),
       (FunctionIdentifier("graft_stop_hits"), stopHitsInfo, stopHitsBuilder),
       (FunctionIdentifier("graft_distinct_bigrams"), distinctBigramsInfo, distinctBigramsBuilder),
       (FunctionIdentifier("graft_bpe_count"), bpeCountInfo, bpeCountBuilder),
@@ -428,6 +443,13 @@ object GraftFunctions {
   def tokenWeight(spark: SparkSession, text: Column): Column = {
     ensureRegistered(spark)
     call_function("graft_token_weight", text)
+  }
+
+  /** Column-API entry point: zone-independent NTZ → UTC-instant
+    * reinterpretation (the events loader's NTZ branch). */
+  def ntzUtc(spark: SparkSession, ts: Column): Column = {
+    ensureRegistered(spark)
+    call_function("graft_ntz_utc", ts)
   }
 
   /** Column-API entry point: count-only BPE-ish tokenization (C10). */
@@ -531,6 +553,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       GraftFunctions.fingerprintInfo, GraftFunctions.fingerprintBuilder))
     ext.injectFunction((FunctionIdentifier("graft_token_weight"),
       GraftFunctions.tokenWeightInfo, GraftFunctions.tokenWeightBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_ntz_utc"),
+      GraftFunctions.ntzUtcInfo, GraftFunctions.ntzUtcBuilder))
     ext.injectFunction((FunctionIdentifier("graft_stop_hits"),
       GraftFunctions.stopHitsInfo, GraftFunctions.stopHitsBuilder))
     ext.injectFunction((FunctionIdentifier("graft_distinct_bigrams"),

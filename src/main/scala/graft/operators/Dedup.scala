@@ -192,8 +192,11 @@ object Dedup {
     * (no window, no second pass, no join-back). */
   def dedupPriority(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.load(spark, sfDir, "documents")
+    // unbounded suffix, exactly like the oracle's substr(source, 4) — a
+    // bounded substring would silently diverge on long source ids
     d.select(md5(col("text").cast("binary")).as("text_hash"),
-        substring(col("source"), 4, 16).cast("bigint").as("pri"), col("doc_id"))
+        col("source").substr(lit(4), length(col("source"))).cast("bigint").as("pri"),
+        col("doc_id"))
       .groupBy(col("text_hash"))
       .agg(min(struct(col("pri"), col("doc_id"))).as("k"),
         count(lit(1)).as("n_copies"))

@@ -240,8 +240,12 @@ object Streams extends Serializable {
     sys.env.get("SPARK_GRAFT_STATE_STORE").foreach {
       case "rocksdb" => spark.conf.set(provKey,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      case _ => spark.conf.set(provKey,
+      case "hdfs" => spark.conf.set(provKey,
         "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+      // a typo'd provider must fail, not silently benchmark the default
+      // (same fail-fast contract as SPARK_GRAFT_ONLY)
+      case other => throw new IllegalArgumentException(
+        s"SPARK_GRAFT_STATE_STORE must be 'rocksdb' or 'hdfs', got '$other'")
     }
     try f finally {
       spark.conf.set(key, prev)

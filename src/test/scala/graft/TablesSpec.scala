@@ -73,6 +73,17 @@ class TablesSpec extends SparkSpec {
         s"NTZ instants shifted under a non-UTC driver session: $got, want $want")
       assert(spark.conf.get("spark.sql.session.timeZone") == "UTC",
         "loader did not pin the session to UTC")
+      // the harder ordering: zone changed AFTER the DataFrame is built but
+      // BEFORE it executes — a load-time conf pin cannot protect this (the
+      // cast resolves its zone at execution), only the session-independent
+      // re-zoning expression can
+      val df = Tables.events(spark, dir)
+        .select(col("event_id"), unix_micros(col("ts")).as("us"))
+        .orderBy(col("event_id"))
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val late = df.collect().map(_.getLong(1)).toSeq
+      assert(late == want,
+        s"NTZ instants shifted when the zone changed between plan and run: $late")
     } finally spark.conf.set("spark.sql.session.timeZone", prev)
   }
 
