@@ -102,6 +102,28 @@ class FunctionsSpec extends SparkSpec {
       err.getMessage.toLowerCase.contains("data type"))
   }
 
+  test("graft_ntz_utc reinterprets the physical micros and rejects non-NTZ input") {
+    import spark.implicits._
+    // the contract: NTZ wall-clock micros == UTC instant micros, bit-exact,
+    // regardless of the session zone at execution
+    val df = Seq(1700000123456789L).toDF("us")
+      .select(timestamp_micros(col("us")).cast("timestamp_ntz").as("ts"))
+      .select(graft.functions.GraftFunctions.ntzUtc(spark, col("ts")).as("utc"))
+    assert(df.schema("utc").dataType == org.apache.spark.sql.types.TimestampType)
+    assert(df.select(unix_micros(col("utc"))).head().getLong(0) == 1700000123456789L)
+    // null propagates; wrong input type fails analysis with the named kernel
+    val n = Seq(Option.empty[Long]).toDF("us")
+      .select(graft.functions.GraftFunctions.ntzUtc(spark,
+        timestamp_micros(col("us")).cast("timestamp_ntz")))
+    assert(n.head().isNullAt(0))
+    val err = intercept[Exception] {
+      Seq(1L).toDF("us")
+        .select(graft.functions.GraftFunctions.ntzUtc(spark, col("us"))).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("ntz") ||
+      err.getMessage.toLowerCase.contains("data type"))
+  }
+
   test("graft_fingerprint equals the composed HOF form on the corpus + edges") {
     import spark.implicits._
     val corpus = Tables.load(spark, sfDir, "documents").select(col("text"))
