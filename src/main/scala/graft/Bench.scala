@@ -57,10 +57,6 @@ object Bench {
       }
       name -> (if (times.size == reps) times.min else -1.0)
     }
-    // 3-decimal rounding keeps the full 102-entry line under ~3 KB: the
-    // driver captures a bounded stdout tail, and 9-decimal doubles pushed the
-    // line past it, truncating the FRONT of the map (r7's "parsed": null).
-    // ms resolution is far below the ±10% cross-run noise floor anyway.
     def r3(v: Double): java.math.BigDecimal =
       new java.math.BigDecimal(v).setScale(3, java.math.RoundingMode.HALF_UP)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
@@ -68,20 +64,31 @@ object Bench {
     // total sums only successful runs; the -1 markers stay visible per-query
     // but must not shrink (or negate) the headline number
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line =
+    val failed = results.filter(_._2 < 0).map(_._1)
+    // The FULL per-query map goes to the sidecar only. Even at 3 decimals the
+    // 108-entry map is ~3.3 KB, past the driver's bounded stdout-tail capture:
+    // r7 AND r8 both arrived with the line's front truncated mid-map
+    // ("parsed": null). stdout therefore gets a COMPACT line — headline total
+    // plus the failure list (the two signals the driver must never lose) and
+    // a pointer to the sidecar — that stays under ~200 bytes at any surface
+    // size, so its FIRST byte survives every tail window.
+    val fullLine =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // sidecar copy: survives any stdout capture window regardless of length
-    // (create target/ first — a cwd without it must not lose the one copy
-    // the sidecar exists to preserve)
+    val compactLine =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},""" +
+        s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""queries_file":"target/bench_last.json","sf":"$sfDir"}"""
+    // sidecar: the one complete copy, immune to any capture window
+    // (create target/ first — a cwd without it must not lose that copy)
     try {
       val p = java.nio.file.Paths.get("target/bench_last.json")
       java.nio.file.Files.createDirectories(p.getParent)
-      java.nio.file.Files.writeString(p, line + "\n")
+      java.nio.file.Files.writeString(p, fullLine + "\n")
     } catch { case e: Throwable => System.err.println(s"[bench] sidecar: ${e.getMessage}") }
     operators.Dedup.clear()
     spark.stop()
     // the JSON line is the LAST stdout line of the process (after stop(), so
     // no late Spark shutdown chatter can land beneath it in the tail)
-    println(line)
+    println(compactLine)
   }
 }

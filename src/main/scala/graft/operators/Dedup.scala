@@ -193,9 +193,19 @@ object Dedup {
   def dedupPriority(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.load(spark, sfDir, "documents")
     // unbounded suffix, exactly like the oracle's substr(source, 4) — a
-    // bounded substring would silently diverge on long source ids
+    // bounded substring would silently diverge on long source ids.
+    // HARD INPUT CONTRACT: source ids are `srcN` with a numeric suffix. A
+    // non-numeric suffix casts to NULL in Spark (and NULL sorts FIRST in the
+    // struct argmin, silently winning the keeper vote) but THROWS in the
+    // DuckDB oracle's CAST — so the malformed row must fail here too, loudly,
+    // not diverge engines.
+    val rawPri =
+      col("source").substr(lit(4), length(col("source"))).cast("bigint")
     d.select(md5(col("text").cast("binary")).as("text_hash"),
-        col("source").substr(lit(4), length(col("source"))).cast("bigint").as("pri"),
+        when(col("source").isNotNull && rawPri.isNull,
+          raise_error(concat(lit("dedup_priority: non-numeric source suffix in '"),
+            col("source"), lit("' (expected srcN)"))))
+          .otherwise(rawPri).as("pri"),
         col("doc_id"))
       .groupBy(col("text_hash"))
       .agg(min(struct(col("pri"), col("doc_id"))).as("k"),

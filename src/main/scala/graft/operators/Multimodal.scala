@@ -244,7 +244,10 @@ object Multimodal {
     * 587 + 114 = 1000), and the RMS of a constant signal A is exactly
     * |A|/32768 — both correctly-rounded identically in both engines. */
   private def pngBytes(id: Long): Array[Byte] = {
-    javax.imageio.ImageIO.setUseCache(false) // no temp-file per encode either
+    // ImageIoCodec's object init already disabled the JVM-global disk cache
+    // (temp-file-per-stream); touching it here would mutate process-global
+    // state once per encoded row for nothing
+    ImageIoCodec
     val w = (id % 13).toInt + 4
     val h = (id % 7).toInt + 4
     val c = (id % 256).toInt

@@ -231,22 +231,26 @@ object Streams extends Serializable {
     stateKeyHint: Long = 0L)(f: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val provKey = "spark.sql.streaming.stateStore.providerClass"
+    // resolve (and VALIDATE) the provider before touching any session conf:
+    // a typo'd provider must fail, not silently benchmark the default (same
+    // fail-fast contract as SPARK_GRAFT_ONLY) — and it must fail with the
+    // session untouched, so the fast path out of here can't strand a
+    // modified shuffle-partitions conf outside the try/finally below
+    val provider = sys.env.get("SPARK_GRAFT_STATE_STORE").map {
+      case "rocksdb" =>
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+      case "hdfs" =>
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+      case other => throw new IllegalArgumentException(
+        s"SPARK_GRAFT_STATE_STORE must be 'rocksdb' or 'hdfs', got '$other'")
+    }
     val prev = spark.conf.get(key)
     val prevProv = spark.conf.getOption(provKey)
     val auto =
       if (stateKeyHint > 0) math.max(4L, math.min(32L, stateKeyHint / 50000L)).toString
       else "4"
     spark.conf.set(key, sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", auto))
-    sys.env.get("SPARK_GRAFT_STATE_STORE").foreach {
-      case "rocksdb" => spark.conf.set(provKey,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      case "hdfs" => spark.conf.set(provKey,
-        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
-      // a typo'd provider must fail, not silently benchmark the default
-      // (same fail-fast contract as SPARK_GRAFT_ONLY)
-      case other => throw new IllegalArgumentException(
-        s"SPARK_GRAFT_STATE_STORE must be 'rocksdb' or 'hdfs', got '$other'")
-    }
+    provider.foreach(spark.conf.set(provKey, _))
     try f finally {
       spark.conf.set(key, prev)
       prevProv match {
