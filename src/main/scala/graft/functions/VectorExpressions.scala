@@ -252,6 +252,130 @@ case class NearestCentroid(child: Expression, cids: Seq[Long],
     copy(child = newChild)
 }
 
+/** The executor-broadcast codebook payload for [[NearestCentroidBroadcast]]:
+  * flat centroid storage plus a per-JVM lazily-materialized row matrix (the
+  * transient lazy keeps only the flat form on the wire). */
+final class CodebookData(val cids: Array[Long], val flat: Array[Double],
+  val dim: Int) extends Serializable {
+  require(dim > 0 && cids.nonEmpty && flat.length == cids.length * dim,
+    s"CodebookData: ${cids.length} cids x $dim dims != flat ${flat.length}")
+  @transient lazy val mat: Array[Array[Double]] = flat.grouped(dim).toArray
+}
+
+/** Nearest-centroid assignment over an EXECUTOR-BROADCAST codebook — the
+  * production form of [[NearestCentroid]] for codebooks too large to ride as
+  * plan literals. The literal form serializes the K×dim doubles into every
+  * plan (and re-ships them with each task batch); past tens of MiB that is
+  * planner overhead and task-broadcast waste, which is why the semantic
+  * codebook carried a 65536-centroid sanity cap. Here the expression carries
+  * only the lightweight Broadcast HANDLE; executors fetch the codebook blocks
+  * once per JVM via torrent broadcast, and every task of every query that
+  * shares the handle reuses the same deserialized arrays. That removes the
+  * size cap: K ∝ N semantic-dedup sizing (SemDeDup's 50k-clusters-for-LAION
+  * rule) holds at any corpus the cluster can train on.
+  *
+  * Selection semantics, fold order and NULL handling are IDENTICAL to
+  * [[NearestCentroid]] (same left-to-right cosine fold, csim-DESC/cid-ASC
+  * argmax, NaN-greatest/-0.0==0.0 double ordering, NULL in → NULL out), so a
+  * query can switch forms without moving a single assignment — FunctionsSpec
+  * pins bit-identical decisions between the two on a shared corpus.
+  *
+  * Codegen note: the generated code pulls the arrays through `mat()`/`ids()`
+  * on the serialized expression instance (one virtual call per row, O(1) in
+  * K) — NOT through `ctx.addReferenceObj` on the arrays themselves, which
+  * would serialize the full codebook back into the plan and defeat the
+  * broadcast. Equality is by broadcast id (one handle per trained codebook —
+  * GraftFunctions memoizes), so subexpression elimination and plan
+  * canonicalization behave exactly as with the literal form's value
+  * equality. */
+case class NearestCentroidBroadcast(child: Expression,
+  bc: org.apache.spark.broadcast.Broadcast[CodebookData])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_nearest_cid_bc expects array<double>, got $t")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_nearest_cid_bc"
+
+  // materialized once per deserialized instance (≈ once per task), then a
+  // plain field read — the broadcast fetch itself is once per executor JVM
+  @transient private lazy val centMat: Array[Array[Double]] = bc.value.mat
+  @transient private lazy val cidArr: Array[Long] = bc.value.cids
+
+  /** Codegen accessors (public: called from generated Java). */
+  def mat(): Array[Array[Double]] = centMat
+  def ids(): Array[Long] = cidArr
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var best = Double.NegativeInfinity
+    var bestCid = Long.MaxValue
+    var k = 0
+    while (k < centMat.length) {
+      val cv = centMat(k)
+      val n = math.min(x.numElements(), cv.length)
+      var dot = 0.0; var nx = 0.0; var ny = 0.0
+      var i = 0
+      while (i < n) {
+        val xi = x.getDouble(i); val yi = cv(i)
+        dot += xi * yi; nx += xi * xi; ny += yi * yi
+        i += 1
+      }
+      val s = dot / (math.sqrt(nx) * math.sqrt(ny))
+      val better = s > best || (s.isNaN && !best.isNaN)
+      val tie = s == best || (s.isNaN && best.isNaN)
+      if (better || (tie && cidArr(k) < bestCid)) { best = s; bestCid = cidArr(k) }
+      k += 1
+    }
+    bestCid
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val self = ctx.addReferenceObj("ncbc", this,
+        classOf[NearestCentroidBroadcast].getName)
+      val cents = ctx.freshName("cents"); val idsV = ctx.freshName("ids")
+      val k = ctx.freshName("k"); val i = ctx.freshName("i")
+      val n = ctx.freshName("n"); val cv = ctx.freshName("cv")
+      val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny"); val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi"); val s = ctx.freshName("s")
+      val best = ctx.freshName("best"); val bestCid = ctx.freshName("bestCid")
+      val better = ctx.freshName("better"); val tie = ctx.freshName("tie")
+      s"""
+         |final double[][] $cents = $self.mat();
+         |final long[] $idsV = $self.ids();
+         |double $best = Double.NEGATIVE_INFINITY;
+         |long $bestCid = Long.MAX_VALUE;
+         |for (int $k = 0; $k < $cents.length; $k++) {
+         |  final double[] $cv = $cents[$k];
+         |  final int $n = java.lang.Math.min($a.numElements(), $cv.length);
+         |  double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final double $xi = $a.getDouble($i);
+         |    final double $yi = $cv[$i];
+         |    $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |  }
+         |  final double $s = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |  final boolean $better = $s > $best ||
+         |    (Double.isNaN($s) && !Double.isNaN($best));
+         |  final boolean $tie = $s == $best ||
+         |    (Double.isNaN($s) && Double.isNaN($best));
+         |  if ($better || ($tie && $idsV[$k] < $bestCid)) {
+         |    $best = $s; $bestCid = $idsV[$k];
+         |  }
+         |}
+         |${ev.value} = $bestCid;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidBroadcast =
+    copy(child = newChild)
+}
+
 /** Registration for graft's native functions — both via SparkSessionExtensions
   * (`spark.sql.extensions=graft.functions.GraftExtensions`) and imperatively
   * for sessions built without the config. */
@@ -313,6 +437,67 @@ object GraftFunctions {
     case _ => throw new IllegalArgumentException(
       "graft_nearest_cid expects (vector, bigint-array LITERAL, " +
         "double-array LITERAL, int LITERAL) — the codebook is plan metadata")
+  }
+
+  val nearestCidBcInfo = new ExpressionInfo(
+    classOf[NearestCentroidBroadcast].getName, "graft_nearest_cid_bc")
+
+  // handle registry bridging the Column seam to the analyzer: the function
+  // registry only passes EXPRESSIONS to builders, and a Broadcast cannot
+  // travel as one — so the Column API broadcasts the codebook, parks the
+  // handle here under a fresh id, and passes the id as a long literal; the
+  // builder (driver-side, at analysis) swaps the id back for the handle.
+  // Entries are tiny (a Broadcast handle, not the codebook) and bounded by
+  // the number of distinct trained codebooks in the JVM.
+  private val bcHandles = scala.collection.concurrent.TrieMap
+    .empty[Long, org.apache.spark.broadcast.Broadcast[CodebookData]]
+  private val bcNextId = new java.util.concurrent.atomic.AtomicLong(0L)
+  // one broadcast per (SparkContext incarnation, codebook instance): the
+  // trainers memoize one array instance per scale dir, so identity is the
+  // natural key; a restarted context invalidates its broadcasts, hence the
+  // applicationId in the key
+  private val bcMemo = scala.collection.mutable.Map
+    .empty[(String, Int), Long]
+
+  /** (v, broadcast-handle id literal) — see [[bcHandles]]. */
+  private[functions] val nearestCidBcBuilder: Seq[Expression] => Expression = {
+    case Seq(v, idArg)
+      if idArg.foldable && idArg.dataType == LongType && idArg.eval(null) != null =>
+      val id = idArg.eval(null).asInstanceOf[Long]
+      val bc = bcHandles.getOrElse(id, throw new IllegalArgumentException(
+        s"graft_nearest_cid_bc: no broadcast codebook registered under id $id " +
+          "(construct the column via GraftFunctions.nearestCidBroadcast)"))
+      NearestCentroidBroadcast(v, bc)
+    case _ => throw new IllegalArgumentException(
+      "graft_nearest_cid_bc expects (vector, bigint handle-id LITERAL) — " +
+        "use GraftFunctions.nearestCidBroadcast, which manages the handle")
+  }
+
+  /** Column-API entry point: nearest-centroid cid with the codebook as an
+    * EXECUTOR BROADCAST — same selection semantics as [[nearestCid]], no
+    * plan-literal size ceiling. One Broadcast per (context, codebook
+    * instance): repeated query builds over one trained codebook reuse the
+    * same handle, so plans canonicalize equal and executors hold one copy. */
+  def nearestCidBroadcast(spark: SparkSession, v: Column,
+    codebook: Array[(Int, Array[Double])]): Column = {
+    require(codebook.nonEmpty, "nearestCidBroadcast: empty codebook")
+    val dim = codebook.head._2.length
+    require(codebook.forall(_._2.length == dim),
+      "nearestCidBroadcast: ragged codebook (mixed centroid dims)")
+    ensureRegistered(spark)
+    val key = (spark.sparkContext.applicationId, System.identityHashCode(codebook))
+    val id = bcMemo.synchronized {
+      bcMemo.getOrElseUpdate(key, {
+        val data = new CodebookData(codebook.map(_._1.toLong),
+          codebook.flatMap(_._2), dim)
+        val handle = spark.sparkContext.broadcast(data)
+        val fresh = bcNextId.incrementAndGet()
+        bcHandles(fresh) = handle
+        fresh
+      })
+    }
+    call_function("graft_nearest_cid_bc", v,
+      org.apache.spark.sql.functions.lit(id))
   }
 
   val fingerprintInfo = new ExpressionInfo(
@@ -417,6 +602,7 @@ object GraftFunctions {
     val registry = spark.sessionState.functionRegistry
     Seq((FunctionIdentifier("graft_cosine"), cosineInfo, cosineBuilder),
       (FunctionIdentifier("graft_nearest_cid"), nearestCidInfo, nearestCidBuilder),
+      (FunctionIdentifier("graft_nearest_cid_bc"), nearestCidBcInfo, nearestCidBcBuilder),
       (FunctionIdentifier("graft_sig_agreement"), sigAgreementInfo, sigAgreementBuilder),
       (FunctionIdentifier("graft_might_contain"), mightContainInfo, mightContainBuilder),
       (FunctionIdentifier("graft_fingerprint"), fingerprintInfo, fingerprintBuilder),
@@ -545,6 +731,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       GraftFunctions.cosineInfo, GraftFunctions.cosineBuilder))
     ext.injectFunction((FunctionIdentifier("graft_nearest_cid"),
       GraftFunctions.nearestCidInfo, GraftFunctions.nearestCidBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_nearest_cid_bc"),
+      GraftFunctions.nearestCidBcInfo, GraftFunctions.nearestCidBcBuilder))
     ext.injectFunction((FunctionIdentifier("graft_sig_agreement"),
       GraftFunctions.sigAgreementInfo, GraftFunctions.sigAgreementBuilder))
     ext.injectFunction((FunctionIdentifier("graft_might_contain"),

@@ -107,16 +107,25 @@ object Similarity {
     * (csim DESC, cid ASC) tie-break. No K× row expansion, no exchange.
     * Shared by Lloyd training and final assignment so both bin identically.
     *
-    * Implemented by the native `graft_nearest_cid` kernel
-    * (functions.NearestCentroid): the codebook rides as array literals and
-    * the generated code is O(1) in K, so assignment scales to K ∝ N (the
-    * SemDeDup sizing) instead of clamping at the expression width the old
-    * unrolled greatest(struct...) form hit at K≈64. Scores come from the
-    * same left-to-right cosine fold, so assignments are bit-identical to
-    * the unrolled form and to the DuckDB oracle. */
+    * Implemented by the native `graft_nearest_cid` kernel family, whose
+    * generated code is O(1) in K (the codebook is data, not expression
+    * width — the old unrolled greatest(struct...) form clamped at K≈64).
+    * TRANSPORT switches on codebook size: small codebooks (the K=16 IVF
+    * tiers) inline as plan literals — zero extra machinery, trivially
+    * canonicalized — while anything past BcThreshold rows ships as an
+    * executor broadcast (functions.NearestCentroidBroadcast), fetched once
+    * per JVM instead of re-serialized into every plan and task batch. Both
+    * forms share the identical cosine fold and tie-break, so the switch can
+    * never move an assignment (FunctionsSpec pins decision identity). This
+    * is what lets Lloyd TRAINING itself run at K ∝ N sizing: each
+    * iteration's refreshed codebook broadcasts once and the assignment scan
+    * stays O(1)-in-K codegen. */
+  private val BcThreshold = 1024
   private def nearestCid(spark: SparkSession,
     codebook: Array[(Int, Array[Double])]): Column =
-    graft.functions.GraftFunctions.nearestCid(spark, col("v"), codebook)
+    if (codebook.length > BcThreshold)
+      graft.functions.GraftFunctions.nearestCidBroadcast(spark, col("v"), codebook)
+    else graft.functions.GraftFunctions.nearestCid(spark, col("v"), codebook)
 
   /** Train the IVF codebook: Lloyd's k-means over a deterministic 1-in-3
     * sample, seeded by the first K vectors. Pure DataFrame ops — assignment is
@@ -669,15 +678,17 @@ object Similarity {
   /** Semantic-dedup cluster count: K ∝ N, targeting ~128-vector inverted
     * lists. This is what makes SemDeDup linear — Σc² ≈ N²/K stays ≈ 128·N
     * when K grows with the corpus (the paper sizes 50k clusters for LAION
-    * the same way). K is unclamped in the scaling direction: assignment is
-    * the native graft_nearest_cid kernel, whose generated code is O(1) in K
-    * (the codebook is data, not expression width), so nothing structural
-    * caps K anymore — the 65536 bound is only a sanity cap on the plan-
-    * literal codebook size (65536×64 doubles = 32 MiB, the point where a
-    * production deployment would hand the codebook to executors as a real
-    * broadcast variable instead of a plan literal). */
-  private def semanticK(n: Long): Int =
-    math.max(16L, math.min(65536L, n / 128L)).toInt
+    * the same way). K is UNCLAMPED: assignment is the broadcast-backed
+    * graft_nearest_cid_bc kernel (functions.NearestCentroidBroadcast) —
+    * generated code O(1) in K, and the codebook travels to executors as a
+    * torrent-broadcast variable fetched once per JVM, not as plan-literal
+    * expression data — so neither codegen width (the old K≈64 wall) nor
+    * plan size (the old 65536-centroid / 32 MiB literal cap) bounds K. The
+    * only remaining ceiling is Int.MaxValue rows of codebook, which at the
+    * 1-per-128-vectors sizing corresponds to a ~10^11-vector corpus —
+    * beyond any single trained artifact. */
+  private[graft] def semanticK(n: Long): Int =
+    math.max(16L, math.min(Int.MaxValue.toLong, n / 128L)).toInt
 
   // dir -> (embeddings fingerprint, size-proportional codebook) — separate
   // from the K=16 IVF codebook: the two operators size K by different rules
@@ -733,7 +744,13 @@ object Similarity {
       "semcid:" + graft.Tables.fingerprint(sfDir, "embeddings")) {
       Tables.load(spark, sfDir, "embeddings")
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-        .select(col("vec_id"), col("v"), nearestCid(spark, codebook).as("cid"))
+        // the BROADCAST form of the kernel: the K ∝ N codebook is exactly
+        // the one that outgrows plan literals, so the semantic family is
+        // where the executor-broadcast handoff is structural, not optional
+        // (bit-identical decisions to the literal form — FunctionsSpec pins)
+        .select(col("vec_id"), col("v"),
+          graft.functions.GraftFunctions
+            .nearestCidBroadcast(spark, col("v"), codebook).as("cid"))
     }
   }
 
@@ -763,7 +780,7 @@ object Similarity {
     * "untrained vs trained centroids", never a silently wrong K. */
   private def semanticSeedCte: String =
     """c AS (SELECT vec_id AS cid, v AS cv FROM e  -- UNTRAINED SEED FALLBACK: codebook cache cold for this dir
-      | WHERE vec_id < GREATEST(16, LEAST(65536, (SELECT COUNT(*) FROM e) // 128)))""".stripMargin
+      | WHERE vec_id < GREATEST(16, (SELECT COUNT(*) FROM e) // 128))""".stripMargin
 
   /** Generated oracle for C29: trained centroids inlined (same binding rules
     * as simIvfSql), assignment via the same ROW_NUMBER argmax, pairwise

@@ -48,6 +48,76 @@ class FunctionsSpec extends SparkSpec {
     assert(got.values.toSet.size > 10, "degenerate corpus: argmax never varied")
   }
 
+  test("graft_nearest_cid_bc decides bit-identically to the literal form") {
+    import spark.implicits._
+    // decision identity is what lets semanticAssigned (and the Lloyd
+    // trainer's size switch) move between transports without shifting a
+    // single cluster assignment — same fixture family as the K>64 test
+    def vec(seed: Int): Array[Double] =
+      Array.tabulate(16)(i => math.sin(seed * 31 + i * 7).toDouble)
+    val codebook = Array.tabulate(100)(c => (c, vec(c + 1000)))
+    val df = (0 until 200).map(i => (i.toLong, vec(i))).toDF("vec_id", "v")
+    val lit = df.select(col("vec_id"),
+        GraftFunctions.nearestCid(spark, col("v"), codebook).as("cid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bc = df.select(col("vec_id"),
+        GraftFunctions.nearestCidBroadcast(spark, col("v"), codebook).as("cid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bc == lit)
+    // NULL-in → NULL-out, matching the literal kernel's null-intolerance
+    val nulls = Seq((1L, null: Array[Double])).toDF("vec_id", "v")
+      .select(GraftFunctions.nearestCidBroadcast(spark, col("v"), codebook).as("cid"))
+    assert(nulls.head().isNullAt(0))
+  }
+
+  test("graft_nearest_cid_bc clears the old 65536-centroid plan-literal cap") {
+    import spark.implicits._
+    // K = 70_000 centroids — past the literal form's 32 MiB sanity cap that
+    // bounded semantic-dedup sizing. dim 2 keeps the fixture cheap: the cap
+    // being lifted is about codebook ROW COUNT reaching the plan, and the
+    // assertion below pins that the plan carries a handle, not the data.
+    val k = 70000
+    val codebook = Array.tabulate(k) { c =>
+      val ang = c * (2 * math.Pi / k)
+      (c, Array(math.cos(ang), math.sin(ang)))
+    }
+    // semanticK itself no longer clamps at 65536 (a 10^7-row corpus already
+    // sizes past the old cap at 1-per-128 sizing)
+    assert(operators.Similarity.semanticK(128L * 100000) == 100000)
+    val probes = Seq(0, 17, 33333, 69999)
+    val df = probes.map(c => (c.toLong, codebook(c)._2)).toDF("vec_id", "v")
+    val q = df.select(col("vec_id"),
+      GraftFunctions.nearestCidBroadcast(spark, col("v"), codebook).as("cid"))
+    // each probe IS a centroid direction → argmax must return its own cid
+    val got = q.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == probes.map(c => c.toLong -> c.toLong).toMap)
+    // the codebook must NOT ride in the plan: 70k×2 doubles would print as
+    // megabytes of literal text; the broadcast handle keeps the analyzed
+    // plan a few hundred bytes
+    val planText = q.queryExecution.analyzed.toString
+    assert(planText.contains("graft_nearest_cid_bc"))
+    assert(planText.length < 10000,
+      s"codebook leaked into the plan (${planText.length} chars)")
+  }
+
+  test("graft_nearest_cid_bc memoizes one broadcast per codebook instance") {
+    import spark.implicits._
+    val codebook = Array.tabulate(8)(c => (c, Array(c.toDouble, 1.0)))
+    val df = Seq((1L, Array(7.0, 1.0))).toDF("vec_id", "v")
+    // same codebook instance → same handle id in the plan (modulo per-plan
+    // expression ids), which is what plan canonicalization / subexpression
+    // elimination key on
+    def handleOf() = {
+      val plan = df.select(
+        GraftFunctions.nearestCidBroadcast(spark, col("v"), codebook).as("cid"))
+        .queryExecution.analyzed.toString.replaceAll("#\\d+", "")
+      val m = "graft_nearest_cid_bc\\(v, Broadcast\\((\\d+)\\)\\)".r.findFirstMatchIn(plan)
+      assert(m.nonEmpty, s"kernel call missing from plan:\n$plan")
+      m.get.group(1)
+    }
+    assert(handleOf() == handleOf())
+  }
+
   test("graft_nearest_cid breaks exact cosine ties on the LOWEST cid") {
     import spark.implicits._
     // centroids 3 and 7 are the same direction (2x scaling leaves cosine
