@@ -420,6 +420,133 @@ case class BpeTokenCount(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** A REAL byte-pair-encoding merge table for [[BpeMergeCount]]: rank-ordered
+  * merge rules applied by the standard greedy loop — per whitespace word,
+  * repeatedly find the LOWEST-rank rule whose pair is adjacent in the current
+  * symbol sequence and merge every (left-to-right, non-overlapping)
+  * occurrence, until no rule applies. This is the actual BPE algorithm
+  * (Sennrich et al. 2016): it handles multi-level rules (("t","h") then
+  * ("th","e")) and rank competition (("h","e") beating ("t","h") on "the"),
+  * both of which the count-only regex emulation (BpeKernel) cannot express —
+  * FunctionsSpec pins these against hand-computed fixtures.
+  *
+  * Built once per (driver plan / deserialized task) from the rule strings and
+  * reused across rows. The embedded default vocab is a few rules; a
+  * production-size table (GPT-2's 50k merges, ~1 MB) travels to executors
+  * through the same Broadcast handoff NearestCentroidBroadcast uses rather
+  * than as plan metadata — the seam (this class on the expression) is
+  * transport-agnostic. */
+final class BpeMergeTable(val rules: Seq[(String, String)]) extends Serializable {
+  require(rules.nonEmpty, "BpeMergeTable: empty merge table")
+  require(rules.forall { case (a, b) => a.nonEmpty && b.nonEmpty &&
+    !a.exists(_.isWhitespace) && !b.exists(_.isWhitespace) },
+    "BpeMergeTable: merge symbols must be non-empty and whitespace-free " +
+      "(pre-tokenization splits on spaces; a rule could never cross one)")
+
+  // (left, right) -> rank; first rule wins on duplicate pairs, like a merges
+  // file read top-down
+  @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    rules.zipWithIndex.foreach { case ((a, b), r) =>
+      m.putIfAbsent(a + " " + b, r)
+    }
+    m
+  }
+
+  /** Greedy BPE token count of ONE word (no spaces). Symbols start as code
+    * points (an astral char is one symbol, matching how both engines count
+    * characters). */
+  def countWord(word: String): Long = {
+    if (word.isEmpty) return 0L
+    var syms = new java.util.ArrayList[String](word.length)
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      val n = Character.charCount(cp)
+      syms.add(word.substring(i, i + n))
+      i += n
+    }
+    var done = false
+    while (!done && syms.size > 1) {
+      // lowest-rank adjacent pair present right now
+      var best: Integer = null
+      var bestKey: String = null
+      var j = 0
+      while (j < syms.size - 1) {
+        val key = syms.get(j) + " " + syms.get(j + 1)
+        val r = ranks.get(key)
+        if (r != null && (best == null || r < best)) { best = r; bestKey = key }
+        j += 1
+      }
+      if (best == null) done = true
+      else {
+        // merge every left-to-right non-overlapping occurrence of that pair
+        val sep = bestKey.indexOf(' ')
+        val l = bestKey.substring(0, sep); val r = bestKey.substring(sep + 1)
+        val out = new java.util.ArrayList[String](syms.size)
+        var p = 0
+        while (p < syms.size) {
+          if (p < syms.size - 1 && syms.get(p) == l && syms.get(p + 1) == r) {
+            out.add(l + r); p += 2
+          } else { out.add(syms.get(p)); p += 1 }
+        }
+        syms = out
+      }
+    }
+    syms.size.toLong
+  }
+
+  /** Token count of a document: single-space pre-tokenization, greedy BPE
+    * per word, summed. Public: called from generated code. */
+  def countTokens(s: UTF8String): Long = {
+    val text = s.toString
+    var total = 0L
+    var start = 0
+    var i = 0
+    while (i <= text.length) {
+      if (i == text.length || text.charAt(i) == ' ') {
+        if (i > start) total += countWord(text.substring(start, i))
+        start = i + 1
+      }
+      i += 1
+    }
+    total
+  }
+}
+
+/** Token COUNT under a real rank-ordered BPE merge table — the trained-vocab
+  * upgrade of [[BpeTokenCount]]'s pre-tokenizer emulation (C10b). The merge
+  * table is plan metadata (rank-ordered "left right" string literals through
+  * the registry builder, the graft_stop_hits contract); rows never carry it.
+  * One generated call per row inside whole-stage codegen; the table compiles
+  * to a hash map once per task, not per row. */
+case class BpeMergeCount(child: Expression, rules: Seq[(String, String)])
+  extends UnaryExpression {
+
+  @transient private lazy val table = new BpeMergeTable(rules)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_bpe_merge_count expects a string column, got $other")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_bpe_merge_count"
+
+  override protected def nullSafeEval(input: Any): Any =
+    table.countTokens(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tbl = ctx.addReferenceObj("bpeTable", table,
+      classOf[BpeMergeTable].getName)
+    defineCodeGen(ctx, ev, c => s"$tbl.countTokens($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeMergeCount =
+    copy(child = newChild)
+}
+
 /** Native Catalyst expression for the C11 rolling document fingerprint.
   *
   * Why a custom Expression (SURVEY §3 preference (b)): the composed form runs

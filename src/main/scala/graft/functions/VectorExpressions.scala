@@ -518,6 +518,30 @@ object GraftFunctions {
       s"graft_bpe_count expects 1 argument, got ${other.size}")
   }
 
+  val bpeMergeCountInfo = new ExpressionInfo(
+    classOf[BpeMergeCount].getName, "graft_bpe_merge_count")
+
+  /** (text, "left right" rule literal...) in rank order — the merge table is
+    * plan metadata, same contract as graft_stop_hits' dictionary. */
+  private[functions] val bpeMergeCountBuilder: Seq[Expression] => Expression = {
+    case text +: rest if rest.nonEmpty && rest.forall(e =>
+      e.foldable && e.dataType.isInstanceOf[org.apache.spark.sql.types.StringType] &&
+        e.eval(null) != null) =>
+      val rules = rest.map { e =>
+        val s = e.eval(null).toString
+        val sep = s.indexOf(' ')
+        require(sep > 0 && sep < s.length - 1 && s.indexOf(' ', sep + 1) < 0,
+          s"graft_bpe_merge_count: rule '$s' must be exactly 'left right'")
+        (s.substring(0, sep), s.substring(sep + 1))
+      }
+      BpeMergeCount(text, rules)
+    case args if args.size < 2 => throw new IllegalArgumentException(
+      s"graft_bpe_merge_count expects (text, rule literal...), got ${args.size} args")
+    case _ => throw new IllegalArgumentException(
+      "graft_bpe_merge_count rules must be non-null string LITERALS " +
+        "(plan metadata), not columns or NULL")
+  }
+
   private[functions] val distinctBigramsBuilder: Seq[Expression] => Expression = {
     case Seq(c) => DistinctBigrams(c)
     case other => throw new IllegalArgumentException(
@@ -611,6 +635,7 @@ object GraftFunctions {
       (FunctionIdentifier("graft_stop_hits"), stopHitsInfo, stopHitsBuilder),
       (FunctionIdentifier("graft_distinct_bigrams"), distinctBigramsInfo, distinctBigramsBuilder),
       (FunctionIdentifier("graft_bpe_count"), bpeCountInfo, bpeCountBuilder),
+      (FunctionIdentifier("graft_bpe_merge_count"), bpeMergeCountInfo, bpeMergeCountBuilder),
       (FunctionIdentifier("graft_top_gram"), topGramInfo, topGramBuilder),
       (FunctionIdentifier("graft_gram_hits"), gramHitsInfo, gramHitsBuilder),
       (FunctionIdentifier("graft_minhash_sig"), minhashSigInfo, minhashSigBuilder))
@@ -642,6 +667,18 @@ object GraftFunctions {
   def bpeCount(spark: SparkSession, text: Column): Column = {
     ensureRegistered(spark)
     call_function("graft_bpe_count", text)
+  }
+
+  /** Column-API entry point: REAL greedy BPE token count under a
+    * rank-ordered merge table (C10b). Rules travel as "left right" string
+    * literals in rank order. */
+  def bpeMergeCount(spark: SparkSession, text: Column,
+    rules: Seq[(String, String)]): Column = {
+    require(rules.nonEmpty, "bpeMergeCount: empty merge table")
+    ensureRegistered(spark)
+    call_function("graft_bpe_merge_count",
+      text +: rules.map { case (a, b) =>
+        org.apache.spark.sql.functions.lit(a + " " + b) }: _*)
   }
 
   /** Column-API entry point: per-doc distinct word-bigram count (C25). */
@@ -749,6 +786,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       GraftFunctions.distinctBigramsInfo, GraftFunctions.distinctBigramsBuilder))
     ext.injectFunction((FunctionIdentifier("graft_bpe_count"),
       GraftFunctions.bpeCountInfo, GraftFunctions.bpeCountBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_bpe_merge_count"),
+      GraftFunctions.bpeMergeCountInfo, GraftFunctions.bpeMergeCountBuilder))
     ext.injectFunction((FunctionIdentifier("graft_minhash_sig"),
       GraftFunctions.minhashSigInfo, GraftFunctions.minhashSigBuilder))
   }

@@ -80,6 +80,51 @@ object TextAnalysis {
        | len(regexp_extract_all(text, '$BpePattern')) AS bpe_tokens
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** The embedded merge table for C10b — six rank-ordered single-level rules
+    * over common English bigrams. The set is deliberately CLOSED-FORM
+    * CHECKABLE: within each rule left != right, and no rule's right symbol is
+    * any rule's left symbol, so two occurrences (of any rules) can never
+    * overlap in any text, merged symbols can never feed a later rule, and
+    * greedy rank order can never change an outcome — token count collapses
+    * to chars-minus-occurrence-counts, which is plain SQL. The KERNEL
+    * (functions.BpeMergeTable) implements full greedy BPE with none of these
+    * restrictions — multi-level and rank-competing tables are pinned against
+    * hand-computed fixtures in FunctionsSpec; this vocab is what keeps the
+    * operator in the hash-level oracle gate too. */
+  private[graft] val EmbeddedBpeMerges: Seq[(String, String)] =
+    Seq("t" -> "h", "i" -> "n", "e" -> "r", "a" -> "n", "o" -> "n", "e" -> "s")
+
+  /** C10b — REAL byte-pair-encoding token count: single-space
+    * pre-tokenization, then the standard greedy merge loop under the
+    * rank-ordered [[EmbeddedBpeMerges]] table, as one fused kernel call per
+    * row (functions.BpeMergeCount — the trained-vocab upgrade of C10's
+    * pre-tokenizer emulation). Zero shuffles: a pure projection, like every
+    * text kernel. At production vocab sizes the table moves from plan
+    * metadata to the NearestCentroidBroadcast-style executor broadcast; the
+    * algorithm and the seam are unchanged. */
+  def textTokensBpe(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.load(spark, sfDir, "documents")
+    d.select(col("doc_id"),
+        length(translate(col("text"), " ", "")).cast("bigint").as("n_symbols"),
+        graft.functions.GraftFunctions
+          .bpeMergeCount(spark, col("text"), EmbeddedBpeMerges).as("bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** C10b's oracle: the closed form the no-overlap rule set guarantees —
+    * initial symbols (non-space chars) minus one per merge-rule occurrence.
+    * Each occurrence count is (len - len(after removing the 2-char pattern))
+    * integer-divided by 2. */
+  val textTokensBpeSql: String = {
+    val removed = EmbeddedBpeMerges.map { case (a, b) =>
+      s"(length(text) - length(replace(text, '$a$b', ''))) // 2"
+    }.mkString(" - ", " - ", "")
+    s"""SELECT doc_id,
+       | CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_symbols,
+       | CAST(length(replace(text, ' ', ''))$removed AS BIGINT) AS bpe_tokens
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   /** The C9 metric projection over any (doc_id, text) relation — shared by
     * the batch query and D6's streaming gate (a stream is just another
     * unbounded relation to project over; every signal is row-local). */
@@ -293,6 +338,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens" -> (textTokens _),
+    "text_tokens_bpe" -> (textTokensBpe _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
     "text_fingerprint" -> (textFingerprint _),
@@ -300,6 +346,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "text_tokens" -> textTokensSql,
+    "text_tokens_bpe" -> textTokensBpeSql,
     "text_quality" -> textQualitySql,
     "text_langid" -> textLangidSql,
     "text_fingerprint" -> textFingerprintSql,

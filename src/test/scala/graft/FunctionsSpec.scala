@@ -260,6 +260,75 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("graft_bpe_merge_count runs REAL greedy BPE on hand-computed fixtures") {
+    import spark.implicits._
+    def count(text: String, rules: Seq[(String, String)]): Long =
+      Seq(Tuple1(text)).toDF("text")
+        .select(GraftFunctions.bpeMergeCount(spark, col("text"), rules).as("n"))
+        .head().getLong(0)
+    // MULTI-LEVEL: t+h -> th, then th+e -> the ("the" collapses to ONE
+    // token; "them" to th|e|m... no: the(rank1) wins over stopping, then m)
+    val multi = Seq("t" -> "h", "th" -> "e")
+    assert(count("the", multi) == 1L)       // t h e -> th e -> the
+    assert(count("them", multi) == 2L)      // -> the | m
+    // walk tthhe: symbols t,t,h,h,e; rank0 merges the single t,h adjacency
+    // at (1,2) -> t,th,h,e; no rank0 pair remains, and rank1 needs th
+    // FOLLOWED BY e (here th is followed by h) -> final t|th|h|e
+    assert(count("tthhe", multi) == 4L)
+    // RANK COMPETITION: he outranks th on "the" -> t|he, NOT th|e
+    val compete = Seq("h" -> "e", "t" -> "h")
+    assert(count("the", compete) == 2L)     // h+e first: t,he; th can't form
+    assert(count("thethe", compete) == 4L)  // t he t he
+    // and the reverse ranking gives th|e
+    val competeRev = Seq("t" -> "h", "h" -> "e")
+    assert(count("the", competeRev) == 2L)  // th,e; h consumed, he impossible
+    // all occurrences of the chosen rule merge in ONE pass, left to right,
+    // non-overlapping ("aaa" under a+a: [aa][a], not a[aa])
+    val aa = Seq("a" -> "a")
+    assert(count("aaa", aa) == 2L)
+    assert(count("aaaa", aa) == 2L)         // aa aa, then no a,a adjacency... -> then aa+aa? not a rule -> 2
+    // pre-tokenization: merges never cross the space boundary
+    assert(count("t h", Seq("t" -> "h")) == 2L)
+    // empty + multi-space edges
+    assert(count("", multi) == 0L)
+    assert(count("  ", multi) == 0L)
+  }
+
+  test("graft_bpe_merge_count matches the closed-form SQL on the no-overlap vocab") {
+    import spark.implicits._
+    // the operator's embedded vocab satisfies the no-overlap property, so
+    // the greedy loop must equal chars-minus-occurrences on arbitrary text —
+    // the equivalence the DuckDB oracle (textTokensBpeSql) relies on
+    val rules = operators.TextAnalysis.EmbeddedBpeMerges
+    val texts = Seq(
+      "the quick brown fox jumps over thirteen lazy dogs",
+      "inner northern thinking on and on, ander eser",
+      "anthem  es er th in on an", "", "x", "ther", "eres", "ananas onion")
+    texts.foreach { t =>
+      val kernel = Seq(Tuple1(t)).toDF("text")
+        .select(GraftFunctions.bpeMergeCount(spark, col("text"), rules).as("n"))
+        .head().getLong(0)
+      val closed = t.count(_ != ' ').toLong - rules.map { case (a, b) =>
+        val p = a + b
+        var n = 0; var i = t.indexOf(p)
+        while (i >= 0) { n += 1; i = t.indexOf(p, i + 2) }
+        n.toLong
+      }.sum
+      assert(kernel == closed, s"text '$t': kernel $kernel != closed $closed")
+    }
+    // null in -> null out
+    val nulls = Seq(Tuple1(null: String)).toDF("text")
+      .select(GraftFunctions.bpeMergeCount(spark, col("text"), rules))
+    assert(nulls.head().isNullAt(0))
+    // non-literal rules rejected at analysis
+    val err = intercept[Exception] {
+      Seq(("ab", "a b")).toDF("text", "r")
+        .select(call_function("graft_bpe_merge_count", col("text"), col("r")))
+        .collect()
+    }
+    assert(err.getMessage.contains("LITERAL"))
+  }
+
   test("graft_sig_agreement equals the zip_with+aggregate form on sig pairs + edges") {
     import spark.implicits._
     // deterministic signature-shaped pairs over a small value domain (so

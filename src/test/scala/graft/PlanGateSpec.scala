@@ -37,6 +37,8 @@ class PlanGateSpec extends SparkSpec {
     Gate("text_langid", maxHashEx = 0),
     Gate("text_quality", maxHashEx = 0),
     Gate("text_tokens", maxHashEx = 0),
+    // C10b: real-BPE counting is the same zero-shuffle pure-map shape as C10
+    Gate("text_tokens_bpe", maxHashEx = 0),
     Gate("text_fingerprint", maxHashEx = 0),
     Gate("text_repetition", maxHashEx = 0),
     Gate("text_topgram", maxHashEx = 0),
