@@ -313,11 +313,186 @@ object Multimodal {
       .select(col("media_id"), col("width"), col("height"), col("n_frames"),
         col("feature_norm"))
 
+  // ----- C37: perceptual-hash near-dedup over media bytes -----
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+
+  /** Synthesized gray-GRADIENT PNG for C37: a 9×8 grid whose pixel levels
+    * are md5-derived from the document's image CLASS (`doc_id % nClasses` —
+    * several docs share one image, the planted duplicates), with every third
+    * doc carrying a one-pixel +16 brightening (the planted NEAR-duplicate:
+    * it flips at most the two dHash comparisons that touch that pixel).
+    * TYPE_INT_RGB with r=g=b keeps the PNG roundtrip bit-exact (the
+    * TYPE_BYTE_GRAY color model would gamma-convert under getRGB), so the
+    * decoded levels — and therefore the hash — collapse to the md5 closed
+    * form the DuckDB oracle reproduces. */
+  private def gradPngBytes(nClasses: Long)(id: Long): Array[Byte] = {
+    ImageIoCodec // once-per-JVM ImageIO cache disable
+    val key = id % nClasses
+    val pert = id % 3 == 0
+    val img = new java.awt.image.BufferedImage(9, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 8) {
+      val hex = md5Hex(s"$key:$y")
+      var x = 0
+      while (x < 9) {
+        var v = Integer.parseInt(hex.substring(2 * x, 2 * x + 2), 16)
+        if (pert && x == (key % 9).toInt && y == (key % 8).toInt)
+          v = math.min(v + 16, 255)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** 64-bit difference hash over a decoded 9×8 image: bit y*8+x is set when
+    * pixel (x,y) is darker than its right neighbor — the standard dHash
+    * layout, robust to uniform brightness shifts. */
+  private def dHash64(img: java.awt.image.BufferedImage): Long = {
+    var h = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if ((img.getRGB(x, y) & 0xFF) < (img.getRGB(x + 1, y) & 0xFF))
+          h |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
+  /** C37 — media near-dedup: the dedup family's missing modality. Synthesized
+    * gradient PNGs go through a REAL javax.imageio decode on the executor
+    * (mapPartitions, the codec seam), each image collapses to a 64-bit
+    * perceptual dHash, and the hashes dedup exactly like C3's simhash tier:
+    * 4 × 16-bit band keys, candidates ONLY from band-key equality joins, the
+    * MaxBucket degenerate-bucket guard, full-hash Hamming ≤ 3 verification,
+    * keeper = min doc_id. The image class count scales with the corpus
+    * (≈12 copies per image at any sf) so bucket sizes — and the dup rate —
+    * are scale-stable. 100 TB shape is C3's: the shuffle carries (band,
+    * doc_id, hash) rows, never the media bytes; the decode is a zero-shuffle
+    * pure map; pairwise work is bounded per bucket. The oracle reproduces
+    * the pixel formula, the dHash bits and the banding closed-form in SQL —
+    * any PNG encode/decode deviation moves a pixel and breaks the hash
+    * match, so the real codec path is value-gated (the C12c trick applied to
+    * a hash instead of a mean). */
+  def dedupMedia(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val nClasses = math.max(41L, docs.count() / 12L)
+    // one decode pass, cached: the hash table feeds both band-join sides and
+    // the final left join (same memo discipline as C2's signature store)
+    val hashes = Dedup.memoize(spark, sfDir,
+      "mediahash:" + graft.Tables.fingerprint(sfDir, "documents")) {
+      syntheticMediaTable(spark, sfDir, "image", gradPngBytes(nClasses))
+        .mapPartitions(_.map { row =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.media))
+            catch { case _: java.io.IOException => null }
+          // an unparseable payload degrades to hash 0 (the codec-tolerance
+          // contract); unreachable for self-synthesized PNGs, and any codec
+          // defect surfaces as an oracle hash mismatch, not a crash
+          (row.media_id, if (img == null) 0L else dHash64(img))
+        }).toDF("doc_id", "dhash")
+    }
+    val chunks = array((0 until 4).map { j =>
+      shiftrightunsigned(col("dhash"), 16 * j).bitwiseAND(lit(0xFFFFL))
+    }: _*)
+    val chunkedRaw = hashes.select(col("doc_id"), col("dhash"), posexplode(chunks))
+      .toDF("doc_id", "dhash", "chunk_id", "chunk_key")
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("chunk_id"), col("chunk_key"))
+    val chunked = chunkedRaw
+      .withColumn("bucket_n", count(lit(1)).over(wc))
+      .filter(col("bucket_n") <= Dedup.MaxBucket)
+      .drop("bucket_n")
+    val pairs = chunked.as("x").join(chunked.as("y"),
+        col("x.chunk_id") === col("y.chunk_id") &&
+        col("x.chunk_key") === col("y.chunk_key") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.dhash").bitwiseXOR(col("y.dhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+    val dupOf = pairs.groupBy(col("doc_b").as("doc_id"))
+      .agg(min(col("doc_a")).as("dup_of"))
+    hashes.join(dupOf, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dhash"), col("dup_of"),
+        col("dup_of").isNotNull.as("is_duplicate"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Generated oracle for C37: pixel levels from the same md5 formula, the
+    * same 64 darker-than-right-neighbor bits (bit 63 via the subtraction
+    * form signed BIGINT requires), C3's banding/guard/Hamming SQL. */
+  def dedupMediaSql: String = {
+    val mCols = (0 until 8)
+      .map(y => s"md5(CAST(key AS VARCHAR) || ':$y') AS m$y").mkString(",\n  ")
+    val pxCols = (for (y <- 0 until 8; x <- 0 until 9) yield {
+      val base = s"CAST(('0x' || substr(m$y, ${2 * x + 1}, 2)) AS BIGINT)"
+      s"CASE WHEN pert AND key % 9 = $x AND key % 8 = $y " +
+        s"THEN LEAST($base + 16, 255) ELSE $base END AS p_${x}_$y"
+    }).mkString(",\n  ")
+    val bits = (0 until 64).map { i =>
+      val x = i % 8; val y = i / 8
+      val cond = s"p_${x}_$y < p_${x + 1}_$y"
+      if (i == 63)
+        s"CASE WHEN $cond THEN CAST(-9223372036854775807 - 1 AS BIGINT) ELSE 0 END"
+      else s"CASE WHEN $cond THEN CAST(${1L << i} AS BIGINT) ELSE 0 END"
+    }.mkString("\n   + ")
+    val chunks = (0 until 4).map { j =>
+      s"SELECT doc_id, dhash, $j AS chunk_id, (dhash >> ${16 * j}) & 65535 AS chunk_key FROM hh"
+    }.mkString("\n UNION ALL ")
+    s"""WITH d AS (
+       | SELECT doc_id,
+       |  CAST(doc_id % GREATEST(41, (SELECT COUNT(*) FROM documents) // 12) AS BIGINT) AS key,
+       |  (doc_id % 3 = 0) AS pert
+       | FROM documents),
+       |m AS (
+       | SELECT doc_id, key, pert,
+       |  $mCols
+       | FROM d),
+       |hx AS (
+       | SELECT doc_id,
+       |  $pxCols
+       | FROM m),
+       |hh AS (
+       | SELECT doc_id,
+       |  $bits AS dhash
+       | FROM hx),
+       |chunked_all AS (
+       | $chunks),
+       |chunked AS (
+       | SELECT * FROM chunked_all
+       | QUALIFY COUNT(*) OVER (PARTITION BY chunk_id, chunk_key) <= ${Dedup.MaxBucket}),
+       |pairs AS (
+       | SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |  bit_count(xor(x.dhash, y.dhash)) AS hamming
+       | FROM chunked x JOIN chunked y
+       |  ON x.chunk_id = y.chunk_id AND x.chunk_key = y.chunk_key AND x.doc_id < y.doc_id),
+       |dup AS (
+       | SELECT doc_b AS doc_id, MIN(doc_a) AS dup_of
+       | FROM pairs WHERE hamming <= 3 GROUP BY doc_b)
+       |SELECT h.doc_id, h.dhash, dup.dup_of, dup.dup_of IS NOT NULL AS is_duplicate
+       |FROM hh h LEFT JOIN dup ON h.doc_id = dup.doc_id
+       |ORDER BY h.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_pipeline" -> (mmPipeline _),
     "mm_frame_sample" -> (mmFrameSample _),
     "mm_decode_png" -> (mmDecodePng _),
-    "mm_decode_wav" -> (mmDecodeWav _))
+    "mm_decode_wav" -> (mmDecodeWav _),
+    "dedup_media" -> (dedupMedia _))
 
   /** DuckDB replica of the media fabrication + StubCodec feature math: the
     * payload is the document's UTF-8 bytes in both engines, md5 agrees on
@@ -380,5 +555,6 @@ object Multimodal {
     "mm_pipeline" -> mmPipelineSql,
     "mm_frame_sample" -> mmFrameSampleSql,
     "mm_decode_png" -> mmDecodePngSql,
-    "mm_decode_wav" -> mmDecodeWavSql)
+    "mm_decode_wav" -> mmDecodeWavSql,
+    "dedup_media" -> dedupMediaSql)
 }

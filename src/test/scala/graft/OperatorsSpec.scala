@@ -627,6 +627,33 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("media near-dedup hashes real decodes and cites lower-id keepers (C37)") {
+    // 500 docs over 41 image classes (doc_id % 41): every member of a class
+    // must resolve to the class-minimum keeper — including members carrying
+    // the planted one-pixel perturbation (≤2 flipped dHash bits → ≥2 of 4
+    // bands still collide, hamming ≤ 2 ≤ 3)
+    val out = Multimodal.dedupMedia(spark, sfDir).collect()
+    val nDocs = Tables.load(spark, sfDir, "documents").count()
+    assert(out.length == nDocs)
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(3))).toMap
+    byId.foreach { case (id, (_, dupOf, isDup)) =>
+      val keeper = id % 41
+      if (id == keeper) assert(!isDup, s"keeper $id must not be flagged")
+      else assert(isDup && dupOf == keeper,
+        s"doc $id should duplicate class keeper $keeper, got dup_of=$dupOf")
+    }
+    assert(out.count(_.getBoolean(3)) == nDocs - 41)
+    // hashes are non-degenerate (gradient content, not constant images)
+    assert(out.map(_.getLong(1)).distinct.length > 30)
+    // at least one found pair is a true NEAR-dup (differing hashes): the
+    // perturbation path is exercised, not just exact hash equality
+    val dh = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nearPairs = out.filter(r => !r.isNullAt(2))
+      .count(r => dh(r.getLong(2)) != r.getLong(1))
+    assert(nearPairs >= 1, "no near-duplicate (hamming>0) pair was exercised")
+  }
+
   test("PMR NaN modes: default SQL semantics vs reference fidelity") {
     import spark.implicits._
     // all-negative column with a NaN and a null — the case where the two
