@@ -293,9 +293,16 @@ object Similarity {
   }
 
   /** The partition-pruned probe over a cid-partitioned index layout — shared
-    * by C7c (full-rebuild index) and C7d (incrementally-appended index). */
+    * by C7c (full-rebuild index), C7d (incrementally-appended index) and the
+    * streaming append form (Streams D11, which probes the union of the
+    * corpus layout and a stream-appended layout: each root keeps its own
+    * PartitionFilters pruning, and union adds no exchange). */
   private def prunedProbe(spark: SparkSession, sfDir: String, path: String,
-    codebook: Array[(Int, Array[Double])]): DataFrame = {
+    codebook: Array[(Int, Array[Double])]): DataFrame =
+    prunedProbe(spark, sfDir, Seq(path), codebook)
+
+  private[graft] def prunedProbe(spark: SparkSession, sfDir: String,
+    paths: Seq[String], codebook: Array[(Int, Array[Double])]): DataFrame = {
     val nProbe = 4
     // the query vector: a one-row lookup standing in for the user's input
     val p = Tables.load(spark, sfDir, "embeddings")
@@ -312,9 +319,11 @@ object Similarity {
       .sortBy { case (cid, cv) => (-cos(cv, p), cid) }
       .take(nProbe).map(_._1.toLong).toSeq
     val probeLit = typedlit(p.toSeq)
-    spark.read.parquet(path)
-      .filter(col("cid").isin(probeCids: _*)) // → PartitionFilters: file-level pruning
-      .filter(col("vec_id") =!= 0)
+    paths.map { path =>
+      spark.read.parquet(path)
+        .filter(col("cid").isin(probeCids: _*)) // → PartitionFilters: file-level pruning
+        .filter(col("vec_id") =!= 0)
+    }.reduce(_.unionByName(_))
       .select(col("vec_id"), col("cid").cast("bigint").as("cid"),
         graft.functions.GraftFunctions.cosine(spark, col("v"), probeLit).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
@@ -337,7 +346,7 @@ object Similarity {
   /** The corpus-only codebook (vec_id % 10 != 9 — the same ingest split as
     * C16): trained on yesterday's corpus; the new batch must NOT influence
     * centroids, or the stored lists and the probe lists could disagree. */
-  private[operators] def corpusCodebook(spark: SparkSession,
+  private[graft] def corpusCodebook(spark: SparkSession,
     sfDir: String): Array[(Int, Array[Double])] = this.synchronized {
     val fp = graft.Tables.fingerprint(sfDir, "embeddings")
     ivfAppendState.get(sfDir).filter(_._1 == fp).map(_._2).getOrElse {
@@ -400,6 +409,36 @@ object Similarity {
   def simIvfAppend(spark: SparkSession, sfDir: String): DataFrame = {
     val (path, codebook) = ensureIvfAppendIndex(spark, sfDir)
     prunedProbe(spark, sfDir, path, codebook)
+  }
+
+  // ----- D11 support: the corpus base layout the STREAMING append builds on.
+  // Separate path from C7d's index: the streaming run replays its appends
+  // from a fresh checkpoint each time, so it owns a layout whose appended
+  // files it can drop without touching C7d's memoized state.
+  private val streamIvfBaseBuilt =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[graft] def streamIvfBasePath(sfDir: String): String =
+    s"${graft.GraftConf.localRoot}/graft_ivf_streambase/${sfDir.replaceAll("[^A-Za-z0-9]+", "_")}"
+
+  /** Build-or-reuse the corpus-only cid-partitioned layout for the streaming
+    * append tier (same corpus split and FROZEN codebook as C7d's offline
+    * build). Returns (path, codebook). */
+  private[graft] def ensureStreamCorpusIndex(spark: SparkSession,
+    sfDir: String): (String, Array[(Int, Array[Double])]) = this.synchronized {
+    val fp = graft.Tables.fingerprint(sfDir, "embeddings")
+    val path = streamIvfBasePath(sfDir)
+    val codebook = corpusCodebook(spark, sfDir)
+    if (!streamIvfBaseBuilt.get(sfDir).contains(fp) ||
+        !new java.io.File(path, "_SUCCESS").exists()) {
+      Tables.load(spark, sfDir, "embeddings")
+        .filter(col("vec_id") % 10 =!= 9)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .withColumn("cid", nearestCid(spark, codebook))
+        .write.mode("overwrite").partitionBy("cid").parquet(path)
+      streamIvfBaseBuilt(sfDir) = fp
+    }
+    (path, codebook)
   }
 
   /** Generated DuckDB oracle for C7 (same technique as Dedup.dedupEmbeddingSql:
@@ -738,7 +777,7 @@ object Similarity {
     * once. The fingerprint in the tag keeps a mid-app data regeneration from
     * pairing a stale cached assignment with freshly-retrained oracle
     * centroids. */
-  private def semanticAssigned(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def semanticAssigned(spark: SparkSession, sfDir: String): DataFrame = {
     val codebook = trainSemanticCodebook(spark, sfDir)
     Dedup.memoize(spark, sfDir,
       "semcid:" + graft.Tables.fingerprint(sfDir, "embeddings")) {
@@ -808,6 +847,50 @@ object Similarity {
        | SELECT y.vec_id AS vec_id, x.vec_id AS va, ${cos("x.v", "y.v")} AS cosine
        | FROM assigned x JOIN assigned y
        |  ON x.cid = y.cid AND x.vec_id < y.vec_id),
+       |agg AS (
+       | SELECT vec_id, MIN(va) AS dup_of, MAX(cosine) AS max_cosine
+       | FROM pairs WHERE cosine >= 0.45 GROUP BY vec_id)
+       |SELECT b.vec_id, b.cid, a.dup_of,
+       | COALESCE(a.max_cosine, 0.0) AS max_cosine,
+       | a.dup_of IS NOT NULL AS is_duplicate
+       |FROM assigned b LEFT JOIN agg a ON b.vec_id = a.vec_id
+       |ORDER BY b.vec_id""".stripMargin
+  }
+
+  /** Generated oracle for the STREAMING semantic tier (Streams D10): C29's
+    * SQL with the keeper-rank guard — the streaming operator's per-cid state
+    * holds only the first MaxBucket arrivals (by vec_id, the monotone ingest
+    * order), an arrival emits one candidate per keeper already present, and
+    * a saturated cluster emits nothing — so the candidate set is exactly
+    * {(x, y) same cid, rank(x) < rank(y) <= MaxBucket} with rank =
+    * ROW_NUMBER by vec_id within cid. Same centroid binding, assignment
+    * argmax, cosine fold and τ as the batch form. */
+  def streamDedupSemanticSql(sfDir: String): String = {
+    def sq(vec: String) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> $vec[i] * $vec[i])), (a, b) -> a + b)"
+    def dotv(a: String, b: String) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> $a[i] * $b[i])), (a, b) -> a + b)"
+    def cos(a: String, b: String) = s"${dotv(a, b)} / (sqrt(${sq(a)}) * sqrt(${sq(b)}))"
+    val centroidCte = centroidValuesCte(cachedSemanticCodebook(sfDir))
+      .getOrElse(semanticSeedCte)
+    s"""WITH e AS (
+       | SELECT vec_id, list_transform(embedding, z -> CAST(z AS DOUBLE)) AS v
+       | FROM embeddings),
+       |$centroidCte,
+       |asn AS (
+       | SELECT vec_id, v, cid,
+       |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rk
+       | FROM (SELECT x.vec_id, x.v, c.cid, ${cos("x.v", "c.cv")} AS csim FROM e x, c) t),
+       |assigned AS (SELECT vec_id, v, cid FROM asn WHERE rk = 1),
+       |ranked AS (
+       | SELECT vec_id, v, cid,
+       |  ROW_NUMBER() OVER (PARTITION BY cid ORDER BY vec_id) AS krank
+       | FROM assigned),
+       |pairs AS (
+       | SELECT y.vec_id AS vec_id, x.vec_id AS va, ${cos("x.v", "y.v")} AS cosine
+       | FROM ranked x JOIN ranked y
+       |  ON x.cid = y.cid AND x.krank < y.krank
+       |   AND y.krank <= ${Dedup.MaxBucket}),
        |agg AS (
        | SELECT vec_id, MIN(va) AS dup_of, MAX(cosine) AS max_cosine
        | FROM pairs WHERE cosine >= 0.45 GROUP BY vec_id)
@@ -963,7 +1046,10 @@ object Similarity {
     // identical candidate set + bit-identical cosine → C7c shares C7b's oracle
     "sim_ivf_pruned" -> simIvfSql(sfDir),
     "sim_ivf_append" -> simIvfAppendSql(sfDir),
+    // D11 probes the same frozen-codebook corpus+append content as C7d
+    "stream_ivf_append" -> simIvfAppendSql(sfDir),
     "dedup_semantic" -> dedupSemanticSql(sfDir),
+    "stream_dedup_semantic" -> streamDedupSemanticSql(sfDir),
     "embed_quantize" -> embedQuantizeSql,
     "embed_prune" -> embedPruneSql(sfDir),
     "sim_pq" -> simPqSql(sfDir))
@@ -988,7 +1074,9 @@ object Similarity {
       oracles(sfDir = "") ++ (Seq("sim_ivf", "sim_ivf_pruned")
         .map(k => k -> (banner + simIvfSql(""))) :+
         ("sim_ivf_append" -> (banner + simIvfAppendSql(""))) :+
+        ("stream_ivf_append" -> (banner + simIvfAppendSql(""))) :+
         ("dedup_semantic" -> (banner + dedupSemanticSql(""))) :+
+        ("stream_dedup_semantic" -> (banner + streamDedupSemanticSql(""))) :+
         ("embed_prune" -> (banner + embedPruneSql(""))) :+
         ("sim_pq" -> (banner + simPqSql(""))))
   }

@@ -45,6 +45,9 @@ object Streams extends Serializable {
   def stage(spark: SparkSession, sfDir: String): Unit = {
     eventsStream(spark, sfDir)
     docsStream(spark, sfDir)
+    embeddingsStream(spark, sfDir)
+    stageEmbeddingsBatch(spark, sfDir, new java.io.File(
+      s"${graft.GraftConf.localRoot}/graft_stream/${sfDir.replaceAll("[^A-Za-z0-9]+", "_")}/emb_batch_in"))
     ()
   }
 
@@ -830,6 +833,202 @@ object Streams extends Serializable {
       .orderBy(col("doc_id"))
   }
 
+  // ----- D10: streaming SEMANTIC dedup -----
+
+  private val EmbSchema = "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+
+  /** The embeddings stream: the vector leg of the continuous ingest path
+    * (the landing directory an embedding service writes to). */
+  private def embeddingsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val stageDir = new java.io.File(
+      s"${graft.GraftConf.localRoot}/graft_stream/${sfDir.replaceAll("[^A-Za-z0-9]+", "_")}/emb_in")
+    stageCopy(sfDir, "embeddings", stageDir)
+    spark.readStream.schema(EmbSchema).parquet(stageDir.getAbsolutePath)
+  }
+
+  case class CidVec(vec_id: Long, cid: Long)
+  case class CidKeepers(ids: Seq[Long])
+  case class SemCand(vec_id: Long, cand_id: Long)
+
+  /** D10 — streaming semantic dedup: the C29 tier of the continuous ingest
+    * path, completing the lexical→semantic ladder (D4 exact, D5 MinHash/LSH,
+    * this paraphrase-level). Each arriving vector is assigned its cluster
+    * ROW-LOCALLY by the broadcast-backed `graft_nearest_cid_bc` kernel
+    * against the FROZEN corpus codebook (the offline-trained artifact — a
+    * stream must never retrain it, or assignments would drift against the
+    * stored corpus clusters), then flatMapGroupsWithState keyed by cid holds
+    * the cluster's first-MaxBucket keeper ids — the D5 state pattern with
+    * the cluster id playing the band key. An arrival emits one candidate per
+    * keeper present and joins if there is room; a SATURATED cluster emits
+    * nothing (the same degenerate-bucket guard, capping lifetime emission at
+    * C(MaxBucket, 2) pairs per cluster). Candidates land in a parquet FILE
+    * sink (never the driver) and are resolved OUTSIDE the state op by exact
+    * cosine ≥ τ against the memoized corpus assignment C29/C32 share —
+    * vectors are looked up, not carried, so keeper state is the id alone.
+    * The keeper-rank bound makes the whole operator closed-form: the
+    * generated oracle (Similarity.streamDedupSemanticSql) is C29's SQL with
+    * a ROW_NUMBER-by-vec_id rank guard. Same monotone-ingest-id caveat as
+    * D4/D5 across batches. */
+  def streamDedupSemantic(spark: SparkSession, sfDir: String): DataFrame = {
+    val cp = new java.io.File(checkpointDir(sfDir, "stream_dedup_semantic"))
+    val codebook = graft.operators.Similarity.trainSemanticCodebook(spark, sfDir)
+    semanticDedupRun(spark, embeddingsStream(spark, sfDir), cp, codebook,
+      graft.operators.Similarity.semanticAssigned(spark, sfDir))
+  }
+
+  /** Test hook: every staged file its own micro-batch — keeper state must
+    * persist across batch boundaries for real. */
+  private[graft] def streamDedupSemanticMultiBatch(spark: SparkSession,
+    sfDir: String, stageDir: String, name: String): DataFrame = {
+    val cp = new java.io.File(stageDir + "_cp_" + name)
+    val src = spark.readStream.schema(EmbSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stageDir)
+    semanticDedupRun(spark, src, cp,
+      graft.operators.Similarity.trainSemanticCodebook(spark, sfDir),
+      graft.operators.Similarity.semanticAssigned(spark, sfDir))
+  }
+
+  private def semanticDedupRun(spark: SparkSession, src: DataFrame,
+    cp: java.io.File, codebook: Array[(Int, Array[Double])],
+    assignedBatch: DataFrame): DataFrame = {
+    import spark.implicits._
+    org.apache.commons.io.FileUtils.deleteQuietly(cp)
+
+    def decide(cid: Long, vs: Iterator[CidVec],
+      state: GroupState[CidKeepers]): Iterator[SemCand] = {
+      val sorted = vs.toArray.sortBy(_.vec_id)
+      var ids = state.getOption.map(_.ids.toArray).getOrElse(Array.empty[Long])
+      val out = scala.collection.mutable.ArrayBuffer.empty[SemCand]
+      sorted.foreach { v =>
+        if (ids.length < graft.operators.Dedup.MaxBucket) {
+          var i = 0
+          while (i < ids.length) {
+            if (ids(i) < v.vec_id) out += SemCand(v.vec_id, ids(i))
+            i += 1
+          }
+          ids = ids :+ v.vec_id
+        }
+      }
+      state.update(CidKeepers(ids.toSeq))
+      out.iterator
+    }
+
+    val assigned = src
+      .select(col("vec_id"), transform(col("embedding"),
+        x => x.cast("double")).as("v"))
+      .select(col("vec_id"),
+        graft.functions.GraftFunctions
+          .nearestCidBroadcast(spark, col("v"), codebook).as("cid"))
+      .as[CidVec]
+    val cands = assigned
+      .groupByKey(_.cid)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(decide)
+      .toDF()
+    // state-key cardinality = cluster count (K), tiny next to D5's band keys
+    val sink = runToFiles(spark, cands,
+      new java.io.File(cp.getAbsolutePath + "_cands"), cp,
+      stateKeyHint = codebook.length.toLong)
+    // batch resolve: one vector lookup per pair side against the memoized
+    // corpus assignment (stream and batch assign with the same codebook +
+    // kernel, so cid/v lookups are bit-identical to having carried them);
+    // each vector has exactly ONE cid, so pairs are already distinct
+    val vecs = assignedBatch.select(col("vec_id"), col("v"))
+    val pairs = sink
+      .join(vecs, Seq("vec_id"))
+      .join(vecs.select(col("vec_id").as("cand_id"), col("v").as("cand_v")),
+        Seq("cand_id"))
+      .withColumn("cosine",
+        graft.functions.GraftFunctions.cosine(spark, col("v"), col("cand_v")))
+      .filter(col("cosine") >= 0.45)
+    val dup = pairs.groupBy(col("vec_id"))
+      .agg(min(col("cand_id")).as("dup_of"), max(col("cosine")).as("max_cosine"))
+    assignedBatch.select(col("vec_id"), col("cid"))
+      .join(dup, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"), col("dup_of"),
+        coalesce(col("max_cosine"), lit(0.0)).as("max_cosine"),
+        col("dup_of").isNotNull.as("is_duplicate"))
+      .orderBy(col("vec_id"))
+  }
+
+  // ----- D11: streaming IVF index append (C7d's continuous form) -----
+
+  /** D11 — continuous index maintenance: the daily-batch append of C7d run
+    * as a stream. New vectors land in a file-stream directory; each
+    * micro-batch is assigned with the FROZEN corpus codebook and appended
+    * into a cid-partitioned parquet layout via foreachBatch — the O(batch)
+    * append path, never an O(corpus) rebuild; existing files are never
+    * rewritten. The probe then reads the UNION of the corpus base layout and
+    * the stream-appended layout, each side partition-pruned to the nProbe
+    * lists (PartitionFilters on both scans — spec-pinned), so a freshly
+    * streamed vector is a first-class ANN candidate the moment its
+    * micro-batch commits. Content equals C7d's two-step build exactly, so
+    * the probe shares its oracle. Each run replays from a fresh checkpoint
+    * into an empty append dir (exactly-once per run); a production deploy
+    * keeps the checkpoint and the append dir forever. */
+  def streamIvfAppend(spark: SparkSession, sfDir: String): DataFrame = {
+    val (basePath, codebook) =
+      graft.operators.Similarity.ensureStreamCorpusIndex(spark, sfDir)
+    // stage the "new vectors" backlog (the C16/C7d ingest split) as SEVERAL
+    // files so AvailableNow + maxFilesPerTrigger exercises real multi-batch
+    // appends, not one degenerate batch
+    val stageDir = new java.io.File(
+      s"${graft.GraftConf.localRoot}/graft_stream/${sfDir.replaceAll("[^A-Za-z0-9]+", "_")}/emb_batch_in")
+    stageEmbeddingsBatch(spark, sfDir, stageDir)
+    val cp = new java.io.File(checkpointDir(sfDir, "stream_ivf_append"))
+    val appendDir = new java.io.File(cp.getAbsolutePath + "_appended")
+    org.apache.commons.io.FileUtils.deleteQuietly(cp)
+    org.apache.commons.io.FileUtils.deleteQuietly(appendDir)
+    val src = spark.readStream.schema(EmbSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stageDir.getAbsolutePath)
+    withStreamShufflePartitions(spark) {
+      val q = src.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch
+            .select(col("vec_id"), transform(col("embedding"),
+              x => x.cast("double")).as("v"))
+            .withColumn("cid", graft.functions.GraftFunctions
+              .nearestCidBroadcast(batch.sparkSession, col("v"), codebook))
+            .write.mode("append").partitionBy("cid")
+            .parquet(appendDir.getAbsolutePath)
+          ()
+        }
+        .option("checkpointLocation", cp.getAbsolutePath)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    graft.operators.Similarity.prunedProbe(spark, sfDir,
+      Seq(basePath, appendDir.getAbsolutePath), codebook)
+  }
+
+  /** Stage the batch-split vectors (vec_id % 10 == 9) as 3 flat parquet
+    * files under the landing dir, fingerprint-committed like every staged
+    * copy. */
+  private def stageEmbeddingsBatch(spark: SparkSession, sfDir: String,
+    stageDir: java.io.File): Boolean = {
+    def parts = Option(stageDir.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.getName.startsWith("emb_") && f.getName.endsWith(".parquet"))
+    withFingerprint(sfDir, "embeddings", stageDir, freshData = parts.nonEmpty) {
+      stageDir.mkdirs()
+      parts.foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+      val tmp = new java.io.File(stageDir.getParentFile, "emb_batch_tmp")
+      graft.Tables.load(spark, sfDir, "embeddings")
+        .filter(col("vec_id") % 10 === 9)
+        .repartitionByRange(3, col("vec_id"))
+        .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      tmp.listFiles().filter(_.getName.endsWith(".parquet")).zipWithIndex
+        .foreach { case (p, i) =>
+          java.nio.file.Files.move(p.toPath,
+            new java.io.File(stageDir, f"emb_$i%03d.parquet").toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+    }
+  }
+
   // ----- D8: stream-stream interval join -----
 
   /** D8 — watermarked stream-stream interval join: click→purchase attribution
@@ -941,6 +1140,8 @@ object Streams extends Serializable {
     "stream_to_catalog" -> (streamToCatalog _),
     "stream_dedup" -> (streamDedup _),
     "stream_dedup_near" -> (streamDedupNear _),
+    "stream_dedup_semantic" -> (streamDedupSemantic _),
+    "stream_ivf_append" -> (streamIvfAppend _),
     "stream_quality_gate" -> (streamQualityGate _),
     "stream_classify" -> (streamClassify _),
     "stream_decontam_gate" -> (streamDecontamGate _),

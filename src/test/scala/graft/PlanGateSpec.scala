@@ -70,6 +70,13 @@ class PlanGateSpec extends SparkSpec {
     Gate("dedup_spans", maxHashEx = 3),
     // C29: pairwise stays confined to the cid SMJ; the dup rollup broadcasts
     Gate("dedup_semantic", maxHashEx = 3, minBroadcast = 1, maxSortMerge = 1),
+    // D10's batch resolve: candidate sink joins two vector lookups (one SMJ
+    // at most), dup rollup + final join broadcast — no corpus-wide extra
+    // exchange beyond the pair resolution itself
+    Gate("stream_dedup_semantic", maxHashEx = 3, minBroadcast = 2, maxSortMerge = 1),
+    // D11: the post-stream probe is C7d's — both union legs partition-pruned,
+    // zero exchanges
+    Gate("stream_ivf_append", maxHashEx = 0, maxRangeEx = 0, needPartitionFilters = true),
     // C32: assignment is a projected argmax, centroids broadcast; the ONLY
     // hash exchange is the cid window rank (the C7c layout partitioning)
     Gate("embed_prune", maxHashEx = 1, minBroadcast = 1),

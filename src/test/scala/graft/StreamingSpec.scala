@@ -398,4 +398,65 @@ class StreamingSpec extends SparkSpec {
     val removed = progress.flatMap(_.stateOperators.map(_.numRowsRemoved)).sum
     assert(removed == 2, s"expected 2 evicted digests; progress shows $removed")
   }
+
+  test("streaming semantic dedup survives multi-batch slicing (keeper state persists)") {
+    import org.apache.spark.sql.functions._
+    // slice the corpus embeddings into two vec_id-ordered files: cluster
+    // keepers crowned in batch 1 must still collect batch-2 candidates, and
+    // the decisions must equal the single-batch run exactly
+    val stageDir = new java.io.File("/root/repo/target/test_stream_sem_mb")
+    org.apache.commons.io.FileUtils.deleteQuietly(stageDir)
+    stageDir.mkdirs()
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val mid = e.count() / 2
+    Seq(col("vec_id") < mid, col("vec_id") >= mid).zipWithIndex.foreach {
+      case (pred, i) =>
+        val tmp = new java.io.File(stageDir.getParent, s"sem_tmp_$i")
+        e.filter(pred).coalesce(1).write.mode("overwrite")
+          .parquet(tmp.getAbsolutePath)
+        val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(stageDir, f"batch_$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(1700000000000L + i * 60000L)
+        org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2),
+        r.getDouble(3), r.getBoolean(4))
+    }.toSeq
+    val multi = rows(Streams.streamDedupSemanticMultiBatch(spark, sfDir,
+      stageDir.getAbsolutePath, "mb_sem"))
+    val single = rows(Streams.streamDedupSemantic(spark, sfDir))
+    assert(multi == single)
+    // non-degenerate: the corpus actually contains semantic dups to find
+    assert(single.count(_._5) > 0, "fixture found no semantic duplicates")
+    // and CROSS-BATCH pairs were resolved: some batch-2 vector (vec_id >=
+    // mid) must cite a batch-1 keeper (dup_of < mid)
+    assert(multi.exists(r => r._1 >= mid && r._3 >= 0 && r._3 < mid),
+      "no cross-batch candidate pair survived the batch boundary")
+  }
+
+  test("streaming IVF append equals the batch-maintained index probe (C7d ≡ D11)") {
+    // same frozen corpus codebook, same corpus+batch content → the pruned
+    // probe over (base ∪ streamed-append) must return C7d's rows exactly
+    val batch = operators.Similarity.simIvfAppend(spark, sfDir).collect().toSeq
+    // record the corpus base layout before the streaming run
+    val (basePath, _) = operators.Similarity.ensureStreamCorpusIndex(spark, sfDir)
+    def baseState = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(basePath)).filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getAbsolutePath, f.length, f.lastModified)).sortBy(_._1)
+    }
+    val before = baseState
+    val streamed = Streams.streamIvfAppend(spark, sfDir)
+    val got = streamed.collect().toSeq
+    assert(got == batch, s"streamed probe diverged:\n$got\nvs\n$batch")
+    // append-only: not one corpus base file rewritten by the stream
+    assert(baseState == before, "streaming append touched corpus base files")
+    // both scan legs keep partition pruning (the point of the cid layout)
+    val plan = streamed.queryExecution.executedPlan.toString
+    val pruned = "PartitionFilters: \\[.*cid".r.findAllIn(plan).size
+    assert(pruned >= 2, s"expected 2 partition-pruned scans, plan:\n${plan.take(3000)}")
+  }
 }
