@@ -102,6 +102,22 @@ object Similarity {
   private val IvfK = 16
   private val IvfLloydIters = 3
 
+  /** Evict every trained/built memo (codebooks, index build markers, PQ
+    * books). The next query retrains and rebuilds from source data — the
+    * cold-path measurement hook (tools.ColdWarm) and the long-lived-app
+    * analog of Dedup.clear(). On-disk layouts are left in place; the cleared
+    * build markers force an overwrite rebuild, so nothing stale can be
+    * served. */
+  def clearCaches(): Unit = {
+    codebookCache.clear()
+    semanticCodebookCache.clear()
+    ivfIndexBuilt.clear()
+    ivfAppendState.clear()
+    ivfAppendBuilt.clear()
+    streamIvfBaseBuilt.clear()
+    pqCache.clear()
+  }
+
   /** The nearest-centroid id for vector column `v` as ONE projected argmax —
     * highest cosine, then lowest cid, matching the oracle's ROW_NUMBER
     * (csim DESC, cid ASC) tie-break. No K× row expansion, no exchange.

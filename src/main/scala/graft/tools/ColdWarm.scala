@@ -1,0 +1,68 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Cold-vs-warm cost of the memoized derived stores (the round-9 bench-
+  * honesty directive): the per-round bench runs with signature tables,
+  * trained codebooks and IVF layouts already warm, so the amortized number
+  * alone overstates steady-state-only thinking — a production pipeline pays
+  * the build once per corpus generation, and that cost should be MEASURED,
+  * not assumed.
+  *
+  * For each memoized family this tool evicts the relevant caches, times one
+  * representative query COLD (query + full store build: signature pass /
+  * Lloyd training + assignment / index write), then times it again WARM
+  * (store served from memo), and prints one JSON line per family plus a
+  * sidecar at target/coldwarm_last.json. Run:
+  *   SPARK_GRAFT_SF_DIR=... SPARK_GRAFT_CPUS=32 sbt "runMain graft.tools.ColdWarm"
+  */
+object ColdWarm {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = graft.GraftConf(SparkSession.builder().master(s"local[$cpus]"), cpus)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def run(name: String): Unit = {
+      graft.SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+    }
+    def time(name: String): Double = {
+      val t0 = System.nanoTime(); run(name); (System.nanoTime() - t0) / 1e9
+    }
+    def clearAll(): Unit = {
+      graft.operators.Dedup.clear()
+      graft.operators.Similarity.clearCaches()
+    }
+
+    // one warm-up query first so JVM/codegen startup cost doesn't masquerade
+    // as the first family's store-build cost
+    run("q1_pricing_summary")
+
+    // family -> the representative query whose first run pays the store
+    // build: MinHash signature table (C2), semantic codebook training +
+    // corpus assignment (C29), IVF codebook + cid-partitioned index write
+    // (C7c)
+    val families = Seq(
+      "signatures" -> "dedup_minhash",
+      "semantic_assignment" -> "dedup_semantic",
+      "ivf_index" -> "sim_ivf_pruned")
+    def r3(v: Double) =
+      new java.math.BigDecimal(v).setScale(3, java.math.RoundingMode.HALF_UP)
+    val lines = families.map { case (family, q) =>
+      clearAll()
+      val cold = time(q)
+      val warm = time(q)
+      s"""{"family":"$family","query":"$q","cold_sec":${r3(cold)},"warm_sec":${r3(warm)},"sf":"$sfDir"}"""
+    }
+    try {
+      val p = java.nio.file.Paths.get("target/coldwarm_last.json")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, lines.mkString("", "\n", "\n"))
+    } catch { case e: Throwable => System.err.println(s"[coldwarm] sidecar: ${e.getMessage}") }
+    clearAll()
+    spark.stop()
+    lines.foreach(println)
+  }
+}
