@@ -370,6 +370,58 @@ object Multimodal {
     h
   }
 
+  /** C12e — REAL image resize: the resize leg of the multimodal mandate
+    * (decode / feature-extract / resize / frame-sample), run end-to-end on
+    * actual decoded pixels. Each gradient PNG is decoded by javax.imageio
+    * and area-average downsampled 9×8 → 3×4 (each output cell the exact
+    * mean of a 3×2 pixel block — the standard antialiasing resample for
+    * integer shrink factors). Zero-shuffle pure map over the mapPartitions
+    * codec seam; output is 12 (doc, cell) rows per image. Every cell value
+    * is an integer sum over decoded levels divided once by 6.0 — a single
+    * IEEE division of exactly-representable operands, so the full thumbnail
+    * is hash-checkable against the closed-form pixel oracle (any decode or
+    * resample deviation moves a cell). */
+  def mmResize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val nClasses = math.max(41L, docs.count() / 12L)
+    syntheticMediaTable(spark, sfDir, "image", gradPngBytes(nClasses))
+      .mapPartitions(_.flatMap { row =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.media))
+          catch { case _: java.io.IOException => null }
+        if (img == null) Iterator.empty
+        else for (ty <- (0 until 4).iterator; tx <- 0 until 3) yield {
+          var s = 0
+          var dy = 0
+          while (dy < 2) {
+            var dx = 0
+            while (dx < 3) {
+              s += img.getRGB(tx * 3 + dx, ty * 2 + dy) & 0xFF
+              dx += 1
+            }
+            dy += 1
+          }
+          (row.media_id, tx, ty, s.toDouble / 6.0)
+        }
+      }).toDF("doc_id", "tx", "ty", "v")
+      .orderBy(col("doc_id"), col("ty"), col("tx"))
+  }
+
+  /** Generated oracle for C12e: the same md5 pixel formula as C37, block
+    * sums as exact BIGINT arithmetic, one division by 6.0 per cell. */
+  def mmResizeSql: String = {
+    val cells = (for (ty <- 0 until 4; tx <- 0 until 3) yield {
+      val terms = (for (dy <- 0 until 2; dx <- 0 until 3)
+        yield s"p_${tx * 3 + dx}_${ty * 2 + dy}").mkString(" + ")
+      s"SELECT doc_id, $tx AS tx, $ty AS ty, ($terms) / 6.0 AS v FROM hx"
+    }).mkString("\n UNION ALL ")
+    s"""WITH ${gradPixelCtes}
+       |SELECT doc_id, CAST(tx AS INT) AS tx, CAST(ty AS INT) AS ty, v FROM (
+       | $cells)
+       |ORDER BY doc_id, ty, tx""".stripMargin
+  }
+
   /** C37 — media near-dedup: the dedup family's missing modality. Synthesized
     * gradient PNGs go through a REAL javax.imageio decode on the executor
     * (mapPartitions, the codec seam), each image collapses to a 64-bit
@@ -431,10 +483,11 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
-  /** Generated oracle for C37: pixel levels from the same md5 formula, the
-    * same 64 darker-than-right-neighbor bits (bit 63 via the subtraction
-    * form signed BIGINT requires), C3's banding/guard/Hamming SQL. */
-  def dedupMediaSql: String = {
+  /** The shared gradient-pixel CTE chain (d → m → hx) for the C37/C12e
+    * oracles: image class + perturbation flag, per-row md5 strings, and the
+    * 72 decoded pixel levels as BIGINT columns — the SQL mirror of
+    * gradPngBytes followed by a perfect PNG roundtrip. */
+  private def gradPixelCtes: String = {
     val mCols = (0 until 8)
       .map(y => s"md5(CAST(key AS VARCHAR) || ':$y') AS m$y").mkString(",\n  ")
     val pxCols = (for (y <- 0 until 8; x <- 0 until 9) yield {
@@ -442,17 +495,7 @@ object Multimodal {
       s"CASE WHEN pert AND key % 9 = $x AND key % 8 = $y " +
         s"THEN LEAST($base + 16, 255) ELSE $base END AS p_${x}_$y"
     }).mkString(",\n  ")
-    val bits = (0 until 64).map { i =>
-      val x = i % 8; val y = i / 8
-      val cond = s"p_${x}_$y < p_${x + 1}_$y"
-      if (i == 63)
-        s"CASE WHEN $cond THEN CAST(-9223372036854775807 - 1 AS BIGINT) ELSE 0 END"
-      else s"CASE WHEN $cond THEN CAST(${1L << i} AS BIGINT) ELSE 0 END"
-    }.mkString("\n   + ")
-    val chunks = (0 until 4).map { j =>
-      s"SELECT doc_id, dhash, $j AS chunk_id, (dhash >> ${16 * j}) & 65535 AS chunk_key FROM hh"
-    }.mkString("\n UNION ALL ")
-    s"""WITH d AS (
+    s"""d AS (
        | SELECT doc_id,
        |  CAST(doc_id % GREATEST(41, (SELECT COUNT(*) FROM documents) // 12) AS BIGINT) AS key,
        |  (doc_id % 3 = 0) AS pert
@@ -464,7 +507,24 @@ object Multimodal {
        |hx AS (
        | SELECT doc_id,
        |  $pxCols
-       | FROM m),
+       | FROM m)""".stripMargin
+  }
+
+  /** Generated oracle for C37: pixel levels from the same md5 formula, the
+    * same 64 darker-than-right-neighbor bits (bit 63 via the subtraction
+    * form signed BIGINT requires), C3's banding/guard/Hamming SQL. */
+  def dedupMediaSql: String = {
+    val bits = (0 until 64).map { i =>
+      val x = i % 8; val y = i / 8
+      val cond = s"p_${x}_$y < p_${x + 1}_$y"
+      if (i == 63)
+        s"CASE WHEN $cond THEN CAST(-9223372036854775807 - 1 AS BIGINT) ELSE 0 END"
+      else s"CASE WHEN $cond THEN CAST(${1L << i} AS BIGINT) ELSE 0 END"
+    }.mkString("\n   + ")
+    val chunks = (0 until 4).map { j =>
+      s"SELECT doc_id, dhash, $j AS chunk_id, (dhash >> ${16 * j}) & 65535 AS chunk_key FROM hh"
+    }.mkString("\n UNION ALL ")
+    s"""WITH ${gradPixelCtes},
        |hh AS (
        | SELECT doc_id,
        |  $bits AS dhash
@@ -492,6 +552,7 @@ object Multimodal {
     "mm_frame_sample" -> (mmFrameSample _),
     "mm_decode_png" -> (mmDecodePng _),
     "mm_decode_wav" -> (mmDecodeWav _),
+    "mm_resize" -> (mmResize _),
     "dedup_media" -> (dedupMedia _))
 
   /** DuckDB replica of the media fabrication + StubCodec feature math: the
@@ -556,5 +617,6 @@ object Multimodal {
     "mm_frame_sample" -> mmFrameSampleSql,
     "mm_decode_png" -> mmDecodePngSql,
     "mm_decode_wav" -> mmDecodeWavSql,
+    "mm_resize" -> mmResizeSql,
     "dedup_media" -> dedupMediaSql)
 }

@@ -627,6 +627,32 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("real resize produces exact 3x2 block means of the decoded pixels (C12e)") {
+    val out = Multimodal.mmResize(spark, sfDir).collect()
+    val nDocs = Tables.load(spark, sfDir, "documents").count()
+    assert(out.length == nDocs * 12, s"expected 12 cells per doc, got ${out.length}")
+    // independent reference: recompute doc 5's thumbnail straight from the
+    // md5 pixel formula (class key = 5 % 41 = 5, perturbed since 5%3!=0 →
+    // NOT perturbed... 5 % 3 = 2, unperturbed) — the decode+resample path
+    // must reproduce it exactly
+    val key = 5L % 41
+    def px(x: Int, y: Int): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$key:$y".getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+      Integer.parseInt(hex.substring(2 * x, 2 * x + 2), 16)
+    }
+    val got = out.filter(_.getLong(0) == 5L)
+      .map(r => ((r.getInt(1), r.getInt(2)), r.getDouble(3))).toMap
+    for (ty <- 0 until 4; tx <- 0 until 3) {
+      val want = (for (dy <- 0 until 2; dx <- 0 until 3)
+        yield px(tx * 3 + dx, ty * 2 + dy)).sum.toDouble / 6.0
+      assert(got((tx, ty)) == want, s"cell ($tx,$ty): ${got((tx, ty))} != $want")
+    }
+    // cells are genuine means, not copies of a single pixel: a gradient
+    // image must yield non-constant cells
+    assert(got.values.toSet.size > 1)
+  }
+
   test("media near-dedup hashes real decodes and cites lower-id keepers (C37)") {
     // 500 docs over 41 image classes (doc_id % 41): every member of a class
     // must resolve to the class-minimum keeper — including members carrying

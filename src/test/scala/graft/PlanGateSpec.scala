@@ -60,6 +60,8 @@ class PlanGateSpec extends SparkSpec {
     // is shuffled at most twice (freq build + rollup), never more
     Gate("text_novelty", maxHashEx = 4),
     Gate("mm_pipeline", maxHashEx = 1),
+    // C12e: decode + resample is a zero-shuffle pure map over the codec seam
+    Gate("mm_resize", maxHashEx = 0),
     Gate("corpus_split", maxHashEx = 0),
     Gate("embed_quantize", maxHashEx = 0),
     Gate("contamination_bloom", maxHashEx = 4, minBroadcast = 1),
