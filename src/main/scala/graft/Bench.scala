@@ -74,10 +74,15 @@ object Bench {
     // size, so its FIRST byte survives every tail window.
     val fullLine =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // "queries" stays in the compact line for schema compatibility but
+    // carries only the FAILED entries (normally empty — the success map is
+    // what blew the capture window)
+    val failedQs = results.filter(_._2 < 0)
+      .map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val compactLine =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},""" +
         s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
-        s""""queries_file":"target/bench_last.json","sf":"$sfDir"}"""
+        s""""queries":$failedQs,"queries_file":"target/bench_last.json","sf":"$sfDir"}"""
     // sidecar: the one complete copy, immune to any capture window
     // (create target/ first — a cwd without it must not lose that copy)
     try {
