@@ -627,6 +627,23 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("derived-store rebuilds are bit-deterministic (clear + rerun == memoized)") {
+    // the contract ColdWarm's cold path and the oracle's centroid binding
+    // both rely on: evicting every memo (signature tables, trained
+    // codebooks, index layouts) and rebuilding from source must reproduce
+    // every result BIT-identically — Lloyd's decimal-exact mean recompute
+    // and the md5-based signatures leave no room for partition-order drift
+    def snap(name: String) =
+      SparkEntry.queries(name)(spark, sfDir).collect().toSeq
+    val names = Seq("dedup_semantic", "sim_ivf_pruned", "dedup_minhash")
+    val before = names.map(n => n -> snap(n)).toMap
+    operators.Dedup.clear()
+    operators.Similarity.clearCaches()
+    names.foreach { n =>
+      assert(snap(n) == before(n), s"$n drifted across a cold rebuild")
+    }
+  }
+
   test("real resize produces exact 3x2 block means of the decoded pixels (C12e)") {
     val out = Multimodal.mmResize(spark, sfDir).collect()
     val nDocs = Tables.load(spark, sfDir, "documents").count()
