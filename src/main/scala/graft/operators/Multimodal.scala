@@ -370,6 +370,20 @@ object Multimodal {
     h
   }
 
+  /** Decode + dHash in ONE row-local step — the seam the streaming media
+    * tier (D12) applies inside its micro-batch, and the batch hash pass
+    * (mediaHashes) applies under memoization. An unparseable payload
+    * degrades to hash 0 (the codec-tolerance contract); any codec defect
+    * surfaces as an oracle hash mismatch, not a crash. */
+  private[graft] def dHashOfBytes(bytes: Array[Byte]): Long = {
+    ImageIoCodec // once-per-JVM ImageIO cache disable
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException => null }
+    if (img == null) 0L else dHash64(img)
+  }
+
+
   /** C12e — REAL image resize: the resize leg of the multimodal mandate
     * (decode / feature-extract / resize / frame-sample), run end-to-end on
     * actual decoded pixels. Each gradient PNG is decoded by javax.imageio
@@ -437,25 +451,37 @@ object Multimodal {
     * any PNG encode/decode deviation moves a pixel and breaks the hash
     * match, so the real codec path is value-gated (the C12c trick applied to
     * a hash instead of a mean). */
-  def dedupMedia(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The gradient-PNG media corpus as a (media_id, media) frame — the stage
+    * source for the D12 landing directory (byte-identical payloads to the
+    * ones C37 hashes, so stream-side and batch-side hashes agree). */
+  private[graft] def gradMediaTable(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val nClasses = math.max(41L, docs.count() / 12L)
+    syntheticMediaTable(spark, sfDir, "image", gradPngBytes(nClasses))
+      .select(col("media_id"), col("media"))
+  }
+
+  /** The memoized (doc_id, dhash) store: ONE decode+hash pass over the media
+    * corpus, shared by the batch tier (C37 reads it on both band-join sides
+    * and in the final left join) and the streaming tier's resolve (D12 looks
+    * candidate hashes up here instead of carrying them through keyed state —
+    * the hash is a deterministic row-local function of the bytes, so a
+    * lookup is bit-identical to having carried it). Same memo discipline as
+    * C2's signature store. */
+  private[graft] def mediaHashes(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = graft.Tables.load(spark, sfDir, "documents")
     val nClasses = math.max(41L, docs.count() / 12L)
-    // one decode pass, cached: the hash table feeds both band-join sides and
-    // the final left join (same memo discipline as C2's signature store)
-    val hashes = Dedup.memoize(spark, sfDir,
+    Dedup.memoize(spark, sfDir,
       "mediahash:" + graft.Tables.fingerprint(sfDir, "documents")) {
       syntheticMediaTable(spark, sfDir, "image", gradPngBytes(nClasses))
-        .mapPartitions(_.map { row =>
-          val img =
-            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.media))
-            catch { case _: java.io.IOException => null }
-          // an unparseable payload degrades to hash 0 (the codec-tolerance
-          // contract); unreachable for self-synthesized PNGs, and any codec
-          // defect surfaces as an oracle hash mismatch, not a crash
-          (row.media_id, if (img == null) 0L else dHash64(img))
-        }).toDF("doc_id", "dhash")
+        .mapPartitions(_.map(row => (row.media_id, dHashOfBytes(row.media))))
+        .toDF("doc_id", "dhash")
     }
+  }
+
+  def dedupMedia(spark: SparkSession, sfDir: String): DataFrame = {
+    val hashes = mediaHashes(spark, sfDir)
     val chunks = array((0 until 4).map { j =>
       shiftrightunsigned(col("dhash"), 16 * j).bitwiseAND(lit(0xFFFFL))
     }: _*)
@@ -510,20 +536,27 @@ object Multimodal {
        | FROM m)""".stripMargin
   }
 
+  /** The dHash bit expression over the hx pixel columns: the same 64
+    * darker-than-right-neighbor bits as dHash64 (bit 63 via the subtraction
+    * form signed BIGINT requires). Shared by the C37 and D12 oracles. */
+  private def dhashBitsSql: String = (0 until 64).map { i =>
+    val x = i % 8; val y = i / 8
+    val cond = s"p_${x}_$y < p_${x + 1}_$y"
+    if (i == 63)
+      s"CASE WHEN $cond THEN CAST(-9223372036854775807 - 1 AS BIGINT) ELSE 0 END"
+    else s"CASE WHEN $cond THEN CAST(${1L << i} AS BIGINT) ELSE 0 END"
+  }.mkString("\n   + ")
+
+  /** The 4 × 16-bit band-key fanout over hh. Shared by the C37/D12 oracles. */
+  private def dhashChunksSql: String = (0 until 4).map { j =>
+    s"SELECT doc_id, dhash, $j AS chunk_id, (dhash >> ${16 * j}) & 65535 AS chunk_key FROM hh"
+  }.mkString("\n UNION ALL ")
+
   /** Generated oracle for C37: pixel levels from the same md5 formula, the
-    * same 64 darker-than-right-neighbor bits (bit 63 via the subtraction
-    * form signed BIGINT requires), C3's banding/guard/Hamming SQL. */
+    * dHash bit closed form, C3's banding/guard/Hamming SQL. */
   def dedupMediaSql: String = {
-    val bits = (0 until 64).map { i =>
-      val x = i % 8; val y = i / 8
-      val cond = s"p_${x}_$y < p_${x + 1}_$y"
-      if (i == 63)
-        s"CASE WHEN $cond THEN CAST(-9223372036854775807 - 1 AS BIGINT) ELSE 0 END"
-      else s"CASE WHEN $cond THEN CAST(${1L << i} AS BIGINT) ELSE 0 END"
-    }.mkString("\n   + ")
-    val chunks = (0 until 4).map { j =>
-      s"SELECT doc_id, dhash, $j AS chunk_id, (dhash >> ${16 * j}) & 65535 AS chunk_key FROM hh"
-    }.mkString("\n UNION ALL ")
+    val bits = dhashBitsSql
+    val chunks = dhashChunksSql
     s"""WITH ${gradPixelCtes},
        |hh AS (
        | SELECT doc_id,
@@ -546,6 +579,37 @@ object Multimodal {
        |FROM hh h LEFT JOIN dup ON h.doc_id = dup.doc_id
        |ORDER BY h.doc_id""".stripMargin
   }
+
+  /** Generated oracle for D12: C37's pixel/hash/banding SQL with the batch
+    * drop-the-bucket guard replaced by the streaming KEEPER-RANK guard — the
+    * first MaxBucket docs per band (ROW_NUMBER by doc_id, the arrival order
+    * under monotone ingest) are keepers; a later arrival in a saturated band
+    * emits nothing. Only y's rank needs the bound: x.doc_id < y.doc_id
+    * implies x ranks below y, so x is a keeper whenever y is. */
+  def streamDedupMediaSql: String =
+    s"""WITH ${gradPixelCtes},
+       |hh AS (
+       | SELECT doc_id,
+       |  $dhashBitsSql AS dhash
+       | FROM hx),
+       |chunked_all AS (
+       | $dhashChunksSql),
+       |rk AS (
+       | SELECT doc_id, dhash, chunk_id, chunk_key,
+       |  ROW_NUMBER() OVER (PARTITION BY chunk_id, chunk_key ORDER BY doc_id) AS rk
+       | FROM chunked_all),
+       |pairs AS (
+       | SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |  bit_count(xor(x.dhash, y.dhash)) AS hamming
+       | FROM rk x JOIN rk y
+       |  ON x.chunk_id = y.chunk_id AND x.chunk_key = y.chunk_key
+       |   AND x.doc_id < y.doc_id AND y.rk <= ${Dedup.MaxBucket}),
+       |dup AS (
+       | SELECT doc_b AS doc_id, MIN(doc_a) AS dup_of
+       | FROM pairs WHERE hamming <= 3 GROUP BY doc_b)
+       |SELECT h.doc_id, h.dhash, dup.dup_of, dup.dup_of IS NOT NULL AS is_duplicate
+       |FROM hh h LEFT JOIN dup ON h.doc_id = dup.doc_id
+       |ORDER BY h.doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_pipeline" -> (mmPipeline _),

@@ -46,6 +46,7 @@ object Streams extends Serializable {
     eventsStream(spark, sfDir)
     docsStream(spark, sfDir)
     embeddingsStream(spark, sfDir)
+    mediaStream(spark, sfDir)
     stageEmbeddingsBatch(spark, sfDir, new java.io.File(
       s"${graft.GraftConf.localRoot}/graft_stream/${sfDir.replaceAll("[^A-Za-z0-9]+", "_")}/emb_batch_in"))
     ()
@@ -749,38 +750,40 @@ object Streams extends Serializable {
         graft.functions.GraftFunctions.minhashSig(spark, col("text")).as("sig")))
   }
 
+  /** The shared band-keeper state transition (D5's LSH bands and D12's
+    * perceptual-hash chunks — any tier whose band key is a Long over docs).
+    * Saturation guard — the streaming analog of the batch MaxBucket
+    * drop-the-bucket rule: once a band holds MaxBucket keepers it is a
+    * degenerate boilerplate cluster (handled by the exact tier, C1/D4),
+    * and later arrivals emit NOTHING from it. Without this, a hot band
+    * emits MaxBucket pairs per arriving doc FOREVER — O(N·bands·64)
+    * candidate volume on a dup-heavy stream, the one super-linear bench
+    * row at sf1 round 7. With it, a band's lifetime emission is capped at
+    * C(MaxBucket, 2) pairs, mirroring batch's bounded per-bucket work. */
+  private def keeperDecide(bandKey: Long, docs: Iterator[BandDoc],
+    state: GroupState[BandKeepers]): Iterator[CandPair] = {
+    val sorted = docs.toArray.sortBy(_.doc_id)
+    var ids = state.getOption.map(_.ids.toArray).getOrElse(Array.empty[Long])
+    val out = scala.collection.mutable.ArrayBuffer.empty[CandPair]
+    sorted.foreach { d =>
+      if (ids.length < graft.operators.Dedup.MaxBucket) {
+        var i = 0
+        while (i < ids.length) {
+          if (ids(i) < d.doc_id) out += CandPair(d.doc_id, ids(i))
+          i += 1
+        }
+        ids = ids :+ d.doc_id
+      }
+    }
+    state.update(BandKeepers(ids.toSeq))
+    out.iterator
+  }
+
   private def nearDedupRun(spark: SparkSession, src: DataFrame, name: String,
     cp: java.io.File, allDocs: DataFrame, sigs: DataFrame): DataFrame = {
     import spark.implicits._
     org.apache.commons.io.FileUtils.deleteQuietly(cp)
     spark.catalog.dropTempView(name)
-
-    def decide(bandKey: Long, docs: Iterator[BandDoc],
-      state: GroupState[BandKeepers]): Iterator[CandPair] = {
-      val sorted = docs.toArray.sortBy(_.doc_id)
-      var ids = state.getOption.map(_.ids.toArray).getOrElse(Array.empty[Long])
-      val out = scala.collection.mutable.ArrayBuffer.empty[CandPair]
-      sorted.foreach { d =>
-        // Saturation guard — the streaming analog of the batch MaxBucket
-        // drop-the-bucket rule: once a band holds MaxBucket keepers it is a
-        // degenerate boilerplate cluster (handled by the exact tier, C1/D4),
-        // and later arrivals emit NOTHING from it. Without this, a hot band
-        // emits MaxBucket pairs per arriving doc FOREVER — O(N·bands·64)
-        // candidate volume on a dup-heavy stream, the one super-linear bench
-        // row at sf1. With it, a band's lifetime emission is capped at
-        // C(MaxBucket, 2) pairs, mirroring batch's bounded per-bucket work.
-        if (ids.length < graft.operators.Dedup.MaxBucket) {
-          var i = 0
-          while (i < ids.length) {
-            if (ids(i) < d.doc_id) out += CandPair(d.doc_id, ids(i))
-            i += 1
-          }
-          ids = ids :+ d.doc_id
-        }
-      }
-      state.update(BandKeepers(ids.toSeq))
-      out.iterator
-    }
 
     val banded = src
       .select(col("doc_id"),
@@ -791,7 +794,7 @@ object Streams extends Serializable {
     val cands = banded
       .groupByKey(_.band_key)
       .flatMapGroupsWithState(OutputMode.Append(),
-        GroupStateTimeout.NoTimeout())(decide)
+        GroupStateTimeout.NoTimeout())(keeperDecide)
       .toDF()
     // state-key cardinality ≈ docs × 16 band keys; the count is a
     // metadata-only parquet count-star, cheap next to the stream itself.
@@ -829,6 +832,125 @@ object Streams extends Serializable {
       .join(dup, Seq("doc_id"), "left")
       .select(col("doc_id"), col("dup_of"),
         coalesce(col("max_est_jaccard"), lit(0.0)).as("max_est_jaccard"),
+        col("dup_of").isNotNull.as("is_duplicate"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ----- D12: streaming MEDIA near-dedup -----
+
+  private val MediaSchema = "media_id BIGINT, media BINARY"
+
+  /** Stage the synthesized media corpus (C37's gradient PNGs) into the media
+    * landing dir as several ranged flat part files — ordered names and
+    * mtimes keep a multi-batch replay's ingest ids monotone, the same
+    * arrival-order contract D4/D5/D10 document. Fingerprint-committed
+    * against the documents table the payloads derive from. */
+  private[graft] def stageMedia(spark: SparkSession, sfDir: String,
+    stageDir: java.io.File): Boolean = {
+    def parts = Option(stageDir.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.getName.startsWith("media_") && f.getName.endsWith(".parquet"))
+    withFingerprint(sfDir, "documents", stageDir, freshData = parts.nonEmpty) {
+      stageDir.mkdirs()
+      parts.foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+      val tmp = new java.io.File(stageDir.getParentFile, "media_tmp")
+      graft.operators.Multimodal.gradMediaTable(spark, sfDir)
+        .repartitionByRange(4, col("media_id"))
+        .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      // part-file name order IS range order under repartitionByRange; keep
+      // it in the landing names and mtimes so the file-stream source lists
+      // batches in ascending media_id
+      tmp.listFiles().filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        .zipWithIndex.foreach { case (p, i) =>
+          val dst = new java.io.File(stageDir, f"media_$i%03d.parquet")
+          java.nio.file.Files.move(p.toPath, dst.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          dst.setLastModified(1700000000000L + i * 60000L)
+          ()
+        }
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+    }
+  }
+
+  /** The media stream: the landing directory a crawler writes image payloads
+    * into — the media leg of the continuous ingest path. */
+  private def mediaStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val stageDir = new java.io.File(
+      s"${graft.GraftConf.localRoot}/graft_stream/${sfDir.replaceAll("[^A-Za-z0-9]+", "_")}/media_in")
+    stageMedia(spark, sfDir, stageDir)
+    spark.readStream.schema(MediaSchema).parquet(stageDir.getAbsolutePath)
+  }
+
+  case class MediaIn(media_id: Long, media: Array[Byte])
+
+  /** D12 — streaming media near-dedup: the C37 tier of the continuous ingest
+    * path, extending the dedup ladder (D4 exact, D5 MinHash/LSH, D10
+    * semantic) to media BYTES. Each arriving payload is decoded and
+    * perceptually hashed ROW-LOCALLY inside the micro-batch (the codec seam
+    * — a real javax.imageio decode per row, never an aggregation before the
+    * keyed state), fans out to its 4 × 16-bit dHash band keys, and the
+    * shared band-keeper state transition (keeperDecide — D5's operator with
+    * the chunk key playing the band key, including the saturated-band
+    * guard) emits candidate pairs into a parquet FILE sink. Pairs are
+    * resolved OUTSIDE the state op by full-hash Hamming ≤ 3 against the
+    * memoized media-hash store C37 maintains — the hash is a deterministic
+    * row-local function of the bytes, so a lookup is bit-identical to
+    * having carried it, and keeper state stays the id alone. The shuffle
+    * carries (band, doc) rows, NEVER the media bytes — at 100 TB the
+    * payloads stay in the scan stage and only 12 bytes per (doc, band)
+    * move. Closed form: the generated oracle (Multimodal.streamDedupMediaSql)
+    * is C37's SQL with the keeper-rank guard. Same monotone-ingest-id
+    * caveat as D4/D5/D10 across batches. */
+  def streamDedupMedia(spark: SparkSession, sfDir: String): DataFrame = {
+    val cp = new java.io.File(checkpointDir(sfDir, "stream_dedup_media"))
+    mediaDedupRun(spark, mediaStream(spark, sfDir), cp,
+      graft.operators.Multimodal.mediaHashes(spark, sfDir))
+  }
+
+  /** Test hook: every staged file its own micro-batch — band keepers must
+    * persist across batch boundaries for real. */
+  private[graft] def streamDedupMediaMultiBatch(spark: SparkSession,
+    sfDir: String, stageDir: String, name: String): DataFrame = {
+    val cp = new java.io.File(stageDir + "_cp_" + name)
+    val src = spark.readStream.schema(MediaSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stageDir)
+    mediaDedupRun(spark, src, cp,
+      graft.operators.Multimodal.mediaHashes(spark, sfDir))
+  }
+
+  private def mediaDedupRun(spark: SparkSession, src: DataFrame,
+    cp: java.io.File, hashes: DataFrame): DataFrame = {
+    import spark.implicits._
+    org.apache.commons.io.FileUtils.deleteQuietly(cp)
+    val banded = src.as[MediaIn]
+      .mapPartitions(_.flatMap { m =>
+        // decode + dHash row-locally, then fan out to the 4 chunk band keys
+        // (chunk index disambiguates the 16-bit key spaces, exactly the
+        // batch tier's (chunk_id, chunk_key) composite)
+        val h = graft.operators.Multimodal.dHashOfBytes(m.media)
+        (0 until 4).iterator.map(j =>
+          BandDoc(m.media_id, (j.toLong << 16) | ((h >>> (16 * j)) & 0xFFFFL)))
+      })
+    val cands = banded
+      .groupByKey(_.band_key)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(keeperDecide)
+      .toDF()
+    // state-key cardinality ≈ docs × 4 chunk keys (bounded above by the
+    // 4 × 65536 key space); candidates land distributed, never the driver
+    val sink = runToFiles(spark, cands,
+      new java.io.File(cp.getAbsolutePath + "_cands"), cp,
+      stateKeyHint = math.min(hashes.count() * 4L, 4L * 65536L))
+    val pairs = sink.distinct()
+      .join(hashes, Seq("doc_id"))
+      .join(hashes.select(col("doc_id").as("cand_id"), col("dhash").as("cand_hash")),
+        Seq("cand_id"))
+      .withColumn("hamming", bit_count(col("dhash").bitwiseXOR(col("cand_hash"))))
+      .filter(col("hamming") <= 3)
+    val dup = pairs.groupBy(col("doc_id"))
+      .agg(min(col("cand_id")).as("dup_of"))
+    hashes.join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dhash"), col("dup_of"),
         col("dup_of").isNotNull.as("is_duplicate"))
       .orderBy(col("doc_id"))
   }
@@ -1141,6 +1263,7 @@ object Streams extends Serializable {
     "stream_dedup" -> (streamDedup _),
     "stream_dedup_near" -> (streamDedupNear _),
     "stream_dedup_semantic" -> (streamDedupSemantic _),
+    "stream_dedup_media" -> (streamDedupMedia _),
     "stream_ivf_append" -> (streamIvfAppend _),
     "stream_quality_gate" -> (streamQualityGate _),
     "stream_classify" -> (streamClassify _),
@@ -1163,6 +1286,9 @@ object Streams extends Serializable {
     // D5's closed-form oracle: rank-guarded band candidates + signature
     // agreement (see Dedup.streamDedupNearSql's scaladoc)
     "stream_dedup_near" -> graft.operators.Dedup.streamDedupNearSql,
+    // D12's closed-form oracle: C37's pixel/hash/banding SQL with the
+    // keeper-rank guard (see Multimodal.streamDedupMediaSql's scaladoc)
+    "stream_dedup_media" -> graft.operators.Multimodal.streamDedupMediaSql,
     // D6 is stateless → exactly the gated C9 on the drained backlog
     "stream_quality_gate" -> graft.operators.TextAnalysis.qualityGateSql("0.25"),
     // D9 is stateless → exactly the gated C34 on the drained backlog

@@ -43,11 +43,12 @@ object ColdWarm {
     // family -> the representative query whose first run pays the store
     // build: MinHash signature table (C2), semantic codebook training +
     // corpus assignment (C29), IVF codebook + cid-partitioned index write
-    // (C7c)
+    // (C7c), media decode+dHash table (C37, shared with D12)
     val families = Seq(
       "signatures" -> "dedup_minhash",
       "semantic_assignment" -> "dedup_semantic",
-      "ivf_index" -> "sim_ivf_pruned")
+      "ivf_index" -> "sim_ivf_pruned",
+      "media_hashes" -> "dedup_media")
     def r3(v: Double) =
       new java.math.BigDecimal(v).setScale(3, java.math.RoundingMode.HALF_UP)
     val lines = families.map { case (family, q) =>

@@ -79,6 +79,10 @@ class PlanGateSpec extends SparkSpec {
     // D11: the post-stream probe is C7d's — both union legs partition-pruned,
     // zero exchanges
     Gate("stream_ivf_append", maxHashEx = 0, maxRangeEx = 0, needPartitionFilters = true),
+    // D12's batch resolve: pair distinct + dup rollup shuffle the (id, id)
+    // pairs only; every hash-store lookup side broadcasts — the media bytes
+    // and the full hash table never take a corpus-wide extra exchange
+    Gate("stream_dedup_media", maxHashEx = 3, minBroadcast = 2, maxSortMerge = 1),
     // C32: assignment is a projected argmax, centroids broadcast; the ONLY
     // hash exchange is the cid window rank (the C7c layout partitioning)
     Gate("embed_prune", maxHashEx = 1, minBroadcast = 1),

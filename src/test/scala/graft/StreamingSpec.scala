@@ -436,6 +436,43 @@ class StreamingSpec extends SparkSpec {
       "no cross-batch candidate pair survived the batch boundary")
   }
 
+  test("streaming media dedup survives multi-batch slicing (band keepers persist)") {
+    import org.apache.spark.sql.functions._
+    // slice the media corpus into two media_id-ordered files: band keepers
+    // crowned in batch 1 must still collect batch-2 candidates, and the
+    // decisions must equal the single-batch run exactly
+    val stageDir = new java.io.File("/root/repo/target/test_stream_media_mb")
+    org.apache.commons.io.FileUtils.deleteQuietly(stageDir)
+    stageDir.mkdirs()
+    val m = operators.Multimodal.gradMediaTable(spark, sfDir)
+    val mid = m.count() / 2
+    Seq(col("media_id") < mid, col("media_id") >= mid).zipWithIndex.foreach {
+      case (pred, i) =>
+        val tmp = new java.io.File(stageDir.getParent, s"media_tmp_$i")
+        m.filter(pred).coalesce(1).write.mode("overwrite")
+          .parquet(tmp.getAbsolutePath)
+        val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(stageDir, f"batch_$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(1700000000000L + i * 60000L)
+        org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2),
+        r.getBoolean(3))
+    }.toSeq
+    val multi = rows(Streams.streamDedupMediaMultiBatch(spark, sfDir,
+      stageDir.getAbsolutePath, "mb_media"))
+    val single = rows(Streams.streamDedupMedia(spark, sfDir))
+    assert(multi == single)
+    // non-degenerate: the corpus actually contains media near-dups to find
+    assert(single.count(_._4) > 0, "fixture found no media duplicates")
+    // and CROSS-BATCH pairs were resolved: some batch-2 image (media_id >=
+    // mid) must cite a batch-1 keeper (dup_of < mid)
+    assert(multi.exists(r => r._1 >= mid && r._3 >= 0 && r._3 < mid),
+      "no cross-batch candidate pair survived the batch boundary")
+  }
+
   test("streaming IVF append equals the batch-maintained index probe (C7d ≡ D11)") {
     // same frozen corpus codebook, same corpus+batch content → the pruned
     // probe over (base ∪ streamed-append) must return C7d's rows exactly
