@@ -89,6 +89,148 @@ object Similarity {
       .select(col("vec_id"), col("bucket"), round(col("sim"), 6).as("sim_r"))
   }
 
+  /** C38 — brute-force k-NN JOIN: the top-5 cosine neighbors of EVERY query
+    * in a bounded query set (vec_id % 97 == 7) against the full corpus in one
+    * pass — the kNN-graph build step training-data pipelines run for
+    * SemDeDup-style cluster ranking, hard-negative mining and duplicate
+    * audits. Spark has no native kNN-join operator; the scale shape here is:
+    * BROADCAST the bounded query side (an UNBOUNDED query set routes through
+    * the C7c cid-partitioned layout instead — this operator is the exact
+    * many-query baseline, as C6 is for one query), ONE corpus scan computes
+    * every query×corpus cosine, the embedding columns are dropped BEFORE the
+    * operator's only shuffle, and per-query top-k resolves as a window rank
+    * over slim (q_id, vec_id, sim) rows. Ties break on candidate id, rank on
+    * full precision, round only for display — C6's conventions. */
+  def knnJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val queries = e.filter(col("vec_id") % 97 === 7)
+      .select(col("vec_id").as("q_id"), col("v").as("q"))
+    val sims = e.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        graft.functions.GraftFunctions.cosine(spark, col("v"), col("q")).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    sims.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("rnk"), col("vec_id").as("cand_id"),
+        round(col("sim"), 6).as("sim_r"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** DuckDB oracle for C38: norms precomputed once per vector (the division
+    * tree dot/(nrm_a*nrm_b) matches the kernel exactly), sequential
+    * left-to-right folds, the same rank/tie/round rules. */
+  val knnJoinSql: String =
+    """WITH e AS (
+      | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      | FROM embeddings),
+      |n AS (
+      | SELECT vec_id, v,
+      |  sqrt(list_reduce(list_transform(range(1, 65), i -> v[i] * v[i]), (a, b) -> a + b)) AS nrm
+      | FROM e),
+      |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id % 97 = 7),
+      |sims AS (
+      | SELECT q.q_id, n.vec_id,
+      |  list_reduce(list_transform(range(1, 65), i -> v[i] * qv[i]), (a, b) -> a + b)
+      |   / (nrm * qn) AS sim
+      | FROM n, q WHERE n.vec_id <> q.q_id),
+      |rk AS (
+      | SELECT q_id, vec_id, sim,
+      |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+      | FROM sims)
+      |SELECT q_id, CAST(rnk AS INT) AS rnk, vec_id AS cand_id, ROUND(sim, 6) AS sim_r
+      |FROM rk WHERE rnk <= 5
+      |ORDER BY q_id, rnk""".stripMargin
+
+  /** C38b — the kNN join at scale: the same bounded query set resolved
+    * against the cid-PARTITIONED IVF layout (C7c) instead of the full
+    * corpus. Per-query probe lists (nProbe=4 closest centroids) come from
+    * the K-row codebook and the bounded collected query vectors — query
+    * PLANNING on the driver, no corpus work, the many-query form of C7c's
+    * single-probe planning — and candidate restriction happens in the JOIN
+    * on cid: each query meets only its nProbe/K of the corpus, and the
+    * union of probe cids lands in the scan as a partition filter (selective
+    * whenever the query set doesn't cover the key space; at production K ∝
+    * corpus it always is). The probe side broadcasts, so the corpus takes
+    * NO join shuffle; the only hash exchange is C38's slim-row window rank.
+    * Approximation is exactly IVF's: a true neighbor outside the probe
+    * lists is missed — C7's recall dial, measured against C38's exact
+    * baseline in OperatorsSpec. */
+  def knnJoinIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val nProbe = 4
+    val (path, codebook) = ensureIvfIndexWithCodebook(spark, sfDir)
+    // bounded collect by the same contract that lets the query side
+    // broadcast at all (C38); each vector is 64 doubles
+    val queries = Tables.load(spark, sfDir, "embeddings")
+      .filter(col("vec_id") % 97 === 7)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getSeq[Double](1).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probeEntries = queries.toSeq.flatMap { case (qid, qv) =>
+      codebook.sortBy { case (cid, cv) => (-cos(cv, qv), cid) }.take(nProbe)
+        .map { case (cid, _) => (qid, cid.toLong, qv.toSeq) }
+    }
+    val probeDf = probeEntries.toDF("q_id", "cid", "q")
+    val probeCids = probeEntries.map(_._2).distinct.sorted
+    val sims = spark.read.parquet(path)
+      .filter(col("cid").isin(probeCids: _*)) // → PartitionFilters
+      .join(broadcast(probeDf), "cid")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        graft.functions.GraftFunctions.cosine(spark, col("v"), col("q")).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    sims.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("rnk"), col("vec_id").as("cand_id"),
+        round(col("sim"), 6).as("sim_r"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** Dir-bound oracle for C38b: trained centroids inlined (simIvfSql's
+    * convention), assignment argmax, per-query probe-list rank, candidate
+    * join on cid, C38's rank/tie/round rules. */
+  def knnJoinIvfSql(sfDir: String): String = {
+    val centroidCte = centroidValuesCte(cachedCodebook(sfDir))
+      .getOrElse(s"c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $IvfK)")
+    s"""WITH e AS (
+       | SELECT vec_id, list_transform(embedding, z -> CAST(z AS DOUBLE)) AS v
+       | FROM embeddings),
+       |$centroidCte,
+       |asn AS (
+       | SELECT vec_id, v, cid,
+       |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rk
+       | FROM (SELECT x.vec_id, x.v, c.cid, ${sqlCos("x.v", "c.cv")} AS csim FROM e x, c) t),
+       |assigned AS (SELECT vec_id, v, cid FROM asn WHERE rk = 1),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 97 = 7),
+       |pls AS (
+       | SELECT q.q_id, c.cid, q.qv, ${sqlCos("q.qv", "c.cv")} AS csim
+       | FROM q, c),
+       |pl AS (
+       | SELECT q_id, cid, qv FROM (
+       |  SELECT q_id, cid, qv,
+       |   ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY csim DESC, cid) AS prk
+       |  FROM pls) t WHERE prk <= 4),
+       |cand AS (
+       | SELECT pl.q_id, a.vec_id, ${sqlCos("a.v", "pl.qv")} AS sim
+       | FROM assigned a JOIN pl ON a.cid = pl.cid
+       | WHERE a.vec_id <> pl.q_id),
+       |rk AS (
+       | SELECT q_id, vec_id, sim,
+       |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+       | FROM cand)
+       |SELECT q_id, CAST(rnk AS INT) AS rnk, vec_id AS cand_id, ROUND(sim, 6) AS sim_r
+       |FROM rk WHERE rnk <= 5
+       |ORDER BY q_id, rnk""".stripMargin
+  }
+
   /** All bucket ids within Hamming distance 2 of the probe bucket (1 exact +
     * 8 single-bit + 28 double-bit = 37), as a column expression (no UDF —
     * stays in codegen). */
@@ -985,6 +1127,8 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk" -> (simTopk _),
+    "knn_join" -> (knnJoin _),
+    "knn_join_ivf" -> (knnJoinIvf _),
     "sim_ann" -> (simAnn _),
     "sim_ivf" -> (simIvf _),
     "sim_ivf_pruned" -> (simIvfPruned _),
@@ -1027,12 +1171,15 @@ object Similarity {
       s"c AS (SELECT CAST(cid AS BIGINT) AS cid, cv FROM (VALUES\n  $rows) t(cid, cv))"
     }
 
+  private def sqlSq(vec: String) =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> $vec[i] * $vec[i])), (a, b) -> a + b)"
+  private def sqlDot(a: String, b: String) =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> $a[i] * $b[i])), (a, b) -> a + b)"
+  private def sqlCos(a: String, b: String) =
+    s"${sqlDot(a, b)} / (sqrt(${sqlSq(a)}) * sqrt(${sqlSq(b)}))"
+
   private def ivfProbeSql(centroidCte: String): String = {
-    def sq(vec: String) =
-      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> $vec[i] * $vec[i])), (a, b) -> a + b)"
-    def dotv(a: String, b: String) =
-      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> $a[i] * $b[i])), (a, b) -> a + b)"
-    def cos(a: String, b: String) = s"${dotv(a, b)} / (sqrt(${sq(a)}) * sqrt(${sq(b)}))"
+    def cos(a: String, b: String) = sqlCos(a, b)
     s"""WITH e AS (
        | SELECT vec_id, list_transform(embedding, z -> CAST(z AS DOUBLE)) AS v
        | FROM embeddings),
@@ -1057,6 +1204,8 @@ object Similarity {
     * exactly this scale dir (Verify threads the dir it ran through). */
   def oracles(sfDir: String): Map[String, String] = Map(
     "sim_topk" -> simTopkSql,
+    "knn_join" -> knnJoinSql,
+    "knn_join_ivf" -> knnJoinIvfSql(sfDir),
     "sim_ann" -> simAnnSql,
     "sim_ivf" -> simIvfSql(sfDir),
     // identical candidate set + bit-identical cosine → C7c shares C7b's oracle
@@ -1089,6 +1238,7 @@ object Similarity {
         s"${several.sorted.mkString(", ")}; use the dir-bound oracle dump\n"
       oracles(sfDir = "") ++ (Seq("sim_ivf", "sim_ivf_pruned")
         .map(k => k -> (banner + simIvfSql(""))) :+
+        ("knn_join_ivf" -> (banner + knnJoinIvfSql(""))) :+
         ("sim_ivf_append" -> (banner + simIvfAppendSql(""))) :+
         ("stream_ivf_append" -> (banner + simIvfAppendSql(""))) :+
         ("dedup_semantic" -> (banner + dedupSemanticSql(""))) :+

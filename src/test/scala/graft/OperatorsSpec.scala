@@ -255,6 +255,25 @@ class OperatorsSpec extends SparkSpec {
     assert(shuffles == 0, s"IVF should be exchange-free; got $shuffles:\n${plan.take(1500)}")
   }
 
+  test("kNN join: per-query shape and IVF-layout recall vs the exact baseline") {
+    val exact = Similarity.knnJoin(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.knnJoinIvf(spark, sfDir).collect()
+    val byQ = ivf.groupBy(_.getLong(0))
+    assert(byQ.nonEmpty, "no queries in the kNN join fixture")
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length == 5, s"query $q returned ${rows.length} neighbors")
+      val sims = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b },
+        s"query $q neighbors not sorted by similarity")
+    }
+    // pooled recall vs the exact kNN graph: k-means-trained lists at
+    // nProbe=4/16 hold 9-10/10 for the single-probe C7b; the per-query top-5
+    // over the same lists must keep >= 60% of the exact edges here
+    val hits = ivf.map(r => (r.getLong(0), r.getLong(2))).toSet.intersect(exact).size
+    assert(hits * 10 >= exact.size * 6, s"kNN-join recall $hits/${exact.size}")
+  }
+
   test("PQ+ADC search: recall floor vs exact, trained codebooks, no exchange") {
     val pq = Similarity.simPq(spark, sfDir).collect()
     assert(pq.length == 10)

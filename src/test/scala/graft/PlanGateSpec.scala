@@ -66,6 +66,13 @@ class PlanGateSpec extends SparkSpec {
     Gate("embed_quantize", maxHashEx = 0),
     Gate("contamination_bloom", maxHashEx = 4, minBroadcast = 1),
     Gate("sim_ivf_pruned", maxHashEx = 0, maxRangeEx = 0, needPartitionFilters = true),
+    // C38: the kNN join's ONLY hash exchange is the per-query window rank
+    // over slim (q_id, id, sim) rows — the corpus embeddings never shuffle
+    // (query side broadcast, cosine computed in the scan stage)
+    Gate("knn_join", maxHashEx = 1),
+    // C38b: same single-exchange shape over the cid layout — probe side
+    // broadcast-joined, probe-cid union survives as a partition filter
+    Gate("knn_join_ivf", maxHashEx = 1, minBroadcast = 1, needPartitionFilters = true),
     Gate("sim_ivf_append", maxHashEx = 0, maxRangeEx = 0, needPartitionFilters = true),
     // C28: two count windows + the per-doc rollup — and NO join-back (the
     // n_docs>=2 test must stay a window, never a gram self-join)
