@@ -79,17 +79,28 @@ object Bench {
     // what blew the capture window)
     val failedQs = results.filter(_._2 < 0)
       .map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    // sidecar: the one complete copy, immune to any capture window
+    // (create target/ first — a cwd without it must not lose that copy).
+    // The compact line advertises the sidecar path ONLY when this run's
+    // write actually landed — otherwise a stale bench_last.json from a
+    // previous run would be consumed as this round's per-query map with
+    // nothing flagging the swap; on failure the pointer is null and the
+    // consumer knows the per-query detail is gone, not merely elsewhere.
+    val sidecarOk =
+      try {
+        val p = java.nio.file.Paths.get("target/bench_last.json")
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.writeString(p, fullLine + "\n")
+        true
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] sidecar: ${e.getMessage}"); false
+      }
+    val sidecarField =
+      if (sidecarOk) "\"target/bench_last.json\"" else "null"
     val compactLine =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},""" +
         s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
-        s""""queries":$failedQs,"queries_file":"target/bench_last.json","sf":"$sfDir"}"""
-    // sidecar: the one complete copy, immune to any capture window
-    // (create target/ first — a cwd without it must not lose that copy)
-    try {
-      val p = java.nio.file.Paths.get("target/bench_last.json")
-      java.nio.file.Files.createDirectories(p.getParent)
-      java.nio.file.Files.writeString(p, fullLine + "\n")
-    } catch { case e: Throwable => System.err.println(s"[bench] sidecar: ${e.getMessage}") }
+        s""""queries":$failedQs,"queries_file":$sidecarField,"sf":"$sfDir"}"""
     operators.Dedup.clear()
     spark.stop()
     // the JSON line is the LAST stdout line of the process (after stop(), so

@@ -447,17 +447,25 @@ object GraftFunctions {
   // travel as one — so the Column API broadcasts the codebook, parks the
   // handle here under a fresh id, and passes the id as a long literal; the
   // builder (driver-side, at analysis) swaps the id back for the handle.
-  // Entries are tiny (a Broadcast handle, not the codebook) and bounded by
-  // the number of distinct trained codebooks in the JVM.
+  // The registry grows by one handle per registered codebook until
+  // clearBroadcasts() destroys them (Similarity.clearCaches() calls it) —
+  // the explicit eviction path a long-lived multi-corpus application needs,
+  // since each handle pins a codebook-sized block-manager entry, not just
+  // the tiny handle object.
   private val bcHandles = scala.collection.concurrent.TrieMap
     .empty[Long, org.apache.spark.broadcast.Broadcast[CodebookData]]
   private val bcNextId = new java.util.concurrent.atomic.AtomicLong(0L)
-  // one broadcast per (SparkContext incarnation, codebook instance): the
-  // trainers memoize one array instance per scale dir, so identity is the
-  // natural key; a restarted context invalidates its broadcasts, hence the
-  // applicationId in the key
-  private val bcMemo = scala.collection.mutable.Map
-    .empty[(String, Int), Long]
+  // one broadcast per (SparkContext incarnation, codebook INSTANCE). The
+  // memo key is the codebook array REFERENCE via a weak-keyed map (arrays
+  // don't override equals, so WeakHashMap lookup is identity): a bare
+  // identityHashCode key is NOT unique — a 31-bit hash reused after GC (or
+  // a plain collision between live arrays) would silently resolve a NEW
+  // codebook to another codebook's broadcast and assign every vector
+  // against the wrong centroids. Weak keys also drop memo entries once a
+  // retrain makes the old array garbage. A restarted context invalidates
+  // its broadcasts, hence the applicationId in the value.
+  private val bcMemo =
+    new java.util.WeakHashMap[Array[(Int, Array[Double])], (String, Long)]
 
   /** (v, broadcast-handle id literal) — see [[bcHandles]]. */
   private[functions] val nearestCidBcBuilder: Seq[Expression] => Expression = {
@@ -485,19 +493,35 @@ object GraftFunctions {
     require(codebook.forall(_._2.length == dim),
       "nearestCidBroadcast: ragged codebook (mixed centroid dims)")
     ensureRegistered(spark)
-    val key = (spark.sparkContext.applicationId, System.identityHashCode(codebook))
+    val appId = spark.sparkContext.applicationId
     val id = bcMemo.synchronized {
-      bcMemo.getOrElseUpdate(key, {
+      Option(bcMemo.get(codebook)).filter(_._1 == appId).map(_._2).getOrElse {
         val data = new CodebookData(codebook.map(_._1.toLong),
           codebook.flatMap(_._2), dim)
         val handle = spark.sparkContext.broadcast(data)
         val fresh = bcNextId.incrementAndGet()
         bcHandles(fresh) = handle
+        bcMemo.put(codebook, (appId, fresh))
         fresh
-      })
+      }
     }
     call_function("graft_nearest_cid_bc", v,
       org.apache.spark.sql.functions.lit(id))
+  }
+
+  /** Destroy every registered codebook broadcast and clear both registries —
+    * the eviction path Similarity.clearCaches() routes through, and the only
+    * way the block-manager blocks behind [[bcHandles]] are ever released. A
+    * column built BEFORE the clear fails LOUDLY afterwards (unknown handle
+    * id at analysis, or Spark's destroyed-broadcast error at execution) —
+    * never silently computes against stale centroids, matching the
+    * clear-then-retrain contract of the trainer caches. */
+  def clearBroadcasts(): Unit = bcMemo.synchronized {
+    bcHandles.values.foreach { h =>
+      try h.destroy() catch { case _: Exception => () }
+    }
+    bcHandles.clear()
+    bcMemo.clear()
   }
 
   val fingerprintInfo = new ExpressionInfo(

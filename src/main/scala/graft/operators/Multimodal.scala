@@ -397,9 +397,7 @@ object Multimodal {
     * resample deviation moves a cell). */
   def mmResize(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val docs = graft.Tables.load(spark, sfDir, "documents")
-    val nClasses = math.max(41L, docs.count() / 12L)
-    syntheticMediaTable(spark, sfDir, "image", gradPngBytes(nClasses))
+    syntheticMediaTable(spark, sfDir, "image", gradPngBytes(gradClassCount(spark, sfDir)))
       .mapPartitions(_.flatMap { row =>
         val img =
           try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.media))
@@ -451,15 +449,20 @@ object Multimodal {
     * any PNG encode/decode deviation moves a pixel and breaks the hash
     * match, so the real codec path is value-gated (the C12c trick applied to
     * a hash instead of a mean). */
+  /** The gradient corpus's image-class count — ONE definition for the three
+    * Scala call sites (C12e resize, the D12 stage source, the hash store);
+    * must stay bit-in-sync with the SQL mirror in gradPixelCtes
+    * (`GREATEST(41, COUNT(*) // 12)`), or the value gates break. ≈12 copies
+    * per image at any sf keeps bucket sizes and the dup rate scale-stable. */
+  private def gradClassCount(spark: SparkSession, sfDir: String): Long =
+    math.max(41L, graft.Tables.load(spark, sfDir, "documents").count() / 12L)
+
   /** The gradient-PNG media corpus as a (media_id, media) frame — the stage
     * source for the D12 landing directory (byte-identical payloads to the
     * ones C37 hashes, so stream-side and batch-side hashes agree). */
-  private[graft] def gradMediaTable(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = graft.Tables.load(spark, sfDir, "documents")
-    val nClasses = math.max(41L, docs.count() / 12L)
-    syntheticMediaTable(spark, sfDir, "image", gradPngBytes(nClasses))
+  private[graft] def gradMediaTable(spark: SparkSession, sfDir: String): DataFrame =
+    syntheticMediaTable(spark, sfDir, "image", gradPngBytes(gradClassCount(spark, sfDir)))
       .select(col("media_id"), col("media"))
-  }
 
   /** The memoized (doc_id, dhash) store: ONE decode+hash pass over the media
     * corpus, shared by the batch tier (C37 reads it on both band-join sides
@@ -470,11 +473,10 @@ object Multimodal {
     * C2's signature store. */
   private[graft] def mediaHashes(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val docs = graft.Tables.load(spark, sfDir, "documents")
-    val nClasses = math.max(41L, docs.count() / 12L)
     Dedup.memoize(spark, sfDir,
       "mediahash:" + graft.Tables.fingerprint(sfDir, "documents")) {
-      syntheticMediaTable(spark, sfDir, "image", gradPngBytes(nClasses))
+      syntheticMediaTable(spark, sfDir, "image",
+          gradPngBytes(gradClassCount(spark, sfDir)))
         .mapPartitions(_.map(row => (row.media_id, dHashOfBytes(row.media))))
         .toDF("doc_id", "dhash")
     }

@@ -258,6 +258,10 @@ object Similarity {
     ivfAppendBuilt.clear()
     streamIvfBaseBuilt.clear()
     pqCache.clear()
+    // the trained codebooks' executor broadcasts go with them — without this
+    // every retrain (incl. Lloyd's per-iteration codebooks at K > the
+    // broadcast threshold) would pin another codebook-sized block forever
+    graft.functions.GraftFunctions.clearBroadcasts()
   }
 
   /** The nearest-centroid id for vector column `v` as ONE projected argmax —

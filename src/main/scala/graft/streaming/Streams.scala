@@ -47,10 +47,16 @@ object Streams extends Serializable {
     docsStream(spark, sfDir)
     embeddingsStream(spark, sfDir)
     mediaStream(spark, sfDir)
-    stageEmbeddingsBatch(spark, sfDir, new java.io.File(
-      s"${graft.GraftConf.localRoot}/graft_stream/${sfDir.replaceAll("[^A-Za-z0-9]+", "_")}/emb_batch_in"))
+    stageEmbeddingsBatch(spark, sfDir, embBatchStageDir(sfDir))
     ()
   }
+
+  /** The landing dir for the D11 "new vectors" backlog — ONE definition, so
+    * warmup staging (stage) and the query (streamIvfAppend) can never
+    * diverge on layout or sanitization and silently restage inside a timed
+    * run. */
+  private def embBatchStageDir(sfDir: String): java.io.File = new java.io.File(
+    s"${graft.GraftConf.localRoot}/graft_stream/${sfDir.replaceAll("[^A-Za-z0-9]+", "_")}/emb_batch_in")
 
   /** Stage a testdata table into a stream landing dir, re-copying when the
     * SOURCE's fingerprint no longer matches the one recorded at copy time —
@@ -968,9 +974,6 @@ object Streams extends Serializable {
     spark.readStream.schema(EmbSchema).parquet(stageDir.getAbsolutePath)
   }
 
-  case class CidVec(vec_id: Long, cid: Long)
-  case class CidKeepers(ids: Seq[Long])
-  case class SemCand(vec_id: Long, cand_id: Long)
 
   /** D10 — streaming semantic dedup: the C29 tier of the continuous ingest
     * path, completing the lexical→semantic ladder (D4 exact, D5 MinHash/LSH,
@@ -1017,41 +1020,26 @@ object Streams extends Serializable {
     import spark.implicits._
     org.apache.commons.io.FileUtils.deleteQuietly(cp)
 
-    def decide(cid: Long, vs: Iterator[CidVec],
-      state: GroupState[CidKeepers]): Iterator[SemCand] = {
-      val sorted = vs.toArray.sortBy(_.vec_id)
-      var ids = state.getOption.map(_.ids.toArray).getOrElse(Array.empty[Long])
-      val out = scala.collection.mutable.ArrayBuffer.empty[SemCand]
-      sorted.foreach { v =>
-        if (ids.length < graft.operators.Dedup.MaxBucket) {
-          var i = 0
-          while (i < ids.length) {
-            if (ids(i) < v.vec_id) out += SemCand(v.vec_id, ids(i))
-            i += 1
-          }
-          ids = ids :+ v.vec_id
-        }
-      }
-      state.update(CidKeepers(ids.toSeq))
-      out.iterator
-    }
-
+    // the SHARED keeper transition (keeperDecide) with the cluster id
+    // playing the band key — one copy of the saturation-guard logic for the
+    // lexical (D5), media (D12) and semantic tiers
     val assigned = src
       .select(col("vec_id"), transform(col("embedding"),
         x => x.cast("double")).as("v"))
-      .select(col("vec_id"),
+      .select(col("vec_id").as("doc_id"),
         graft.functions.GraftFunctions
-          .nearestCidBroadcast(spark, col("v"), codebook).as("cid"))
-      .as[CidVec]
+          .nearestCidBroadcast(spark, col("v"), codebook).as("band_key"))
+      .as[BandDoc]
     val cands = assigned
-      .groupByKey(_.cid)
+      .groupByKey(_.band_key)
       .flatMapGroupsWithState(OutputMode.Append(),
-        GroupStateTimeout.NoTimeout())(decide)
+        GroupStateTimeout.NoTimeout())(keeperDecide)
       .toDF()
     // state-key cardinality = cluster count (K), tiny next to D5's band keys
     val sink = runToFiles(spark, cands,
       new java.io.File(cp.getAbsolutePath + "_cands"), cp,
       stateKeyHint = codebook.length.toLong)
+      .withColumnRenamed("doc_id", "vec_id")
     // batch resolve: one vector lookup per pair side against the memoized
     // corpus assignment (stream and batch assign with the same codebook +
     // kernel, so cid/v lookups are bit-identical to having carried them);
@@ -1095,8 +1083,7 @@ object Streams extends Serializable {
     // stage the "new vectors" backlog (the C16/C7d ingest split) as SEVERAL
     // files so AvailableNow + maxFilesPerTrigger exercises real multi-batch
     // appends, not one degenerate batch
-    val stageDir = new java.io.File(
-      s"${graft.GraftConf.localRoot}/graft_stream/${sfDir.replaceAll("[^A-Za-z0-9]+", "_")}/emb_batch_in")
+    val stageDir = embBatchStageDir(sfDir)
     stageEmbeddingsBatch(spark, sfDir, stageDir)
     val cp = new java.io.File(checkpointDir(sfDir, "stream_ivf_append"))
     val appendDir = new java.io.File(cp.getAbsolutePath + "_appended")
