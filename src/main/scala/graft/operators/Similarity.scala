@@ -262,6 +262,13 @@ object Similarity {
     // every retrain (incl. Lloyd's per-iteration codebooks at K > the
     // broadcast threshold) would pin another codebook-sized block forever
     graft.functions.GraftFunctions.clearBroadcasts()
+    // ...and so do the memoized DERIVED frames: a cached assignment table
+    // whose plan embeds a now-destroyed broadcast would fail on its next
+    // recompute, so evicting trained artifacts without evicting the frames
+    // built FROM them leaves a poisoned cache behind — clear both, the
+    // pairing every cold-path caller (ColdWarm, the determinism spec)
+    // already relied on by convention
+    Dedup.clear()
   }
 
   /** The nearest-centroid id for vector column `v` as ONE projected argmax —

@@ -213,6 +213,53 @@ class DedupFixtureSpec extends SparkSpec {
       s"flagged ${flagged.toSeq.sorted} expected ${expected.toSeq.sorted}")
   }
 
+  test("saturated bands stop emitting: the keeper cap all three stream tiers share") {
+    // MaxBucket+16 IDENTICAL docs: every one of the 16 bands saturates at
+    // MaxBucket keepers, so arrivals past the cap emit NO pairs and surface
+    // as non-duplicates — by design the degenerate boilerplate cluster
+    // belongs to the exact tier (C1/D4), and a band's lifetime emission is
+    // capped at C(MaxBucket, 2) pairs instead of growing with stream length.
+    // The batch split lands AFTER saturation, so batch 2 must stay silent
+    // through RESTORED state, not just in-batch bookkeeping. D10/D12 run
+    // this exact transition (keeperDecide), so one pin covers all three.
+    val cap = graft.operators.Dedup.MaxBucket
+    val n = cap + 16
+    val stageDir = new java.io.File("/root/repo/target/test_stream_sat_mb")
+    org.apache.commons.io.FileUtils.deleteQuietly(stageDir)
+    stageDir.mkdirs()
+    import spark.implicits._
+    val text =
+      "the same boilerplate sentence repeated verbatim across the whole corpus"
+    val rows = (0 until n).map(i =>
+      (i.toLong, text, "en", "synthetic", text.length.toLong))
+    val splitAt = cap + 6
+    Seq(rows.filter(_._1 < splitAt), rows.filter(_._1 >= splitAt)).zipWithIndex
+      .foreach { case (slice, i) =>
+        val tmp = new java.io.File(stageDir.getParent, s"sat_tmp_$i")
+        slice.toDF("doc_id", "text", "lang", "source", "n_chars")
+          .coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+        val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(stageDir, f"batch_$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(1700000000000L + i * 60000L)
+        org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+      }
+    val out = graft.streaming.Streams.streamDedupNearMultiBatch(spark,
+      stageDir.getAbsolutePath, "sat_mb").collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) -1L else r.getLong(1)), r.getBoolean(3))).toMap
+    assert(out.size == n)
+    assert(out(0L) == ((-1L, false)))
+    (1 until cap).foreach { i =>
+      assert(out(i.toLong) == ((0L, true)),
+        s"keeper-window doc $i should cite doc 0: ${out(i.toLong)}")
+    }
+    (cap until n).foreach { i =>
+      assert(out(i.toLong) == ((-1L, false)),
+        s"post-saturation doc $i emitted a pair: ${out(i.toLong)}")
+    }
+  }
+
   test("cluster extraction reconstructs the planted components exactly") {
     val out = Dedup.dedupClusters(spark, fixtureDir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap

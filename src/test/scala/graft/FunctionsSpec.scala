@@ -118,6 +118,32 @@ class FunctionsSpec extends SparkSpec {
     assert(handleOf() == handleOf())
   }
 
+  test("graft_nearest_cid_bc: distinct instances never share a broadcast; eviction fails loudly") {
+    import spark.implicits._
+    val df = Seq((1L, Array(9.0, 1.0))).toDF("vec_id", "v")
+    def cidWith(cb: Array[(Int, Array[Double])]): Long =
+      df.select(GraftFunctions.nearestCidBroadcast(spark, col("v"), cb).as("cid"))
+        .head().getLong(0)
+    // two DISTINCT instances with DIFFERENT content must each decide by
+    // their own centroids — a memo keyed on a non-unique hash (the fixed
+    // identityHashCode bug) could silently serve instance A's broadcast for
+    // instance B and assign against the wrong codebook
+    val a = Array((0, Array(9.0, 1.0)), (1, Array(0.0, 1.0)))
+    val b = Array((0, Array(0.0, 1.0)), (1, Array(9.0, 1.0)))
+    assert(cidWith(a) == 0L, "codebook a: nearest centroid is cid 0")
+    assert(cidWith(b) == 1L, "codebook b: nearest centroid is cid 1")
+    // eviction contract: a column built BEFORE clearCaches() must fail
+    // LOUDLY afterwards (destroyed broadcast), never compute against stale
+    // centroids; a fresh build re-registers and decides correctly again
+    val stale = df.select(
+      GraftFunctions.nearestCidBroadcast(spark, col("v"), a).as("cid"))
+    operators.Similarity.clearCaches()
+    val failedLoudly =
+      try { stale.collect(); false } catch { case _: Throwable => true }
+    assert(failedLoudly, "pre-clear broadcast column still ran after eviction")
+    assert(cidWith(a) == 0L, "fresh registration after the clear")
+  }
+
   test("graft_nearest_cid breaks exact cosine ties on the LOWEST cid") {
     import spark.implicits._
     // centroids 3 and 7 are the same direction (2x scaling leaves cosine
