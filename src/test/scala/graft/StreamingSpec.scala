@@ -180,6 +180,58 @@ class StreamingSpec extends SparkSpec {
     assert(staged == "new", s"stale staged copy served: $staged")
   }
 
+  test("media staging restages on source change and keeps ranged part order") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val srcDir = new java.io.File("/root/repo/target/test_media_stage_src")
+    val stageDir = new java.io.File("/root/repo/target/test_media_stage_dst")
+    Seq(srcDir, stageDir).foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+    srcDir.mkdirs()
+    def writeSource(n: Int, mtime: Long): Unit = {
+      val tmp = new java.io.File(srcDir.getParent, "media_stage_tmp")
+      (0 until n).map(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(srcDir, "documents.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      dst.setLastModified(mtime)
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+    }
+    writeSource(40, 1700000000000L)
+    assert(Streams.stageMedia(spark, srcDir.getAbsolutePath, stageDir),
+      "first call must stage")
+    assert(!Streams.stageMedia(spark, srcDir.getAbsolutePath, stageDir),
+      "unchanged source must not re-stage")
+    // the landing files are RANGED and name-ordered: every id in media_000
+    // precedes every id in media_001.. — the monotone-ingest contract a
+    // multi-batch replay relies on
+    val parts = stageDir.listFiles().filter(f =>
+      f.getName.startsWith("media_") && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    assert(parts.length == 4, s"expected 4 ranged parts, got ${parts.length}")
+    val ranges = parts.map { p =>
+      val ids = spark.read.parquet(p.getAbsolutePath)
+        .select(col("media_id")).collect().map(_.getLong(0))
+      (ids.min, ids.max)
+    }.toSeq
+    ranges.zip(ranges.tail).foreach { case ((_, hi), (lo, _)) =>
+      assert(hi < lo, s"part ranges overlap or are misordered: $ranges")
+    }
+    // crash mid-restage (commit marker gone) → the next call self-heals
+    new java.io.File(stageDir, ".documents.src_fp").delete()
+    assert(Streams.stageMedia(spark, srcDir.getAbsolutePath, stageDir),
+      "missing commit marker must force a restage")
+    // regenerated corpus → fingerprint mismatch → restage with new payloads
+    writeSource(50, 1700000060000L)
+    assert(Streams.stageMedia(spark, srcDir.getAbsolutePath, stageDir),
+      "changed fingerprint must re-stage")
+    val total = spark.read.parquet(stageDir.listFiles()
+      .filter(f => f.getName.startsWith("media_") && f.getName.endsWith(".parquet"))
+      .map(_.getAbsolutePath): _*).count()
+    assert(total == 50, s"restaged corpus size $total != 50")
+  }
+
   test("interrupted events restage self-heals (fingerprint is the commit marker)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
