@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt run` as bare JSON; sbt's
+// default LoggedOutput decorates forked stdout with "[info] ", which is the
+// one remaining reason the per-round bench handshake parsed null. Pass the
+// child JVM's stdout/stderr through untouched.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -13,7 +13,21 @@ def load(p):
         for line in f:
             line = line.strip()
             if line.startswith('{"metric"'):
-                return json.loads(line)
+                d = json.loads(line)
+                # Bench's COMPACT stdout line carries a failures-only
+                # "queries" map plus a "queries_file" pointer to the full
+                # sidecar; silently rendering it would print an empty
+                # per-query table. Follow the pointer, else refuse.
+                if d.get("n_queries", 0) > len(d.get("queries", {})):
+                    qf = d.get("queries_file")
+                    if not qf:
+                        raise SystemExit(
+                            f"{p}: compact bench line ({d.get('n_queries')} queries, "
+                            f"{len(d.get('queries', {}))} in map) with no "
+                            "queries_file pointer — pass the sidecar instead")
+                    with open(qf) as g:
+                        d = json.load(g)
+                return d
     raise SystemExit(f"no bench JSON line in {p}")
 
 def main(p01, p1):
