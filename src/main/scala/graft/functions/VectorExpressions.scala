@@ -376,6 +376,139 @@ case class NearestCentroidBroadcast(child: Expression,
     copy(child = newChild)
 }
 
+/** Top-`p` nearest-centroid cids over an EXECUTOR-BROADCAST codebook, in
+  * probe-rank order — the PLURAL form of [[NearestCentroidBroadcast]] and the
+  * kernel that makes multi-probe planning (IVF nProbe lists, the kNN join's
+  * per-query probe sets) a distributed row-local projection instead of a
+  * driver loop over collected query vectors.
+  *
+  * Ranking is exactly the oracle's
+  * `ROW_NUMBER() OVER (PARTITION BY q ORDER BY csim DESC, cid ASC) <= p`:
+  * the same left-to-right cosine fold over `min(len)` elements as
+  * [[CosineSimilarity]], the same NaN-greatest / `-0.0 == 0.0` double
+  * ordering as the singular kernel (DuckDB's `ORDER BY csim DESC` likewise
+  * ranks NaN first), lowest-cid tie-break at equal score. `p = 1` therefore
+  * returns `[nearest_cid]` — FunctionsSpec pins agreement with the singular
+  * form. Per row the kernel keeps a p-slot insertion buffer (p is a small
+  * plan constant — nProbe), so generated code is O(K·(dim + p)) with O(1)
+  * allocation: one long[] for the result array. NULL in → NULL out. */
+case class NearestCentroidsBroadcast(child: Expression,
+  bc: org.apache.spark.broadcast.Broadcast[CodebookData], p: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(p > 0, "graft_nearest_cids_bc: p must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_nearest_cids_bc expects array<double>, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_nearest_cids_bc"
+
+  @transient private lazy val centMat: Array[Array[Double]] = bc.value.mat
+  @transient private lazy val cidArr: Array[Long] = bc.value.cids
+
+  /** Codegen accessors (public: called from generated Java). */
+  def mat(): Array[Array[Double]] = centMat
+  def ids(): Array[Long] = cidArr
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val topS = new Array[Double](p)
+    val topC = new Array[Long](p)
+    var cnt = 0
+    var k = 0
+    while (k < centMat.length) {
+      val cv = centMat(k)
+      val n = math.min(x.numElements(), cv.length)
+      var dot = 0.0; var nx = 0.0; var ny = 0.0
+      var i = 0
+      while (i < n) {
+        val xi = x.getDouble(i); val yi = cv(i)
+        dot += xi * yi; nx += xi * xi; ny += yi * yi
+        i += 1
+      }
+      val s = dot / (math.sqrt(nx) * math.sqrt(ny))
+      val cid = cidArr(k)
+      // first slot this candidate ranks strictly before (csim DESC, cid ASC)
+      var pos = 0
+      var placed = false
+      while (pos < cnt && !placed) {
+        val beats = s > topS(pos) || (s.isNaN && !topS(pos).isNaN) ||
+          ((s == topS(pos) || (s.isNaN && topS(pos).isNaN)) && cid < topC(pos))
+        if (beats) placed = true else pos += 1
+      }
+      if (pos < p) {
+        var j = math.min(cnt, p - 1)
+        while (j > pos) { topS(j) = topS(j - 1); topC(j) = topC(j - 1); j -= 1 }
+        topS(pos) = s; topC(pos) = cid
+        if (cnt < p) cnt += 1
+      }
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(topC, cnt))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val self = ctx.addReferenceObj("ncsbc", this,
+        classOf[NearestCentroidsBroadcast].getName)
+      val cents = ctx.freshName("cents"); val idsV = ctx.freshName("ids")
+      val topS = ctx.freshName("topS"); val topC = ctx.freshName("topC")
+      val cnt = ctx.freshName("cnt"); val k = ctx.freshName("k")
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val cv = ctx.freshName("cv"); val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
+      val s = ctx.freshName("s"); val cid = ctx.freshName("cid")
+      val pos = ctx.freshName("pos"); val beats = ctx.freshName("beats")
+      val j = ctx.freshName("j")
+      s"""
+         |final double[][] $cents = $self.mat();
+         |final long[] $idsV = $self.ids();
+         |final double[] $topS = new double[$p];
+         |final long[] $topC = new long[$p];
+         |int $cnt = 0;
+         |for (int $k = 0; $k < $cents.length; $k++) {
+         |  final double[] $cv = $cents[$k];
+         |  final int $n = java.lang.Math.min($a.numElements(), $cv.length);
+         |  double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final double $xi = $a.getDouble($i);
+         |    final double $yi = $cv[$i];
+         |    $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |  }
+         |  final double $s = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |  final long $cid = $idsV[$k];
+         |  int $pos = 0;
+         |  while ($pos < $cnt) {
+         |    final boolean $beats = $s > $topS[$pos] ||
+         |      (Double.isNaN($s) && !Double.isNaN($topS[$pos])) ||
+         |      (($s == $topS[$pos] ||
+         |        (Double.isNaN($s) && Double.isNaN($topS[$pos]))) &&
+         |       $cid < $topC[$pos]);
+         |    if ($beats) break;
+         |    $pos++;
+         |  }
+         |  if ($pos < $p) {
+         |    for (int $j = java.lang.Math.min($cnt, $p - 1); $j > $pos; $j--) {
+         |      $topS[$j] = $topS[$j - 1]; $topC[$j] = $topC[$j - 1];
+         |    }
+         |    $topS[$pos] = $s; $topC[$pos] = $cid;
+         |    if ($cnt < $p) $cnt++;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  java.util.Arrays.copyOf($topC, $cnt));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidsBroadcast =
+    copy(child = newChild)
+}
+
 /** Registration for graft's native functions — both via SparkSessionExtensions
   * (`spark.sql.extensions=graft.functions.GraftExtensions`) and imperatively
   * for sessions built without the config. */
@@ -442,6 +575,9 @@ object GraftFunctions {
   val nearestCidBcInfo = new ExpressionInfo(
     classOf[NearestCentroidBroadcast].getName, "graft_nearest_cid_bc")
 
+  val nearestCidsBcInfo = new ExpressionInfo(
+    classOf[NearestCentroidsBroadcast].getName, "graft_nearest_cids_bc")
+
   // handle registry bridging the Column seam to the analyzer: the function
   // registry only passes EXPRESSIONS to builders, and a Broadcast cannot
   // travel as one — so the Column API broadcasts the codebook, parks the
@@ -481,20 +617,36 @@ object GraftFunctions {
         "use GraftFunctions.nearestCidBroadcast, which manages the handle")
   }
 
-  /** Column-API entry point: nearest-centroid cid with the codebook as an
-    * EXECUTOR BROADCAST — same selection semantics as [[nearestCid]], no
-    * plan-literal size ceiling. One Broadcast per (context, codebook
-    * instance): repeated query builds over one trained codebook reuse the
-    * same handle, so plans canonicalize equal and executors hold one copy. */
-  def nearestCidBroadcast(spark: SparkSession, v: Column,
-    codebook: Array[(Int, Array[Double])]): Column = {
-    require(codebook.nonEmpty, "nearestCidBroadcast: empty codebook")
+  /** (v, broadcast-handle id literal, p literal) — see [[bcHandles]]. */
+  private[functions] val nearestCidsBcBuilder: Seq[Expression] => Expression = {
+    case Seq(v, idArg, pArg)
+      if idArg.foldable && idArg.dataType == LongType && idArg.eval(null) != null &&
+        pArg.foldable && pArg.dataType == IntegerType && pArg.eval(null) != null =>
+      val id = idArg.eval(null).asInstanceOf[Long]
+      val bc = bcHandles.getOrElse(id, throw new IllegalArgumentException(
+        s"graft_nearest_cids_bc: no broadcast codebook registered under id $id " +
+          "(construct the column via GraftFunctions.nearestCidsBroadcast)"))
+      NearestCentroidsBroadcast(v, bc, pArg.eval(null).asInstanceOf[Int])
+    case _ => throw new IllegalArgumentException(
+      "graft_nearest_cids_bc expects (vector, bigint handle-id LITERAL, " +
+        "int p LITERAL) — use GraftFunctions.nearestCidsBroadcast, " +
+        "which manages the handle")
+  }
+
+  /** Register (or reuse) the executor broadcast for `codebook`, returning its
+    * handle id — the shared acquisition path behind the broadcast-form
+    * kernels ([[nearestCidBroadcast]], [[nearestCidsBroadcast]]), so one
+    * trained codebook maps to ONE broadcast no matter which kernel forms
+    * probe it. */
+  private def acquireCodebookHandle(spark: SparkSession,
+    codebook: Array[(Int, Array[Double])], caller: String): Long = {
+    require(codebook.nonEmpty, s"$caller: empty codebook")
     val dim = codebook.head._2.length
     require(codebook.forall(_._2.length == dim),
-      "nearestCidBroadcast: ragged codebook (mixed centroid dims)")
+      s"$caller: ragged codebook (mixed centroid dims)")
     ensureRegistered(spark)
     val appId = spark.sparkContext.applicationId
-    val id = bcMemo.synchronized {
+    bcMemo.synchronized {
       Option(bcMemo.get(codebook)).filter(_._1 == appId).map(_._2).getOrElse {
         val data = new CodebookData(codebook.map(_._1.toLong),
           codebook.flatMap(_._2), dim)
@@ -505,9 +657,52 @@ object GraftFunctions {
         fresh
       }
     }
+  }
+
+  /** Column-API entry point: nearest-centroid cid with the codebook as an
+    * EXECUTOR BROADCAST — same selection semantics as [[nearestCid]], no
+    * plan-literal size ceiling. One Broadcast per (context, codebook
+    * instance): repeated query builds over one trained codebook reuse the
+    * same handle, so plans canonicalize equal and executors hold one copy. */
+  def nearestCidBroadcast(spark: SparkSession, v: Column,
+    codebook: Array[(Int, Array[Double])]): Column = {
+    val id = acquireCodebookHandle(spark, codebook, "nearestCidBroadcast")
     call_function("graft_nearest_cid_bc", v,
       org.apache.spark.sql.functions.lit(id))
   }
+
+  /** Column-API entry point: the top-`p` nearest cids in probe-rank order
+    * (csim DESC, cid ASC — the oracle's ROW_NUMBER convention) as an
+    * `array<bigint>` column. The multi-probe planner: `explode` the result
+    * against a query set of ANY size and probe planning stays a distributed
+    * row-local projection — no driver collect, no query-set broadcast. */
+  def nearestCidsBroadcast(spark: SparkSession, v: Column,
+    codebook: Array[(Int, Array[Double])], p: Int): Column = {
+    require(p > 0, s"nearestCidsBroadcast: p must be positive, got $p")
+    val id = acquireCodebookHandle(spark, codebook, "nearestCidsBroadcast")
+    call_function("graft_nearest_cids_bc", v,
+      org.apache.spark.sql.functions.lit(id),
+      org.apache.spark.sql.functions.lit(p))
+  }
+
+  /** Destroy ONE codebook's broadcast (if this app registered one) and drop
+    * its registry entries — the targeted form of [[clearBroadcasts]], for
+    * callers that make a codebook array garbage mid-app: Lloyd's training
+    * loop registers a fresh executor broadcast per ITERATION codebook once K
+    * crosses the broadcast threshold, and only the final codebook needs to
+    * outlive training. Without eager release each intermediate would pin a
+    * codebook-sized block-manager entry until a full clearCaches(). Safe to
+    * call with a never-registered array (no-op); the caller must not hold
+    * Columns built over the released codebook (same loud-failure contract as
+    * clearBroadcasts). */
+  def releaseCodebookBroadcast(codebook: Array[(Int, Array[Double])]): Unit =
+    bcMemo.synchronized {
+      Option(bcMemo.remove(codebook)).foreach { case (_, id) =>
+        bcHandles.remove(id).foreach { h =>
+          try h.destroy() catch { case _: Exception => () }
+        }
+      }
+    }
 
   /** Destroy every registered codebook broadcast and clear both registries —
     * the eviction path Similarity.clearCaches() routes through, and the only
@@ -651,6 +846,7 @@ object GraftFunctions {
     Seq((FunctionIdentifier("graft_cosine"), cosineInfo, cosineBuilder),
       (FunctionIdentifier("graft_nearest_cid"), nearestCidInfo, nearestCidBuilder),
       (FunctionIdentifier("graft_nearest_cid_bc"), nearestCidBcInfo, nearestCidBcBuilder),
+      (FunctionIdentifier("graft_nearest_cids_bc"), nearestCidsBcInfo, nearestCidsBcBuilder),
       (FunctionIdentifier("graft_sig_agreement"), sigAgreementInfo, sigAgreementBuilder),
       (FunctionIdentifier("graft_might_contain"), mightContainInfo, mightContainBuilder),
       (FunctionIdentifier("graft_fingerprint"), fingerprintInfo, fingerprintBuilder),

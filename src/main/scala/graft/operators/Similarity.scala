@@ -94,9 +94,12 @@ object Similarity {
     * pass — the kNN-graph build step training-data pipelines run for
     * SemDeDup-style cluster ranking, hard-negative mining and duplicate
     * audits. Spark has no native kNN-join operator; the scale shape here is:
-    * BROADCAST the bounded query side (an UNBOUNDED query set routes through
-    * the C7c cid-partitioned layout instead — this operator is the exact
-    * many-query baseline, as C6 is for one query), ONE corpus scan computes
+    * BROADCAST the bounded query side (this broadcast grows with |Q| — the
+    * DOCUMENTED limit of the exact baseline: it is the price of meeting
+    * every query with zero corpus movement, and the reason a query set that
+    * outgrows broadcast size routes through C38b's distributed-planning IVF
+    * form, whose only broadcast is the O(K) codebook — as C6 is the exact
+    * one-query baseline to C7's approximate forms), ONE corpus scan computes
     * every query×corpus cosine, the embedding columns are dropped BEFORE the
     * operator's only shuffle, and per-query top-k resolves as a window rank
     * over slim (q_id, vec_id, sim) rows. Ties break on candidate id, rank on
@@ -144,44 +147,79 @@ object Similarity {
       |FROM rk WHERE rnk <= 5
       |ORDER BY q_id, rnk""".stripMargin
 
-  /** C38b — the kNN join at scale: the same bounded query set resolved
-    * against the cid-PARTITIONED IVF layout (C7c) instead of the full
-    * corpus. Per-query probe lists (nProbe=4 closest centroids) come from
-    * the K-row codebook and the bounded collected query vectors — query
-    * PLANNING on the driver, no corpus work, the many-query form of C7c's
-    * single-probe planning — and candidate restriction happens in the JOIN
-    * on cid: each query meets only its nProbe/K of the corpus, and the
-    * union of probe cids lands in the scan as a partition filter (selective
-    * whenever the query set doesn't cover the key space; at production K ∝
-    * corpus it always is). The probe side broadcasts, so the corpus takes
-    * NO join shuffle; the only hash exchange is C38's slim-row window rank.
-    * Approximation is exactly IVF's: a true neighbor outside the probe
-    * lists is missed — C7's recall dial, measured against C38's exact
-    * baseline in OperatorsSpec. */
-  def knnJoinIvf(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val nProbe = 4
+  // dir -> (embeddings fingerprint, bucketed table name): the kNN join
+  // probes the IVF index through a cid-BUCKETED catalog table, built from
+  // the SAME assignment as the cid-partitioned path layout (read from it,
+  // never re-assigned), so the two physical forms of one index can never
+  // disagree on a vector's list.
+  private val ivfBucketedBuilt =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  /** The IVF index as a cid-BUCKETED table (B18's machinery): bucketing is
+    * the physical property Catalyst can USE in a join — a scan of a
+    * cid-partitioned path is pruned well but reports unknown distribution,
+    * so joining on cid would exchange the corpus; the bucketed scan reports
+    * HashPartitioning(cid), so the corpus side of the kNN join takes ZERO
+    * exchange and only the (much slimmer) query side shuffles to meet it.
+    * At 100 TB these are one artifact — the index writer bucket-partitions
+    * by cid once; here the second write stands in for that layout. */
+  private def ensureIvfBucketedTable(spark: SparkSession,
+    sfDir: String): (String, Array[(Int, Array[Double])]) = this.synchronized {
     val (path, codebook) = ensureIvfIndexWithCodebook(spark, sfDir)
-    // bounded collect by the same contract that lets the query side
-    // broadcast at all (C38); each vector is 64 doubles
-    val queries = Tables.load(spark, sfDir, "embeddings")
+    val fp = graft.Tables.fingerprint(sfDir, "embeddings")
+    val tbl = "ivf_bkt" + sfDir.replaceAll("[^A-Za-z0-9]+", "_")
+    ivfBucketedBuilt.get(sfDir) match {
+      case Some((f, t)) if f == fp && spark.catalog.tableExists(t) =>
+        (t, codebook)
+      case _ =>
+        // a table directory left by a previous session is unknown to this
+        // session's in-memory catalog; clear it or saveAsTable refuses the
+        // location (B18's ensure does the same)
+        if (!spark.catalog.tableExists(tbl)) {
+          val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh, tbl))
+        }
+        spark.read.parquet(path)
+          .select(col("vec_id"), col("v"), col("cid").cast("bigint").as("cid"))
+          .write.bucketBy(IvfK, "cid").sortBy("cid").mode("overwrite")
+          .saveAsTable(tbl)
+        ivfBucketedBuilt(sfDir) = (fp, tbl)
+        (tbl, codebook)
+    }
+  }
+
+  /** C38b — the kNN join at scale: the same query set as C38 resolved
+    * against the IVF index instead of the full corpus, with query PLANNING
+    * fully DISTRIBUTED — the |Q| ∝ N query set never touches the driver and
+    * never broadcasts. Each query row derives its own nProbe=4 probe list
+    * as a row-local projection through the `graft_nearest_cids_bc` kernel
+    * (the K-row codebook is the ONLY broadcast — O(K), corpus-size-
+    * independent), explodes to (q_id, cid, q) probe rows, and meets the
+    * corpus in an equi-join on cid where the corpus side is the cid-
+    * BUCKETED index table: HashPartitioning(cid) from the scan, so the
+    * corpus takes ZERO join exchange and only the slim probe side shuffles
+    * (|Q|·nProbe rows — 4·nProbe/K of the corpus's bytes at |Q| = N/97).
+    * The merge hint pins that shape against a runtime broadcast rewrite of
+    * the ∝ N side. Per-query top-5 then resolves as C38's slim-row window
+    * rank — the plan's only other exchange. PlanGateSpec pins all of it: no
+    * LocalTableScan (nothing query-sized is driver-materialized), no
+    * BroadcastExchange, ≤2 hash exchanges. Probe-list ranking (csim DESC,
+    * cid ASC, NaN-greatest, min-length fold) is the kernel's — identical to
+    * the oracle's ROW_NUMBER convention on every edge. Approximation is
+    * exactly IVF's: a true neighbor outside the probe lists is missed —
+    * C7's recall dial, measured against C38's exact baseline in
+    * OperatorsSpec. */
+  def knnJoinIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val nProbe = 4
+    val (tbl, codebook) = ensureIvfBucketedTable(spark, sfDir)
+    val probes = Tables.load(spark, sfDir, "embeddings")
       .filter(col("vec_id") % 97 === 7)
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .collect().map(r => (r.getAs[Long]("vec_id"), r.getSeq[Double](1).toArray))
-    def cos(a: Array[Double], b: Array[Double]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      dot / (math.sqrt(na) * math.sqrt(nb))
-    }
-    val probeEntries = queries.toSeq.flatMap { case (qid, qv) =>
-      codebook.sortBy { case (cid, cv) => (-cos(cv, qv), cid) }.take(nProbe)
-        .map { case (cid, _) => (qid, cid.toLong, qv.toSeq) }
-    }
-    val probeDf = probeEntries.toDF("q_id", "cid", "q")
-    val probeCids = probeEntries.map(_._2).distinct.sorted
-    val sims = spark.read.parquet(path)
-      .filter(col("cid").isin(probeCids: _*)) // → PartitionFilters
-      .join(broadcast(probeDf), "cid")
+      .select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("q"))
+      .select(col("q_id"), col("q"),
+        explode(graft.functions.GraftFunctions
+          .nearestCidsBroadcast(spark, col("q"), codebook, nProbe)).as("cid"))
+    val sims = spark.table(tbl)
+      .join(probes.hint("merge"), "cid")
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         graft.functions.GraftFunctions.cosine(spark, col("v"), col("q")).as("sim"))
@@ -352,6 +390,7 @@ object Similarity {
           .cast("double").as("m"))
         .collect()
       val byCid = means.groupBy(_.getAs[Number]("cid").longValue)
+      val prev = codebook
       codebook = codebook.map { case (cid, old) =>
         byCid.get(cid.toLong) match {
           // an emptied cluster keeps its previous centroid (standard Lloyd)
@@ -361,6 +400,13 @@ object Similarity {
               .map(_.getAs[Double]("m")).toArray)
         }
       }
+      // the iteration codebook is garbage now (the collect above was its
+      // last use); past BcThreshold each iteration registered a fresh
+      // executor broadcast for it — destroy eagerly instead of pinning
+      // IvfLloydIters codebook-sized block-manager entries per training run
+      // until a full clearCaches(). Only the FINAL codebook's broadcast
+      // (registered later, by whoever queries with it) outlives training.
+      graft.functions.GraftFunctions.releaseCodebookBroadcast(prev)
     }
     codebook
   }
@@ -470,6 +516,29 @@ object Similarity {
     codebook: Array[(Int, Array[Double])]): DataFrame =
     prunedProbe(spark, sfDir, Seq(path), codebook)
 
+  /** Driver-side probe-list ranking for SINGLE-query planners (C7c/C7d/D11 —
+    * one bounded query vector, so planning on the driver is legitimate):
+    * bit-identical to the NearestCentroids kernels on every edge — the same
+    * left-to-right cosine fold over `min(len)` elements (ragged dims never
+    * over-index), the same NaN-greatest / cid-ASC comparator as the
+    * oracle's `ORDER BY csim DESC, cid` (a plain `sortBy(-cos)` would rank
+    * a NaN cosine LAST where both the kernel and DuckDB rank it first). */
+  private[graft] def probeRank(codebook: Array[(Int, Array[Double])],
+    q: Array[Double], nProbe: Int): Seq[Long] =
+    codebook.map { case (cid, cv) =>
+      val n = math.min(q.length, cv.length)
+      var dot = 0.0; var nq = 0.0; var nc = 0.0; var i = 0
+      while (i < n) {
+        val qi = q(i); val ci = cv(i)
+        dot += qi * ci; nq += qi * qi; nc += ci * ci
+        i += 1
+      }
+      (cid.toLong, dot / (math.sqrt(nq) * math.sqrt(nc)))
+    }.sortWith { case ((c1, s1), (c2, s2)) =>
+      s1 > s2 || (s1.isNaN && !s2.isNaN) ||
+        ((s1 == s2 || (s1.isNaN && s2.isNaN)) && c1 < c2)
+    }.take(nProbe).map(_._1).toSeq
+
   private[graft] def prunedProbe(spark: SparkSession, sfDir: String,
     paths: Seq[String], codebook: Array[(Int, Array[Double])]): DataFrame = {
     val nProbe = 4
@@ -477,16 +546,7 @@ object Similarity {
     val p = Tables.load(spark, sfDir, "embeddings")
       .filter(col("vec_id") === 0)
       .select(asDouble(col("embedding"))).head().getSeq[Double](0).toArray
-    // driver cosine, ONE left-to-right fold per accumulator — bit-identical
-    // to the CosineSimilarity expression and DuckDB's list_reduce
-    def cos(a: Array[Double], b: Array[Double]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      dot / (math.sqrt(na) * math.sqrt(nb))
-    }
-    val probeCids = codebook
-      .sortBy { case (cid, cv) => (-cos(cv, p), cid) }
-      .take(nProbe).map(_._1.toLong).toSeq
+    val probeCids = probeRank(codebook, p, nProbe)
     val probeLit = typedlit(p.toSeq)
     paths.map { path =>
       spark.read.parquet(path)

@@ -70,6 +70,60 @@ class FunctionsSpec extends SparkSpec {
     assert(nulls.head().isNullAt(0))
   }
 
+  test("graft_nearest_cids_bc ranks top-p exactly like ROW_NUMBER(csim DESC, cid ASC)") {
+    import spark.implicits._
+    // the multi-probe planner behind knn_join_ivf: per-row top-p must equal
+    // the oracle's window-rank convention on EVERY edge — NaN cosines rank
+    // first (DuckDB's ORDER BY csim DESC puts NaN greatest, like the
+    // singular kernel), ties break on lowest cid, ragged dims fold over
+    // min(len) — so the same reference ranking is computed here on the
+    // driver with exactly those rules
+    def vec(seed: Int): Array[Double] =
+      Array.tabulate(16)(i => math.sin(seed * 31 + i * 7).toDouble)
+    val codebook = Array.tabulate(100)(c => (c, vec(c + 1000)))
+    val rows = (0 until 200).map(i => (i.toLong, vec(i))) ++ Seq(
+      (900L, Array.fill(16)(0.0)),         // zero vector: every csim NaN
+      (901L, vec(5).take(7)),              // ragged: shorter than centroids
+      (902L, vec(6) ++ Array(9.9, -9.9)))  // ragged: longer than centroids
+    def refRank(q: Array[Double], p: Int): Seq[Long] =
+      codebook.map { case (cid, cv) =>
+        val n = math.min(q.length, cv.length)
+        var dot = 0.0; var nq = 0.0; var nc = 0.0; var i = 0
+        while (i < n) { dot += q(i) * cv(i); nq += q(i) * q(i); nc += cv(i) * cv(i); i += 1 }
+        (cid.toLong, dot / (math.sqrt(nq) * math.sqrt(nc)))
+      }.sortWith { case ((c1, s1), (c2, s2)) =>
+        s1 > s2 || (s1.isNaN && !s2.isNaN) ||
+          ((s1 == s2 || (s1.isNaN && s2.isNaN)) && c1 < c2)
+      }.take(p).map(_._1).toSeq
+    val df = rows.toDF("vec_id", "v")
+    val got = df.select(col("vec_id"),
+        GraftFunctions.nearestCidsBroadcast(spark, col("v"), codebook, 4).as("cids"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    rows.foreach { case (id, q) =>
+      assert(got(id) == refRank(q, 4), s"vec $id: ${got(id)} != ${refRank(q, 4)}")
+    }
+    // the zero vector's all-NaN scores must fall back to pure cid order
+    assert(got(900L) == Seq(0L, 1L, 2L, 3L))
+    // p = 1 is the singular kernel
+    val single = df.select(col("vec_id"),
+        GraftFunctions.nearestCidBroadcast(spark, col("v"), codebook).as("cid"),
+        GraftFunctions.nearestCidsBroadcast(spark, col("v"), codebook, 1).as("cids"))
+      .collect()
+    single.foreach { r =>
+      assert(r.getSeq[Long](2) == Seq(r.getLong(1)), s"p=1 mismatch at ${r.getLong(0)}")
+    }
+    // p past K returns all K cids in rank order, never pads
+    val all = df.filter(col("vec_id") === 0)
+      .select(GraftFunctions.nearestCidsBroadcast(spark, col("v"), codebook, 150).as("cids"))
+      .head().getSeq[Long](0)
+    assert(all.size == 100 && all.toSet.size == 100)
+    assert(all == refRank(vec(0), 150))
+    // NULL in → NULL out
+    val nulls = Seq((1L, null: Array[Double])).toDF("vec_id", "v")
+      .select(GraftFunctions.nearestCidsBroadcast(spark, col("v"), codebook, 4).as("cids"))
+    assert(nulls.head().isNullAt(0))
+  }
+
   test("graft_nearest_cid_bc clears the old 65536-centroid plan-literal cap") {
     import spark.implicits._
     // K = 70_000 centroids — past the literal form's 32 MiB sanity cap that

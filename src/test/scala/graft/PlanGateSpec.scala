@@ -70,9 +70,11 @@ class PlanGateSpec extends SparkSpec {
     // over slim (q_id, id, sim) rows — the corpus embeddings never shuffle
     // (query side broadcast, cosine computed in the scan stage)
     Gate("knn_join", maxHashEx = 1),
-    // C38b: same single-exchange shape over the cid layout — probe side
-    // broadcast-joined, probe-cid union survives as a partition filter
-    Gate("knn_join_ivf", maxHashEx = 1, minBroadcast = 1, needPartitionFilters = true),
+    // C38b: DISTRIBUTED probe planning — one probe-side exchange on cid to
+    // meet the bucketed corpus scan (which itself never exchanges) + the
+    // window rank; the dedicated test below pins the no-driver/no-broadcast
+    // properties this Gate row can't express
+    Gate("knn_join_ivf", maxHashEx = 2, maxSortMerge = 1),
     Gate("sim_ivf_append", maxHashEx = 0, maxRangeEx = 0, needPartitionFilters = true),
     // C28: two count windows + the per-doc rollup — and NO join-back (the
     // n_docs>=2 test must stay a window, never a gram self-join)
@@ -129,6 +131,31 @@ class PlanGateSpec extends SparkSpec {
               l.contains("Filter") && l.contains(s"<= ${operators.Dedup.MaxBucket}")),
             s"$name: MaxBucket degenerate-bucket guard missing from plan:\n${plan.take(2000)}")
       }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("plan gate: knn_join_ivf plans probes distributedly — nothing query-sized on the driver") {
+    // the |Q| ∝ N contract: probe lists come from the row-local
+    // graft_nearest_cids_bc kernel (codebook broadcast is O(K)), the query
+    // set is never collected (no LocalTableScan of driver-built rows) and
+    // never broadcast (no BroadcastExchange anywhere — the old form
+    // broadcast |Q|·nProbe 64-double rows), and the corpus side joins from
+    // the cid-BUCKETED scan without an exchange (its only exchanges are the
+    // probe side's cid shuffle + the window rank)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("knn_join_ivf")(spark, sfDir)
+      df.write.format("noop").mode("overwrite").save()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("LocalTableScan"),
+        s"knn_join_ivf: driver-materialized rows re-entered the plan:\n${plan.take(2000)}")
+      assert(!plan.contains("BroadcastExchange"),
+        s"knn_join_ivf: a query-derived side is broadcast again:\n${plan.take(2000)}")
+      assert(plan.contains("graft_nearest_cids_bc"),
+        s"knn_join_ivf: probe planning left the distributed kernel:\n${plan.take(2000)}")
+      assert(plan.contains("SelectedBucketsCount"),
+        s"knn_join_ivf: corpus side no longer reads the bucketed layout:\n${plan.take(2000)}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
