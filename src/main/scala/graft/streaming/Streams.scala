@@ -305,6 +305,49 @@ object Streams extends Serializable {
       spark.read.schema(df.schema).parquet(outDir.getAbsolutePath)
     }
 
+  /** Run the INGEST tier of a dedup stream to completion: `derive` each
+    * micro-batch's row-local records (perceptual hash, cluster assignment)
+    * ONCE per arrival and append them to the stream-side STORE directory —
+    * D11's O(batch) foreachBatch append applied to the dedup stores. The
+    * store is what makes the downstream resolve honest for arrivals the
+    * batch corpus has never seen: the dedup tier consumes the store (so the
+    * expensive derivation never runs twice), and every candidate pair's
+    * BOTH sides are stream arrivals, so store lookups resolve novel rows by
+    * construction — no join against a corpus-only table that would silently
+    * drop them. One coalesced file per micro-batch with a pinned ascending
+    * mtime: the downstream dedup query is a file-stream source ordered by
+    * (mtime, path), and arbitrary write-task mtimes would reorder its
+    * replay against the ingest order the keeper-rank oracle relies on.
+    * (Per-batch file count is a throughput dial in production — the order
+    * contract only needs batch-monotone mtimes.) */
+  private def ingestAppend(spark: SparkSession, src: DataFrame,
+    storeDir: java.io.File, cp: java.io.File)(
+    derive: DataFrame => DataFrame): Unit = {
+    org.apache.commons.io.FileUtils.deleteQuietly(storeDir)
+    org.apache.commons.io.FileUtils.deleteQuietly(cp)
+    // driver-side closure state: foreachBatch batches run sequentially
+    var staged = Set.empty[String]
+    withStreamShufflePartitions(spark) {
+      val q = src.writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          derive(batch).coalesce(1).write.mode("append")
+            .parquet(storeDir.getAbsolutePath)
+          val now = Option(storeDir.listFiles())
+            .getOrElse(Array.empty[java.io.File])
+            .filter(_.getName.endsWith(".parquet"))
+          now.filterNot(f => staged.contains(f.getName)).foreach { f =>
+            f.setLastModified(1700000000000L + id * 60000L); ()
+          }
+          staged = now.map(_.getName).toSet
+          ()
+        }
+        .option("checkpointLocation", cp.getAbsolutePath)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+  }
+
   private def runToMemory(spark: SparkSession, df: DataFrame, name: String,
     cp: java.io.File, outputMode: OutputMode, stateKeyHint: Long): DataFrame =
     withStreamShufflePartitions(spark, stateKeyHint) {
@@ -890,26 +933,28 @@ object Streams extends Serializable {
 
   /** D12 — streaming media near-dedup: the C37 tier of the continuous ingest
     * path, extending the dedup ladder (D4 exact, D5 MinHash/LSH, D10
-    * semantic) to media BYTES. Each arriving payload is decoded and
-    * perceptually hashed ROW-LOCALLY inside the micro-batch (the codec seam
-    * — a real javax.imageio decode per row, never an aggregation before the
-    * keyed state), fans out to its 4 × 16-bit dHash band keys, and the
-    * shared band-keeper state transition (keeperDecide — D5's operator with
-    * the chunk key playing the band key, including the saturated-band
-    * guard) emits candidate pairs into a parquet FILE sink. Pairs are
-    * resolved OUTSIDE the state op by full-hash Hamming ≤ 3 against the
-    * memoized media-hash store C37 maintains — the hash is a deterministic
-    * row-local function of the bytes, so a lookup is bit-identical to
-    * having carried it, and keeper state stays the id alone. The shuffle
-    * carries (band, doc) rows, NEVER the media bytes — at 100 TB the
-    * payloads stay in the scan stage and only 12 bytes per (doc, band)
-    * move. Closed form: the generated oracle (Multimodal.streamDedupMediaSql)
-    * is C37's SQL with the keeper-rank guard. Same monotone-ingest-id
-    * caveat as D4/D5/D10 across batches. */
+    * semantic) to media BYTES, as TWO chained continuous tiers. The INGEST
+    * tier decodes and perceptually hashes each arriving payload ROW-LOCALLY
+    * inside its micro-batch (the codec seam — a real javax.imageio decode
+    * per row, exactly once per arrival) and appends (id, dhash) into the
+    * stream-side hash store, D11's O(batch) append applied to C37's store.
+    * The DEDUP tier consumes that store: band fan-out is pure bit ops on
+    * the stored hash (media bytes never enter this query), and the shared
+    * band-keeper state transition (keeperDecide — D5's operator with the
+    * chunk key playing the band key, including the saturated-band guard)
+    * emits candidate pairs into a parquet FILE sink. Pairs are resolved
+    * OUTSIDE the state op by full-hash Hamming ≤ 3 against the stream-side
+    * store itself — both sides of every pair are stream arrivals, so a
+    * payload the batch corpus has NEVER seen still resolves (spec-pinned
+    * with a novel-arrival fixture); keeper state stays the id alone. The
+    * shuffle carries (band, doc) rows, NEVER the media bytes — at 100 TB
+    * the payloads stay in the ingest scan stage and only 12 bytes per
+    * (doc, band) move. Closed form: the generated oracle
+    * (Multimodal.streamDedupMediaSql) is C37's SQL with the keeper-rank
+    * guard. Same monotone-ingest-id caveat as D4/D5/D10 across batches. */
   def streamDedupMedia(spark: SparkSession, sfDir: String): DataFrame = {
     val cp = new java.io.File(checkpointDir(sfDir, "stream_dedup_media"))
-    mediaDedupRun(spark, mediaStream(spark, sfDir), cp,
-      graft.operators.Multimodal.mediaHashes(spark, sfDir))
+    mediaDedupRun(spark, mediaStream(spark, sfDir), cp)
   }
 
   /** Test hook: every staged file its own micro-batch — band keepers must
@@ -920,23 +965,42 @@ object Streams extends Serializable {
     val src = spark.readStream.schema(MediaSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(stageDir)
-    mediaDedupRun(spark, src, cp,
-      graft.operators.Multimodal.mediaHashes(spark, sfDir))
+    mediaDedupRun(spark, src, cp)
   }
 
+  private val MediaHashSchema = "doc_id BIGINT, dhash BIGINT"
+
   private def mediaDedupRun(spark: SparkSession, src: DataFrame,
-    cp: java.io.File, hashes: DataFrame): DataFrame = {
+    cp: java.io.File): DataFrame = {
     import spark.implicits._
     org.apache.commons.io.FileUtils.deleteQuietly(cp)
-    val banded = src.as[MediaIn]
-      .mapPartitions(_.flatMap { m =>
-        // decode + dHash row-locally, then fan out to the 4 chunk band keys
-        // (chunk index disambiguates the 16-bit key spaces, exactly the
-        // batch tier's (chunk_id, chunk_key) composite)
-        val h = graft.operators.Multimodal.dHashOfBytes(m.media)
-        (0 until 4).iterator.map(j =>
-          BandDoc(m.media_id, (j.toLong << 16) | ((h >>> (16 * j)) & 0xFFFFL)))
-      })
+    // INGEST tier: one javax.imageio decode + dHash per arrival, appended
+    // into the stream-side hash store (the C37 store's continuous-maintenance
+    // form) — the store the dedup tier consumes and the resolve looks up, so
+    // a payload the batch corpus never saw still gets a verdict
+    val store = new java.io.File(cp.getAbsolutePath + "_hashstore")
+    ingestAppend(spark, src, store,
+      new java.io.File(cp.getAbsolutePath + "_ingest")) { batch =>
+      batch.as[MediaIn](org.apache.spark.sql.Encoders.product[MediaIn])
+        .mapPartitions(_.map(m =>
+          (m.media_id, graft.operators.Multimodal.dHashOfBytes(m.media))))(
+          org.apache.spark.sql.Encoders.product[(Long, Long)])
+        .toDF("doc_id", "dhash")
+    }
+    val hashes = spark.read.schema(MediaHashSchema)
+      .parquet(store.getAbsolutePath)
+    // DEDUP tier: consumes the hash store — band fan-out is pure bit ops on
+    // the stored dhash (chunk index disambiguates the 16-bit key spaces,
+    // exactly the batch tier's (chunk_id, chunk_key) composite); media bytes
+    // never reach this query at all
+    val banded = spark.readStream.schema(MediaHashSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(store.getAbsolutePath)
+      .select(col("doc_id"), explode(array((0 until 4).map(j =>
+        lit(j.toLong << 16).bitwiseOR(
+          shiftrightunsigned(col("dhash"), 16 * j).bitwiseAND(lit(0xFFFFL)))): _*))
+        .as("band_key"))
+      .as[BandDoc]
     val cands = banded
       .groupByKey(_.band_key)
       .flatMapGroupsWithState(OutputMode.Append(),
@@ -947,6 +1011,9 @@ object Streams extends Serializable {
     val sink = runToFiles(spark, cands,
       new java.io.File(cp.getAbsolutePath + "_cands"), cp,
       stateKeyHint = math.min(hashes.count() * 4L, 4L * 65536L))
+    // resolve against the STREAM store: both pair sides are stream arrivals
+    // (keepers are arrivals too), so every candidate — including one for a
+    // genuinely novel payload — finds its hash here
     val pairs = sink.distinct()
       .join(hashes, Seq("doc_id"))
       .join(hashes.select(col("doc_id").as("cand_id"), col("dhash").as("cand_hash")),
@@ -977,28 +1044,34 @@ object Streams extends Serializable {
 
   /** D10 — streaming semantic dedup: the C29 tier of the continuous ingest
     * path, completing the lexical→semantic ladder (D4 exact, D5 MinHash/LSH,
-    * this paraphrase-level). Each arriving vector is assigned its cluster
-    * ROW-LOCALLY by the broadcast-backed `graft_nearest_cid_bc` kernel
-    * against the FROZEN corpus codebook (the offline-trained artifact — a
-    * stream must never retrain it, or assignments would drift against the
-    * stored corpus clusters), then flatMapGroupsWithState keyed by cid holds
-    * the cluster's first-MaxBucket keeper ids — the D5 state pattern with
-    * the cluster id playing the band key. An arrival emits one candidate per
-    * keeper present and joins if there is room; a SATURATED cluster emits
-    * nothing (the same degenerate-bucket guard, capping lifetime emission at
-    * C(MaxBucket, 2) pairs per cluster). Candidates land in a parquet FILE
-    * sink (never the driver) and are resolved OUTSIDE the state op by exact
-    * cosine ≥ τ against the memoized corpus assignment C29/C32 share —
-    * vectors are looked up, not carried, so keeper state is the id alone.
-    * The keeper-rank bound makes the whole operator closed-form: the
-    * generated oracle (Similarity.streamDedupSemanticSql) is C29's SQL with
-    * a ROW_NUMBER-by-vec_id rank guard. Same monotone-ingest-id caveat as
+    * this paraphrase-level), as TWO chained continuous tiers. The INGEST
+    * tier assigns each arriving vector its cluster ROW-LOCALLY by the
+    * broadcast-backed `graft_nearest_cid_bc` kernel against the FROZEN
+    * corpus codebook (the offline-trained artifact — a stream must never
+    * retrain it, or assignments would drift against the stored corpus
+    * clusters) and appends (id, v, cid) into the stream-side assignment
+    * store — D11's O(batch) append applied to the C29/C32 assignment table.
+    * The DEDUP tier consumes that store: flatMapGroupsWithState keyed by
+    * the stored cid holds the cluster's first-MaxBucket keeper ids — the D5
+    * state pattern with the cluster id playing the band key. An arrival
+    * emits one candidate per keeper present and joins if there is room; a
+    * SATURATED cluster emits nothing (the same degenerate-bucket guard,
+    * capping lifetime emission at C(MaxBucket, 2) pairs per cluster).
+    * Candidates land in a parquet FILE sink (never the driver) and are
+    * resolved OUTSIDE the state op by exact cosine ≥ τ against the
+    * stream-side store itself — both sides of every pair are stream
+    * arrivals, so a vector the batch corpus has NEVER seen still resolves
+    * (spec-pinned with a novel-arrival fixture); vectors are looked up, not
+    * carried, so keeper state is the id alone and the state-op shuffle
+    * moves (id, cid) pairs only. The keeper-rank bound makes the whole
+    * operator closed-form: the generated oracle
+    * (Similarity.streamDedupSemanticSql) is C29's SQL with a
+    * ROW_NUMBER-by-vec_id rank guard. Same monotone-ingest-id caveat as
     * D4/D5 across batches. */
   def streamDedupSemantic(spark: SparkSession, sfDir: String): DataFrame = {
     val cp = new java.io.File(checkpointDir(sfDir, "stream_dedup_semantic"))
     val codebook = graft.operators.Similarity.trainSemanticCodebook(spark, sfDir)
-    semanticDedupRun(spark, embeddingsStream(spark, sfDir), cp, codebook,
-      graft.operators.Similarity.semanticAssigned(spark, sfDir))
+    semanticDedupRun(spark, embeddingsStream(spark, sfDir), cp, codebook)
   }
 
   /** Test hook: every staged file its own micro-batch — keeper state must
@@ -1010,25 +1083,42 @@ object Streams extends Serializable {
       .option("maxFilesPerTrigger", "1")
       .parquet(stageDir)
     semanticDedupRun(spark, src, cp,
-      graft.operators.Similarity.trainSemanticCodebook(spark, sfDir),
-      graft.operators.Similarity.semanticAssigned(spark, sfDir))
+      graft.operators.Similarity.trainSemanticCodebook(spark, sfDir))
   }
 
+  private val SemAssignSchema = "vec_id BIGINT, v ARRAY<DOUBLE>, cid BIGINT"
+
   private def semanticDedupRun(spark: SparkSession, src: DataFrame,
-    cp: java.io.File, codebook: Array[(Int, Array[Double])],
-    assignedBatch: DataFrame): DataFrame = {
+    cp: java.io.File, codebook: Array[(Int, Array[Double])]): DataFrame = {
     import spark.implicits._
     org.apache.commons.io.FileUtils.deleteQuietly(cp)
 
-    // the SHARED keeper transition (keeperDecide) with the cluster id
-    // playing the band key — one copy of the saturation-guard logic for the
-    // lexical (D5), media (D12) and semantic tiers
-    val assigned = src
-      .select(col("vec_id"), transform(col("embedding"),
-        x => x.cast("double")).as("v"))
-      .select(col("vec_id").as("doc_id"),
-        graft.functions.GraftFunctions
-          .nearestCidBroadcast(spark, col("v"), codebook).as("band_key"))
+    // INGEST tier: assign each arrival its cluster ROW-LOCALLY with the
+    // broadcast-backed kernel under the FROZEN corpus codebook, and append
+    // (vec_id, v, cid) into the stream-side assignment store — D11's
+    // O(batch) append applied to the C29/C32 assignment table, and the
+    // store the resolve below looks up, so a vector the batch corpus never
+    // saw still gets a verdict
+    val store = new java.io.File(cp.getAbsolutePath + "_assignstore")
+    ingestAppend(spark, src, store,
+      new java.io.File(cp.getAbsolutePath + "_ingest")) { batch =>
+      batch
+        .select(col("vec_id"), transform(col("embedding"),
+          x => x.cast("double")).as("v"))
+        .withColumn("cid", graft.functions.GraftFunctions
+          .nearestCidBroadcast(batch.sparkSession, col("v"), codebook))
+    }
+    val assignedAll = spark.read.schema(SemAssignSchema)
+      .parquet(store.getAbsolutePath)
+
+    // DEDUP tier: consumes the store — the SHARED keeper transition
+    // (keeperDecide) with the stored cluster id playing the band key; one
+    // copy of the saturation-guard logic for the lexical (D5), media (D12)
+    // and semantic tiers. Vectors never enter this query: (id, cid) only.
+    val assigned = spark.readStream.schema(SemAssignSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(store.getAbsolutePath)
+      .select(col("vec_id").as("doc_id"), col("cid").as("band_key"))
       .as[BandDoc]
     val cands = assigned
       .groupByKey(_.band_key)
@@ -1040,11 +1130,12 @@ object Streams extends Serializable {
       new java.io.File(cp.getAbsolutePath + "_cands"), cp,
       stateKeyHint = codebook.length.toLong)
       .withColumnRenamed("doc_id", "vec_id")
-    // batch resolve: one vector lookup per pair side against the memoized
-    // corpus assignment (stream and batch assign with the same codebook +
-    // kernel, so cid/v lookups are bit-identical to having carried them);
-    // each vector has exactly ONE cid, so pairs are already distinct
-    val vecs = assignedBatch.select(col("vec_id"), col("v"))
+    // resolve against the STREAM store: one vector lookup per pair side —
+    // both sides of every pair are stream arrivals (keepers are arrivals
+    // too), so even a genuinely novel vector's candidates find their
+    // vectors here (spec-pinned with a novel-arrival fixture); each vector
+    // has exactly ONE cid, so pairs are already distinct
+    val vecs = assignedAll.select(col("vec_id"), col("v"))
     val pairs = sink
       .join(vecs, Seq("vec_id"))
       .join(vecs.select(col("vec_id").as("cand_id"), col("v").as("cand_v")),
@@ -1054,7 +1145,7 @@ object Streams extends Serializable {
       .filter(col("cosine") >= 0.45)
     val dup = pairs.groupBy(col("vec_id"))
       .agg(min(col("cand_id")).as("dup_of"), max(col("cosine")).as("max_cosine"))
-    assignedBatch.select(col("vec_id"), col("cid"))
+    assignedAll.select(col("vec_id"), col("cid"))
       .join(dup, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cid"), col("dup_of"),
         coalesce(col("max_cosine"), lit(0.0)).as("max_cosine"),
@@ -1128,11 +1219,18 @@ object Streams extends Serializable {
         .filter(col("vec_id") % 10 === 9)
         .repartitionByRange(3, col("vec_id"))
         .write.mode("overwrite").parquet(tmp.getAbsolutePath)
-      tmp.listFiles().filter(_.getName.endsWith(".parquet")).zipWithIndex
-        .foreach { case (p, i) =>
-          java.nio.file.Files.move(p.toPath,
-            new java.io.File(stageDir, f"emb_$i%03d.parquet").toPath,
+      // part-file name order IS range order under repartitionByRange; keep
+      // it in the landing names AND mtimes — the file-stream source orders
+      // batches by (mtime, path), and write-task mtimes are arbitrary, so
+      // without the pin a maxFilesPerTrigger=1 replay could ingest out of
+      // vec_id order (stageMedia pins for exactly this reason)
+      tmp.listFiles().filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        .zipWithIndex.foreach { case (p, i) =>
+          val dst = new java.io.File(stageDir, f"emb_$i%03d.parquet")
+          java.nio.file.Files.move(p.toPath, dst.toPath,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          dst.setLastModified(1700000000000L + i * 60000L)
+          ()
         }
       org.apache.commons.io.FileUtils.deleteQuietly(tmp)
     }

@@ -488,6 +488,75 @@ class StreamingSpec extends SparkSpec {
       "no cross-batch candidate pair survived the batch boundary")
   }
 
+  test("streaming semantic dedup resolves a NOVEL vector the batch corpus never saw") {
+    import org.apache.spark.sql.functions._
+    // the honest-resolve contract: candidate pairs are looked up in the
+    // STREAM-side assignment store the ingest tier appends, so an arrival
+    // absent from every batch-corpus table still gets a verdict (the old
+    // resolve joined against the memoized corpus assignment — a genuinely
+    // new vector's pairs silently dropped out of that join)
+    val stageDir = new java.io.File("/root/repo/target/test_stream_sem_novel")
+    org.apache.commons.io.FileUtils.deleteQuietly(stageDir)
+    stageDir.mkdirs()
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val novelId = 999999L
+    Seq(e.filter(col("vec_id") < 10),
+        e.filter(col("vec_id") === 0).withColumn("vec_id", lit(novelId)))
+      .zipWithIndex.foreach { case (df, i) =>
+        val tmp = new java.io.File(stageDir.getParent, s"sem_novel_tmp_$i")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+        val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(stageDir, f"batch_$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(1700000000000L + i * 60000L)
+        org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+      }
+    val got = Streams.streamDedupSemanticMultiBatch(spark, sfDir,
+      stageDir.getAbsolutePath, "mb_sem_novel").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2),
+          r.getDouble(3), r.getBoolean(4))).toMap
+    assert(got.size == 11, s"expected 10 corpus + 1 novel rows, got ${got.size}")
+    val (cid0, _, _, _) = got(0L)
+    // the novel copy of vec 0 assigns to vec 0's cluster, pairs with keeper
+    // 0 across the batch boundary, and resolves at cosine exactly 1.0
+    assert(got(novelId) == ((cid0, 0L, 1.0, true)),
+      s"novel arrival did not resolve: ${got(novelId)}")
+  }
+
+  test("streaming media dedup resolves a NOVEL payload the batch corpus never saw") {
+    import org.apache.spark.sql.functions._
+    // same honest-resolve contract as the semantic tier, over media bytes:
+    // the novel payload's hash lands in the stream-side hash store at
+    // ingest, so its candidate pair survives to the Hamming verdict
+    val stageDir = new java.io.File("/root/repo/target/test_stream_media_novel")
+    org.apache.commons.io.FileUtils.deleteQuietly(stageDir)
+    stageDir.mkdirs()
+    val m = operators.Multimodal.gradMediaTable(spark, sfDir)
+    val novelId = 999999L
+    Seq(m.filter(col("media_id") < 10),
+        m.filter(col("media_id") === 0).withColumn("media_id", lit(novelId)))
+      .zipWithIndex.foreach { case (df, i) =>
+        val tmp = new java.io.File(stageDir.getParent, s"media_novel_tmp_$i")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+        val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(stageDir, f"batch_$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(1700000000000L + i * 60000L)
+        org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+      }
+    val got = Streams.streamDedupMediaMultiBatch(spark, sfDir,
+      stageDir.getAbsolutePath, "mb_media_novel").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(got.size == 11, s"expected 10 corpus + 1 novel rows, got ${got.size}")
+    val (dhash0, _, _) = got(0L)
+    // identical bytes → identical dhash → Hamming 0 against keeper 0
+    assert(got(novelId) == ((dhash0, 0L, true)),
+      s"novel arrival did not resolve: ${got(novelId)}")
+  }
+
   test("streaming media dedup survives multi-batch slicing (band keepers persist)") {
     import org.apache.spark.sql.functions._
     // slice the media corpus into two media_id-ordered files: band keepers
