@@ -388,17 +388,24 @@ object Similarity {
         .groupBy(col("cid"), col("dim"))
         .agg((sum(col("x").cast("decimal(30,12)")) / count(lit(1)))
           .cast("double").as("m"))
+        // pack the per-dim means into ONE array row per cid ON THE
+        // EXECUTORS (a K×64-slim-row second exchange, negligible next to
+        // the posexplode shuffle): the driver then receives K packed rows —
+        // bounded by the semantic budget — instead of K×64 Row objects,
+        // whose ~30× object overhead was the collect that grew fastest
+        // when K rode the pre-budget ∝ N rule. Bit-identical centroids:
+        // the per-(cid, dim) decimal mean is unchanged, array_sort on
+        // struct(dim, m) orders by dim exactly as the old driver sort did.
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          s => s.getField("m")).as("mv"))
         .collect()
-      val byCid = means.groupBy(_.getAs[Number]("cid").longValue)
+      val byCid = means.map(r =>
+        r.getAs[Number]("cid").longValue -> r.getSeq[Double](1).toArray).toMap
       val prev = codebook
       codebook = codebook.map { case (cid, old) =>
-        byCid.get(cid.toLong) match {
-          // an emptied cluster keeps its previous centroid (standard Lloyd)
-          case None => (cid, old)
-          case Some(rows) =>
-            (cid, rows.sortBy(_.getAs[Number]("dim").intValue)
-              .map(_.getAs[Double]("m")).toArray)
-        }
+        // an emptied cluster keeps its previous centroid (standard Lloyd)
+        byCid.get(cid.toLong).map((cid, _)).getOrElse((cid, old))
       }
       // the iteration codebook is garbage now (the collect above was its
       // last use); past BcThreshold each iteration registered a fresh
@@ -943,20 +950,32 @@ object Similarity {
 
   // ----- C29: semantic dedup -----
 
-  /** Semantic-dedup cluster count: K ∝ N, targeting ~128-vector inverted
-    * lists. This is what makes SemDeDup linear — Σc² ≈ N²/K stays ≈ 128·N
-    * when K grows with the corpus (the paper sizes 50k clusters for LAION
-    * the same way). K is UNCLAMPED: assignment is the broadcast-backed
-    * graft_nearest_cid_bc kernel (functions.NearestCentroidBroadcast) —
-    * generated code O(1) in K, and the codebook travels to executors as a
-    * torrent-broadcast variable fetched once per JVM, not as plan-literal
-    * expression data — so neither codegen width (the old K≈64 wall) nor
-    * plan size (the old 65536-centroid / 32 MiB literal cap) bounds K. The
-    * only remaining ceiling is Int.MaxValue rows of codebook, which at the
-    * 1-per-128-vectors sizing corresponds to a ~10^11-vector corpus —
-    * beyond any single trained artifact. */
+  /** Semantic-dedup cluster BUDGET — the flat ceiling on K. SemDeDup itself
+    * trains a fixed cluster count, not K ∝ N (50k clusters for the 5B-item
+    * LAION corpus — Abbas et al. 2023 §3); the budget makes that policy
+    * explicit here. What it bounds, each ∝ K: the driver-resident trained
+    * artifact and its executor broadcast (≤ budget × 64 doubles ≈ 32 MiB at
+    * the default — a torrent-broadcast fetched once per JVM), Lloyd's
+    * per-iteration packed means collect (one row per cid), and the per-row
+    * assignment scan (the broadcast kernel is O(K·dim) per vector — K ∝ N
+    * would make ASSIGNMENT itself quadratic work at corpus scale, a cost no
+    * transport trick removes). Overridable per deployment
+    * (`-Dgraft.semantic.k.budget`); the kernel itself stays uncapped — a
+    * deployment that can afford a bigger codebook just raises the budget. */
+  private[graft] def semanticKBudget: Int =
+    sys.props.get("graft.semantic.k.budget").map(_.toInt).getOrElse(65536)
+
+  /** Semantic-dedup cluster count: K = clamp(N/128, 16, budget). Below the
+    * budget K grows ∝ N targeting ~128-vector inverted lists — Σc² ≈ N²/K
+    * stays ≈ 128·N, the property that makes SemDeDup linear. At the budget
+    * K freezes (the paper's flat-budget regime): list size then grows as
+    * N/budget and the within-cluster verify cost as N²/budget — the
+    * documented SemDeDup trade past ~128·budget ≈ 10^7 vectors, where
+    * production fits the verify step with blocked/GPU kernels or
+    * per-cluster sampling rather than growing K into an assignment-cost
+    * wall (see [[semanticKBudget]]). */
   private[graft] def semanticK(n: Long): Int =
-    math.max(16L, math.min(Int.MaxValue.toLong, n / 128L)).toInt
+    math.max(16L, math.min(semanticKBudget.toLong, n / 128L)).toInt
 
   // dir -> (embeddings fingerprint, size-proportional codebook) — separate
   // from the K=16 IVF codebook: the two operators size K by different rules
@@ -1047,8 +1066,8 @@ object Similarity {
     * (first semanticK(n) vectors — NOT the IVF K=16) so the mismatch mode is
     * "untrained vs trained centroids", never a silently wrong K. */
   private def semanticSeedCte: String =
-    """c AS (SELECT vec_id AS cid, v AS cv FROM e  -- UNTRAINED SEED FALLBACK: codebook cache cold for this dir
-      | WHERE vec_id < GREATEST(16, (SELECT COUNT(*) FROM e) // 128))""".stripMargin
+    s"""c AS (SELECT vec_id AS cid, v AS cv FROM e  -- UNTRAINED SEED FALLBACK: codebook cache cold for this dir
+       | WHERE vec_id < GREATEST(16, LEAST((SELECT COUNT(*) FROM e) // 128, $semanticKBudget)))""".stripMargin
 
   /** Generated oracle for C29: trained centroids inlined (same binding rules
     * as simIvfSql), assignment via the same ROW_NUMBER argmax, pairwise

@@ -135,9 +135,16 @@ class FunctionsSpec extends SparkSpec {
       val ang = c * (2 * math.Pi / k)
       (c, Array(math.cos(ang), math.sin(ang)))
     }
-    // semanticK itself no longer clamps at 65536 (a 10^7-row corpus already
-    // sizes past the old cap at 1-per-128 sizing)
-    assert(operators.Similarity.semanticK(128L * 100000) == 100000)
+    // the semantic-K policy: ∝ N below the flat budget (SemDeDup's
+    // fixed-cluster-count regime above it — the KERNEL has no size cap, the
+    // budget is the deliberate sizing rule bounding the trained artifact,
+    // the means collect and the per-row assignment scan)
+    assert(operators.Similarity.semanticK(100L) == 16)            // floor
+    assert(operators.Similarity.semanticK(128L * 1000) == 1000)   // ∝ N
+    assert(operators.Similarity.semanticK(128L * 100000) ==
+      operators.Similarity.semanticKBudget)                       // budget
+    assert(operators.Similarity.semanticK(Long.MaxValue) ==
+      operators.Similarity.semanticKBudget)
     val probes = Seq(0, 17, 33333, 69999)
     val df = probes.map(c => (c.toLong, codebook(c)._2)).toDF("vec_id", "v")
     val q = df.select(col("vec_id"),
