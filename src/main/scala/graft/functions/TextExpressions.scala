@@ -729,3 +729,94 @@ case class MinHashSignature(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
     copy(child = newChild)
 }
+
+/** The embedded bigram LM behind [[GramLmScore]] (C40's model artifact):
+  * unigram/bigram counts parsed once per (de)serialized instance from the
+  * newline-delimited blob literals (line format `count<SP>token[s]` — tokens
+  * are single-space splits, so a bigram key holds exactly one interior
+  * space). Kept as blobs on the wire (the BpeMergeTable pattern: the model
+  * is plan metadata); the hash maps are transient and rebuilt per JVM. At
+  * CCNet scale (a KenLM-sized model, GBs) the same kernel would take the
+  * codebook route — an executor-broadcast handle instead of literals. */
+final class GramLmModel(uniBlob: String, biBlob: String) extends Serializable {
+
+  @transient private lazy val uni: java.util.HashMap[String, Long] = parse(uniBlob)
+  @transient private lazy val bi: java.util.HashMap[String, Long] = parse(biBlob)
+
+  /** Vocabulary size V — the add-one smoothing mass, |distinct ref tokens|. */
+  @transient lazy val v: Long = uni.size.toLong
+
+  private def parse(blob: String): java.util.HashMap[String, Long] = {
+    val m = new java.util.HashMap[String, Long]()
+    if (blob.nonEmpty) blob.split("\n", -1).foreach { line =>
+      val sep = line.indexOf(' ')
+      require(sep > 0, s"GramLmModel: bad blob line '$line'")
+      m.put(line.substring(sep + 1), line.substring(0, sep).toLong)
+    }
+    m
+  }
+
+  /** One fused pass: split on single spaces (limit -1, Spark's `split`
+    * convention), then a LEFT-TO-RIGHT fold over adjacent token pairs of
+    * the add-one-smoothed INVERSE bigram probability
+    * `(c(w1) + V) / (c(w1 w2) + 1)` — each term one double division, the
+    * sum a sequential double fold, so the score is bit-identical to the
+    * oracle's list_reduce over the same map lookups. Returns
+    * struct(n_bigrams, inv_sum); sub-2-token docs return n_bigrams = 0 and
+    * sum 0.0 (the operator filters them out of the scored domain). */
+  def score(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = s.toString.split(" ", -1)
+    var sum = 0.0
+    var i = 0
+    while (i < toks.length - 1) {
+      val c1 = uni.getOrDefault(toks(i), 0L)
+      val c12 = bi.getOrDefault(toks(i) + " " + toks(i + 1), 0L)
+      sum += (c1 + v).toDouble / (c12 + 1L).toDouble
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](math.max(toks.length - 1, 0).toLong, sum))
+  }
+}
+
+/** Native Catalyst expression for the C40 n-gram LM gate (CCNet-style): the
+  * per-document likelihood statistic under a reference-corpus bigram model,
+  * as ONE fused kernel call per row inside whole-stage codegen — no token
+  * explode, no count-table join on the corpus side (the model is the small
+  * side and rides with the plan, exactly C34's fused-kernel shape).
+  *
+  * The statistic is the arithmetic mean INVERSE probability: perplexity's
+  * sibling (perplexity is the geometric mean of the same per-gram inverse
+  * probabilities). Chosen deliberately: it needs only +, ×, ÷ — all
+  * correctly-rounded IEEE ops that DuckDB and the JVM agree on bit-for-bit
+  * — where log/exp are NOT correctly rounded in either engine, so a true
+  * log-perplexity could never be hash-compared across engines. Same
+  * gate semantics: high = the reference LM cannot explain the document. */
+case class GramLmScore(child: Expression, uniBlob: String, biBlob: String)
+  extends UnaryExpression {
+
+  @transient private lazy val model = new GramLmModel(uniBlob, biBlob)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_lm_score expects a string column, got $other")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_bigrams", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("inv_sum",
+      org.apache.spark.sql.types.DoubleType, nullable = false)))
+  override def prettyName: String = "graft_lm_score"
+
+  override protected def nullSafeEval(input: Any): Any =
+    model.score(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("lmModel", model, classOf[GramLmModel].getName)
+    defineCodeGen(ctx, ev, c => s"$m.score($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GramLmScore =
+    copy(child = newChild)
+}

@@ -833,6 +833,23 @@ object GraftFunctions {
   val minhashSigInfo = new ExpressionInfo(
     classOf[MinHashSignature].getName, "graft_minhash_sig")
 
+  val lmScoreInfo = new ExpressionInfo(
+    classOf[GramLmScore].getName, "graft_lm_score")
+
+  /** (text, uni-blob literal, bi-blob literal) — the LM is plan metadata,
+    * same contract as graft_stop_hits' dictionary. */
+  private[functions] val lmScoreBuilder: Seq[Expression] => Expression = {
+    case Seq(text, uniArg, biArg)
+      if uniArg.foldable && uniArg.dataType.isInstanceOf[org.apache.spark.sql.types.StringType] &&
+        uniArg.eval(null) != null &&
+        biArg.foldable && biArg.dataType.isInstanceOf[org.apache.spark.sql.types.StringType] &&
+        biArg.eval(null) != null =>
+      GramLmScore(text, uniArg.eval(null).toString, biArg.eval(null).toString)
+    case _ => throw new IllegalArgumentException(
+      "graft_lm_score expects (text, uni-blob string LITERAL, bi-blob " +
+        "string LITERAL) — the model is plan metadata, not per-row data")
+  }
+
   private[functions] val minhashSigBuilder: Seq[Expression] => Expression = {
     case Seq(c) => MinHashSignature(c)
     case other => throw new IllegalArgumentException(
@@ -858,7 +875,8 @@ object GraftFunctions {
       (FunctionIdentifier("graft_bpe_merge_count"), bpeMergeCountInfo, bpeMergeCountBuilder),
       (FunctionIdentifier("graft_top_gram"), topGramInfo, topGramBuilder),
       (FunctionIdentifier("graft_gram_hits"), gramHitsInfo, gramHitsBuilder),
-      (FunctionIdentifier("graft_minhash_sig"), minhashSigInfo, minhashSigBuilder))
+      (FunctionIdentifier("graft_minhash_sig"), minhashSigInfo, minhashSigBuilder),
+      (FunctionIdentifier("graft_lm_score"), lmScoreInfo, lmScoreBuilder))
       .foreach { case (id, info, builder) =>
         if (!registry.functionExists(id)) registry.registerFunction(id, info, builder)
       }
@@ -944,6 +962,20 @@ object GraftFunctions {
   def minhashSig(spark: SparkSession, text: Column): Column = {
     ensureRegistered(spark)
     call_function("graft_minhash_sig", text)
+  }
+
+  /** Column-API entry point: fused reference-LM likelihood stats (C40).
+    * Blob lines are `count<SP>token[s]`; an embedded newline inside a token
+    * would silently split a model entry, so it is rejected here. */
+  def lmScore(spark: SparkSession, text: Column,
+    uniBlob: String, biBlob: String): Column = {
+    Seq(uniBlob, biBlob).foreach(b =>
+      require(b.isEmpty || b.split("\n", -1).forall(l => l.indexOf(' ') > 0),
+        "LM blob lines must be 'count token[s]' (newline inside a token?)"))
+    ensureRegistered(spark)
+    call_function("graft_lm_score", text,
+      org.apache.spark.sql.functions.lit(uniBlob),
+      org.apache.spark.sql.functions.lit(biBlob))
   }
 
   /** Column-API entry point: nearest-centroid cid for vector column `v`

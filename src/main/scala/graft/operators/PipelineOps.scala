@@ -746,6 +746,94 @@ object PipelineOps {
       | COUNT(*) FILTER (WHERE n_docs >= 2) / COUNT(*) AS dup_span_ratio
       |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** C39 — exact-substring dedup: the REMOVAL form of C28's span signal
+    * (Lee et al. 2021, arXiv:2107.06499 — ExactSubstr deduplication). C28
+    * measures how much of each document is duplicated text; this operator
+    * CUTS it: every maximal run of tokens covered by a word 5-gram that
+    * also appears in a lower-id document is removed, and the lowest-id
+    * occurrence (the "owner") keeps its copy — so each shared substring
+    * survives exactly once in the corpus, the paper's keep-one contract.
+    *
+    * Spark-native shape, C28's machinery re-aimed: positional 5-grams come
+    * from pure array HOFs in the scan stage (transform over the token
+    * index — no window, no pre-shuffle Generate); ONE window over the gram
+    * partition computes each gram's owner (`min(doc_id)` — a row is
+    * removable iff owner < doc_id, which also encodes the ≥2-docs test);
+    * marked positions roll up per doc; and the cut itself is a row-local
+    * indexed `filter` HOF over the token array (a token survives iff no
+    * marked 5-gram window covers it — the interval-merge fused into the
+    * predicate). Three slim exchanges total: gram rows (doc, pos, g) into
+    * the owner window, marked (doc, pos) pairs into the per-doc rollup,
+    * and the marked arrays' join back to the text on doc_id — the corpus
+    * text itself is shuffled at most once, and the op's output IS a
+    * corpus-sized rewrite anyway. At blocklist scale the gram stream takes
+    * C24's bloom pre-filter to keep the window's input to the suspicious
+    * tail; the suffix-array machinery of the paper is the single-node
+    * special case of this gram-chain join. Sub-5-token documents are never
+    * trimmed (a whole-doc duplicate is C1's removal, not a substring's). */
+  def dedupSubstr(spark: SparkSession, sfDir: String): DataFrame =
+    dedupSubstrOn(Tables.load(spark, sfDir, "documents"))
+
+  /** The substring-removal core over any (doc_id, text) frame — separated so
+    * the spec can plant hand-computed overlap fixtures. */
+  private[graft] def dedupSubstrOn(d: DataFrame): DataFrame = {
+    def toks = split(col("text"), " ")
+    // ngramFlat's zipped-slices assembly (codegen'd, scan-stage, no window)
+    // with posexplode so each gram keeps its 0-based token position — NOT
+    // the transform(sequence…element_at) form, whose interpreted lambda
+    // re-splits the text per element (the trap ngramRows documents)
+    val gramsPos = {
+      val m = greatest(size(toks) - lit(4), lit(0))
+      val zipped = arrays_zip((0 until 5).map(j => slice(toks, lit(j + 1), m)): _*)
+      d.select(col("doc_id"), posexplode(zipped).as(Seq("pos", "z")))
+        .select(col("doc_id"), col("pos"),
+          concat_ws(" ", (0 until 5).map(j => col("z").getField(j.toString)): _*).as("g"))
+    }
+    val byG = org.apache.spark.sql.expressions.Window.partitionBy("g")
+    val marked = gramsPos
+      .withColumn("owner", min(col("doc_id")).over(byG))
+      .filter(col("owner") < col("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("pos"))).as("marked"))
+    d.join(marked, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(toks).cast("bigint").as("n_tokens"),
+        filter(toks, (_, t) => !exists(
+          coalesce(col("marked"), lit(Array.empty[Int])),
+          p => p <= t && t <= p + lit(4))).as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - size(col("kept"))).cast("bigint").as("n_removed"),
+        array_join(col("kept"), " ").as("kept_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Same positional-gram domain in DuckDB (1-based positions — the indexed
+    * list_filter lambda is 1-based too, so the coverage predicate is
+    * identical), same owner window, same keep-one rule. */
+  val dedupSubstrSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |gp AS (
+      | SELECT doc_id, i AS pos,
+      |  ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] AS g
+      | FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 3)) AS i
+      |       FROM toks WHERE len(ts) >= 5) t),
+      |mk AS (
+      | SELECT doc_id, list_sort(list(DISTINCT pos)) AS marked
+      | FROM (SELECT doc_id, pos, MIN(doc_id) OVER (PARTITION BY g) AS owner
+      |       FROM gp) w
+      | WHERE owner < doc_id
+      | GROUP BY doc_id),
+      |res AS (
+      | SELECT t.doc_id, len(t.ts) AS n_toks,
+      |  list_filter(t.ts, (x, i) ->
+      |    len(list_filter(COALESCE(m.marked, []), p -> p <= i AND i <= p + 4)) = 0) AS kept
+      | FROM toks t LEFT JOIN mk m USING (doc_id))
+      |SELECT doc_id, CAST(n_toks AS BIGINT) AS n_tokens,
+      | CAST(n_toks - len(kept) AS BIGINT) AS n_removed,
+      | -- a fully-removed doc keeps the empty STRING: DuckDB's
+      | -- array_to_string([]) is NULL where Spark's array_join([]) is ''
+      | COALESCE(array_to_string(kept, ' '), '') AS kept_text
+      |FROM res ORDER BY doc_id""".stripMargin
+
   /** C35 — corpus snapshot diff: classify every document across two corpus
     * generations as added / removed / changed / unchanged, comparing CONTENT
     * HASHES rather than text so the join moves 16 bytes per side instead of
@@ -797,6 +885,7 @@ object PipelineOps {
     "corpus_diff" -> (corpusDiff _),
     "corpus_split" -> (corpusSplit _),
     "dedup_spans" -> (dedupSpans _),
+    "dedup_substr" -> (dedupSubstr _),
     "split_leakage" -> (splitLeakage _),
     "corpus_shuffle" -> (corpusShuffle _),
     "mix_sources" -> (mixSources _),
@@ -817,6 +906,7 @@ object PipelineOps {
     "corpus_diff" -> corpusDiffSql,
     "corpus_split" -> corpusSplitSql,
     "dedup_spans" -> dedupSpansSql,
+    "dedup_substr" -> dedupSubstrSql,
     "split_leakage" -> splitLeakageSql,
     "corpus_shuffle" -> corpusShuffleSql,
     "mix_sources" -> mixSourcesSql,

@@ -336,12 +336,107 @@ object TextAnalysis {
   private[graft] def classifyGateSql: String =
     classifySql("WHERE weight_sum / (500 * ws_tokens) > 0.0\n")
 
+  // ----- C40: reference-LM gate (CCNet-style n-gram perplexity family) -----
+
+  // dir -> (documents fingerprint, (uniBlob, biBlob)): the trained LM
+  // artifact, cached under the same replace-on-stale rule as the bloom
+  // sketch and the codebooks — a regenerated corpus retrains, never reuses
+  private val lmModelCache =
+    scala.collection.concurrent.TrieMap.empty[String, (String, (String, String))]
+
+  /** Train the reference bigram LM: unigram + bigram counts over the clean
+    * reference slice (doc_id % 97 == 0 — C15's eval-suite convention
+    * standing in for CCNet's Wikipedia), collected once per scale dir as
+    * newline blobs (`count<SP>gram`). The offline model-build job: counts
+    * aggregate distributedly to a VOCAB-sized table and only that reaches
+    * the driver. In production (KenLM-sized models) the blobs become an
+    * executor broadcast — the codebook route — with the same kernel. */
+  private[graft] def lmModel(spark: SparkSession, sfDir: String): (String, String) = {
+    val fp = graft.Tables.fingerprint(sfDir, "documents")
+    lmModelCache.get(sfDir).filter(_._1 == fp).map(_._2)
+      .getOrElse(this.synchronized {
+        lmModelCache.get(sfDir).filter(_._1 == fp).map(_._2).getOrElse {
+          val ref = Tables.load(spark, sfDir, "documents")
+            .filter(col("doc_id") % 97 === 0)
+          def blob(rows: DataFrame): String = {
+            val entries = rows.groupBy(col("g")).agg(count(lit(1)).as("c"))
+              .collect().map(r => s"${r.getLong(1)} ${r.getString(0)}")
+            require(entries.forall(!_.contains("\n")),
+              "LM grams must be newline-free to ride in the blob")
+            entries.sorted.mkString("\n")
+          }
+          val uniBlob = blob(ref.select(explode(split(col("text"), " ")).as("g")))
+          val biBlob = blob(PipelineOps.ngramFlat(ref, 2).select(col("g")))
+          lmModelCache(sfDir) = (fp, (uniBlob, biBlob))
+          (uniBlob, biBlob)
+        }
+      })
+  }
+
+  /** C40 — reference-LM gate (the CCNet recipe, Wenzek et al. 2019,
+    * arXiv:1911.00359): score every document by how well a small n-gram LM
+    * trained on a clean reference corpus explains it, and flag documents
+    * the model cannot explain. The score is the arithmetic-mean add-one-
+    * smoothed INVERSE bigram probability — perplexity's sibling statistic
+    * (perplexity is the geometric mean of the same per-gram inverse
+    * probabilities); the arithmetic form needs no log/exp, so the score is
+    * an exact IEEE op sequence both engines compute bit-identically (the
+    * kernel's scaladoc has the full argument). One fused kernel call per
+    * row (functions.GramLmScore — C34's shape: the model rides with the
+    * plan, the corpus never explodes a token or joins a count table), so
+    * the whole operator is a zero-shuffle pure map, gated in PlanGateSpec.
+    * `lowq` = mean inverse probability above the vocabulary size V — worse
+    * than the uniform-ish baseline, the model sees the doc as noise. */
+  def textPerplexity(spark: SparkSession, sfDir: String): DataFrame = {
+    val (uniBlob, biBlob) = lmModel(spark, sfDir)
+    val v = if (uniBlob.isEmpty) 0L else uniBlob.split("\n", -1).length.toLong
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.lmScore(spark, col("text"), uniBlob, biBlob).as("s"))
+      .filter(col("s.n_bigrams") >= 1)
+      .select(col("doc_id"), col("s.n_bigrams").as("n_bigrams"),
+        round(col("s.inv_sum") / col("s.n_bigrams"), 6).as("lm_score"),
+        (col("s.inv_sum") / col("s.n_bigrams") > lit(v.toDouble)).as("lowq"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The LM rebuilt inline from the same reference slice; per-doc scoring is
+    * an ORDERED left fold (list_reduce over list_prepend 0.0) of the same
+    * map lookups and double divisions the kernel makes, so scores are
+    * bit-exact across engines. */
+  val textPerplexitySql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |ref AS (SELECT ts FROM toks WHERE doc_id % 97 = 0),
+      |uni AS (SELECT t, COUNT(*) AS c
+      |        FROM (SELECT unnest(ts) AS t FROM ref) GROUP BY t),
+      |bi AS (SELECT g, COUNT(*) AS c FROM (
+      |  SELECT unnest(list_transform(range(1, len(ts)),
+      |    i -> ts[i] || ' ' || ts[i+1])) AS g FROM ref) GROUP BY g),
+      |vv AS (SELECT COUNT(*) AS v FROM uni),
+      |um AS (SELECT map(list(t), list(c)) AS m FROM uni),
+      |bm AS (SELECT map(list(g), list(c)) AS m FROM bi),
+      |scored AS (
+      | SELECT t.doc_id, len(t.ts) - 1 AS n_bi,
+      |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |    list_transform(range(1, len(t.ts)), i ->
+      |      CAST(COALESCE(map_extract(um.m, t.ts[i])[1], 0) + vv.v AS DOUBLE)
+      |      / CAST(COALESCE(map_extract(bm.m, t.ts[i] || ' ' || t.ts[i+1])[1], 0) + 1 AS DOUBLE))),
+      |    (a, b) -> a + b) AS inv_sum,
+      |  vv.v AS v
+      | FROM toks t, um, bm, vv
+      | WHERE len(t.ts) >= 2)
+      |SELECT doc_id, CAST(n_bi AS BIGINT) AS n_bigrams,
+      | ROUND(inv_sum / n_bi, 6) AS lm_score,
+      | (inv_sum / n_bi) > CAST(v AS DOUBLE) AS lowq
+      |FROM scored ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens" -> (textTokens _),
     "text_tokens_bpe" -> (textTokensBpe _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
     "text_fingerprint" -> (textFingerprint _),
+    "text_perplexity" -> (textPerplexity _),
     "text_classify" -> (textClassify _))
 
   val oracles: Map[String, String] = Map(
@@ -350,5 +445,6 @@ object TextAnalysis {
     "text_quality" -> textQualitySql,
     "text_langid" -> textLangidSql,
     "text_fingerprint" -> textFingerprintSql,
+    "text_perplexity" -> textPerplexitySql,
     "text_classify" -> textClassifySql)
 }

@@ -416,6 +416,36 @@ class FunctionsSpec extends SparkSpec {
     assert(err.getMessage.contains("LITERAL"))
   }
 
+  test("graft_lm_score computes add-one-smoothed inverse-probability sums on fixtures") {
+    import spark.implicits._
+    // hand-built model: ref corpus = "a b a c" → uni {a:2, b:1, c:1}, V=3,
+    // bi {"a b":1, "b a":1, "a c":1}
+    val uniBlob = "2 a\n1 b\n1 c"
+    val biBlob = "1 a b\n1 b a\n1 a c"
+    def term(c1: Long, c12: Long) = (c1 + 3).toDouble / (c12 + 1).toDouble
+    val rows = Seq(
+      (0L, "a b"),          // one in-model bigram: (2+3)/(1+1)
+      (1L, "a z"),          // seen context, unseen pair: (2+3)/1
+      (2L, "z q"),          // fully OOV: (0+3)/1
+      (3L, "a b a c"),      // fold of three terms, left to right
+      (4L, "a"),            // sub-2-token: n_bigrams 0, sum 0.0
+      (5L, ""))             // empty string: one empty token, n_bigrams 0
+    val got = rows.toDF("id", "t").select(col("id"),
+        GraftFunctions.lmScore(spark, col("t"), uniBlob, biBlob).as("s"))
+      .select(col("id"), col("s.n_bigrams"), col("s.inv_sum"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(0L) == ((1L, term(2, 1))))
+    assert(got(1L) == ((1L, term(2, 0))))
+    assert(got(2L) == ((1L, term(0, 0))))
+    assert(got(3L) == ((3L, term(2, 1) + term(1, 1) + term(2, 1))))
+    assert(got(4L) == ((0L, 0.0)))
+    assert(got(5L) == ((0L, 0.0)))
+    // non-literal model args are rejected at analysis (plan metadata rule)
+    intercept[Exception] {
+      rows.toDF("id", "t").selectExpr("graft_lm_score(t, t, '1 a b')").collect()
+    }
+  }
+
   test("graft_sig_agreement equals the zip_with+aggregate form on sig pairs + edges") {
     import spark.implicits._
     // deterministic signature-shaped pairs over a small value domain (so

@@ -390,4 +390,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(plan.contains("might_contain"),
       "bloom probe missing from the physical plan")
   }
+
+  test("dedup_substr removes merged non-owner runs and keeps the owner copy") {
+    import spark.implicits._
+    // hand-computed ExactSubstr fixtures: doc 0 owns every shared run;
+    // doc 1 shares an interior 6-token run (two overlapping marked 5-grams
+    // must MERGE to one cut); doc 2 is a full duplicate (everything cut,
+    // empty string — not null); doc 3 is sub-5-token (never trimmed);
+    // doc 4 is unique; doc 5 shares two DISJOINT runs with a gap that must
+    // survive between the cuts
+    val docs = Seq(
+      (0L, "a b c d e f g h"),
+      (1L, "x y a b c d e f q r s"),
+      (2L, "a b c d e f g h"),
+      (3L, "p q r s"),
+      (4L, "u1 u2 u3 u4 u5 u6"),
+      (5L, "a b c d e z z z d e f g h")
+    ).toDF("doc_id", "text")
+    val got = PipelineOps.dedupSubstrOn(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got(0L) == ((8L, 0L, "a b c d e f g h")), s"owner trimmed: ${got(0L)}")
+    assert(got(1L) == ((11L, 6L, "x y q r s")), s"merged run: ${got(1L)}")
+    assert(got(2L) == ((8L, 8L, "")), s"full dup: ${got(2L)}")
+    assert(got(3L) == ((4L, 0L, "p q r s")), s"short doc: ${got(3L)}")
+    assert(got(4L) == ((6L, 0L, "u1 u2 u3 u4 u5 u6")), s"unique: ${got(4L)}")
+    assert(got(5L) == ((13L, 10L, "z z z")), s"two disjoint runs: ${got(5L)}")
+  }
 }

@@ -45,6 +45,9 @@ class PlanGateSpec extends SparkSpec {
     // C34: classifier scoring is one fused kernel call per row — a weight
     // join or token explode would show up as a hash exchange here
     Gate("text_classify", maxHashEx = 0),
+    // C40: LM scoring is the same fused-kernel pure map — the model rides
+    // with the plan; a count-table join or token explode would exchange
+    Gate("text_perplexity", maxHashEx = 0),
     // C35: the snapshot diff moves only (id, hash) pairs — one hash exchange
     // per join side, never the corpus text, never a nested-loop join
     Gate("corpus_diff", maxHashEx = 2, maxSortMerge = 1),
@@ -79,6 +82,9 @@ class PlanGateSpec extends SparkSpec {
     // C28: two count windows + the per-doc rollup — and NO join-back (the
     // n_docs>=2 test must stay a window, never a gram self-join)
     Gate("dedup_spans", maxHashEx = 3),
+    // C39: owner window on the gram + marked rollup + text join-back — three
+    // slim exchanges, never a gram self-join; the cut is a row-local HOF
+    Gate("dedup_substr", maxHashEx = 3, maxSortMerge = 1),
     // C29: pairwise stays confined to the cid SMJ; the dup rollup broadcasts
     Gate("dedup_semantic", maxHashEx = 3, minBroadcast = 1, maxSortMerge = 1),
     // D10's batch resolve: candidate sink joins two vector lookups (one SMJ
