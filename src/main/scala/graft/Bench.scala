@@ -72,8 +72,12 @@ object Bench {
     // plus the failure list (the two signals the driver must never lose) and
     // a pointer to the sidecar — that stays under ~200 bytes at any surface
     // size, so its FIRST byte survives every tail window.
+    // n_queries rides in BOTH lines so a consumer following the compact
+    // line's sidecar pointer can verify the sidecar is THIS run's (the
+    // fixed path is last-writer-wins across bench invocations)
     val fullLine =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},""" +
+        s""""queries":$qs,"sf":"$sfDir"}"""
     // "queries" stays in the compact line for schema compatibility but
     // carries only the FAILED entries (normally empty — the success map is
     // what blew the capture window)

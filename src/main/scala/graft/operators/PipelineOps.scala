@@ -759,10 +759,11 @@ object PipelineOps {
     * index — no window, no pre-shuffle Generate); ONE window over the gram
     * partition computes each gram's owner (`min(doc_id)` — a row is
     * removable iff owner < doc_id, which also encodes the ≥2-docs test);
-    * marked positions roll up per doc; and the cut itself is a row-local
-    * indexed `filter` HOF over the token array (a token survives iff no
-    * marked 5-gram window covers it — the interval-merge fused into the
-    * predicate). Three slim exchanges total: gram rows (doc, pos, g) into
+    * marked positions roll up per doc; and the cut itself is row-local and
+    * LINEAR in tokens + marks (marked starts expand to their covered
+    * positions, `array_except` keeps the complement in token order — the
+    * overlap merge falls out of its hash set). Three slim exchanges total:
+    * gram rows (doc, pos, g) into
     * the owner window, marked (doc, pos) pairs into the per-doc rollup,
     * and the marked arrays' join back to the text on doc_id — the corpus
     * text itself is shuffled at most once, and the op's output IS a
@@ -795,11 +796,24 @@ object PipelineOps {
       .filter(col("owner") < col("doc_id"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("pos"))).as("marked"))
-    d.join(marked, Seq("doc_id"), "left")
-      .select(col("doc_id"), size(toks).cast("bigint").as("n_tokens"),
-        filter(toks, (_, t) => !exists(
-          coalesce(col("marked"), lit(Array.empty[Int])),
-          p => p <= t && t <= p + lit(4))).as("kept"))
+    // the cut, in time LINEAR in (tokens + marks): expand each marked gram
+    // start to its 5 covered positions (array_except dedups overlap via its
+    // hash set — the interval merge falls out for free), keep the
+    // complement of the covered set in token order, and index the kept
+    // tokens back out of the token array. An exists()-per-token predicate
+    // would rescan the whole marked array for EVERY token — O(n·m) per doc,
+    // quadratic on exactly the dup-heavy documents this operator targets.
+    // `ts` is materialized BEFORE the join so the post-join lambdas index
+    // an attribute (CollapseProject can't inline the split into them).
+    val covered = flatten(transform(
+      coalesce(col("marked"), lit(Array.empty[Int])),
+      p => sequence(p, p + lit(4))))
+    d.select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .join(marked, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("ts")).cast("bigint").as("n_tokens"),
+        transform(
+          array_except(sequence(lit(0), size(col("ts")) - 1), covered),
+          i => get(col("ts"), i)).as("kept"))
       .select(col("doc_id"), col("n_tokens"),
         (col("n_tokens") - size(col("kept"))).cast("bigint").as("n_removed"),
         array_join(col("kept"), " ").as("kept_text"))

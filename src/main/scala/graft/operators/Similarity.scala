@@ -162,7 +162,12 @@ object Similarity {
     * HashPartitioning(cid), so the corpus side of the kNN join takes ZERO
     * exchange and only the (much slimmer) query side shuffles to meet it.
     * At 100 TB these are one artifact — the index writer bucket-partitions
-    * by cid once; here the second write stands in for that layout. */
+    * by cid once; here the second write stands in for that layout (the
+    * duplicate storage is the stand-in's cost, not the design's). A
+    * bounded-|Q| caller prunes this SAME table with an `isin` bucket
+    * filter (Spark bucket pruning — C7c's role); the kNN join deliberately
+    * scans every bucket because its |Q| ∝ N query set probes every list —
+    * the full scan IS the workload, not a lost optimization. */
   private def ensureIvfBucketedTable(spark: SparkSession,
     sfDir: String): (String, Array[(Int, Array[Double])]) = this.synchronized {
     val (path, codebook) = ensureIvfIndexWithCodebook(spark, sfDir)

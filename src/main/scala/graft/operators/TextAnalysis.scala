@@ -389,7 +389,10 @@ object TextAnalysis {
     * than the uniform-ish baseline, the model sees the doc as noise. */
   def textPerplexity(spark: SparkSession, sfDir: String): DataFrame = {
     val (uniBlob, biBlob) = lmModel(spark, sfDir)
-    val v = if (uniBlob.isEmpty) 0L else uniBlob.split("\n", -1).length.toLong
+    // V from the SAME parse the kernel smooths with (distinct map keys) —
+    // a second line-count rule here could silently diverge from the V
+    // inside every score term if a blob ever carried duplicate entries
+    val v = new graft.functions.GramLmModel(uniBlob, biBlob).v
     Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"),
         graft.functions.GraftFunctions.lmScore(spark, col("text"), uniBlob, biBlob).as("s"))

@@ -325,6 +325,10 @@ object Streams extends Serializable {
     derive: DataFrame => DataFrame): Unit = {
     org.apache.commons.io.FileUtils.deleteQuietly(storeDir)
     org.apache.commons.io.FileUtils.deleteQuietly(cp)
+    // an EMPTY source stream fires no batch and appends nothing — create
+    // the store dir up front so the downstream dedup/resolve reads (all
+    // explicit-schema) see an empty relation, not a missing path
+    storeDir.mkdirs()
     // driver-side closure state: foreachBatch batches run sequentially
     var staged = Set.empty[String]
     withStreamShufflePartitions(spark) {

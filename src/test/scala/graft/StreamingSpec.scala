@@ -519,9 +519,14 @@ class StreamingSpec extends SparkSpec {
     assert(got.size == 11, s"expected 10 corpus + 1 novel rows, got ${got.size}")
     val (cid0, _, _, _) = got(0L)
     // the novel copy of vec 0 assigns to vec 0's cluster, pairs with keeper
-    // 0 across the batch boundary, and resolves at cosine exactly 1.0
-    assert(got(novelId) == ((cid0, 0L, 1.0, true)),
+    // 0 across the batch boundary, and resolves well above τ = 0.45. NOT
+    // asserted == 1.0: cosine(v, v) = d/(sqrt(d)·sqrt(d)) hits exactly 1.0
+    // only when the norm's sqrt round-trips — a data-dependent IEEE
+    // coincidence, not the resolve contract this spec pins
+    val (cidN, dupN, cosN, isDupN) = got(novelId)
+    assert((cidN, dupN, isDupN) == ((cid0, 0L, true)),
       s"novel arrival did not resolve: ${got(novelId)}")
+    assert(math.abs(cosN - 1.0) < 1e-12, s"self-cosine far from 1: $cosN")
   }
 
   test("streaming media dedup resolves a NOVEL payload the batch corpus never saw") {

@@ -4,7 +4,7 @@ lines (sf0.1 and sf1). Flags any query whose time grows more than FLAG_RATIO
 for the 10x data growth (super-linear scaling suspect).
 Usage: python3 tools/scale_report.py bench_sf01.json bench_sf1.json
 """
-import json, sys
+import json, os, sys
 
 FLAG_RATIO = 15.0
 
@@ -25,8 +25,23 @@ def load(p):
                             f"{p}: compact bench line ({d.get('n_queries')} queries, "
                             f"{len(d.get('queries', {}))} in map) with no "
                             "queries_file pointer — pass the sidecar instead")
+                    # the pointer names the FIXED last-writer-wins sidecar
+                    # (target/bench_last.json): if a later bench run (the
+                    # other scale, a single-key re-measure) overwrote it,
+                    # both load() calls would silently read the SAME data
+                    # and every ratio would print 1.0 — validate that the
+                    # sidecar is this capture's run before trusting it
+                    if not os.path.exists(qf):
+                        qf = os.path.join(os.path.dirname(os.path.abspath(p)), qf)
                     with open(qf) as g:
-                        d = json.load(g)
+                        full = json.load(g)
+                    for key in ("sf", "n_queries", "value"):
+                        if full.get(key) != d.get(key):
+                            raise SystemExit(
+                                f"{p}: sidecar {qf} is from a DIFFERENT bench run "
+                                f"({key}: {full.get(key)!r} != {d.get(key)!r}) — "
+                                "it was overwritten; pass the preserved sidecar copy")
+                    d = full
                 return d
     raise SystemExit(f"no bench JSON line in {p}")
 
