@@ -26,6 +26,7 @@ object Bench {
       operators.Similarity.trainSemanticCodebook(spark, sfDir)
       operators.Similarity.ensureIvfIndex(spark, sfDir)
       operators.Similarity.ensureIvfAppendIndex(spark, sfDir)
+      operators.TextAnalysis.lmModel(spark, sfDir)
       streaming.Streams.stage(spark, sfDir)
       operators.Relational.q1PricingSummary(spark, sfDir).count()
     } catch { case e: Throwable => System.err.println(s"[bench] warmup: ${e.getMessage}") }

@@ -297,6 +297,7 @@ object Similarity {
     codebookCache.clear()
     semanticCodebookCache.clear()
     ivfIndexBuilt.clear()
+    ivfBucketedBuilt.clear()
     ivfAppendState.clear()
     ivfAppendBuilt.clear()
     streamIvfBaseBuilt.clear()

@@ -344,6 +344,10 @@ object TextAnalysis {
   private val lmModelCache =
     scala.collection.concurrent.TrieMap.empty[String, (String, (String, String))]
 
+  /** Evict the trained LM artifacts (ColdWarm's cold-path hook — the C40
+    * analog of Similarity.clearCaches). */
+  def clearLmCache(): Unit = lmModelCache.clear()
+
   /** Train the reference bigram LM: unigram + bigram counts over the clean
     * reference slice (doc_id % 97 == 0 — C15's eval-suite convention
     * standing in for CCNet's Wikipedia), collected once per scale dir as

@@ -34,6 +34,7 @@ object ColdWarm {
     def clearAll(): Unit = {
       graft.operators.Dedup.clear()
       graft.operators.Similarity.clearCaches()
+      graft.operators.TextAnalysis.clearLmCache()
     }
 
     // one warm-up query first so JVM/codegen startup cost doesn't masquerade
@@ -44,11 +45,16 @@ object ColdWarm {
     // build: MinHash signature table (C2), semantic codebook training +
     // corpus assignment (C29), IVF codebook + cid-partitioned index write
     // (C7c), media decode+dHash table (C37, shared with D12)
+    // (r10 additions: the cid-BUCKETED index table behind the kNN join —
+    // cold pays codebook + path layout + bucketed write; and C40's
+    // reference-LM blob build)
     val families = Seq(
       "signatures" -> "dedup_minhash",
       "semantic_assignment" -> "dedup_semantic",
       "ivf_index" -> "sim_ivf_pruned",
-      "media_hashes" -> "dedup_media")
+      "ivf_bucketed" -> "knn_join_ivf",
+      "media_hashes" -> "dedup_media",
+      "lm_model" -> "text_perplexity")
     def r3(v: Double) =
       new java.math.BigDecimal(v).setScale(3, java.math.RoundingMode.HALF_UP)
     val lines = families.map { case (family, q) =>
