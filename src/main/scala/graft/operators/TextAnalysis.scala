@@ -393,26 +393,36 @@ object TextAnalysis {
     * than the uniform-ish baseline, the model sees the doc as noise. */
   def textPerplexity(spark: SparkSession, sfDir: String): DataFrame = {
     val (uniBlob, biBlob) = lmModel(spark, sfDir)
+    lmProjection(spark, Tables.load(spark, sfDir, "documents"), uniBlob, biBlob)
+      .orderBy(col("doc_id"))
+  }
+
+  /** The C40 score projection over any (doc_id, text) relation — shared by
+    * the batch query and D13's streaming gate (the model is a plan literal
+    * and the score row-local, so a stream is just another unbounded
+    * relation to project over, exactly like C34/D9). */
+  private[graft] def lmProjection(spark: SparkSession, d: DataFrame,
+    uniBlob: String, biBlob: String): DataFrame = {
     // V from the SAME parse the kernel smooths with (distinct map keys) —
     // a second line-count rule here could silently diverge from the V
     // inside every score term if a blob ever carried duplicate entries
     val v = new graft.functions.GramLmModel(uniBlob, biBlob).v
-    Tables.load(spark, sfDir, "documents")
-      .select(col("doc_id"),
+    d.select(col("doc_id"),
         graft.functions.GraftFunctions.lmScore(spark, col("text"), uniBlob, biBlob).as("s"))
       .filter(col("s.n_bigrams") >= 1)
       .select(col("doc_id"), col("s.n_bigrams").as("n_bigrams"),
         round(col("s.inv_sum") / col("s.n_bigrams"), 6).as("lm_score"),
         (col("s.inv_sum") / col("s.n_bigrams") > lit(v.toDouble)).as("lowq"))
-      .orderBy(col("doc_id"))
   }
 
-  /** The LM rebuilt inline from the same reference slice; per-doc scoring is
+  /** ONE source for the C40 score SQL — shared by the batch oracle and
+    * D13's gated form (the classifySql single-definition discipline). The
+    * LM is rebuilt inline from the same reference slice; per-doc scoring is
     * an ORDERED left fold (list_reduce over list_prepend 0.0) of the same
     * map lookups and double divisions the kernel makes, so scores are
     * bit-exact across engines. */
-  val textPerplexitySql: String =
-    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+  private def lmSql(where: String): String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
       |ref AS (SELECT ts FROM toks WHERE doc_id % 97 = 0),
       |uni AS (SELECT t, COUNT(*) AS c
       |        FROM (SELECT unnest(ts) AS t FROM ref) GROUP BY t),
@@ -435,7 +445,15 @@ object TextAnalysis {
       |SELECT doc_id, CAST(n_bi AS BIGINT) AS n_bigrams,
       | ROUND(inv_sum / n_bi, 6) AS lm_score,
       | (inv_sum / n_bi) > CAST(v AS DOUBLE) AS lowq
-      |FROM scored ORDER BY doc_id""".stripMargin
+      |FROM scored
+      |${where}ORDER BY doc_id""".stripMargin
+
+  val textPerplexitySql: String = lmSql("")
+
+  /** D13's oracle: C40's SQL with the admit predicate folded in (the stream
+    * is stateless, so the drained backlog equals the gated batch query). */
+  private[graft] def lmGateSql: String =
+    lmSql("WHERE (inv_sum / n_bi) <= CAST(v AS DOUBLE)\n")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens" -> (textTokens _),

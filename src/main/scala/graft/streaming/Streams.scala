@@ -604,6 +604,29 @@ object Streams extends Serializable {
       .orderBy(col("doc_id"))
   }
 
+  /** D13 — streaming reference-LM gate: C40's CCNet-style model as a
+    * continuous-ingest filter, completing the stateless gate ladder (D6
+    * heuristic quality, D7 decontamination, D9 learned classifier, this
+    * LM-likelihood tier — the four gates real crawl pipelines stack before
+    * the dedup tiers). The offline-trained bigram model rides into the
+    * stream as the same plan-literal blobs the batch query uses and scoring
+    * is ONE fused kernel call per row (functions.GramLmScore) inside the
+    * micro-batch's scan — no state store, no watermark, no shuffle, so
+    * throughput is the batch kernel's and the drained backlog equals the
+    * gated batch query exactly (shared lmSql oracle). Admits documents the
+    * reference LM can explain (NOT lowq — CCNet's keep-the-head rule). */
+  def streamLmGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val cp = new java.io.File(checkpointDir(sfDir, "stream_lm_gate"))
+    org.apache.commons.io.FileUtils.deleteQuietly(cp)
+    spark.catalog.dropTempView("stream_lm_gate")
+    val (uniBlob, biBlob) = graft.operators.TextAnalysis.lmModel(spark, sfDir)
+    val scored = graft.operators.TextAnalysis
+      .lmProjection(spark, docsStream(spark, sfDir), uniBlob, biBlob)
+      .filter(!col("lowq"))
+    runToMemory(spark, scored, "stream_lm_gate", cp, OutputMode.Append())
+      .orderBy(col("doc_id"))
+  }
+
   /** D7 — streaming decontamination gate: the eval-overlap tier of
     * continuous ingest, between D6's quality filter and the dedup tiers —
     * benchmark-contaminated crawl output should never reach the corpus at
@@ -1356,6 +1379,7 @@ object Streams extends Serializable {
     "stream_ivf_append" -> (streamIvfAppend _),
     "stream_quality_gate" -> (streamQualityGate _),
     "stream_classify" -> (streamClassify _),
+    "stream_lm_gate" -> (streamLmGate _),
     "stream_decontam_gate" -> (streamDecontamGate _),
     "stream_join" -> (streamJoin _))
 
@@ -1382,6 +1406,7 @@ object Streams extends Serializable {
     "stream_quality_gate" -> graft.operators.TextAnalysis.qualityGateSql("0.25"),
     // D9 is stateless → exactly the gated C34 on the drained backlog
     "stream_classify" -> graft.operators.TextAnalysis.classifyGateSql,
+    "stream_lm_gate" -> graft.operators.TextAnalysis.lmGateSql,
     // D7 is stateless → exactly C15's report with the gate verdict; shares
     // the gramsCte domain (incl. the <5-token whole-text fallback)
     "stream_decontam_gate" ->

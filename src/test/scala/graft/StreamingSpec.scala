@@ -325,6 +325,23 @@ class StreamingSpec extends SparkSpec {
       s"classifier gate grew a shuffle:\n${plan.take(2000)}")
   }
 
+  test("streaming LM gate is stateless and equals the gated batch query exactly") {
+    val total = Tables.load(spark, sfDir, "documents").count()
+    val got = Streams.streamLmGate(spark, sfDir).collect().map(_.toSeq).toSeq
+    val want = graft.operators.TextAnalysis.textPerplexity(spark, sfDir)
+      .filter(!org.apache.spark.sql.functions.col("lowq"))
+      .collect().map(_.toSeq).toSeq
+    assert(got == want, "stream/batch divergence in the LM gate")
+    assert(got.nonEmpty && got.length < total, "gate must pass some docs and drop some")
+    // same statelessness contract as D9: the model is a plan literal and
+    // scoring a pure projected kernel — no state store, no shuffle
+    val plan = Streams.lastStreamPlan
+    assert(!plan.contains("StateStore"),
+      s"LM gate grew a state store:\n${plan.take(2000)}")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"LM gate grew a shuffle:\n${plan.take(2000)}")
+  }
+
   test("streaming decontamination gate equals the batch contamination report") {
     import org.apache.spark.sql.functions._
     val got = Streams.streamDecontamGate(spark, sfDir).collect()
