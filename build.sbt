@@ -14,8 +14,11 @@ run / fork := true
 // The driver parses the LAST stdout line of `sbt run` as bare JSON; sbt's
 // default LoggedOutput decorates forked stdout with "[info] ", which is the
 // one remaining reason the per-round bench handshake parsed null. Pass the
-// child JVM's stdout/stderr through untouched.
+// child JVM's stdout/stderr through untouched, and drop the trailing
+// "[success] Total time: ..." banner that would otherwise land BELOW the
+// JSON line (exit codes still signal success).
 run / outputStrategy := Some(StdoutOutput)
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
