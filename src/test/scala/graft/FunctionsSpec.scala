@@ -205,6 +205,33 @@ class FunctionsSpec extends SparkSpec {
     assert(cidWith(a) == 0L, "fresh registration after the clear")
   }
 
+  test("releaseCodebookBroadcast evicts ONE codebook, leaves others, tolerates strangers") {
+    import spark.implicits._
+    // the Lloyd trainer's per-iteration eviction path: releasing an
+    // intermediate codebook must destroy ITS broadcast (a stale column
+    // fails loudly, a rebuild re-registers fresh) without touching any
+    // other registered codebook — and releasing a never-registered array
+    // must be a harmless no-op
+    val df = Seq((1L, Array(9.0, 1.0))).toDF("vec_id", "v")
+    def cidWith(cb: Array[(Int, Array[Double])]): Long =
+      df.select(GraftFunctions.nearestCidBroadcast(spark, col("v"), cb).as("cid"))
+        .head().getLong(0)
+    val kept = Array((0, Array(9.0, 1.0)), (1, Array(0.0, 1.0)))
+    val dropped = Array((0, Array(0.0, 1.0)), (1, Array(9.0, 1.0)))
+    val keptCol = df.select(
+      GraftFunctions.nearestCidBroadcast(spark, col("v"), kept).as("cid"))
+    val droppedCol = df.select(
+      GraftFunctions.nearestCidBroadcast(spark, col("v"), dropped).as("cid"))
+    GraftFunctions.releaseCodebookBroadcast(dropped)
+    GraftFunctions.releaseCodebookBroadcast(
+      Array((9, Array(1.0, 1.0)))) // never registered: no-op, no throw
+    val failedLoudly =
+      try { droppedCol.collect(); false } catch { case _: Throwable => true }
+    assert(failedLoudly, "released codebook's column still ran")
+    assert(keptCol.head().getLong(0) == 0L, "unrelated codebook was evicted too")
+    assert(cidWith(dropped) == 1L, "re-registration after targeted release")
+  }
+
   test("graft_nearest_cid breaks exact cosine ties on the LOWEST cid") {
     import spark.implicits._
     // centroids 3 and 7 are the same direction (2x scaling leaves cosine

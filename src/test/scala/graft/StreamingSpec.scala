@@ -579,6 +579,19 @@ class StreamingSpec extends SparkSpec {
       s"novel arrival did not resolve: ${got(novelId)}")
   }
 
+  test("streaming semantic dedup on an EMPTY landing dir yields an empty relation") {
+    // a landing dir the embedding service hasn't written to yet must drain
+    // to zero rows — not a missing-path crash: the ingest tier creates the
+    // store dir even when no batch fires, and every downstream read uses an
+    // explicit schema
+    val stageDir = new java.io.File("/root/repo/target/test_stream_sem_empty")
+    org.apache.commons.io.FileUtils.deleteQuietly(stageDir)
+    stageDir.mkdirs()
+    val got = Streams.streamDedupSemanticMultiBatch(spark, sfDir,
+      stageDir.getAbsolutePath, "mb_sem_empty")
+    assert(got.count() == 0L, "empty landing dir produced rows")
+  }
+
   test("streaming media dedup survives multi-batch slicing (band keepers persist)") {
     import org.apache.spark.sql.functions._
     // slice the media corpus into two media_id-ordered files: band keepers
