@@ -16,6 +16,21 @@ object GraftConf {
     sys.props.get("graft.local.root")
       .getOrElse(sys.props.getOrElse("user.dir", ".") + "/target")
 
+  /** Delete an ORPHAN managed-table directory under the warehouse (left by a
+    * previous session, unknown to this session's in-memory catalog) so
+    * `saveAsTable` can claim the location. The warehouse URI is resolved
+    * through Hadoop's Path/FileSystem, so a plain path, a `file:` URI and a
+    * remote scheme all route to the right filesystem — string-stripping the
+    * scheme handled only the bare `file:` form and would have skipped or
+    * mis-targeted the delete (and left `saveAsTable` refusing the location)
+    * for every other warehouse URI. */
+  def deleteOrphanTableDir(spark: SparkSession, tbl: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), tbl)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) { fs.delete(p, true); () }
+  }
+
   /** Apply graft defaults to a session builder. AQE stays ON (runtime
     * coalescing + skew-join splitting are the first line of defense against
     * skew at scale); broadcast threshold is left at Spark's default — the

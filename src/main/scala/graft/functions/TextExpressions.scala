@@ -734,10 +734,12 @@ case class MinHashSignature(child: Expression) extends UnaryExpression {
   * unigram/bigram counts parsed once per (de)serialized instance from the
   * newline-delimited blob literals (line format `count<SP>token[s]` — tokens
   * are single-space splits, so a bigram key holds exactly one interior
-  * space). Kept as blobs on the wire (the BpeMergeTable pattern: the model
-  * is plan metadata); the hash maps are transient and rebuilt per JVM. At
-  * CCNet scale (a KenLM-sized model, GBs) the same kernel would take the
-  * codebook route — an executor-broadcast handle instead of literals. */
+  * space). The hash maps are transient and rebuilt per (de)serialization;
+  * the blobs' TRANSPORT is the caller's choice of wrapper — plan literals
+  * ([[GramLmScore]], the BpeMergeTable pattern, right for small models) or
+  * an executor broadcast ([[GramLmScoreBroadcast]], the codebook route a
+  * KenLM-sized CCNet model needs), size-switched in
+  * GraftFunctions.lmScoreAuto with bit-identical scores either way. */
 final class GramLmModel(uniBlob: String, biBlob: String) extends Serializable {
 
   @transient private lazy val uni: java.util.HashMap[String, Long] = parse(uniBlob)
@@ -818,5 +820,52 @@ case class GramLmScore(child: Expression, uniBlob: String, biBlob: String)
   }
 
   override protected def withNewChildInternal(newChild: Expression): GramLmScore =
+    copy(child = newChild)
+}
+
+/** EXECUTOR-BROADCAST form of [[GramLmScore]] — identical statistic, model
+  * transport swapped from plan-literal blobs to a `Broadcast[GramLmModel]`
+  * handle (the [[NearestCentroidBroadcast]] route, which the literal form's
+  * scaladoc names as the at-scale path). The generated code pulls the model
+  * through `m()` on the serialized expression instance — NOT through
+  * `addReferenceObj` on the model itself, which would serialize the count
+  * tables back into every task batch and defeat the broadcast; only the
+  * tiny handle rides with the plan, and the blobs move once per executor
+  * JVM over the torrent protocol. Equality is by broadcast id (one handle
+  * per (context, blob content) — GraftFunctions memoizes), so plans over
+  * one trained model canonicalize equal exactly like the literal form's
+  * value equality. FunctionsSpec pins bit-identical scores between the two
+  * transports on a shared fixture. */
+case class GramLmScoreBroadcast(child: Expression,
+  bc: org.apache.spark.broadcast.Broadcast[GramLmModel])
+  extends UnaryExpression {
+
+  @transient private lazy val model: GramLmModel = bc.value
+
+  /** Codegen accessor (public: called from generated Java). */
+  def m(): GramLmModel = model
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_lm_score_bc expects a string column, got $other")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_bigrams", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("inv_sum",
+      org.apache.spark.sql.types.DoubleType, nullable = false)))
+  override def prettyName: String = "graft_lm_score_bc"
+
+  override protected def nullSafeEval(input: Any): Any =
+    model.score(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("lmBc", this,
+      classOf[GramLmScoreBroadcast].getName)
+    defineCodeGen(ctx, ev, c => s"$self.m().score($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GramLmScoreBroadcast =
     copy(child = newChild)
 }

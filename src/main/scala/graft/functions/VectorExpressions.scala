@@ -603,6 +603,27 @@ object GraftFunctions {
   private val bcMemo =
     new java.util.WeakHashMap[Array[(Int, Array[Double])], (String, Long)]
 
+  // [[bcHandles]]'s machinery applied to C40's reference LM: handle id rides
+  // as a long literal, the Broadcast[GramLmModel] parks here. The memo is
+  // CONTENT-keyed — (appId, md5 of both blobs) — not identity-keyed like the
+  // codebook memo: blobs are immutable strings cached per scale dir, so
+  // content equality is exact, collision-free at md5 width, and immune to
+  // the identityHashCode-reuse hazard arrays had. Entries live until
+  // clearLmBroadcasts() (TextAnalysis.clearLmCache routes through it) — each
+  // pins a model-sized block-manager entry, the explicit eviction a
+  // long-lived multi-corpus application needs.
+  private val lmBcHandles = scala.collection.concurrent.TrieMap
+    .empty[Long, org.apache.spark.broadcast.Broadcast[GramLmModel]]
+  private val lmBcMemo = scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  private def lmBlobKey(appId: String, uniBlob: String, biBlob: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(uniBlob.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    md.update(0.toByte)
+    md.update(biBlob.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    appId + ":" + md.digest().map("%02x".format(_)).mkString
+  }
+
   /** (v, broadcast-handle id literal) — see [[bcHandles]]. */
   private[functions] val nearestCidBcBuilder: Seq[Expression] => Expression = {
     case Seq(v, idArg)
@@ -836,6 +857,26 @@ object GraftFunctions {
   val lmScoreInfo = new ExpressionInfo(
     classOf[GramLmScore].getName, "graft_lm_score")
 
+  val lmScoreBcInfo = new ExpressionInfo(
+    classOf[GramLmScoreBroadcast].getName, "graft_lm_score_bc")
+
+  /** (text, bigint handle-id LITERAL) — [[bcHandles]]'s seam applied to the
+    * C40 reference model: the Column API broadcasts the parsed model, parks
+    * the handle under a fresh id, and the builder swaps the id back at
+    * analysis. */
+  private[functions] val lmScoreBcBuilder: Seq[Expression] => Expression = {
+    case Seq(text, idArg)
+      if idArg.foldable && idArg.dataType == LongType && idArg.eval(null) != null =>
+      val id = idArg.eval(null).asInstanceOf[Long]
+      val bc = lmBcHandles.getOrElse(id, throw new IllegalArgumentException(
+        s"graft_lm_score_bc: no broadcast LM model registered under id $id " +
+          "(construct the column via GraftFunctions.lmScoreBroadcast)"))
+      GramLmScoreBroadcast(text, bc)
+    case _ => throw new IllegalArgumentException(
+      "graft_lm_score_bc expects (text, bigint handle-id LITERAL) — " +
+        "use GraftFunctions.lmScoreBroadcast, which manages the handle")
+  }
+
   /** (text, uni-blob literal, bi-blob literal) — the LM is plan metadata,
     * same contract as graft_stop_hits' dictionary. */
   private[functions] val lmScoreBuilder: Seq[Expression] => Expression = {
@@ -876,7 +917,8 @@ object GraftFunctions {
       (FunctionIdentifier("graft_top_gram"), topGramInfo, topGramBuilder),
       (FunctionIdentifier("graft_gram_hits"), gramHitsInfo, gramHitsBuilder),
       (FunctionIdentifier("graft_minhash_sig"), minhashSigInfo, minhashSigBuilder),
-      (FunctionIdentifier("graft_lm_score"), lmScoreInfo, lmScoreBuilder))
+      (FunctionIdentifier("graft_lm_score"), lmScoreInfo, lmScoreBuilder),
+      (FunctionIdentifier("graft_lm_score_bc"), lmScoreBcInfo, lmScoreBcBuilder))
       .foreach { case (id, info, builder) =>
         if (!registry.functionExists(id)) registry.registerFunction(id, info, builder)
       }
@@ -976,6 +1018,59 @@ object GraftFunctions {
     call_function("graft_lm_score", text,
       org.apache.spark.sql.functions.lit(uniBlob),
       org.apache.spark.sql.functions.lit(biBlob))
+  }
+
+  /** Column-API entry point: C40's LM statistic with the model as an
+    * EXECUTOR BROADCAST — same statistic as [[lmScore]] bit-for-bit
+    * (FunctionsSpec pins), no plan-literal size ceiling. One Broadcast per
+    * (context, blob content): repeated query builds over one trained model
+    * reuse the handle, so executors hold one copy and plans canonicalize
+    * equal. */
+  def lmScoreBroadcast(spark: SparkSession, text: Column,
+    uniBlob: String, biBlob: String): Column = {
+    ensureRegistered(spark)
+    val key = lmBlobKey(spark.sparkContext.applicationId, uniBlob, biBlob)
+    val id = lmBcMemo.synchronized {
+      lmBcMemo.getOrElse(key, {
+        val handle = spark.sparkContext
+          .broadcast(new GramLmModel(uniBlob, biBlob))
+        val fresh = bcNextId.incrementAndGet()
+        lmBcHandles(fresh) = handle
+        lmBcMemo(key) = fresh
+        fresh
+      })
+    }
+    call_function("graft_lm_score_bc", text,
+      org.apache.spark.sql.functions.lit(id))
+  }
+
+  /** Size-switched transport for C40's model — the [[nearestCid]] /
+    * [[nearestCidBroadcast]] decision applied to the LM: blobs under
+    * `-Dgraft.lm.bc.threshold` bytes (default 1 MiB) ride as plan literals
+    * (zero extra machinery, the right call for the harness-scale model);
+    * past it the model moves to the executor broadcast, so a KenLM-sized
+    * reference model never becomes a multi-GB plan literal serialized into
+    * every task batch. Decisions are transport-independent (same
+    * GramLmModel.score on both paths). */
+  def lmScoreAuto(spark: SparkSession, text: Column,
+    uniBlob: String, biBlob: String): Column = {
+    val threshold = sys.props.get("graft.lm.bc.threshold")
+      .map(_.toLong).getOrElse(1L << 20)
+    if (uniBlob.length.toLong + biBlob.length.toLong > threshold)
+      lmScoreBroadcast(spark, text, uniBlob, biBlob)
+    else lmScore(spark, text, uniBlob, biBlob)
+  }
+
+  /** Destroy every registered LM-model broadcast and clear its registries —
+    * [[clearBroadcasts]]'s contract for the LM family
+    * (TextAnalysis.clearLmCache routes through here). Columns built before
+    * the clear fail LOUDLY afterwards, never against a stale model. */
+  def clearLmBroadcasts(): Unit = lmBcMemo.synchronized {
+    lmBcHandles.values.foreach { h =>
+      try h.destroy() catch { case _: Exception => () }
+    }
+    lmBcHandles.clear()
+    lmBcMemo.clear()
   }
 
   /** Column-API entry point: nearest-centroid cid for vector column `v`

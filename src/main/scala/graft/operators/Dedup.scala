@@ -255,8 +255,7 @@ object Dedup {
         // only an orphan directory (left by a previous session, unknown to
         // this session's in-memory catalog) is removed directly; without
         // this, saveAsTable refuses the non-empty location
-        val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh, tbl))
+        graft.GraftConf.deleteOrphanTableDir(spark, tbl)
       }
       build
       digestFingerprint(tbl) = fp

@@ -166,8 +166,7 @@ object Joins {
     // location (LOCATION_ALREADY_EXISTS).
     def ensure(tbl: String, build: => DataFrame, key: String): Unit =
       if (!spark.catalog.tableExists(tbl)) {
-        val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh, tbl))
+        graft.GraftConf.deleteOrphanTableDir(spark, tbl)
         build.write.bucketBy(8, key).sortBy(key).mode("overwrite").saveAsTable(tbl)
       }
     ensure(oTbl, Tables.load(spark, sfDir, "orders")

@@ -181,8 +181,7 @@ object Similarity {
         // session's in-memory catalog; clear it or saveAsTable refuses the
         // location (B18's ensure does the same)
         if (!spark.catalog.tableExists(tbl)) {
-          val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh, tbl))
+          graft.GraftConf.deleteOrphanTableDir(spark, tbl)
         }
         spark.read.parquet(path)
           .select(col("vec_id"), col("v"), col("cid").cast("bigint").as("cid"))
@@ -983,25 +982,34 @@ object Similarity {
   private[graft] def semanticK(n: Long): Int =
     math.max(16L, math.min(semanticKBudget.toLong, n / 128L)).toInt
 
-  // dir -> (embeddings fingerprint, size-proportional codebook) — separate
-  // from the K=16 IVF codebook: the two operators size K by different rules
+  // dir -> (embeddings fingerprint + K budget, size-proportional codebook) —
+  // separate from the K=16 IVF codebook: the two operators size K by
+  // different rules
   private val semanticCodebookCache =
     scala.collection.concurrent.TrieMap.empty[String, (String, Array[(Int, Array[Double])])]
 
+  /** Cache tag for the trained semantic artifacts: the data fingerprint PLUS
+    * the live K budget, so changing `-Dgraft.semantic.k.budget` in a running
+    * JVM retrains at the new K instead of silently reusing a codebook sized
+    * under the old budget (the fallback-oracle CTE and fresh training read
+    * the new budget immediately — the cache must move with them). */
+  private[graft] def semanticCacheTag(sfDir: String): String =
+    graft.Tables.fingerprint(sfDir, "embeddings") + ":k" + semanticKBudget
+
   private def cachedSemanticCodebook(sfDir: String): Option[Array[(Int, Array[Double])]] =
     semanticCodebookCache.get(sfDir)
-      .filter(_._1 == graft.Tables.fingerprint(sfDir, "embeddings"))
+      .filter(_._1 == semanticCacheTag(sfDir))
       .map(_._2)
 
   def trainSemanticCodebook(spark: SparkSession,
     sfDir: String): Array[(Int, Array[Double])] =
     cachedSemanticCodebook(sfDir).getOrElse(this.synchronized {
       cachedSemanticCodebook(sfDir).getOrElse {
-        val fp = graft.Tables.fingerprint(sfDir, "embeddings")
+        val tag = semanticCacheTag(sfDir)
         val e = Tables.load(spark, sfDir, "embeddings")
           .select(col("vec_id"), asDouble(col("embedding")).as("v"))
         val cb = lloyd(spark, e, semanticK(e.count()))
-        semanticCodebookCache(sfDir) = (fp, cb)
+        semanticCodebookCache(sfDir) = (tag, cb)
         cb
       }
     })
@@ -1033,8 +1041,9 @@ object Similarity {
     * centroids. */
   private[graft] def semanticAssigned(spark: SparkSession, sfDir: String): DataFrame = {
     val codebook = trainSemanticCodebook(spark, sfDir)
-    Dedup.memoize(spark, sfDir,
-      "semcid:" + graft.Tables.fingerprint(sfDir, "embeddings")) {
+    // tag includes the K budget: an assignment frame built under one budget
+    // must never pair with a codebook retrained under another
+    Dedup.memoize(spark, sfDir, "semcid:" + semanticCacheTag(sfDir)) {
       Tables.load(spark, sfDir, "embeddings")
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
         // the BROADCAST form of the kernel: the K ∝ N codebook is exactly

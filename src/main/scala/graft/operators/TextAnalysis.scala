@@ -344,35 +344,64 @@ object TextAnalysis {
   private val lmModelCache =
     scala.collection.concurrent.TrieMap.empty[String, (String, (String, String))]
 
-  /** Evict the trained LM artifacts (ColdWarm's cold-path hook — the C40
-    * analog of Similarity.clearCaches). */
-  def clearLmCache(): Unit = lmModelCache.clear()
+  /** Evict the trained LM artifacts AND their executor broadcasts
+    * (ColdWarm's cold-path hook — the C40 analog of
+    * Similarity.clearCaches, including its broadcast-release leg). */
+  def clearLmCache(): Unit = {
+    lmModelCache.clear()
+    graft.functions.GraftFunctions.clearLmBroadcasts()
+  }
 
-  /** Train the reference bigram LM: unigram + bigram counts over the clean
-    * reference slice (doc_id % 97 == 0 — C15's eval-suite convention
-    * standing in for CCNet's Wikipedia), collected once per scale dir as
-    * newline blobs (`count<SP>gram`). The offline model-build job: counts
-    * aggregate distributedly to a VOCAB-sized table and only that reaches
-    * the driver. In production (KenLM-sized models) the blobs become an
-    * executor broadcast — the codebook route — with the same kernel. */
+  /** Reference-corpus ceiling (docs) for LM training — the bound that makes
+    * the CCNet contract enforceable in code: the reference is a FIXED clean
+    * corpus (Wikipedia in the paper), so its size — and hence the vocabulary
+    * the build collects to the driver and the model the scorer transports —
+    * is a deployment CONSTANT, never a function of the corpus being scored.
+    * Overridable per deployment (`-Dgraft.lm.ref.max.docs`). */
+  private[graft] def lmRefMaxDocs: Long =
+    sys.props.get("graft.lm.ref.max.docs").map(_.toLong).getOrElse(1L << 20)
+
+  /** Train a reference bigram LM from an EXPLICIT reference corpus: unigram
+    * + bigram counts aggregated distributedly to a VOCAB-sized table;
+    * only that table reaches the driver, as newline blobs
+    * (`count<SP>gram`). The build REFUSES a reference above [[lmRefMaxDocs]]
+    * rather than silently collecting an unbounded vocabulary — with the
+    * bound honored, the collect is capped by the reference contract, not by
+    * the (growing) scored corpus. Transport of the result is size-switched
+    * downstream (GraftFunctions.lmScoreAuto): literal blobs small, executor
+    * broadcast large. */
+  def lmModelFrom(spark: SparkSession, ref: DataFrame): (String, String) = {
+    val nRef = ref.count()
+    require(nRef <= lmRefMaxDocs,
+      s"LM reference corpus has $nRef docs, above the bounded-reference " +
+        s"ceiling $lmRefMaxDocs (-Dgraft.lm.ref.max.docs). The CCNet recipe " +
+        "trains on a FIXED clean corpus — pass a bounded reference table, " +
+        "not a slice that grows with the corpus being scored.")
+    def blob(rows: DataFrame): String = {
+      val entries = rows.groupBy(col("g")).agg(count(lit(1)).as("c"))
+        .collect().map(r => s"${r.getLong(1)} ${r.getString(0)}")
+      require(entries.forall(!_.contains("\n")),
+        "LM grams must be newline-free to ride in the blob")
+      entries.sorted.mkString("\n")
+    }
+    (blob(ref.select(explode(split(col("text"), " ")).as("g"))),
+      blob(PipelineOps.ngramFlat(ref, 2).select(col("g"))))
+  }
+
+  /** The harness's reference binding: the doc_id % 97 slice (C15's
+    * eval-suite convention standing in for CCNet's Wikipedia — the oracle
+    * rebuilds the model from the same slice), trained through the BOUNDED
+    * [[lmModelFrom]] contract and cached once per scale dir. A production
+    * deployment calls lmModelFrom with its own fixed reference table. */
   private[graft] def lmModel(spark: SparkSession, sfDir: String): (String, String) = {
     val fp = graft.Tables.fingerprint(sfDir, "documents")
     lmModelCache.get(sfDir).filter(_._1 == fp).map(_._2)
       .getOrElse(this.synchronized {
         lmModelCache.get(sfDir).filter(_._1 == fp).map(_._2).getOrElse {
-          val ref = Tables.load(spark, sfDir, "documents")
-            .filter(col("doc_id") % 97 === 0)
-          def blob(rows: DataFrame): String = {
-            val entries = rows.groupBy(col("g")).agg(count(lit(1)).as("c"))
-              .collect().map(r => s"${r.getLong(1)} ${r.getString(0)}")
-            require(entries.forall(!_.contains("\n")),
-              "LM grams must be newline-free to ride in the blob")
-            entries.sorted.mkString("\n")
-          }
-          val uniBlob = blob(ref.select(explode(split(col("text"), " ")).as("g")))
-          val biBlob = blob(PipelineOps.ngramFlat(ref, 2).select(col("g")))
-          lmModelCache(sfDir) = (fp, (uniBlob, biBlob))
-          (uniBlob, biBlob)
+          val blobs = lmModelFrom(spark, Tables.load(spark, sfDir, "documents")
+            .filter(col("doc_id") % 97 === 0))
+          lmModelCache(sfDir) = (fp, blobs)
+          blobs
         }
       })
   }
@@ -386,9 +415,12 @@ object TextAnalysis {
     * probabilities); the arithmetic form needs no log/exp, so the score is
     * an exact IEEE op sequence both engines compute bit-identically (the
     * kernel's scaladoc has the full argument). One fused kernel call per
-    * row (functions.GramLmScore — C34's shape: the model rides with the
-    * plan, the corpus never explodes a token or joins a count table), so
-    * the whole operator is a zero-shuffle pure map, gated in PlanGateSpec.
+    * row (functions.GramLmScore / GramLmScoreBroadcast — C34's shape: the
+    * model rides as plan metadata or an executor-broadcast handle,
+    * size-switched in GraftFunctions.lmScoreAuto; the corpus never explodes
+    * a token or joins a count table), so the whole operator is a
+    * zero-shuffle pure map, gated in PlanGateSpec. The model itself is
+    * bounded by [[lmModelFrom]]'s fixed-reference contract.
     * `lowq` = mean inverse probability above the vocabulary size V — worse
     * than the uniform-ish baseline, the model sees the doc as noise. */
   def textPerplexity(spark: SparkSession, sfDir: String): DataFrame = {
@@ -408,7 +440,10 @@ object TextAnalysis {
     // inside every score term if a blob ever carried duplicate entries
     val v = new graft.functions.GramLmModel(uniBlob, biBlob).v
     d.select(col("doc_id"),
-        graft.functions.GraftFunctions.lmScore(spark, col("text"), uniBlob, biBlob).as("s"))
+        // size-switched transport: literal blobs under the threshold,
+        // executor broadcast past it — same kernel, same bits either way
+        graft.functions.GraftFunctions
+          .lmScoreAuto(spark, col("text"), uniBlob, biBlob).as("s"))
       .filter(col("s.n_bigrams") >= 1)
       .select(col("doc_id"), col("s.n_bigrams").as("n_bigrams"),
         round(col("s.inv_sum") / col("s.n_bigrams"), 6).as("lm_score"),

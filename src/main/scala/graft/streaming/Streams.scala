@@ -305,6 +305,20 @@ object Streams extends Serializable {
       spark.read.schema(df.schema).parquet(outDir.getAbsolutePath)
     }
 
+  // storeDir path -> reuse key: an ingest store already built in this JVM
+  // for the same (source fingerprint, derivation) is consumed as-is — the
+  // fingerprint-keyed reuse rule every ensure* builder applies, here cutting
+  // the repeated-run cost of the D10/D12 ingest replay (the store's content
+  // is a deterministic function of the staged source, so a rebuild could
+  // only reproduce it byte-for-byte)
+  private val ingestStoreMemo =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Evict the ingest-store reuse markers (ColdWarm's cold-path hook — the
+    * stream-store analog of Similarity.clearCaches). The next run rebuilds
+    * each store from a fresh checkpoint. */
+  private[graft] def clearIngestStores(): Unit = ingestStoreMemo.clear()
+
   /** Run the INGEST tier of a dedup stream to completion: `derive` each
     * micro-batch's row-local records (perceptual hash, cluster assignment)
     * ONCE per arrival and append them to the stream-side STORE directory —
@@ -314,35 +328,48 @@ object Streams extends Serializable {
     * expensive derivation never runs twice), and every candidate pair's
     * BOTH sides are stream arrivals, so store lookups resolve novel rows by
     * construction — no join against a corpus-only table that would silently
-    * drop them. One coalesced file per micro-batch with a pinned ascending
-    * mtime: the downstream dedup query is a file-stream source ordered by
-    * (mtime, path), and arbitrary write-task mtimes would reorder its
-    * replay against the ingest order the keeper-rank oracle relies on.
-    * (Per-batch file count is a throughput dial in production — the order
-    * contract only needs batch-monotone mtimes.) */
+    * drop them. One coalesced file per micro-batch, written OVERWRITE-BY-
+    * BATCH-ID: the batch lands in a scratch dir and its part file is MOVED
+    * to the deterministic name `batch-<id>.parquet` (replace-existing), so
+    * a failed-then-retried micro-batch replaces its own earlier attempt
+    * instead of appending a duplicate alongside it — foreachBatch's
+    * at-least-once delivery becomes an idempotent store write, matching the
+    * end-to-end-checkpointed contract the resolve join relies on. The file
+    * carries a pinned ascending mtime: the downstream dedup query is a
+    * file-stream source ordered by (mtime, path), and arbitrary write-task
+    * mtimes would reorder its replay against the ingest order the
+    * keeper-rank oracle relies on. (Per-batch file count is a throughput
+    * dial in production — the order contract only needs batch-monotone
+    * mtimes.) `reuseKey` (the source-fingerprint tag) short-circuits a
+    * rebuild of a store this JVM already built for identical input. */
   private def ingestAppend(spark: SparkSession, src: DataFrame,
-    storeDir: java.io.File, cp: java.io.File)(
+    storeDir: java.io.File, cp: java.io.File, reuseKey: Option[String] = None)(
     derive: DataFrame => DataFrame): Unit = {
+    val path = storeDir.getAbsolutePath
+    if (reuseKey.exists(k => ingestStoreMemo.get(path).contains(k)) &&
+      storeDir.isDirectory) return
     org.apache.commons.io.FileUtils.deleteQuietly(storeDir)
     org.apache.commons.io.FileUtils.deleteQuietly(cp)
     // an EMPTY source stream fires no batch and appends nothing — create
     // the store dir up front so the downstream dedup/resolve reads (all
     // explicit-schema) see an empty relation, not a missing path
     storeDir.mkdirs()
-    // driver-side closure state: foreachBatch batches run sequentially
-    var staged = Set.empty[String]
     withStreamShufflePartitions(spark) {
       val q = src.writeStream
         .foreachBatch { (batch: DataFrame, id: Long) =>
-          derive(batch).coalesce(1).write.mode("append")
-            .parquet(storeDir.getAbsolutePath)
-          val now = Option(storeDir.listFiles())
-            .getOrElse(Array.empty[java.io.File])
-            .filter(_.getName.endsWith(".parquet"))
-          now.filterNot(f => staged.contains(f.getName)).foreach { f =>
-            f.setLastModified(1700000000000L + id * 60000L); ()
-          }
-          staged = now.map(_.getName).toSet
+          val scratch = new java.io.File(storeDir.getParentFile,
+            storeDir.getName + s"_stage$id")
+          derive(batch).coalesce(1).write.mode("overwrite")
+            .parquet(scratch.getAbsolutePath)
+          Option(scratch.listFiles()).getOrElse(Array.empty[java.io.File])
+            .find(_.getName.endsWith(".parquet"))
+            .foreach { f =>
+              val dst = new java.io.File(storeDir, f"batch-$id%09d.parquet")
+              java.nio.file.Files.move(f.toPath, dst.toPath,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+              dst.setLastModified(1700000000000L + id * 60000L); ()
+            }
+          org.apache.commons.io.FileUtils.deleteQuietly(scratch)
           ()
         }
         .option("checkpointLocation", cp.getAbsolutePath)
@@ -350,6 +377,7 @@ object Streams extends Serializable {
         .start()
       q.awaitTermination()
     }
+    reuseKey.foreach(k => ingestStoreMemo(path) = k)
   }
 
   private def runToMemory(spark: SparkSession, df: DataFrame, name: String,
@@ -981,7 +1009,9 @@ object Streams extends Serializable {
     * guard. Same monotone-ingest-id caveat as D4/D5/D10 across batches. */
   def streamDedupMedia(spark: SparkSession, sfDir: String): DataFrame = {
     val cp = new java.io.File(checkpointDir(sfDir, "stream_dedup_media"))
-    mediaDedupRun(spark, mediaStream(spark, sfDir), cp)
+    // media payloads derive from documents — their fingerprint keys reuse
+    mediaDedupRun(spark, mediaStream(spark, sfDir), cp,
+      Some("mediastore:" + graft.Tables.fingerprint(sfDir, "documents")))
   }
 
   /** Test hook: every staged file its own micro-batch — band keepers must
@@ -998,7 +1028,7 @@ object Streams extends Serializable {
   private val MediaHashSchema = "doc_id BIGINT, dhash BIGINT"
 
   private def mediaDedupRun(spark: SparkSession, src: DataFrame,
-    cp: java.io.File): DataFrame = {
+    cp: java.io.File, storeReuseKey: Option[String] = None): DataFrame = {
     import spark.implicits._
     org.apache.commons.io.FileUtils.deleteQuietly(cp)
     // INGEST tier: one javax.imageio decode + dHash per arrival, appended
@@ -1007,7 +1037,7 @@ object Streams extends Serializable {
     // a payload the batch corpus never saw still gets a verdict
     val store = new java.io.File(cp.getAbsolutePath + "_hashstore")
     ingestAppend(spark, src, store,
-      new java.io.File(cp.getAbsolutePath + "_ingest")) { batch =>
+      new java.io.File(cp.getAbsolutePath + "_ingest"), storeReuseKey) { batch =>
       batch.as[MediaIn](org.apache.spark.sql.Encoders.product[MediaIn])
         .mapPartitions(_.map(m =>
           (m.media_id, graft.operators.Multimodal.dHashOfBytes(m.media))))(
@@ -1098,7 +1128,10 @@ object Streams extends Serializable {
   def streamDedupSemantic(spark: SparkSession, sfDir: String): DataFrame = {
     val cp = new java.io.File(checkpointDir(sfDir, "stream_dedup_semantic"))
     val codebook = graft.operators.Similarity.trainSemanticCodebook(spark, sfDir)
-    semanticDedupRun(spark, embeddingsStream(spark, sfDir), cp, codebook)
+    // the store's content depends on (embeddings, frozen codebook); the
+    // semantic cache tag covers both (fingerprint + K budget)
+    semanticDedupRun(spark, embeddingsStream(spark, sfDir), cp, codebook,
+      Some("semstore:" + graft.operators.Similarity.semanticCacheTag(sfDir)))
   }
 
   /** Test hook: every staged file its own micro-batch — keeper state must
@@ -1116,7 +1149,8 @@ object Streams extends Serializable {
   private val SemAssignSchema = "vec_id BIGINT, v ARRAY<DOUBLE>, cid BIGINT"
 
   private def semanticDedupRun(spark: SparkSession, src: DataFrame,
-    cp: java.io.File, codebook: Array[(Int, Array[Double])]): DataFrame = {
+    cp: java.io.File, codebook: Array[(Int, Array[Double])],
+    storeReuseKey: Option[String] = None): DataFrame = {
     import spark.implicits._
     org.apache.commons.io.FileUtils.deleteQuietly(cp)
 
@@ -1128,7 +1162,7 @@ object Streams extends Serializable {
     // saw still gets a verdict
     val store = new java.io.File(cp.getAbsolutePath + "_assignstore")
     ingestAppend(spark, src, store,
-      new java.io.File(cp.getAbsolutePath + "_ingest")) { batch =>
+      new java.io.File(cp.getAbsolutePath + "_ingest"), storeReuseKey) { batch =>
       batch
         .select(col("vec_id"), transform(col("embedding"),
           x => x.cast("double")).as("v"))

@@ -473,6 +473,50 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("graft_lm_score_bc: broadcast transport scores bit-identically to the literal form") {
+    import spark.implicits._
+    // decision identity across the two model transports — the contract that
+    // lets lmScoreAuto size-switch without touching results: same blobs,
+    // same kernel, literal vs executor-broadcast, bit-for-bit equal structs
+    val uniBlob = "2 a\n1 b\n1 c"
+    val biBlob = "1 a b\n1 b a\n1 a c"
+    val rows = Seq((0L, "a b"), (1L, "a z"), (2L, "z q"),
+      (3L, "a b a c"), (4L, "a"), (5L, ""), (6L, "a b a c z q a b"))
+    val df = rows.toDF("id", "t")
+    def scores(c: org.apache.spark.sql.Column) =
+      df.select(col("id"), c.as("s"))
+        .select(col("id"), col("s.n_bigrams"), col("s.inv_sum"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val lit = scores(GraftFunctions.lmScore(spark, col("t"), uniBlob, biBlob))
+    val bc = scores(GraftFunctions.lmScoreBroadcast(spark, col("t"), uniBlob, biBlob))
+    assert(bc == lit)
+    // the auto switch routes to each transport by size and stays identical
+    val prev = sys.props.get("graft.lm.bc.threshold")
+    try {
+      sys.props("graft.lm.bc.threshold") = "0" // force broadcast
+      assert(scores(GraftFunctions.lmScoreAuto(spark, col("t"), uniBlob, biBlob)) == lit)
+      sys.props("graft.lm.bc.threshold") = "1000000" // force literal
+      assert(scores(GraftFunctions.lmScoreAuto(spark, col("t"), uniBlob, biBlob)) == lit)
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.lm.bc.threshold") = v
+        case None => sys.props.remove("graft.lm.bc.threshold"); ()
+      }
+    }
+    // one broadcast per (context, blob content): a second build reuses the
+    // registered handle, so the two plans canonicalize equal
+    val p1 = df.select(GraftFunctions.lmScoreBroadcast(spark, col("t"), uniBlob, biBlob))
+      .queryExecution.analyzed.canonicalized
+    val p2 = df.select(GraftFunctions.lmScoreBroadcast(spark, col("t"), uniBlob, biBlob))
+      .queryExecution.analyzed.canonicalized
+    assert(p1 == p2)
+    // eviction fails LOUDLY for later builds (no silent stale model) and a
+    // fresh registration works again afterwards
+    GraftFunctions.clearLmBroadcasts()
+    assert(scores(GraftFunctions.lmScoreBroadcast(spark, col("t"), uniBlob, biBlob)) == lit)
+    GraftFunctions.clearLmBroadcasts()
+  }
+
   test("graft_sig_agreement equals the zip_with+aggregate form on sig pairs + edges") {
     import spark.implicits._
     // deterministic signature-shaped pairs over a small value domain (so

@@ -165,6 +165,43 @@ class PlanGateSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("plan gate: text_perplexity under broadcast transport — zero shuffles, no blob literals in the plan") {
+    // the C40 scale contract: when the size switch routes the LM to the
+    // executor broadcast, the operator must STAY a zero-shuffle pure map
+    // (same maxHashEx=0 pin as the literal form) and the model blobs must
+    // actually leave the plan — a plan still carrying the count tables as
+    // literals means the transport never switched and a KenLM-sized model
+    // would ride into every task batch again
+    val prev = sys.props.get("graft.lm.bc.threshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      sys.props("graft.lm.bc.threshold") = "0" // force the broadcast route
+      val lit = SparkEntry.queries("text_perplexity")(spark, sfDir)
+      val df = SparkEntry.queries("text_perplexity")(spark, sfDir)
+      df.write.format("noop").mode("overwrite").save()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("graft_lm_score_bc"),
+        s"text_perplexity: size switch did not take the broadcast route:\n${plan.take(2000)}")
+      assert("Exchange hashpartitioning".r.findAllIn(plan).length == 0,
+        s"text_perplexity(bc): shuffle appeared in a pure-map operator:\n${plan.take(2000)}")
+      // decisions are transport-independent: the broadcast run's rows equal
+      // the literal run's (kernel-level bit-identity is pinned in
+      // FunctionsSpec; this is the operator-level seam)
+      sys.props("graft.lm.bc.threshold") = "1000000000"
+      val litRows = SparkEntry.queries("text_perplexity")(spark, sfDir)
+        .collect().toSeq
+      sys.props("graft.lm.bc.threshold") = "0"
+      assert(lit.collect().toSeq == litRows)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      prev match {
+        case Some(v) => sys.props("graft.lm.bc.threshold") = v
+        case None => sys.props.remove("graft.lm.bc.threshold"); ()
+      }
+    }
+  }
+
   test("plan gate: seq_pack windows on (lang, shard), never lang alone") {
     // the de-straggler property: the cumulative-sum window's exchange must
     // key on the sub-shard too, or a dominant language collapses to one
