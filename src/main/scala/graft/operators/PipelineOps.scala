@@ -455,6 +455,141 @@ object PipelineOps {
       | AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS INT64) % 100 < 50
       |ORDER BY doc_id""".stripMargin
 
+  /** C41 — the corpus-prep pipeline RE-COMPOSED over the round-8..10 gate
+    * tiers (C18 predates them): fastText-style classifier gate (C34,
+    * clf_score > 0) AND reference-LM gate (C40's admit rule, score ≤ V) →
+    * exact-substring removal over the survivors (C39's keep-one cut, gram
+    * ownership computed on the GATED corpus — a gated-out doc can't own a
+    * span) → drop fully-cut docs → exact dedup keep-min on the REWRITTEN
+    * text (C1's rule on the post-cut digest: substring removal can only
+    * CREATE exact duplicates, e.g. two boilerplate pages reduced to the
+    * same residue, so the digest pass must run after the cut) → 50%
+    * deterministic sample (C13's portable id hash). ONE declarative plan,
+    * ONE end-to-end value-level oracle — the proof the new tiers compose,
+    * C18's pattern widened to the full gate ladder.
+    *
+    * Scale shape: both gates are the same zero-shuffle fused-kernel maps as
+    * their standalone keys (C34/C40) and sit in the scan stage of C39's
+    * gram pipeline, so every gated-out document is dropped BEFORE the gram
+    * shuffle and never ships a byte. Over C39 itself the composition adds
+    * only the slim (doc_id, lang, scores) rejoin and the post-cut digest
+    * window — both hash-partitioned on keys the plan already shuffles. The
+    * LM model is the bounded-reference artifact (C40's lmModelFrom
+    * contract), so the compose inherits its transport guarantees.
+    *
+    * On the graded synthetic corpus the LM head cut is sparse BY
+    * CONSTRUCTION (random-ish text against a 1% reference slice — most
+    * docs score as noise, exactly what D13 measures), so the later stages
+    * see few survivors there; the planted-corpus spec drives every stage
+    * non-vacuously through [[prepareCorpusV2On]] with a reference the
+    * planted docs actually come from. */
+  def prepareCorpusV2(spark: SparkSession, sfDir: String): DataFrame = {
+    val (uniBlob, biBlob) = TextAnalysis.lmModel(spark, sfDir)
+    prepareCorpusV2On(spark, Tables.load(spark, sfDir, "documents"),
+      uniBlob, biBlob)
+  }
+
+  /** The C41 pipeline over any (doc_id, lang, text) frame and trained LM
+    * blobs — separated so the spec can plant a corpus + reference that
+    * exercise every stage. */
+  private[graft] def prepareCorpusV2On(spark: SparkSession, d: DataFrame,
+    uniBlob: String, biBlob: String): DataFrame = {
+    val v = new graft.functions.GramLmModel(uniBlob, biBlob).v
+    val gated = d.select(col("doc_id"), col("lang"), col("text"),
+        graft.functions.GraftFunctions.tokenWeight(spark, col("text")).as("weight_sum"),
+        TextAnalysis.wsTokenCount(col("text")).cast("bigint").as("ws_tokens"),
+        graft.functions.GraftFunctions
+          .lmScoreAuto(spark, col("text"), uniBlob, biBlob).as("s"))
+      .select(col("doc_id"), col("lang"), col("text"),
+        (col("weight_sum") / (lit(500L) * col("ws_tokens"))).as("clf_score"),
+        col("s.n_bigrams").as("n_bigrams"),
+        (col("s.inv_sum") / col("s.n_bigrams")).as("raw_lm"))
+      .filter(col("clf_score") > 0.0 && col("n_bigrams") >= 1 &&
+        col("raw_lm") <= lit(v.toDouble))
+    val rewritten = dedupSubstrOn(gated.select(col("doc_id"), col("text")))
+      .filter(col("n_removed") < col("n_tokens"))
+    val meta = gated.select(col("doc_id"), col("lang"), col("clf_score"),
+      round(col("raw_lm"), 6).as("lm_score"))
+    val byFp = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("kept_text").cast("binary")))
+    rewritten.join(meta, "doc_id")
+      .withColumn("rep", min(col("doc_id")).over(byFp))
+      .filter(col("doc_id") === col("rep"))
+      .filter(pmod(idHash(col("doc_id")), lit(100)) < 50)
+      .select(col("doc_id"), col("lang"), col("clf_score"), col("lm_score"),
+        col("n_tokens"), col("n_removed"), col("kept_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** C41's oracle: the C34, C40, C39, C1 and C13 oracle fragments chained
+    * through CTEs in pipeline order — each stage's text is its standalone
+    * oracle's verbatim (same folds, same windows, same hash), re-scoped to
+    * the previous stage's survivors. */
+  val prepareCorpusV2Sql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |ref AS (SELECT ts FROM toks WHERE doc_id % 97 = 0),
+      |uni AS (SELECT t, COUNT(*) AS c
+      |        FROM (SELECT unnest(ts) AS t FROM ref) GROUP BY t),
+      |bi AS (SELECT g, COUNT(*) AS c FROM (
+      |  SELECT unnest(list_transform(range(1, len(ts)),
+      |    i -> ts[i] || ' ' || ts[i+1])) AS g FROM ref) GROUP BY g),
+      |vv AS (SELECT COUNT(*) AS v FROM uni),
+      |um AS (SELECT map(list(t), list(c)) AS m FROM uni),
+      |bm AS (SELECT map(list(g), list(c)) AS m FROM bi),
+      |lm AS (
+      | SELECT t.doc_id, len(t.ts) - 1 AS n_bi,
+      |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |    list_transform(range(1, len(t.ts)), i ->
+      |      CAST(COALESCE(map_extract(um.m, t.ts[i])[1], 0) + vv.v AS DOUBLE)
+      |      / CAST(COALESCE(map_extract(bm.m, t.ts[i] || ' ' || t.ts[i+1])[1], 0) + 1 AS DOUBLE))),
+      |    (a, b) -> a + b) AS inv_sum,
+      |  vv.v AS v
+      | FROM toks t, um, bm, vv
+      | WHERE len(t.ts) >= 2),
+      |clf AS (SELECT doc_id,
+      |  CAST(list_sum(list_transform(string_split(text, ' '),
+      |    t -> CAST(CAST(('0x' || substr(md5(t), 1, 8)) AS INT64) AS BIGINT) % 1001 - 500))
+      |   AS BIGINT) AS weight_sum,
+      |  length(text) - length(regexp_replace(text, ' ', '', 'g')) + 1 AS ws_tokens
+      | FROM documents),
+      |gated AS (
+      | SELECT d.doc_id, d.lang, d.text,
+      |  c.weight_sum / (500 * c.ws_tokens) AS clf_score,
+      |  ROUND(l.inv_sum / l.n_bi, 6) AS lm_score
+      | FROM documents d JOIN clf c USING (doc_id) JOIN lm l USING (doc_id)
+      | WHERE c.weight_sum / (500 * c.ws_tokens) > 0.0
+      |   AND l.inv_sum / l.n_bi <= CAST(l.v AS DOUBLE)),
+      |gt AS (SELECT doc_id, string_split(text, ' ') AS ts FROM gated),
+      |gp AS (
+      | SELECT doc_id, i AS pos,
+      |  ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] AS g
+      | FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 3)) AS i
+      |       FROM gt WHERE len(ts) >= 5) t),
+      |mk AS (
+      | SELECT doc_id, list_sort(list(DISTINCT pos)) AS marked
+      | FROM (SELECT doc_id, pos, MIN(doc_id) OVER (PARTITION BY g) AS owner
+      |       FROM gp) w
+      | WHERE owner < doc_id
+      | GROUP BY doc_id),
+      |res AS (
+      | SELECT t.doc_id, len(t.ts) AS n_toks,
+      |  list_filter(t.ts, (x, i) ->
+      |    len(list_filter(COALESCE(m.marked, []), p -> p <= i AND i <= p + 4)) = 0) AS kept
+      | FROM gt t LEFT JOIN mk m USING (doc_id)),
+      |rw AS (
+      | SELECT g.doc_id, g.lang, g.clf_score, g.lm_score,
+      |  CAST(r.n_toks AS BIGINT) AS n_tokens,
+      |  CAST(r.n_toks - len(r.kept) AS BIGINT) AS n_removed,
+      |  array_to_string(r.kept, ' ') AS kept_text
+      | FROM gated g JOIN res r USING (doc_id)
+      | WHERE len(r.kept) > 0),
+      |k AS (SELECT *, MIN(doc_id) OVER (PARTITION BY md5(kept_text)) AS rep FROM rw)
+      |SELECT doc_id, lang, clf_score, lm_score, n_tokens, n_removed, kept_text
+      |FROM k
+      |WHERE doc_id = rep
+      | AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS INT64) % 100 < 50
+      |ORDER BY doc_id""".stripMargin
+
   /** C19 — PII redaction: scrub email addresses and phone numbers with
     * codegen'd regexp_replace (no UDFs; at 100 TB this is a pure map stage,
     * zero shuffle). The synthetic corpus carries no PII, so a deterministic
@@ -508,12 +643,30 @@ object PipelineOps {
     * deliberate trade: windows are contiguous per (lang, shard), not globally
     * per lang — which is how a distributed trainer consumes packed streams
     * anyway (one reader per shard, no cross-reader coordination). */
-  def seqPack(spark: SparkSession, sfDir: String): DataFrame = {
+  def seqPack(spark: SparkSession, sfDir: String): DataFrame =
+    packWindows(spark, sfDir, _ => size(split(col("text"), " ")).cast("bigint"))
+
+  /** C20b — the same packing under the TOKENIZER'S count: windows close at
+    * 4096 BPE tokens (C10b's real greedy-merge kernel, one fused call per
+    * row), not 4096 whitespace words. This is the count a training job
+    * actually consumes — whitespace windows systematically over-pack
+    * because every multi-symbol word is one word but several BPE tokens —
+    * and the swap is ONLY the measure column: the (lang, shard) sub-shard
+    * layout, running-sum window, and occupancy report are [[packWindows]]
+    * verbatim, so the de-straggler analysis there carries over unchanged. */
+  def seqPackBpe(spark: SparkSession, sfDir: String): DataFrame =
+    packWindows(spark, sfDir, s => graft.functions.GraftFunctions
+      .bpeMergeCount(s, col("text"), TextAnalysis.EmbeddedBpeMerges))
+
+  /** The packing core: concat-and-chunk under whatever token measure the
+    * caller supplies (`nTok(spark)` must be a bigint column over `text`). */
+  private def packWindows(spark: SparkSession, sfDir: String,
+    nTok: SparkSession => Column): DataFrame = {
     val winTokens = 4096L
     val d = Tables.load(spark, sfDir, "documents")
       .select(col("lang"), col("doc_id"),
         pmod(idHash(col("doc_id")), lit(SeqPackShards.toLong)).as("shard"),
-        size(split(col("text"), " ")).cast("bigint").as("n_tok"))
+        nTok(spark).as("n_tok"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
@@ -524,7 +677,10 @@ object PipelineOps {
       .orderBy(col("lang"), col("shard"), col("win_id"))
   }
 
-  val seqPackSql: String =
+  /** The packing oracle under a caller-supplied SQL token measure — one
+    * window/rollup text for C20 and C20b (their only delta is the measure,
+    * same as the Spark side). */
+  private def packWindowsSql(nTokExpr: String): String =
     s"""SELECT lang, shard, win_id, COUNT(*) AS n_docs,
       | CAST(SUM(n_tok) AS BIGINT) AS window_tokens
       |FROM (
@@ -535,10 +691,14 @@ object PipelineOps {
       | FROM (SELECT lang, doc_id,
       |   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS INT64)
       |     % $SeqPackShards AS shard,
-      |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents) t
+      |   CAST($nTokExpr AS BIGINT) AS n_tok FROM documents) t
       |) p
       |GROUP BY lang, shard, win_id
       |ORDER BY lang, shard, win_id""".stripMargin
+
+  val seqPackSql: String = packWindowsSql("len(string_split(text, ' '))")
+
+  val seqPackBpeSql: String = packWindowsSql(TextAnalysis.bpeCountSqlExpr)
 
   /** C21 — deterministic train/val/test split: the portable id hash buckets
     * every document into 90/5/5. A pure per-row projection — no shuffle, no
@@ -905,6 +1065,7 @@ object PipelineOps {
     "mix_sources" -> (mixSources _),
     "mix_temperature" -> (mixTemperature _),
     "prepare_corpus" -> (prepareCorpus _),
+    "prepare_corpus_v2" -> (prepareCorpusV2 _),
     "sample_stratified" -> (sampleStratified _),
     "ngram_topk" -> (ngramTopk _),
     "contamination" -> (contamination _),
@@ -914,7 +1075,8 @@ object PipelineOps {
     "text_novelty" -> (textNovelty _),
     "corpus_stats" -> (corpusStats _),
     "text_redact" -> (textRedact _),
-    "seq_pack" -> (seqPack _))
+    "seq_pack" -> (seqPack _),
+    "seq_pack_bpe" -> (seqPackBpe _))
 
   val oracles: Map[String, String] = Map(
     "corpus_diff" -> corpusDiffSql,
@@ -926,6 +1088,7 @@ object PipelineOps {
     "mix_sources" -> mixSourcesSql,
     "mix_temperature" -> mixTemperatureSql,
     "prepare_corpus" -> prepareCorpusSql,
+    "prepare_corpus_v2" -> prepareCorpusV2Sql,
     "sample_stratified" -> sampleStratifiedSql,
     "ngram_topk" -> ngramTopkSql,
     "contamination" -> contaminationSql,
@@ -937,5 +1100,6 @@ object PipelineOps {
     "text_novelty" -> textNoveltySql,
     "corpus_stats" -> corpusStatsSql,
     "text_redact" -> textRedactSql,
-    "seq_pack" -> seqPackSql)
+    "seq_pack" -> seqPackSql,
+    "seq_pack_bpe" -> seqPackBpeSql)
 }

@@ -103,12 +103,25 @@ object Similarity {
     * every query×corpus cosine, the embedding columns are dropped BEFORE the
     * operator's only shuffle, and per-query top-k resolves as a window rank
     * over slim (q_id, vec_id, sim) rows. Ties break on candidate id, rank on
-    * full precision, round only for display — C6's conventions. */
+    * full precision, round only for display — C6's conventions.
+    *
+    * The bounded-|Q| limit is ENFORCED, not narrative: the query side is
+    * counted (a slim pushed-down scan, trivial next to the |Q|×N verify
+    * this operator exists to run) and the build REFUSES a query set above
+    * [[knnMaxQ]] instead of silently broadcasting a corpus-scale side —
+    * the same loud-failure contract as the LM reference ceiling. */
   def knnJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.load(spark, sfDir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val queries = e.filter(col("vec_id") % 97 === 7)
       .select(col("vec_id").as("q_id"), col("v").as("q"))
+    val nQ = queries.count()
+    require(nQ <= knnMaxQ,
+      s"knn_join: |Q| = $nQ exceeds the exact baseline's broadcast ceiling " +
+        s"$knnMaxQ (-Dgraft.knn.max.q). The exact kNN join broadcasts its " +
+        "query side — a query set this large routes through knn_join_ivf, " +
+        "whose planning is fully distributed (only the O(K) codebook is " +
+        "broadcast).")
     val sims = e.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
@@ -282,6 +295,15 @@ object Similarity {
       yield pbucket.bitwiseXOR(lit((1 << i) | (1 << j)))
     array(pbucket +: (h1 ++ h2): _*)
   }
+
+  /** Query-set ceiling for the EXACT kNN join (C38) — the size past which
+    * its ∝ |Q| broadcast stops being the cheap side and the caller must
+    * take C38b's distributed planning instead. The default (100k queries ×
+    * 64 doubles ≈ 51 MiB) sits at the edge of a comfortable torrent
+    * broadcast; deployments with bigger executors can raise it
+    * (`-Dgraft.knn.max.q`). */
+  private[graft] def knnMaxQ: Long =
+    sys.props.get("graft.knn.max.q").map(_.toLong).getOrElse(100000L)
 
   private val IvfK = 16
   private val IvfLloydIters = 3
@@ -1056,15 +1078,34 @@ object Similarity {
     }
   }
 
-  def dedupSemantic(spark: SparkSession, sfDir: String): DataFrame = {
+  def dedupSemantic(spark: SparkSession, sfDir: String): DataFrame =
+    dedupSemanticOn(spark, semanticAssigned(spark, sfDir))
+
+  /** The C29 verify + resolve over any (vec_id, v, cid) assignment frame —
+    * separated so the spec can plant a degenerate cluster and count pairs.
+    *
+    * The within-cluster verify carries the KEEPER-RANK saturation guard the
+    * streaming tier (D10) always had: only a cluster's first `MaxBucket`
+    * members by vec_id participate in the pairwise compare, so one
+    * degenerate cluster (all-identical embeddings — the semantic analog of
+    * a hot LSH band) costs C(MaxBucket, 2) pairs instead of C(c, 2) at ANY
+    * scale, and in the flat-budget regime (lists growing as N/K past the
+    * [[semanticKBudget]] wall) the verify stays bounded per cluster instead
+    * of growing as (N/K)². The trade is the one the streaming tier already
+    * made: members past the rank bound go unflagged by THIS tier —
+    * boilerplate-grade mass duplication is the exact tier's job (C1/D4),
+    * same division of labor as C2's drop-the-bucket skew guard. With the
+    * guard, the batch and streaming semantic tiers share ONE pair-set
+    * contract — {(x, y) same cid, rank(x) < rank(y) <= MaxBucket}, rank =
+    * ROW_NUMBER by vec_id within cid — so C29 and D10 return identical
+    * frames and share the closed-form oracle
+    * ([[streamDedupSemanticSql]]). */
+  private[graft] def dedupSemanticOn(spark: SparkSession,
+    assigned: DataFrame): DataFrame = {
     val tau = 0.45
-    val assigned = semanticAssigned(spark, sfDir)
-    val pairs = assigned.as("x").join(assigned.as("y"),
-        col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id"))
-      .withColumn("cosine",
-        graft.functions.GraftFunctions.cosine(spark, col("x.v"), col("y.v")))
+    val pairs = semanticPairs(spark, assigned)
       .filter(col("cosine") >= tau)
-      .select(col("y.vec_id").as("vec_id"), col("x.vec_id").as("va"), col("cosine"))
+      .select(col("vec_id"), col("va"), col("cosine"))
     val dupOf = pairs.groupBy(col("vec_id"))
       .agg(min(col("va")).as("dup_of"), max(col("cosine")).as("max_cosine"))
     assigned.select(col("vec_id"), col("cid"))
@@ -1073,6 +1114,33 @@ object Similarity {
         coalesce(col("max_cosine"), lit(0.0)).as("max_cosine"),
         col("dup_of").isNotNull.as("is_duplicate"))
       .orderBy(col("vec_id"))
+  }
+
+  /** The rank-guarded candidate-pair stage of [[dedupSemanticOn]] (before
+    * the τ filter): (vec_id, va, cosine) with va the lower-RANK side.
+    * Exposed for the degenerate-cluster volume spec. */
+  private[graft] def semanticPairs(spark: SparkSession,
+    assigned: DataFrame): DataFrame = {
+    val byCid = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cid")).orderBy(col("vec_id"))
+    val ranked = assigned
+      .withColumn("krank", row_number().over(byCid))
+      .filter(col("krank") <= Dedup.MaxBucket)
+    // MERGE hint: the guarded side is bounded, but its bound is K·MaxBucket
+    // — ~4M full-width vectors at the flat K budget, far past broadcast
+    // range — so the verify must stay a shuffle join. The hint also makes
+    // the two sides identical Exchange(cid) subtrees, so ReuseExchange
+    // ships the rank-guarded frame ONCE (a BroadcastHashJoin would plan a
+    // second, un-reusable cid exchange inside its BroadcastExchange — one
+    // more full shuffle AND a driver-size hazard). The rank filter itself
+    // compiles to a partial WindowGroupLimit below that exchange: each map
+    // task pre-trims to its local top-MaxBucket per cid, so a degenerate
+    // cluster never even shuffles more than MaxBucket rows per task.
+    ranked.as("x").hint("merge").join(ranked.as("y"),
+        col("x.cid") === col("y.cid") && col("x.krank") < col("y.krank"))
+      .withColumn("cosine",
+        graft.functions.GraftFunctions.cosine(spark, col("x.v"), col("y.v")))
+      .select(col("y.vec_id").as("vec_id"), col("x.vec_id").as("va"), col("cosine"))
   }
 
   /** UNTRAINED-fallback centroid CTE for the semantic-codebook oracles: only
@@ -1084,41 +1152,14 @@ object Similarity {
     s"""c AS (SELECT vec_id AS cid, v AS cv FROM e  -- UNTRAINED SEED FALLBACK: codebook cache cold for this dir
        | WHERE vec_id < GREATEST(16, LEAST((SELECT COUNT(*) FROM e) // 128, $semanticKBudget)))""".stripMargin
 
-  /** Generated oracle for C29: trained centroids inlined (same binding rules
-    * as simIvfSql), assignment via the same ROW_NUMBER argmax, pairwise
-    * cosine as the same sequential fold — decisions at τ are bit-exact
-    * across engines. */
-  def dedupSemanticSql(sfDir: String): String = {
-    def sq(vec: String) =
-      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> $vec[i] * $vec[i])), (a, b) -> a + b)"
-    def dotv(a: String, b: String) =
-      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> $a[i] * $b[i])), (a, b) -> a + b)"
-    def cos(a: String, b: String) = s"${dotv(a, b)} / (sqrt(${sq(a)}) * sqrt(${sq(b)}))"
-    // the SEMANTIC codebook (K ∝ N), not the IVF one
-    val centroidCte = centroidValuesCte(cachedSemanticCodebook(sfDir))
-      .getOrElse(semanticSeedCte)
-    s"""WITH e AS (
-       | SELECT vec_id, list_transform(embedding, z -> CAST(z AS DOUBLE)) AS v
-       | FROM embeddings),
-       |$centroidCte,
-       |asn AS (
-       | SELECT vec_id, v, cid,
-       |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rk
-       | FROM (SELECT x.vec_id, x.v, c.cid, ${cos("x.v", "c.cv")} AS csim FROM e x, c) t),
-       |assigned AS (SELECT vec_id, v, cid FROM asn WHERE rk = 1),
-       |pairs AS (
-       | SELECT y.vec_id AS vec_id, x.vec_id AS va, ${cos("x.v", "y.v")} AS cosine
-       | FROM assigned x JOIN assigned y
-       |  ON x.cid = y.cid AND x.vec_id < y.vec_id),
-       |agg AS (
-       | SELECT vec_id, MIN(va) AS dup_of, MAX(cosine) AS max_cosine
-       | FROM pairs WHERE cosine >= 0.45 GROUP BY vec_id)
-       |SELECT b.vec_id, b.cid, a.dup_of,
-       | COALESCE(a.max_cosine, 0.0) AS max_cosine,
-       | a.dup_of IS NOT NULL AS is_duplicate
-       |FROM assigned b LEFT JOIN agg a ON b.vec_id = a.vec_id
-       |ORDER BY b.vec_id""".stripMargin
-  }
+  /** Generated oracle for C29 — IDENTICAL to D10's by design: with the
+    * keeper-rank saturation guard folded into the batch verify
+    * ([[dedupSemanticOn]]), the batch and streaming semantic tiers share
+    * one pair-set contract, so one closed form
+    * ([[streamDedupSemanticSql]]: trained centroids inlined, ROW_NUMBER
+    * argmax assignment, rank-guarded pairs, sequential cosine folds) checks
+    * both. */
+  def dedupSemanticSql(sfDir: String): String = streamDedupSemanticSql(sfDir)
 
   /** Generated oracle for the STREAMING semantic tier (Streams D10): C29's
     * SQL with the keeper-rank guard — the streaming operator's per-cid state

@@ -111,19 +111,25 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  /** C10b's oracle: the closed form the no-overlap rule set guarantees —
-    * initial symbols (non-space chars) minus one per merge-rule occurrence.
-    * Each occurrence count is (len - len(after removing the 2-char pattern))
-    * integer-divided by 2. */
-  val textTokensBpeSql: String = {
+  /** The C10b count as a closed-form SQL expression over `text` — the form
+    * the no-overlap rule set guarantees: initial symbols (non-space chars)
+    * minus one per merge-rule occurrence, each occurrence count being
+    * (len - len(after removing the 2-char pattern)) integer-divided by 2.
+    * ONE definition shared by C10b's oracle and seq_pack_bpe's packing
+    * oracle, so a vocab change can never desynchronize them. */
+  private[graft] val bpeCountSqlExpr: String = {
     val removed = EmbeddedBpeMerges.map { case (a, b) =>
       s"(length(text) - length(replace(text, '$a$b', ''))) // 2"
     }.mkString(" - ", " - ", "")
+    s"length(replace(text, ' ', ''))$removed"
+  }
+
+  /** C10b's oracle: [[bpeCountSqlExpr]]'s closed form per document. */
+  val textTokensBpeSql: String =
     s"""SELECT doc_id,
        | CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_symbols,
-       | CAST(length(replace(text, ' ', ''))$removed AS BIGINT) AS bpe_tokens
+       | CAST($bpeCountSqlExpr AS BIGINT) AS bpe_tokens
        |FROM documents ORDER BY doc_id""".stripMargin
-  }
 
   /** The C9 metric projection over any (doc_id, text) relation — shared by
     * the batch query and D6's streaming gate (a stream is just another

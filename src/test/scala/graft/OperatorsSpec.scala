@@ -106,11 +106,19 @@ class OperatorsSpec extends SparkSpec {
       dot / (math.sqrt(na) * math.sqrt(nb))
     }
     val cid = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // keeper rank: position by vec_id within the cluster — the saturation
+    // guard's participation rule (only the first MaxBucket members verify)
+    val krank = cid.keys.groupBy(cid).values.flatMap(ids =>
+      ids.toSeq.sorted.zipWithIndex.map { case (id, i) => id -> (i + 1) }).toMap
     out.foreach { r =>
       val id = r.getLong(0)
-      // brute force over ALL lower-id cluster-mates, exactly the C29 rule
-      val mates = vecs.keys.filter(m => m < id && cid(m) == cid(id))
-        .map(m => (m, cos(vecs(m), vecs(id)))).filter(_._2 >= 0.45)
+      // brute force over lower-id cluster-mates within the rank guard —
+      // exactly the guarded C29 rule (shared with D10)
+      val mates =
+        if (krank(id) > operators.Dedup.MaxBucket) Iterable.empty[(Long, Double)]
+        else vecs.keys.filter(m => m < id && cid(m) == cid(id) &&
+            krank(m) <= operators.Dedup.MaxBucket)
+          .map(m => (m, cos(vecs(m), vecs(id)))).filter(_._2 >= 0.45)
       if (r.getBoolean(4)) {
         assert(mates.nonEmpty, s"vec $id flagged dup with no qualifying mate")
         assert(r.getLong(2) == mates.map(_._1).min,
@@ -124,6 +132,60 @@ class OperatorsSpec extends SparkSpec {
     }
     assert(out.exists(_.getBoolean(4)),
       "fixture yields no semantic dups — the dup branch was never exercised")
+  }
+
+  test("exact kNN join refuses a query set above the broadcast ceiling") {
+    // the bounded-|Q| contract: the ∝ N broadcast can no longer happen
+    // silently — a query set past -Dgraft.knn.max.q fails LOUDLY with the
+    // C38b routing hint, and under the default ceiling results are unchanged
+    val prev = sys.props.get("graft.knn.max.q")
+    try {
+      sys.props("graft.knn.max.q") = "1" // below the fixture's |Q|
+      val err = intercept[IllegalArgumentException] {
+        Similarity.knnJoin(spark, sfDir)
+      }
+      assert(err.getMessage.contains("knn_join_ivf"),
+        "ceiling violation must name the distributed route")
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.knn.max.q") = v
+        case None => sys.props.remove("graft.knn.max.q"); ()
+      }
+    }
+    assert(Similarity.knnJoin(spark, sfDir).limit(1).count() == 1L,
+      "default ceiling must admit the graded query set")
+  }
+
+  test("semantic verify pair volume is bounded on a planted degenerate cluster") {
+    import spark.implicits._
+    // one degenerate cluster: 200 all-identical vectors (the semantic analog
+    // of a hot LSH band) plus a healthy small cluster. Without the
+    // keeper-rank guard the verify self-join emits C(200,2)=19900 pairs from
+    // the degenerate cluster at ANY corpus scale; with it, exactly
+    // C(MaxBucket,2) — the same lifetime bound the streaming tier enforces.
+    val m = operators.Dedup.MaxBucket
+    val hot = (0 until 200).map(i => (i.toLong, Array(1.0, 0.0, 0.0), 7L))
+    val ok = (200 until 210).map(i => (i.toLong, Array(0.0, 1.0, 0.01 * i), 9L))
+    val assigned = (hot ++ ok).toDF("vec_id", "v", "cid")
+    // re-derive each pair's cluster for the per-cluster count (vec_id < 200
+    // iff the hot cluster, by construction)
+    val byCluster = Similarity.semanticPairs(spark, assigned)
+      .withColumn("cid_chk", when(col("vec_id") < 200, 7L).otherwise(9L))
+      .groupBy(col("cid_chk")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byCluster(7L) == m.toLong * (m - 1) / 2,
+      s"degenerate cluster emitted ${byCluster(7L)} pairs, want C($m,2)")
+    assert(byCluster(9L) == 45L, "healthy cluster must verify in full")
+    // guarded decisions: within the rank bound the identical vectors resolve
+    // to the lowest-id keeper; past it, this tier leaves them to C1/D4
+    val out = Similarity.dedupSemanticOn(spark, assigned).collect()
+    val flagged = out.filter(_.getBoolean(4)).map(_.getLong(0)).toSet
+    assert((1L until m.toLong).forall(flagged.contains), "in-rank dups missed")
+    assert(!flagged.contains(0L), "keeper must stay unflagged")
+    assert((m.toLong until 200L).forall(!flagged.contains(_)),
+      "past-saturation members must be left to the exact tier, not flagged here")
+    out.filter(r => flagged.contains(r.getLong(0)) && r.getLong(0) < m)
+      .foreach(r => assert(r.getLong(2) == 0L, "dup_of must be the keeper"))
   }
 
   test("frame sampling fans out to exactly ceil(n_frames/stride) rows per video") {

@@ -417,4 +417,86 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(4L) == ((6L, 0L, "u1 u2 u3 u4 u5 u6")), s"unique: ${got(4L)}")
     assert(got(5L) == ((13L, 10L, "z z z")), s"two disjoint runs: ${got(5L)}")
   }
+
+  test("BPE packing conserves the BPE count and actually uses the BPE measure") {
+    val bpeByDoc = graft.operators.TextAnalysis.textTokensBpe(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val out = PipelineOps.seqPackBpe(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // conservation: every BPE token lands in exactly one window
+    assert(out.map(_._5).sum == bpeByDoc.values.sum, "BPE token sum drifted")
+    val ws = PipelineOps.seqPack(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(4))).toSet
+    // the measure matters: BPE windows differ from whitespace windows (a
+    // multi-symbol word is one whitespace token but several BPE tokens, so
+    // windows close earlier under the real count)
+    assert(out.map(t => (t._1, t._2, t._3, t._5)).toSet != ws,
+      "BPE packing produced identical windows to whitespace packing")
+    // same contiguity law as C20, per (lang, shard)
+    out.groupBy(t => (t._1, t._2)).foreach { case ((lang, shard), wins) =>
+      val ids = wins.map(_._3).sorted.toSeq
+      assert(ids == (0L until ids.length.toLong),
+        s"$lang/$shard BPE windows not contiguous from 0: $ids")
+    }
+  }
+
+  test("prepare_corpus_v2 drives every stage non-vacuously on a planted corpus") {
+    import spark.implicits._
+    // the portable token hash (TextAnalysis.hexHash's closed form) so the
+    // spec can pick words by classifier weight and predict the id sample
+    def hex(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    def weight(t: String): Long = hex(t) % 1001L - 500L
+    def words(prefix: String, sign: Long, n: Int): Seq[String] =
+      Iterator.from(0).map(i => s"$prefix$i")
+        .filter(t => weight(t) * sign > 0).take(n).toSeq
+    val p = words("p", 1, 8) // positive-weight span words
+    val q = words("q", 1, 5); val x = words("x", 1, 5); val y = words("y", 1, 5)
+    val z = words("z", 1, 4); val g = words("g", 1, 12); val h = words("h", 1, 12)
+    val neg = words("n", -1, 5)
+    val fillers = (0 until 12).map(i => (20L + i, s"${g(i)} ${h(i)}"))
+    val corpus = Seq(
+      1L -> p.mkString(" "),                         // owner of the p-span
+      2L -> (p.take(5) ++ q).mkString(" "),          // loses p-span, keeps q-span
+      3L -> (q ++ p.take(5)).mkString(" "),          // fully covered -> dropped
+      4L -> x.mkString(" "), 5L -> y.mkString(" "),  // span owners
+      6L -> (x ++ z).mkString(" "),                  // residue = z-span
+      7L -> (y ++ z).mkString(" "),                  // SAME residue -> post-cut dup
+      8L -> "d1 d2", 9L -> "d1 d2",                  // pre-existing exact dup pair
+      10L -> Seq(p(0), p(2), p(0), p(3)).mkString(" "), // unseen bigrams -> LM drop
+      11L -> neg.mkString(" ")                       // negative weights -> clf drop
+    ) ++ fillers
+    // bounded explicit reference (the C40 contract): every text EXCEPT doc
+    // 10's, so 10's unigrams are known but its bigrams are not
+    val ref = corpus.filter(_._1 != 10L).map { case (id, t) => (id, t) }
+      .toDF("doc_id", "text")
+    val (uni, bi) = graft.operators.TextAnalysis.lmModelFrom(spark, ref)
+    val docs = corpus.map { case (id, t) => (id, "xx", t) }
+      .toDF("doc_id", "lang", "text")
+    val out = PipelineOps.prepareCorpusV2On(spark, docs, uni, bi).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(4), r.getLong(5), r.getString(6))))
+      .toMap
+    def sampled(id: Long) = hex(id.toString) % 100L < 50L
+    val expect = Map[Long, (Long, Long, String)](
+      1L -> ((8L, 0L, p.mkString(" "))),
+      2L -> ((10L, 5L, q.mkString(" "))),
+      4L -> ((5L, 0L, x.mkString(" "))), 5L -> ((5L, 0L, y.mkString(" "))),
+      6L -> ((9L, 5L, z.mkString(" "))),
+      8L -> ((2L, 0L, "d1 d2"))
+    ) ++ fillers.map { case (id, t) => id -> ((2L, 0L, t)) }
+    val want = expect.filter(kv => sampled(kv._1))
+    assert(out == want.map { case (k, v) => k -> ((v._1, v._2, v._3)) },
+      s"composed pipeline drifted: got ${out.keySet.toSeq.sorted}, " +
+        s"want ${want.keySet.toSeq.sorted}")
+    // every stage provably fired: clf gate (11), LM gate (10), full-cut
+    // drop (3), partial cut (2 lost 5 tokens), post-cut digest dedup
+    // (7 deduped against 6; 9 against 8), and BOTH sample branches
+    Seq(3L, 7L, 9L, 10L, 11L).foreach(id =>
+      assert(!out.contains(id), s"doc $id should have been dropped"))
+    assert(expect.keySet.exists(sampled), "no doc on the sample-keep branch")
+    assert(expect.keySet.exists(id => !sampled(id)), "no doc on the sample-drop branch")
+  }
 }

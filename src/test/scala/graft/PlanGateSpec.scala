@@ -85,8 +85,18 @@ class PlanGateSpec extends SparkSpec {
     // C39: owner window on the gram + marked rollup + text join-back — three
     // slim exchanges, never a gram self-join; the cut is a row-local HOF
     Gate("dedup_substr", maxHashEx = 3, maxSortMerge = 1),
+    // the composed gate ladder adds NO hash exchange over C39 itself: both
+    // kernel gates ride the scan stage (DataFilters), and the post-cut
+    // digest window replaces C39's budget for the text join (broadcast at
+    // gate scale). maxSortMerge headroom for the stats-driven join choice.
+    Gate("prepare_corpus_v2", maxHashEx = 3, needPushdown = true,
+      maxSortMerge = 3),
     // C29: pairwise stays confined to the cid SMJ; the dup rollup broadcasts
-    Gate("dedup_semantic", maxHashEx = 3, minBroadcast = 1, maxSortMerge = 1),
+    // no broadcast floor: the rank-guarded verify side is bounded but by
+    // K·MaxBucket (GBs at the flat K budget), so the pair self-join is
+    // DELIBERATELY a merge join whose cid exchange is reused across both
+    // sides — 2 SMJs = guarded pairs + the resolve left-join
+    Gate("dedup_semantic", maxHashEx = 3, maxSortMerge = 2),
     // D10's batch resolve: candidate sink joins two vector lookups (one SMJ
     // at most), dup rollup + final join broadcast — no corpus-wide extra
     // exchange beyond the pair resolution itself
@@ -202,22 +212,25 @@ class PlanGateSpec extends SparkSpec {
     }
   }
 
-  test("plan gate: seq_pack windows on (lang, shard), never lang alone") {
-    // the de-straggler property: the cumulative-sum window's exchange must
-    // key on the sub-shard too, or a dominant language collapses to one
-    // sequential sorted task at scale
-    val prev = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
-      val df = SparkEntry.queries("seq_pack")(spark, sfDir)
-      df.write.format("noop").mode("overwrite").save()
-      val plan = df.queryExecution.executedPlan.toString
-      val winEx = plan.linesIterator.filter(_.contains("Exchange hashpartitioning(lang"))
-      assert(winEx.forall(_.contains("shard")),
-        s"seq_pack window exchange keys on lang alone:\n${plan.take(2000)}")
-      assert("hashpartitioning\\(lang[^)]*shard".r.findFirstIn(plan).nonEmpty,
-        s"seq_pack plan lost the (lang, shard) window key:\n${plan.take(2000)}")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  Seq("seq_pack", "seq_pack_bpe").foreach { key =>
+    test(s"plan gate: $key windows on (lang, shard), never lang alone") {
+      // the de-straggler property: the cumulative-sum window's exchange must
+      // key on the sub-shard too, or a dominant language collapses to one
+      // sequential sorted task at scale (C42 shares C20's packing core, so
+      // the same gate pins both measures)
+      val prev = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val df = SparkEntry.queries(key)(spark, sfDir)
+        df.write.format("noop").mode("overwrite").save()
+        val plan = df.queryExecution.executedPlan.toString
+        val winEx = plan.linesIterator.filter(_.contains("Exchange hashpartitioning(lang"))
+        assert(winEx.forall(_.contains("shard")),
+          s"$key window exchange keys on lang alone:\n${plan.take(2000)}")
+        assert("hashpartitioning\\(lang[^)]*shard".r.findFirstIn(plan).nonEmpty,
+          s"$key plan lost the (lang, shard) window key:\n${plan.take(2000)}")
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    }
   }
 
   gates.foreach { g =>
@@ -231,10 +244,14 @@ class PlanGateSpec extends SparkSpec {
         val df = SparkEntry.queries(g.name)(spark, sfDir)
         df.write.format("noop").mode("overwrite").save()
         val plan = df.queryExecution.executedPlan.toString
-      val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+      // a ReusedExchange line repeats its target's "Exchange hashpartitioning"
+      // text but is a pointer, not a shuffle — count only real exchanges
+      val hashEx = plan.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
       assert(hashEx <= g.maxHashEx,
         s"${g.name}: $hashEx hash exchanges (pinned <= ${g.maxHashEx}):\n${plan.take(2000)}")
-      val rangeEx = "Exchange rangepartitioning".r.findAllIn(plan).length
+      val rangeEx = plan.linesIterator.count(l =>
+        l.contains("Exchange rangepartitioning") && !l.contains("ReusedExchange"))
       assert(rangeEx <= g.maxRangeEx,
         s"${g.name}: $rangeEx range exchanges (pinned <= ${g.maxRangeEx}):\n${plan.take(2000)}")
       if (g.needPushdown)
