@@ -35,6 +35,7 @@ object ColdWarm {
       graft.operators.Dedup.clear()
       graft.operators.Similarity.clearCaches()
       graft.operators.TextAnalysis.clearLmCache()
+      graft.streaming.Streams.clearIngestStores()
     }
 
     // one warm-up query first so JVM/codegen startup cost doesn't masquerade
@@ -47,14 +48,18 @@ object ColdWarm {
     // (C7c), media decode+dHash table (C37, shared with D12)
     // (r10 additions: the cid-BUCKETED index table behind the kNN join —
     // cold pays codebook + path layout + bucketed write; and C40's
-    // reference-LM blob build)
+    // reference-LM blob build. r11: the fingerprint-reused streaming
+    // stores — the dedup ingest store and the cid-partitioned append
+    // layout — whose cold run pays the full micro-batch replay)
     val families = Seq(
       "signatures" -> "dedup_minhash",
       "semantic_assignment" -> "dedup_semantic",
       "ivf_index" -> "sim_ivf_pruned",
       "ivf_bucketed" -> "knn_join_ivf",
       "media_hashes" -> "dedup_media",
-      "lm_model" -> "text_perplexity")
+      "lm_model" -> "text_perplexity",
+      "stream_ingest_store" -> "stream_dedup_semantic",
+      "ivf_append_store" -> "stream_ivf_append")
     def r3(v: Double) =
       new java.math.BigDecimal(v).setScale(3, java.math.RoundingMode.HALF_UP)
     val lines = families.map { case (family, q) =>

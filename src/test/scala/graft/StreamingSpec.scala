@@ -497,6 +497,12 @@ class StreamingSpec extends SparkSpec {
       stageDir.getAbsolutePath, "mb_sem"))
     val single = rows(Streams.streamDedupSemantic(spark, sfDir))
     assert(multi == single)
+    // ONE pair-set contract for the semantic tier: with the keeper-rank
+    // guard folded into the batch verify, C29 and D10 must return
+    // IDENTICAL frames (and share their closed-form oracle)
+    val batch = rows(operators.Similarity.dedupSemantic(spark, sfDir))
+    assert(single == batch,
+      "batch C29 and streaming D10 drifted apart on the shared contract")
     // non-degenerate: the corpus actually contains semantic dups to find
     assert(single.count(_._5) > 0, "fixture found no semantic duplicates")
     // and CROSS-BATCH pairs were resolved: some batch-2 vector (vec_id >=
@@ -651,5 +657,35 @@ class StreamingSpec extends SparkSpec {
     val plan = streamed.queryExecution.executedPlan.toString
     val pruned = "PartitionFilters: \\[.*cid".r.findAllIn(plan).size
     assert(pruned >= 2, s"expected 2 partition-pruned scans, plan:\n${plan.take(3000)}")
+  }
+
+  test("ivf append store is fingerprint-reused in-JVM and survives eviction") {
+    // the reuse contract: a warm call consumes the append layout as-is (no
+    // file rewritten — the layout is a deterministic function of the staged
+    // batch + frozen codebook), and clearIngestStores() forces a rebuild
+    // that reproduces the same probe results
+    def listing(d: java.io.File): Set[String] = {
+      val base = d.toPath
+      val s = java.nio.file.Files.walk(base)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+          .map(p => base.relativize(p).toString + ":" +
+            java.nio.file.Files.getLastModifiedTime(p).toMillis).toSet
+      } finally s.close()
+    }
+    val appendDir = new java.io.File(
+      s"${GraftConf.localRoot}/graft_stream/" +
+        s"${sfDir.replaceAll("[^A-Za-z0-9]+", "_")}/stream_ivf_append_appended")
+    val r1 = Streams.streamIvfAppend(spark, sfDir).collect().map(_.toSeq).toSeq
+    val l1 = listing(appendDir)
+    assert(l1.nonEmpty, "append layout missing after a cold run")
+    val r2 = Streams.streamIvfAppend(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(r2 == r1, "warm (reused-store) probe drifted from the cold run")
+    assert(listing(appendDir) == l1, "warm run rewrote the append store")
+    Streams.clearIngestStores()
+    val r3 = Streams.streamIvfAppend(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(r3 == r1, "post-eviction rebuild drifted")
+    assert(listing(appendDir) != l1, "eviction did not force a rebuild")
   }
 }
