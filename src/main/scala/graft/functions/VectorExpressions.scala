@@ -1029,8 +1029,20 @@ object GraftFunctions {
   def lmScoreBroadcast(spark: SparkSession, text: Column,
     uniBlob: String, biBlob: String): Column = {
     ensureRegistered(spark)
-    val key = lmBlobKey(spark.sparkContext.applicationId, uniBlob, biBlob)
+    val appId = spark.sparkContext.applicationId
+    val key = lmBlobKey(appId, uniBlob, biBlob)
     val id = lmBcMemo.synchronized {
+      // entries from a PREVIOUS application (restarted session in the same
+      // JVM) can never be looked up again — their keys carry the dead
+      // appId — so drop them here rather than letting their handles (each
+      // pinning a parsed model on the driver) ride to process exit;
+      // destroy on a stopped context throws and the blocks died with it
+      lmBcMemo.filterInPlace { (k, hid) =>
+        val live = k.startsWith(appId + ":")
+        if (!live) lmBcHandles.remove(hid)
+          .foreach(h => try h.destroy() catch { case _: Exception => () })
+        live
+      }
       lmBcMemo.getOrElse(key, {
         val handle = spark.sparkContext
           .broadcast(new GramLmModel(uniBlob, biBlob))
@@ -1056,7 +1068,12 @@ object GraftFunctions {
     uniBlob: String, biBlob: String): Column = {
     val threshold = sys.props.get("graft.lm.bc.threshold")
       .map(_.toLong).getOrElse(1L << 20)
-    if (uniBlob.length.toLong + biBlob.length.toLong > threshold)
+    // measure what actually serializes: UTF-8 BYTES, not UTF-16 chars — a
+    // CJK-heavy multilingual model is ~3 bytes/char and would otherwise
+    // ride the literal route at 3x the documented ceiling
+    def utf8Len(s: String): Long =
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong
+    if (utf8Len(uniBlob) + utf8Len(biBlob) > threshold)
       lmScoreBroadcast(spark, text, uniBlob, biBlob)
     else lmScore(spark, text, uniBlob, biBlob)
   }

@@ -471,11 +471,14 @@ object PipelineOps {
     * Scale shape: both gates are the same zero-shuffle fused-kernel maps as
     * their standalone keys (C34/C40) and sit in the scan stage of C39's
     * gram pipeline, so every gated-out document is dropped BEFORE the gram
-    * shuffle and never ships a byte. Over C39 itself the composition adds
-    * only the slim (doc_id, lang, scores) rejoin and the post-cut digest
-    * window — both hash-partitioned on keys the plan already shuffles. The
-    * LM model is the bounded-reference artifact (C40's lmModelFrom
-    * contract), so the compose inherits its transport guarantees.
+    * shuffle and never ships a byte. The gated projection is evaluated
+    * exactly the two times C39 itself reads its input (the gram branch and
+    * the token branch — Spark does not CSE sibling subtrees, so the scores
+    * ride the token branch as dedupSubstrOn passengers rather than a third
+    * scan + rejoin), and the only addition over C39's own exchanges is the
+    * post-cut digest window. The LM model is the bounded-reference
+    * artifact (C40's lmModelFrom contract), so the compose inherits its
+    * transport guarantees.
     *
     * On the graded synthetic corpus the LM head cut is sparse BY
     * CONSTRUCTION (random-ish text against a 1% reference slice — most
@@ -506,13 +509,14 @@ object PipelineOps {
         (col("s.inv_sum") / col("s.n_bigrams")).as("raw_lm"))
       .filter(col("clf_score") > 0.0 && col("n_bigrams") >= 1 &&
         col("raw_lm") <= lit(v.toDouble))
-    val rewritten = dedupSubstrOn(gated.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("lang"), col("text"), col("clf_score"),
+        round(col("raw_lm"), 6).as("lm_score"))
+    val rewritten = dedupSubstrOn(gated,
+        passengers = Seq("lang", "clf_score", "lm_score"))
       .filter(col("n_removed") < col("n_tokens"))
-    val meta = gated.select(col("doc_id"), col("lang"), col("clf_score"),
-      round(col("raw_lm"), 6).as("lm_score"))
     val byFp = org.apache.spark.sql.expressions.Window
       .partitionBy(md5(col("kept_text").cast("binary")))
-    rewritten.join(meta, "doc_id")
+    rewritten
       .withColumn("rep", min(col("doc_id")).over(byFp))
       .filter(col("doc_id") === col("rep"))
       .filter(pmod(idHash(col("doc_id")), lit(100)) < 50)
@@ -934,10 +938,18 @@ object PipelineOps {
     * trimmed (a whole-doc duplicate is C1's removal, not a substring's). */
   def dedupSubstr(spark: SparkSession, sfDir: String): DataFrame =
     dedupSubstrOn(Tables.load(spark, sfDir, "documents"))
+      .orderBy(col("doc_id"))
 
   /** The substring-removal core over any (doc_id, text) frame — separated so
-    * the spec can plant hand-computed overlap fixtures. */
-  private[graft] def dedupSubstrOn(d: DataFrame): DataFrame = {
+    * the spec can plant hand-computed overlap fixtures. `passengers` names
+    * extra input columns to carry through the cut on the token-side branch
+    * (appended after the standard output columns): a composed pipeline
+    * (C41) rides its per-doc scores through HERE instead of re-deriving
+    * them in a third scan branch — Spark does not common-subexpression
+    * sibling DataFrame subtrees, so a rejoin would re-run the whole
+    * upstream projection per branch. */
+  private[graft] def dedupSubstrOn(d: DataFrame,
+    passengers: Seq[String] = Nil): DataFrame = {
     def toks = split(col("text"), " ")
     // ngramFlat's zipped-slices assembly (codegen'd, scan-stage, no window)
     // with posexplode so each gram keeps its 0-based token position — NOT
@@ -968,16 +980,19 @@ object PipelineOps {
     val covered = flatten(transform(
       coalesce(col("marked"), lit(Array.empty[Int])),
       p => sequence(p, p + lit(4))))
-    d.select(col("doc_id"), split(col("text"), " ").as("ts"))
+    val ride = passengers.map(col)
+    d.select(col("doc_id") +: split(col("text"), " ").as("ts") +: ride: _*)
       .join(marked, Seq("doc_id"), "left")
-      .select(col("doc_id"), size(col("ts")).cast("bigint").as("n_tokens"),
+      .select(col("doc_id") +: size(col("ts")).cast("bigint").as("n_tokens") +:
         transform(
           array_except(sequence(lit(0), size(col("ts")) - 1), covered),
-          i => get(col("ts"), i)).as("kept"))
-      .select(col("doc_id"), col("n_tokens"),
-        (col("n_tokens") - size(col("kept"))).cast("bigint").as("n_removed"),
-        array_join(col("kept"), " ").as("kept_text"))
-      .orderBy(col("doc_id"))
+          i => get(col("ts"), i)).as("kept") +: ride: _*)
+      .select(col("doc_id") +: col("n_tokens") +:
+        (col("n_tokens") - size(col("kept"))).cast("bigint").as("n_removed") +:
+        array_join(col("kept"), " ").as("kept_text") +: ride: _*)
+    // no sort here: the standalone key (C39) orders its own output, and the
+    // composed pipeline (C41) sorts AFTER its digest window — an inner sort
+    // would ride into that plan as a second, wasted range exchange
   }
 
   /** Same positional-gram domain in DuckDB (1-based positions — the indexed

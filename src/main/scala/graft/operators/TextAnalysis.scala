@@ -376,7 +376,7 @@ object TextAnalysis {
     * the (growing) scored corpus. Transport of the result is size-switched
     * downstream (GraftFunctions.lmScoreAuto): literal blobs small, executor
     * broadcast large. */
-  def lmModelFrom(spark: SparkSession, ref: DataFrame): (String, String) = {
+  def lmModelFrom(ref: DataFrame): (String, String) = {
     val nRef = ref.count()
     require(nRef <= lmRefMaxDocs,
       s"LM reference corpus has $nRef docs, above the bounded-reference " +
@@ -404,7 +404,7 @@ object TextAnalysis {
     lmModelCache.get(sfDir).filter(_._1 == fp).map(_._2)
       .getOrElse(this.synchronized {
         lmModelCache.get(sfDir).filter(_._1 == fp).map(_._2).getOrElse {
-          val blobs = lmModelFrom(spark, Tables.load(spark, sfDir, "documents")
+          val blobs = lmModelFrom(Tables.load(spark, sfDir, "documents")
             .filter(col("doc_id") % 97 === 0))
           lmModelCache(sfDir) = (fp, blobs)
           blobs

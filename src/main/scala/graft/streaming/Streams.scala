@@ -319,6 +319,30 @@ object Streams extends Serializable {
     * each store from a fresh checkpoint. */
   private[graft] def clearIngestStores(): Unit = ingestStoreMemo.clear()
 
+  /** ONE reuse guard for every stream-side store builder (the dedup ingest
+    * stores and the IVF append layout share this contract, not two
+    * hand-maintained copies of it): consume the store as-is when this JVM
+    * already built it for `key`, otherwise run `build` and commit the memo
+    * only after the build completes — a build that throws leaves no marker,
+    * so the next call rebuilds. */
+  private def reuseOrBuild(store: java.io.File, key: Option[String])(
+    build: => Unit): Unit = {
+    val path = store.getAbsolutePath
+    if (key.exists(k => ingestStoreMemo.get(path).contains(k)) &&
+      store.isDirectory) return
+    build
+    key.foreach(k => ingestStoreMemo(path) = k)
+  }
+
+  /** Delete scratch siblings (`<store>_stage<id>`) a crashed foreachBatch
+    * attempt may have stranded — the success path cleans its own scratch,
+    * but a death between the parquet write and the move would otherwise
+    * leak corpus-scale files forever (nothing else ever reads the dir). */
+  private def sweepScratch(store: java.io.File): Unit =
+    Option(store.getParentFile.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.startsWith(store.getName + "_stage"))
+      .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+
   /** Run the INGEST tier of a dedup stream to completion: `derive` each
     * micro-batch's row-local records (perceptual hash, cluster assignment)
     * ONCE per arrival and append them to the stream-side STORE directory —
@@ -344,12 +368,10 @@ object Streams extends Serializable {
     * rebuild of a store this JVM already built for identical input. */
   private def ingestAppend(spark: SparkSession, src: DataFrame,
     storeDir: java.io.File, cp: java.io.File, reuseKey: Option[String] = None)(
-    derive: DataFrame => DataFrame): Unit = {
-    val path = storeDir.getAbsolutePath
-    if (reuseKey.exists(k => ingestStoreMemo.get(path).contains(k)) &&
-      storeDir.isDirectory) return
+    derive: DataFrame => DataFrame): Unit = reuseOrBuild(storeDir, reuseKey) {
     org.apache.commons.io.FileUtils.deleteQuietly(storeDir)
     org.apache.commons.io.FileUtils.deleteQuietly(cp)
+    sweepScratch(storeDir)
     // an EMPTY source stream fires no batch and appends nothing — create
     // the store dir up front so the downstream dedup/resolve reads (all
     // explicit-schema) see an empty relation, not a missing path
@@ -377,7 +399,6 @@ object Streams extends Serializable {
         .start()
       q.awaitTermination()
     }
-    reuseKey.foreach(k => ingestStoreMemo(path) = k)
   }
 
   private def runToMemory(spark: SparkSession, df: DataFrame, name: String,
@@ -1245,8 +1266,7 @@ object Streams extends Serializable {
     val cp = new java.io.File(checkpointDir(sfDir, "stream_ivf_append"))
     val appendDir = new java.io.File(cp.getAbsolutePath + "_appended")
     val reuseKey = "ivfappend:" + graft.Tables.fingerprint(sfDir, "embeddings")
-    if (!(ingestStoreMemo.get(appendDir.getAbsolutePath).contains(reuseKey) &&
-      appendDir.isDirectory)) {
+    reuseOrBuild(appendDir, Some(reuseKey)) {
       org.apache.commons.io.FileUtils.deleteQuietly(cp)
       org.apache.commons.io.FileUtils.deleteQuietly(appendDir)
       val src = spark.readStream.schema(EmbSchema)
@@ -1269,7 +1289,6 @@ object Streams extends Serializable {
           .start()
         q.awaitTermination()
       }
-      ingestStoreMemo(appendDir.getAbsolutePath) = reuseKey
     }
     graft.operators.Similarity.prunedProbe(spark, sfDir,
       Seq(basePath, appendDir.getAbsolutePath), codebook)

@@ -473,7 +473,7 @@ class PipelineOpsSpec extends SparkSpec {
     // 10's, so 10's unigrams are known but its bigrams are not
     val ref = corpus.filter(_._1 != 10L).map { case (id, t) => (id, t) }
       .toDF("doc_id", "text")
-    val (uni, bi) = graft.operators.TextAnalysis.lmModelFrom(spark, ref)
+    val (uni, bi) = graft.operators.TextAnalysis.lmModelFrom(ref)
     val docs = corpus.map { case (id, t) => (id, "xx", t) }
       .toDF("doc_id", "lang", "text")
     val out = PipelineOps.prepareCorpusV2On(spark, docs, uni, bi).collect()

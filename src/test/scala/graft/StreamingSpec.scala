@@ -688,4 +688,20 @@ class StreamingSpec extends SparkSpec {
     assert(r3 == r1, "post-eviction rebuild drifted")
     assert(listing(appendDir) != l1, "eviction did not force a rebuild")
   }
+
+  test("ingest-store rebuilds sweep scratch dirs a crashed batch left behind") {
+    // the success path cleans its own scratch; a death between the parquet
+    // write and the move must not leak the sibling dir forever — the next
+    // rebuild sweeps every <store>_stage* orphan
+    val store = new java.io.File(
+      s"${GraftConf.localRoot}/graft_stream/" +
+        s"${sfDir.replaceAll("[^A-Za-z0-9]+", "_")}/" +
+        "stream_dedup_semantic_assignstore")
+    val orphan = new java.io.File(store.getParentFile, store.getName + "_stage99")
+    orphan.mkdirs()
+    assert(new java.io.File(orphan, "stranded.parquet").createNewFile())
+    Streams.clearIngestStores() // force the rebuild path
+    Streams.streamDedupSemantic(spark, sfDir).collect()
+    assert(!orphan.exists(), "orphan scratch dir survived the rebuild sweep")
+  }
 }
