@@ -517,6 +517,36 @@ class FunctionsSpec extends SparkSpec {
     GraftFunctions.clearLmBroadcasts()
   }
 
+  test("lmScoreAuto measures the model in UTF-8 bytes, not UTF-16 chars") {
+    import spark.implicits._
+    // a CJK-heavy model is ~3 serialized bytes per char: with the threshold
+    // set BETWEEN the char count and the byte count, a char-based switch
+    // would keep the model on the plan-literal route while the byte-true
+    // switch moves it to the broadcast — pin the byte-true behavior
+    val uniBlob = (1 to 8).map(i => s"1 日本語テキスト$i").mkString("\n")
+    val biBlob = "1 日 本"
+    val chars = (uniBlob.length + biBlob.length).toLong
+    val bytes = Seq(uniBlob, biBlob)
+      .map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong).sum
+    val threshold = (chars + bytes) / 2
+    assert(chars < threshold && threshold < bytes, "fixture must straddle")
+    val prev = sys.props.get("graft.lm.bc.threshold")
+    try {
+      sys.props("graft.lm.bc.threshold") = threshold.toString
+      val plan = Seq((0L, "日 本")).toDF("id", "t")
+        .select(GraftFunctions.lmScoreAuto(spark, col("t"), uniBlob, biBlob))
+        .queryExecution.analyzed.toString
+      assert(plan.contains("graft_lm_score_bc"),
+        s"byte-sized model stayed on the literal route:\n$plan")
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.lm.bc.threshold") = v
+        case None => sys.props.remove("graft.lm.bc.threshold"); ()
+      }
+      GraftFunctions.clearLmBroadcasts()
+    }
+  }
+
   test("graft_sig_agreement equals the zip_with+aggregate form on sig pairs + edges") {
     import spark.implicits._
     // deterministic signature-shaped pairs over a small value domain (so
