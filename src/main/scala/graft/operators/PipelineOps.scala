@@ -650,7 +650,7 @@ object PipelineOps {
   def seqPack(spark: SparkSession, sfDir: String): DataFrame =
     packWindows(spark, sfDir, _ => size(split(col("text"), " ")).cast("bigint"))
 
-  /** C20b — the same packing under the TOKENIZER'S count: windows close at
+  /** C42 — the same packing under the TOKENIZER'S count: windows close at
     * 4096 BPE tokens (C10b's real greedy-merge kernel, one fused call per
     * row), not 4096 whitespace words. This is the count a training job
     * actually consumes — whitespace windows systematically over-pack
