@@ -704,6 +704,102 @@ object PipelineOps {
 
   val seqPackBpeSql: String = packWindowsSql(TextAnalysis.bpeCountSqlExpr)
 
+  /** Slice geometry for C43: 64-token windows every 48 tokens (25% overlap
+    * — the RAG/pretraining convention of carrying a context tail across
+    * chunk boundaries). Production tunes both; the slice count closed form
+    * is geometry-independent. */
+  val SliceTokens = 64
+  val SliceStride = 48
+
+  /** C43 — overlapping token-window chunking (`seq_slice`): every document
+    * explodes into fixed-geometry slices — starts at 0, S, 2S, …; each
+    * slice carries up to W tokens; the count is the closed form
+    * `1 + ceil(max(0, n − W) / S)` so a short doc is exactly one slice and
+    * the last slice is the (possibly short) tail. This is the chunker both
+    * a RAG indexer and a long-context pretraining pipeline run before
+    * embedding/packing; C20/C42 pack whole docs into windows, THIS op cuts
+    * within them. Zero shuffle: one Generate over per-row start indexes —
+    * the slice lambda indexes the `ts` attribute carried THROUGH the
+    * explode, so the text is split once per doc, not once per slice (the
+    * CollapseProject trap ngramRows documents). Slice ids are row-local;
+    * output is slice rows ∝ corpus tokens / S, the same linear fan-out as
+    * C12b's frame sampling. */
+  def seqSlice(spark: SparkSession, sfDir: String): DataFrame = {
+    val (w, s) = (SliceTokens, SliceStride)
+    val d = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .withColumn("n_tok", size(col("ts")).cast("bigint"))
+    val nSlices = lit(1L) +
+      (greatest(col("n_tok") - w, lit(0L)) + (s - 1)) / s
+    d.select(col("doc_id"), col("ts"), col("n_tok"),
+        posexplode(sequence(lit(0L), nSlices.cast("bigint") - 1)).as(Seq("p", "start0")))
+      .select(col("doc_id"), col("p").cast("bigint").as("slice_id"),
+        slice(col("ts"), (col("start0") * s + 1).cast("int"), lit(w)).as("st"))
+      .select(col("doc_id"), col("slice_id"),
+        size(col("st")).cast("bigint").as("n_tokens_slice"),
+        array_join(col("st"), " ").as("slice_text"))
+      .orderBy(col("doc_id"), col("slice_id"))
+  }
+
+  /** C43's oracle: same integer slice-count closed form, same 1-based
+    * list_slice window (DuckDB's end bound is inclusive ⇒ start+W−1),
+    * same tail semantics. */
+  val seqSliceSql: String = {
+    val (w, s) = (SliceTokens, SliceStride)
+    s"""WITH t AS (
+      | SELECT doc_id, string_split(text, ' ') AS ts,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      | FROM documents),
+      |x AS (
+      | SELECT doc_id, ts,
+      |  unnest(range(0, 1 + (GREATEST(n_tok - $w, 0) + ${s - 1}) // $s)) AS sid
+      | FROM t)
+      |SELECT doc_id, CAST(sid AS BIGINT) AS slice_id,
+      | CAST(len(ts[sid * $s + 1 : sid * $s + $w]) AS BIGINT) AS n_tokens_slice,
+      | array_to_string(ts[sid * $s + 1 : sid * $s + $w], ' ') AS slice_text
+      |FROM x
+      |ORDER BY doc_id, slice_id""".stripMargin
+  }
+
+  /** C44 — the packing MANIFEST (`seq_pack_manifest`): C20's running-sum
+    * assignment emitted at DOCUMENT grain — (lang, shard, doc_id, n_tok,
+    * win_id, win_offset) — the row a trainer's shard reader actually
+    * consumes to locate each document inside its 4096-token window (C20's
+    * per-window occupancy report is this frame's rollup). Same
+    * (lang, shard) sub-sharded window as C20, so the de-straggler gate
+    * covers it; one exchange, no rollup. */
+  def seqPackManifest(spark: SparkSession, sfDir: String): DataFrame = {
+    val winTokens = 4096L
+    val d = Tables.load(spark, sfDir, "documents")
+      .select(col("lang"), col("doc_id"),
+        pmod(idHash(col("doc_id")), lit(SeqPackShards.toLong)).as("shard"),
+        size(split(col("text"), " ")).cast("bigint").as("n_tok"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    d.withColumn("cum", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .select(col("lang"), col("shard"), col("doc_id"), col("n_tok"),
+        floor(col("cum") / winTokens).as("win_id"),
+        (col("cum") % winTokens).as("win_offset"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** C44's oracle: packWindowsSql's inner window without the rollup. */
+  val seqPackManifestSql: String =
+    s"""SELECT lang, shard, doc_id, n_tok,
+      | CAST(FLOOR(cum / 4096.0) AS BIGINT) AS win_id,
+      | CAST(cum % 4096 AS BIGINT) AS win_offset
+      |FROM (
+      | SELECT lang, shard, doc_id, n_tok,
+      |  COALESCE(SUM(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      | FROM (SELECT lang, doc_id,
+      |   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS INT64)
+      |     % $SeqPackShards AS shard,
+      |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents) t
+      |) p
+      |ORDER BY doc_id""".stripMargin
+
   /** C21 — deterministic train/val/test split: the portable id hash buckets
     * every document into 90/5/5. A pure per-row projection — no shuffle, no
     * state, assignment is stable across runs, partitionings, engines, and
@@ -1091,7 +1187,9 @@ object PipelineOps {
     "corpus_stats" -> (corpusStats _),
     "text_redact" -> (textRedact _),
     "seq_pack" -> (seqPack _),
-    "seq_pack_bpe" -> (seqPackBpe _))
+    "seq_pack_bpe" -> (seqPackBpe _),
+    "seq_slice" -> (seqSlice _),
+    "seq_pack_manifest" -> (seqPackManifest _))
 
   val oracles: Map[String, String] = Map(
     "corpus_diff" -> corpusDiffSql,
@@ -1116,5 +1214,7 @@ object PipelineOps {
     "corpus_stats" -> corpusStatsSql,
     "text_redact" -> textRedactSql,
     "seq_pack" -> seqPackSql,
-    "seq_pack_bpe" -> seqPackBpeSql)
+    "seq_pack_bpe" -> seqPackBpeSql,
+    "seq_slice" -> seqSliceSql,
+    "seq_pack_manifest" -> seqPackManifestSql)
 }

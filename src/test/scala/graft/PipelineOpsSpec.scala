@@ -440,6 +440,50 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("seq_slice geometry: closed-form count, exact windows, full coverage") {
+    val w = PipelineOps.SliceTokens; val s = PipelineOps.SliceStride
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ts")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val slices = PipelineOps.seqSlice(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getString(3))))
+      .toMap
+    assert(slices.nonEmpty)
+    // some doc must actually need >1 slice or the geometry is untested
+    assert(slices.keys.exists(_._2 > 0), "no multi-slice doc in fixture")
+    docs.foreach { case (id, ts) =>
+      val n = ts.length
+      val nSlices = 1 + (math.max(0, n - w) + s - 1) / s
+      (0 until nSlices).foreach { i =>
+        val expect = ts.slice(i * s, i * s + w)
+        val (len, text) = slices((id, i.toLong))
+        assert(len == expect.length.toLong, s"doc $id slice $i length")
+        assert(text == expect.mkString(" "), s"doc $id slice $i text")
+      }
+      assert(!slices.contains((id, nSlices.toLong)), s"doc $id extra slice")
+      // coverage: the final slice reaches the last token
+      assert((nSlices - 1) * s + w >= n, s"doc $id tail uncovered")
+    }
+  }
+
+  test("seq_pack_manifest rolls up to exactly the seq_pack report") {
+    val report = PipelineOps.seqPack(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    val manifest = PipelineOps.seqPackManifest(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(manifest.nonEmpty)
+    // document grain: every doc appears exactly once
+    assert(manifest.map(_._3).distinct.length == manifest.length)
+    // offsets live inside the window
+    assert(manifest.forall(m => m._6 >= 0 && m._6 < 4096L))
+    val rolled = manifest.groupBy(m => (m._1, m._2, m._5))
+      .map { case (k, ms) => k -> ((ms.length.toLong, ms.map(_._4).sum)) }
+    assert(rolled == report,
+      "manifest rollup drifted from the packing occupancy report")
+  }
+
   test("prepare_corpus_v2 drives every stage non-vacuously on a planted corpus") {
     import spark.implicits._
     // the portable token hash (TextAnalysis.hexHash's closed form) so the

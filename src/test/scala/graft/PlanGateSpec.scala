@@ -91,6 +91,8 @@ class PlanGateSpec extends SparkSpec {
     // gate scale). maxSortMerge headroom for the stats-driven join choice.
     Gate("prepare_corpus_v2", maxHashEx = 3, needPushdown = true,
       maxSortMerge = 3),
+    // the chunker is a pure per-row fan-out: one Generate, zero shuffles
+    Gate("seq_slice", maxHashEx = 0),
     // C29: pairwise stays confined to the cid SMJ; the dup rollup broadcasts
     // no broadcast floor: the rank-guarded verify side is bounded but by
     // K·MaxBucket (GBs at the flat K budget), so the pair self-join is
@@ -212,7 +214,7 @@ class PlanGateSpec extends SparkSpec {
     }
   }
 
-  Seq("seq_pack", "seq_pack_bpe").foreach { key =>
+  Seq("seq_pack", "seq_pack_bpe", "seq_pack_manifest").foreach { key =>
     test(s"plan gate: $key windows on (lang, shard), never lang alone") {
       // the de-straggler property: the cumulative-sum window's exchange must
       // key on the sub-shard too, or a dominant language collapses to one
