@@ -1070,9 +1070,20 @@ object GraftFunctions {
       .map(_.toLong).getOrElse(1L << 20)
     // measure what actually serializes: UTF-8 BYTES, not UTF-16 chars — a
     // CJK-heavy multilingual model is ~3 bytes/char and would otherwise
-    // ride the literal route at 3x the documented ceiling
-    def utf8Len(s: String): Long =
-      s.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong
+    // ride the literal route at 3x the documented ceiling. Counted by code
+    // point, NOT via getBytes: this switch exists for near-multi-GB models,
+    // and materializing a model-sized byte array per query build just to
+    // read its length would pressure the driver heap for nothing.
+    def utf8Len(str: String): Long = {
+      var i = 0; var n = 0L
+      while (i < str.length) {
+        val cp = str.codePointAt(i)
+        n += (if (cp < 0x80) 1 else if (cp < 0x800) 2
+              else if (cp < 0x10000) 3 else 4)
+        i += Character.charCount(cp)
+      }
+      n
+    }
     if (utf8Len(uniBlob) + utf8Len(biBlob) > threshold)
       lmScoreBroadcast(spark, text, uniBlob, biBlob)
     else lmScore(spark, text, uniBlob, biBlob)

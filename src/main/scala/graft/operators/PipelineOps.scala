@@ -662,11 +662,16 @@ object PipelineOps {
     packWindows(spark, sfDir, s => graft.functions.GraftFunctions
       .bpeMergeCount(s, col("text"), TextAnalysis.EmbeddedBpeMerges))
 
-  /** The packing core: concat-and-chunk under whatever token measure the
-    * caller supplies (`nTok(spark)` must be a bigint column over `text`). */
-  private def packWindows(spark: SparkSession, sfDir: String,
+  private val PackWindowTokens = 4096L
+
+  /** The packing ASSIGNMENT frame — (lang, shard, doc_id, n_tok, cum,
+    * win_id) under whatever token measure the caller supplies — the ONE
+    * definition of the sub-shard hash, the running-sum window and the
+    * window size. C20/C42's occupancy report is this frame's rollup and
+    * C44's manifest is its projection, so the report==rollup(manifest)
+    * contract holds by construction, not just by the spec that pins it. */
+  private def packAssignment(spark: SparkSession, sfDir: String,
     nTok: SparkSession => Column): DataFrame = {
-    val winTokens = 4096L
     val d = Tables.load(spark, sfDir, "documents")
       .select(col("lang"), col("doc_id"),
         pmod(idHash(col("doc_id")), lit(SeqPackShards.toLong)).as("shard"),
@@ -674,28 +679,42 @@ object PipelineOps {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    d.withColumn("win_id",
-        floor(coalesce(sum(col("n_tok")).over(w), lit(0L)) / winTokens))
+    d.withColumn("cum", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("win_id", floor(col("cum") / PackWindowTokens))
+  }
+
+  /** The packing core: concat-and-chunk under whatever token measure the
+    * caller supplies (`nTok(spark)` must be a bigint column over `text`). */
+  private def packWindows(spark: SparkSession, sfDir: String,
+    nTok: SparkSession => Column): DataFrame =
+    packAssignment(spark, sfDir, nTok)
       .groupBy(col("lang"), col("shard"), col("win_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("window_tokens"))
       .orderBy(col("lang"), col("shard"), col("win_id"))
-  }
 
-  /** The packing oracle under a caller-supplied SQL token measure — one
-    * window/rollup text for C20 and C20b (their only delta is the measure,
-    * same as the Spark side). */
-  private def packWindowsSql(nTokExpr: String): String =
-    s"""SELECT lang, shard, win_id, COUNT(*) AS n_docs,
-      | CAST(SUM(n_tok) AS BIGINT) AS window_tokens
-      |FROM (
-      | SELECT lang, shard, doc_id, n_tok,
+  /** The assignment frame's SQL text under a caller-supplied token measure
+    * — the single source both packing oracles build on (C20/C42 roll it
+    * up, C44 projects it), mirroring [[packAssignment]]. */
+  private def packAssignmentSql(nTokExpr: String): String =
+    s"""SELECT lang, shard, doc_id, n_tok,
+      |  COALESCE(SUM(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum,
       |  CAST(FLOOR(COALESCE(SUM(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 4096.0) AS BIGINT)
       |    AS win_id
       | FROM (SELECT lang, doc_id,
       |   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS INT64)
       |     % $SeqPackShards AS shard,
-      |   CAST($nTokExpr AS BIGINT) AS n_tok FROM documents) t
+      |   CAST($nTokExpr AS BIGINT) AS n_tok FROM documents) t""".stripMargin
+
+  /** The packing oracle under a caller-supplied SQL token measure — one
+    * window/rollup text for C20 and C42 (their only delta is the measure,
+    * same as the Spark side). */
+  private def packWindowsSql(nTokExpr: String): String =
+    s"""SELECT lang, shard, win_id, COUNT(*) AS n_docs,
+      | CAST(SUM(n_tok) AS BIGINT) AS window_tokens
+      |FROM (
+      |${packAssignmentSql(nTokExpr)}
       |) p
       |GROUP BY lang, shard, win_id
       |ORDER BY lang, shard, win_id""".stripMargin
@@ -731,10 +750,13 @@ object PipelineOps {
       .withColumn("n_tok", size(col("ts")).cast("bigint"))
     val nSlices = lit(1L) +
       (greatest(col("n_tok") - w, lit(0L)) + (s - 1)) / s
-    d.select(col("doc_id"), col("ts"), col("n_tok"),
-        posexplode(sequence(lit(0L), nSlices.cast("bigint") - 1)).as(Seq("p", "start0")))
-      .select(col("doc_id"), col("p").cast("bigint").as("slice_id"),
-        slice(col("ts"), (col("start0") * s + 1).cast("int"), lit(w)).as("st"))
+    // slice_id IS the start index over a 0-based step-1 sequence — one
+    // exploded column serves as both (a posexplode would carry the same
+    // number twice)
+    d.select(col("doc_id"), col("ts"),
+        explode(sequence(lit(0L), nSlices.cast("bigint") - 1)).as("slice_id"))
+      .select(col("doc_id"), col("slice_id"),
+        slice(col("ts"), (col("slice_id") * s + 1).cast("int"), lit(w)).as("st"))
       .select(col("doc_id"), col("slice_id"),
         size(col("st")).cast("bigint").as("n_tokens_slice"),
         array_join(col("st"), " ").as("slice_text"))
@@ -768,35 +790,18 @@ object PipelineOps {
     * per-window occupancy report is this frame's rollup). Same
     * (lang, shard) sub-sharded window as C20, so the de-straggler gate
     * covers it; one exchange, no rollup. */
-  def seqPackManifest(spark: SparkSession, sfDir: String): DataFrame = {
-    val winTokens = 4096L
-    val d = Tables.load(spark, sfDir, "documents")
-      .select(col("lang"), col("doc_id"),
-        pmod(idHash(col("doc_id")), lit(SeqPackShards.toLong)).as("shard"),
-        size(split(col("text"), " ")).cast("bigint").as("n_tok"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    d.withColumn("cum", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+  def seqPackManifest(spark: SparkSession, sfDir: String): DataFrame =
+    packAssignment(spark, sfDir, _ => size(split(col("text"), " ")).cast("bigint"))
       .select(col("lang"), col("shard"), col("doc_id"), col("n_tok"),
-        floor(col("cum") / winTokens).as("win_id"),
-        (col("cum") % winTokens).as("win_offset"))
+        col("win_id"), (col("cum") % PackWindowTokens).as("win_offset"))
       .orderBy(col("doc_id"))
-  }
 
-  /** C44's oracle: packWindowsSql's inner window without the rollup. */
+  /** C44's oracle: the shared assignment frame without the rollup. */
   val seqPackManifestSql: String =
-    s"""SELECT lang, shard, doc_id, n_tok,
-      | CAST(FLOOR(cum / 4096.0) AS BIGINT) AS win_id,
+    s"""SELECT lang, shard, doc_id, n_tok, win_id,
       | CAST(cum % 4096 AS BIGINT) AS win_offset
       |FROM (
-      | SELECT lang, shard, doc_id, n_tok,
-      |  COALESCE(SUM(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
-      | FROM (SELECT lang, doc_id,
-      |   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS INT64)
-      |     % $SeqPackShards AS shard,
-      |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents) t
+      |${packAssignmentSql("len(string_split(text, ' '))")}
       |) p
       |ORDER BY doc_id""".stripMargin
 
@@ -1046,6 +1051,10 @@ object PipelineOps {
     * upstream projection per branch. */
   private[graft] def dedupSubstrOn(d: DataFrame,
     passengers: Seq[String] = Nil): DataFrame = {
+    require(passengers.intersect(
+      Seq("doc_id", "text", "ts", "n_tokens", "n_removed", "kept",
+        "kept_text", "marked", "pos", "g", "owner")).isEmpty,
+      s"dedupSubstrOn passengers collide with internal columns: $passengers")
     def toks = split(col("text"), " ")
     // ngramFlat's zipped-slices assembly (codegen'd, scan-stage, no window)
     // with posexplode so each gram keeps its 0-based token position — NOT

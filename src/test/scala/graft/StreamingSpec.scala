@@ -698,6 +698,9 @@ class StreamingSpec extends SparkSpec {
         s"${sfDir.replaceAll("[^A-Za-z0-9]+", "_")}/" +
         "stream_dedup_semantic_assignstore")
     val orphan = new java.io.File(store.getParentFile, store.getName + "_stage99")
+    // self-healing fixture: a prior failed run may have left the orphan
+    // behind — clear it so createNewFile can't mask the real regression
+    org.apache.commons.io.FileUtils.deleteQuietly(orphan)
     orphan.mkdirs()
     assert(new java.io.File(orphan, "stranded.parquet").createNewFile())
     Streams.clearIngestStores() // force the rebuild path
