@@ -1051,37 +1051,52 @@ object PipelineOps {
     * upstream projection per branch. */
   private[graft] def dedupSubstrOn(d: DataFrame,
     passengers: Seq[String] = Nil): DataFrame = {
-    require(passengers.intersect(
-      Seq("doc_id", "text", "ts", "n_tokens", "n_removed", "kept",
-        "kept_text", "marked", "pos", "g", "owner")).isEmpty,
-      s"dedupSubstrOn passengers collide with internal columns: $passengers")
-    def toks = split(col("text"), " ")
-    // ngramFlat's zipped-slices assembly (codegen'd, scan-stage, no window)
-    // with posexplode so each gram keeps its 0-based token position — NOT
-    // the transform(sequence…element_at) form, whose interpreted lambda
-    // re-splits the text per element (the trap ngramRows documents)
-    val gramsPos = {
-      val m = greatest(size(toks) - lit(4), lit(0))
-      val zipped = arrays_zip((0 until 5).map(j => slice(toks, lit(j + 1), m)): _*)
-      d.select(col("doc_id"), posexplode(zipped).as(Seq("pos", "z")))
-        .select(col("doc_id"), col("pos"),
-          concat_ws(" ", (0 until 5).map(j => col("z").getField(j.toString)): _*).as("g"))
-    }
     val byG = org.apache.spark.sql.expressions.Window.partitionBy("g")
-    val marked = gramsPos
+    val marked = posGrams(d)
       .withColumn("owner", min(col("doc_id")).over(byG))
       .filter(col("owner") < col("doc_id"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("pos"))).as("marked"))
-    // the cut, in time LINEAR in (tokens + marks): expand each marked gram
-    // start to its 5 covered positions (array_except dedups overlap via its
-    // hash set — the interval merge falls out for free), keep the
-    // complement of the covered set in token order, and index the kept
-    // tokens back out of the token array. An exists()-per-token predicate
-    // would rescan the whole marked array for EVERY token — O(n·m) per doc,
-    // quadratic on exactly the dup-heavy documents this operator targets.
-    // `ts` is materialized BEFORE the join so the post-join lambdas index
-    // an attribute (CollapseProject can't inline the split into them).
+    cutMarked(d, marked, passengers)
+  }
+
+  /** Positional word-5-grams — (doc_id, pos, g) with 0-based token
+    * position pos: ngramFlat's zipped-slices assembly (codegen'd,
+    * scan-stage, no window) with posexplode, NOT the
+    * transform(sequence…element_at) form, whose interpreted lambda
+    * re-splits the text per element (the trap ngramRows documents). Shared
+    * by the removal family: C39 marks grams by owner window, C45 marks
+    * them by benchmark membership. */
+  private def posGrams(d: DataFrame): DataFrame = {
+    def toks = split(col("text"), " ")
+    val m = greatest(size(toks) - lit(4), lit(0))
+    val zipped = arrays_zip((0 until 5).map(j => slice(toks, lit(j + 1), m)): _*)
+    d.select(col("doc_id"), posexplode(zipped).as(Seq("pos", "z")))
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ", (0 until 5).map(j => col("z").getField(j.toString)): _*).as("g"))
+  }
+
+  /** The cut stage shared by C39/C45: remove every token covered by a
+    * marked gram start, in time LINEAR in (tokens + marks) — marked starts
+    * expand to their 5 covered positions (array_except dedups overlap via
+    * its hash set, so the interval merge falls out for free), the
+    * complement of the covered set stays in token order, and the kept
+    * tokens index back out of the token array. An exists()-per-token
+    * predicate would rescan the whole marked array for EVERY token —
+    * O(n·m) per doc, quadratic on exactly the dup-heavy documents these
+    * operators target. `ts` is materialized BEFORE the join so the
+    * post-join lambdas index an attribute (CollapseProject can't inline
+    * the split into them). `passengers` ride the token branch (see
+    * [[dedupSubstrOn]]'s scaladoc for why a rejoin would be worse). No
+    * sort here: standalone keys order their own output, and a composed
+    * pipeline (C41) sorts after its digest window — an inner sort would
+    * ride into that plan as a second, wasted range exchange. */
+  private def cutMarked(d: DataFrame, marked: DataFrame,
+    passengers: Seq[String] = Nil): DataFrame = {
+    require(passengers.intersect(
+      Seq("doc_id", "text", "ts", "n_tokens", "n_removed", "kept",
+        "kept_text", "marked", "pos", "g", "owner")).isEmpty,
+      s"cutMarked passengers collide with internal columns: $passengers")
     val covered = flatten(transform(
       coalesce(col("marked"), lit(Array.empty[Int])),
       p => sequence(p, p + lit(4))))
@@ -1095,9 +1110,43 @@ object PipelineOps {
       .select(col("doc_id") +: col("n_tokens") +:
         (col("n_tokens") - size(col("kept"))).cast("bigint").as("n_removed") +:
         array_join(col("kept"), " ").as("kept_text") +: ride: _*)
-    // no sort here: the standalone key (C39) orders its own output, and the
-    // composed pipeline (C41) sorts AFTER its digest window — an inner sort
-    // would ride into that plan as a second, wasted range exchange
+  }
+
+  /** C45 — span-level benchmark DECONTAMINATION (`decontam_substr`): cut
+    * every token run a training document shares (as a word 5-gram) with
+    * the benchmark suite, keeping the rest of the document — the removal
+    * form of C15's report, the same move C39 makes corpus-internally (Lee
+    * et al. 2021 apply ExactSubstr removal against eval sets for exactly
+    * this). D7's gate DROPS a contaminated document whole; this operator
+    * salvages it, which is what a token-starved pipeline actually wants.
+    * Benchmark = the `doc_id % 97 = 0` eval-suite convention (C15/C40's);
+    * output is the C39 frame over the TRAINING docs only.
+    *
+    * Scale shape: the mark stage is an equi-join of the corpus gram stream
+    * against the DISTINCT benchmark gram set — a fixed eval suite, so the
+    * bench side is a bounded dimension (broadcastable in production; no
+    * hint here so the planner can pick, C15's convention) — followed by
+    * the same per-doc rollup and row-local linear cut as C39. No owner
+    * window at all: corpus grams never shuffle by g, only the (doc, pos)
+    * hits roll up by doc_id. At blocklist scale C24's bloom pre-filter
+    * slots in front of the join unchanged. */
+  def decontamSubstr(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.load(spark, sfDir, "documents")
+    decontamSubstrOn(d.filter(col("doc_id") % 97 =!= 0),
+      d.filter(col("doc_id") % 97 === 0))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The C45 core over explicit (train, bench) frames — separated so the
+    * spec can plant hand-computed contamination fixtures. */
+  private[graft] def decontamSubstrOn(train: DataFrame,
+    bench: DataFrame): DataFrame = {
+    val benchGrams = posGrams(bench).select(col("g")).distinct()
+    val marked = posGrams(train)
+      .join(benchGrams, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("pos"))).as("marked"))
+    cutMarked(train, marked)
   }
 
   /** Same positional-gram domain in DuckDB (1-based positions — the indexed
@@ -1125,6 +1174,32 @@ object PipelineOps {
       | CAST(n_toks - len(kept) AS BIGINT) AS n_removed,
       | -- a fully-removed doc keeps the empty STRING: DuckDB's
       | -- array_to_string([]) is NULL where Spark's array_join([]) is ''
+      | COALESCE(array_to_string(kept, ' '), '') AS kept_text
+      |FROM res ORDER BY doc_id""".stripMargin
+
+  /** C45's oracle: C39's positional-gram/cut text with the owner window
+    * replaced by benchmark-gram membership, scoped to the training docs. */
+  val decontamSubstrSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |gp AS (
+      | SELECT doc_id, i AS pos,
+      |  ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] AS g
+      | FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 3)) AS i
+      |       FROM toks WHERE len(ts) >= 5) t),
+      |bg AS (SELECT DISTINCT g FROM gp WHERE doc_id % 97 = 0),
+      |mk AS (
+      | SELECT doc_id, list_sort(list(DISTINCT pos)) AS marked
+      | FROM gp JOIN bg USING (g)
+      | WHERE doc_id % 97 <> 0
+      | GROUP BY doc_id),
+      |res AS (
+      | SELECT t.doc_id, len(t.ts) AS n_toks,
+      |  list_filter(t.ts, (x, i) ->
+      |    len(list_filter(COALESCE(m.marked, []), p -> p <= i AND i <= p + 4)) = 0) AS kept
+      | FROM toks t LEFT JOIN mk m USING (doc_id)
+      | WHERE t.doc_id % 97 <> 0)
+      |SELECT doc_id, CAST(n_toks AS BIGINT) AS n_tokens,
+      | CAST(n_toks - len(kept) AS BIGINT) AS n_removed,
       | COALESCE(array_to_string(kept, ' '), '') AS kept_text
       |FROM res ORDER BY doc_id""".stripMargin
 
@@ -1198,7 +1273,8 @@ object PipelineOps {
     "seq_pack" -> (seqPack _),
     "seq_pack_bpe" -> (seqPackBpe _),
     "seq_slice" -> (seqSlice _),
-    "seq_pack_manifest" -> (seqPackManifest _))
+    "seq_pack_manifest" -> (seqPackManifest _),
+    "decontam_substr" -> (decontamSubstr _))
 
   val oracles: Map[String, String] = Map(
     "corpus_diff" -> corpusDiffSql,
@@ -1225,5 +1301,6 @@ object PipelineOps {
     "seq_pack" -> seqPackSql,
     "seq_pack_bpe" -> seqPackBpeSql,
     "seq_slice" -> seqSliceSql,
-    "seq_pack_manifest" -> seqPackManifestSql)
+    "seq_pack_manifest" -> seqPackManifestSql,
+    "decontam_substr" -> decontamSubstrSql)
 }

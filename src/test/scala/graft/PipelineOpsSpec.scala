@@ -440,6 +440,37 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("decontam_substr cuts exactly the benchmark-shared spans") {
+    import spark.implicits._
+    // bench doc holds span "b1..b5"; train docs share it at different
+    // positions, overlap it, sit fully inside it, or are clean; sub-5-token
+    // docs are never trimmed; a fully-contaminated doc keeps the empty text
+    val bench = Seq((97L, "b1 b2 b3 b4 b5 b6")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "x1 x2 b1 b2 b3 b4 b5 y1"),   // mid-doc span -> cut, edges kept
+      (2L, "b1 b2 b3 b4 b5"),            // the span IS the doc -> fully cut
+      (3L, "b2 b3 b4 b5 b6"),            // bench's second gram -> fully cut
+      (4L, "b1 b2 b3 b4"),               // sub-gram prefix, no 5-gram match
+      (5L, "c1 c2 c3 c4 c5 c6"),         // clean -> untouched
+      (6L, "b1 b2")                      // sub-5-token -> never trimmed
+    ).toDF("doc_id", "text")
+    val got = PipelineOps.decontamSubstrOn(train, bench).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got(1L) == ((8L, 5L, "x1 x2 y1")), s"mid-span: ${got(1L)}")
+    assert(got(2L) == ((5L, 5L, "")), s"exact span: ${got(2L)}")
+    assert(got(3L) == ((5L, 5L, "")), s"shifted gram: ${got(3L)}")
+    assert(got(4L) == ((4L, 0L, "b1 b2 b3 b4")), s"sub-gram: ${got(4L)}")
+    assert(got(5L) == ((6L, 0L, "c1 c2 c3 c4 c5 c6")), s"clean: ${got(5L)}")
+    assert(got(6L) == ((2L, 0L, "b1 b2")), s"short: ${got(6L)}")
+    // the real corpus: bench docs never appear in the output, and the op
+    // actually fires (the synthetic corpus plants contaminated docs)
+    val out = PipelineOps.decontamSubstr(spark, sfDir).collect()
+    assert(out.forall(_.getLong(0) % 97 != 0), "bench doc leaked into output")
+    assert(out.exists(_.getLong(2) > 0), "no span cut on the corpus fixture")
+    assert(out.exists(_.getLong(2) == 0), "everything cut — fixture degenerate")
+  }
+
   test("seq_slice geometry: closed-form count, exact windows, full coverage") {
     val w = PipelineOps.SliceTokens; val s = PipelineOps.SliceStride
     val docs = Tables.load(spark, sfDir, "documents")
