@@ -34,6 +34,23 @@ object Tables {
     if (name == "events") events(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** [[load]] with the query's output ORDER established on the raw scan,
+    * BEFORE the caller's projection. Spark's range partitioner SAMPLES its
+    * child plan to pick sort boundaries — a full extra evaluation — so an
+    * entry point shaped `scan → expensive kernel map → orderBy(key)` runs
+    * its kernel stage TWICE (once in the sampling job, once for real;
+    * measured ~40% of total on the sf1 text/codec lanes). Sorting the bare
+    * input first moves the sampling pass onto the cheap scan, and because a
+    * deterministic per-row projection preserves row order, the output is
+    * bit-identical to projecting first and sorting last (plan-gated: the
+    * kernel must sit ABOVE rangepartitioning). Entry points only — composed
+    * pipelines keep using [[load]] and sort at their own entry, the
+    * no-orderBy-in-builders discipline. */
+  def loadSorted(spark: SparkSession, sfDir: String, name: String,
+    keys: String*): DataFrame =
+    load(spark, sfDir, name)
+      .orderBy(keys.map(org.apache.spark.sql.functions.col): _*)
+
   /** Schema-adaptive events loader. The driver has shipped `ts` in two
     * physical encodings across testdata generations — int64 NANOS (read as
     * LongType under the legacy nanosAsLong conf) and

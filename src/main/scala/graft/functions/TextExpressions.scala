@@ -448,7 +448,7 @@ final class BpeMergeTable(val rules: Seq[(String, String)]) extends Serializable
   @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer]()
     rules.zipWithIndex.foreach { case ((a, b), r) =>
-      m.putIfAbsent(a + " " + b, r)
+      m.putIfAbsent(a + "\u0000" + b, r)
     }
     m
   }
@@ -473,7 +473,7 @@ final class BpeMergeTable(val rules: Seq[(String, String)]) extends Serializable
       var bestKey: String = null
       var j = 0
       while (j < syms.size - 1) {
-        val key = syms.get(j) + " " + syms.get(j + 1)
+        val key = syms.get(j) + "\u0000" + syms.get(j + 1)
         val r = ranks.get(key)
         if (r != null && (best == null || r < best)) { best = r; bestKey = key }
         j += 1
@@ -481,7 +481,7 @@ final class BpeMergeTable(val rules: Seq[(String, String)]) extends Serializable
       if (best == null) done = true
       else {
         // merge every left-to-right non-overlapping occurrence of that pair
-        val sep = bestKey.indexOf(' ')
+        val sep = bestKey.indexOf('\u0000')
         val l = bestKey.substring(0, sep); val r = bestKey.substring(sep + 1)
         val out = new java.util.ArrayList[String](syms.size)
         var p = 0

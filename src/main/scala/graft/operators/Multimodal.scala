@@ -155,10 +155,15 @@ object Multimodal {
   }
 
   /** Fabricate a media table from `documents` (text bytes stand in for encoded
-    * payloads — deterministic, schema-faithful). */
-  def mediaTable(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    * payloads — deterministic, schema-faithful). `sorted = true` establishes
+    * the entry points' media_id output order HERE, on the raw scan, so the
+    * range-exchange sampling job never re-runs the codec pass downstream
+    * (Tables.loadSorted documents the double-eval). */
+  def mediaTable(spark: SparkSession, sfDir: String,
+    sorted: Boolean = false): Dataset[MediaRow] = {
     import spark.implicits._
-    graft.Tables.load(spark, sfDir, "documents")
+    val base = graft.Tables.load(spark, sfDir, "documents")
+    (if (sorted) base.orderBy(col("doc_id")) else base)
       .select(col("doc_id").as("media_id"),
         col("text").cast("binary").as("media"),
         element_at(array(lit("image"), lit("audio"), lit("video")),
@@ -167,24 +172,28 @@ object Multimodal {
       .as[MediaRow]
   }
 
-  /** The decode/feature pipeline: size-aware repartition → per-partition
-    * codec pass → typed features. The codec is the only variable — C12 runs
-    * it with StubCodec (portable oracle), the spec with ImageIoCodec. */
+  /** The decode/feature pipeline: global media_id sort BEFORE the
+    * per-partition codec pass (the 1:1 decode map preserves row order, and
+    * sorting first keeps the codec out of the range exchange's sampling job
+    * — Tables.loadSorted documents the double-eval; the sort also spreads
+    * rows across partitions, which the old hash repartition existed for).
+    * `presorted = true` skips the sort for inputs whose source already
+    * established the order. The codec is the only variable — C12 runs it
+    * with StubCodec (portable oracle), the spec with ImageIoCodec. */
   private[graft] def decodePipeline(spark: SparkSession, rows: Dataset[MediaRow],
-    codec: MediaCodec): DataFrame = {
+    codec: MediaCodec, presorted: Boolean = false): DataFrame = {
     import spark.implicits._
-    rows
-      .repartition(col("media_id"))
+    (if (presorted) rows else rows.orderBy(col("media_id")))
       .mapPartitions { it => it.map(codec.decode) }
       .toDF()
-      .orderBy(col("media_id"))
   }
 
   /** C12 — the pipeline over the fabricated media table with the stub codec
     * (the container ships no native media libs; the DuckDB oracle reproduces
     * the stub bit-exactly, so C12 stays a value-level gate). */
   def mmPipeline(spark: SparkSession, sfDir: String): DataFrame =
-    decodePipeline(spark, mediaTable(spark, sfDir), StubCodec)
+    decodePipeline(spark, mediaTable(spark, sfDir, sorted = true), StubCodec,
+      presorted = true)
 
   /** One sampled frame's features. frame_idx is a position in the decoded
     * stream, 0-based; n_frames rides along so downstream can reason about
@@ -226,12 +235,13 @@ object Multimodal {
     * the format filter prunes audio/image rows before the codec pass. */
   def mmFrameSample(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    mediaTable(spark, sfDir)
+    // sorted at source; the sampler emits frame_idx ascending per row, so
+    // the flatMap preserves the (media_id, frame_idx) output order with no
+    // post-fan-out sort (and no codec pass inside a sampling job)
+    mediaTable(spark, sfDir, sorted = true)
       .filter(col("format") === "video")
-      .repartition(col("media_id"))
       .mapPartitions { it => it.flatMap(StubFrameSampler.sample(_, 5)) }
       .toDF()
-      .orderBy(col("media_id"), col("frame_idx"))
   }
 
   /** Synthetic REAL-container payloads (SURVEY §2 C12c/C12d): each doc_id
@@ -286,10 +296,13 @@ object Multimodal {
     * the same mapPartitions seam the codec uses — the driver never holds
     * payload bytes, exactly as a 100 TB corpus requires. */
   private def syntheticMediaTable(spark: SparkSession, sfDir: String,
-    format: String, mk: Long => Array[Byte]): Dataset[MediaRow] = {
+    format: String, mk: Long => Array[Byte],
+    sorted: Boolean = false): Dataset[MediaRow] = {
     import spark.implicits._
-    graft.Tables.load(spark, sfDir, "documents")
-      .select(col("doc_id")).as[Long]
+    val ids = graft.Tables.load(spark, sfDir, "documents").select(col("doc_id"))
+    // sorted = true: order on the bare id scan, so the encode (mk) AND the
+    // downstream decode both run once, above the range exchange
+    (if (sorted) ids.orderBy(col("doc_id")) else ids).as[Long]
       .mapPartitions(_.map(id => MediaRow(id, mk(id), format, 0, 0)))
   }
 
@@ -299,8 +312,9 @@ object Multimodal {
     * container size is codec-internal (zlib framing), not oracle
     * arithmetic; every retained column is exact. */
   def mmDecodePng(spark: SparkSession, sfDir: String): DataFrame =
-    decodePipeline(spark, syntheticMediaTable(spark, sfDir, "image", pngBytes),
-      ImageIoCodec)
+    decodePipeline(spark,
+      syntheticMediaTable(spark, sfDir, "image", pngBytes, sorted = true),
+      ImageIoCodec, presorted = true)
       .select(col("media_id"), col("width"), col("height"), col("n_frames"),
         col("feature_norm"))
 
@@ -308,8 +322,9 @@ object Multimodal {
     * the same pipeline with WavCodec (actual javax.sound.sampled parse + RMS
     * over every sample). */
   def mmDecodeWav(spark: SparkSession, sfDir: String): DataFrame =
-    decodePipeline(spark, syntheticMediaTable(spark, sfDir, "audio", wavBytes),
-      WavCodec)
+    decodePipeline(spark,
+      syntheticMediaTable(spark, sfDir, "audio", wavBytes, sorted = true),
+      WavCodec, presorted = true)
       .select(col("media_id"), col("width"), col("height"), col("n_frames"),
         col("feature_norm"))
 
@@ -397,7 +412,10 @@ object Multimodal {
     * resample deviation moves a cell). */
   def mmResize(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    syntheticMediaTable(spark, sfDir, "image", gradPngBytes(gradClassCount(spark, sfDir)))
+    // sorted at source; the cell fan-out emits (ty, tx) lexicographically,
+    // so output order is (doc_id, ty, tx) with no post-fan-out sort
+    syntheticMediaTable(spark, sfDir, "image",
+        gradPngBytes(gradClassCount(spark, sfDir)), sorted = true)
       .mapPartitions(_.flatMap { row =>
         val img =
           try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.media))
@@ -417,7 +435,6 @@ object Multimodal {
           (row.media_id, tx, ty, s.toDouble / 6.0)
         }
       }).toDF("doc_id", "tx", "ty", "v")
-      .orderBy(col("doc_id"), col("ty"), col("tx"))
   }
 
   /** Generated oracle for C12e: the same md5 pixel formula as C37, block

@@ -75,7 +75,9 @@ object PipelineOps {
     * docs carry no bigram evidence and are excluded (same domain rule as the
     * oracle). */
   def textRepetition(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = Tables.load(spark, sfDir, "documents")
+    // pre-sorted input: the kernel runs once, above the range exchange
+    // (Tables.loadSorted documents the sampling-job double-eval)
+    val d = Tables.loadSorted(spark, sfDir, "documents", "doc_id")
     val nToks = TextAnalysis.wsTokenCount(col("text"))
     d.filter(nToks >= 2)
       .select(col("doc_id"),
@@ -83,7 +85,6 @@ object PipelineOps {
         graft.functions.GraftFunctions.distinctBigrams(spark, col("text")).as("n_distinct"))
       .select(col("doc_id"), col("n_bigrams"), col("n_distinct"),
         round(lit(1.0) - col("n_distinct") / col("n_bigrams"), 6).as("repetition_ratio"))
-      .orderBy(col("doc_id"))
   }
 
   val textRepetitionSql: String =
@@ -112,7 +113,7 @@ object PipelineOps {
     * no tie-break for determinism (ties collapse); sub-2-token docs carry no
     * bigram evidence and are excluded, same domain rule as C25. */
   def textTopgram(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = Tables.load(spark, sfDir, "documents")
+    val d = Tables.loadSorted(spark, sfDir, "documents", "doc_id")
     val nToks = TextAnalysis.wsTokenCount(col("text"))
     d.filter(nToks >= 2)
       .select(col("doc_id"), length(col("text")).cast("bigint").as("n_chars_calc"),
@@ -121,7 +122,6 @@ object PipelineOps {
         col("tg.top_count").as("top_count"),
         col("tg.top_chars").as("top_chars"),
         (col("tg.top_chars") / col("n_chars_calc")).as("topgram_char_frac"))
-      .orderBy(col("doc_id"))
   }
 
   val textTopgramSql: String =
@@ -601,7 +601,7 @@ object PipelineOps {
     * the oracle SQL) — the redaction is verified to actually fire, not
     * vacuously pass. Patterns are Java-regex/RE2 common subset. */
   def textRedact(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = Tables.load(spark, sfDir, "documents")
+    val d = Tables.loadSorted(spark, sfDir, "documents", "doc_id")
     val salted = concat(col("text"),
       lit(" reach me at user"), col("doc_id").cast("string"),
       lit("@mail.example.com or +1-555-01"),
@@ -611,7 +611,6 @@ object PipelineOps {
     d.select(col("doc_id"),
         regexp_replace(regexp_replace(salted, emailRe, "<EMAIL>"),
           phoneRe, "<PHONE>").as("clean_text"))
-      .orderBy(col("doc_id"))
   }
 
   val textRedactSql: String =
@@ -745,7 +744,10 @@ object PipelineOps {
     * C12b's frame sampling. */
   def seqSlice(spark: SparkSession, sfDir: String): DataFrame = {
     val (w, s) = (SliceTokens, SliceStride)
-    val d = Tables.load(spark, sfDir, "documents")
+    // pre-sorted input: explode(sequence(...)) emits slice_id ascending per
+    // doc, so the Generate preserves (doc_id, slice_id) order and the slice
+    // lambda runs once, above the range exchange (Tables.loadSorted)
+    val d = Tables.loadSorted(spark, sfDir, "documents", "doc_id")
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
       .withColumn("n_tok", size(col("ts")).cast("bigint"))
     val nSlices = lit(1L) +
@@ -760,7 +762,6 @@ object PipelineOps {
       .select(col("doc_id"), col("slice_id"),
         size(col("st")).cast("bigint").as("n_tokens_slice"),
         array_join(col("st"), " ").as("slice_text"))
-      .orderBy(col("doc_id"), col("slice_id"))
   }
 
   /** C43's oracle: same integer slice-count closed form, same 1-based

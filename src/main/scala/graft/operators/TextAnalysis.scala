@@ -65,13 +65,14 @@ object TextAnalysis {
     * token count (letters runs / single digits / single punctuation — the
     * GPT-2-style pre-tokenizer shape). */
   def textTokens(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = Tables.load(spark, sfDir, "documents")
+    // pre-sorted input: the kernel map runs ONCE above the range exchange
+    // (Tables.loadSorted has the sampling-job argument)
+    val d = Tables.loadSorted(spark, sfDir, "documents", "doc_id")
     // count-only native kernel (functions.BpeTokenCount): the regex form
     // materializes every match into an array just to take its length
     d.select(col("doc_id"), length(col("text")).cast("bigint").as("n_chars_calc"),
         wsTokens(col("text")),
         graft.functions.GraftFunctions.bpeCount(spark, col("text")).as("bpe_tokens"))
-      .orderBy(col("doc_id"))
   }
 
   val textTokensSql: String =
@@ -103,12 +104,11 @@ object TextAnalysis {
     * metadata to the NearestCentroidBroadcast-style executor broadcast; the
     * algorithm and the seam are unchanged. */
   def textTokensBpe(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = Tables.load(spark, sfDir, "documents")
+    val d = Tables.loadSorted(spark, sfDir, "documents", "doc_id")
     d.select(col("doc_id"),
         length(translate(col("text"), " ", "")).cast("bigint").as("n_symbols"),
         graft.functions.GraftFunctions
           .bpeMergeCount(spark, col("text"), EmbeddedBpeMerges).as("bpe_tokens"))
-      .orderBy(col("doc_id"))
   }
 
   /** The C10b count as a closed-form SQL expression over `text` — the form
@@ -153,8 +153,7 @@ object TextAnalysis {
   /** C9 — quality scoring: length/punctuation/stopword signals combined into a
     * deterministic [0,1] score (all ratios are int/int → identical doubles). */
   def textQuality(spark: SparkSession, sfDir: String): DataFrame =
-    qualityProjection(spark, Tables.load(spark, sfDir, "documents"))
-      .orderBy(col("doc_id"))
+    qualityProjection(spark, Tables.loadSorted(spark, sfDir, "documents", "doc_id"))
 
   /** ONE source for the C9 score SQL — shared by the batch oracle and D6's
     * gated form so a future score change can never desynchronize them. */
@@ -195,7 +194,7 @@ object TextAnalysis {
     * The CJK probe is a find-first `rlike`, not an extract-all count (only
     * "any match" feeds the decision). */
   def textLangid(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = Tables.load(spark, sfDir, "documents")
+    val d = Tables.loadSorted(spark, sfDir, "documents", "doc_id")
     // per-dictionary hit counts as projected native expressions
     // (functions.StopwordHits): scoring never leaves the scan stage, so the
     // whole language-ID pass is a pure map — no Generate, no Exchange. The
@@ -219,7 +218,6 @@ object TextAnalysis {
           .when(col("de_score") >= col("fr_score"), "de")
           .otherwise("fr").as("predicted_lang"),
         col("en_score"), col("es_score"), col("de_score"), col("fr_score"))
-      .orderBy(col("doc_id"))
   }
 
   /** The explode+aggregate scoring form StopwordHits replaces — kept as the
@@ -259,14 +257,13 @@ object TextAnalysis {
     * Spark 4's ANSI mode can't overflow, and SQL-expressible so the DuckDB
     * oracle covers it. */
   def textFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = Tables.load(spark, sfDir, "documents")
+    val d = Tables.loadSorted(spark, sfDir, "documents", "doc_id")
     // the fused native expression (functions.TokenFingerprint) — bit-equal to
     // the composed HOF form, which FunctionsSpec keeps pinned as the
     // semantic reference
     d.select(col("doc_id"),
         graft.functions.GraftFunctions.fingerprint(spark, col("text")).as("fingerprint"),
         wsTokens(col("text")))
-      .orderBy(col("doc_id"))
   }
 
   /** The composed (interpreted-HOF) form TokenFingerprint replaces — kept as
@@ -298,8 +295,7 @@ object TextAnalysis {
     * `clf_score` is the division of two exactly-represented integers
     * (|weight_sum| ≤ 500·tokens), so both engines round it identically. */
   def textClassify(spark: SparkSession, sfDir: String): DataFrame =
-    classifyProjection(spark, Tables.load(spark, sfDir, "documents"))
-      .orderBy(col("doc_id"))
+    classifyProjection(spark, Tables.loadSorted(spark, sfDir, "documents", "doc_id"))
 
   /** The C34 score projection over any (doc_id, text) relation — shared by
     * the batch query and D9's streaming gate (every signal is row-local, so
@@ -431,8 +427,8 @@ object TextAnalysis {
     * than the uniform-ish baseline, the model sees the doc as noise. */
   def textPerplexity(spark: SparkSession, sfDir: String): DataFrame = {
     val (uniBlob, biBlob) = lmModel(spark, sfDir)
-    lmProjection(spark, Tables.load(spark, sfDir, "documents"), uniBlob, biBlob)
-      .orderBy(col("doc_id"))
+    lmProjection(spark,
+      Tables.loadSorted(spark, sfDir, "documents", "doc_id"), uniBlob, biBlob)
   }
 
   /** The C40 score projection over any (doc_id, text) relation — shared by

@@ -27,27 +27,33 @@ class PlanGateSpec extends SparkSpec {
     minBroadcast: Int = 0,      // BroadcastHashJoin floor (star joins)
     maxSortMerge: Int = 0,      // SMJ ceiling (0 = dims must all broadcast)
     needPartitionFilters: Boolean = false, // partition-pruned scan must survive
-    minCodegenSpans: Int = 1)   // WholeStageCodegen subtree floor
+    minCodegenSpans: Int = 1,   // WholeStageCodegen subtree floor
+    // single-eval pin for map-stage entry points: this marker (the
+    // expensive kernel / codec stage) must print ABOVE the output sort's
+    // range exchange — Spark's range partitioner SAMPLES its child with a
+    // full extra evaluation, so a kernel BELOW the exchange runs twice
+    // (Tables.loadSorted has the argument; measured ~40% of sf1 cost)
+    aboveSortMarker: Option[String] = None)
 
   private val gates = Seq(
     Gate("q1_pricing_summary", maxHashEx = 1, needPushdown = true),
     Gate("q3_shipping_priority", maxHashEx = 1, needPushdown = true, minBroadcast = 2),
     Gate("q5_local_supplier", maxHashEx = 1, needPushdown = true, minBroadcast = 5),
     Gate("q_filter_pushdown", maxHashEx = 0, maxRangeEx = 0, needPushdown = true),
-    Gate("text_langid", maxHashEx = 0),
-    Gate("text_quality", maxHashEx = 0),
-    Gate("text_tokens", maxHashEx = 0),
+    Gate("text_langid", maxHashEx = 0, aboveSortMarker = Some("graft_stop_hits")),
+    Gate("text_quality", maxHashEx = 0, aboveSortMarker = Some("graft_stop_hits")),
+    Gate("text_tokens", maxHashEx = 0, aboveSortMarker = Some("graft_bpe_count")),
     // C10b: real-BPE counting is the same zero-shuffle pure-map shape as C10
-    Gate("text_tokens_bpe", maxHashEx = 0),
-    Gate("text_fingerprint", maxHashEx = 0),
-    Gate("text_repetition", maxHashEx = 0),
-    Gate("text_topgram", maxHashEx = 0),
+    Gate("text_tokens_bpe", maxHashEx = 0, aboveSortMarker = Some("graft_bpe_merge_count")),
+    Gate("text_fingerprint", maxHashEx = 0, aboveSortMarker = Some("graft_fingerprint")),
+    Gate("text_repetition", maxHashEx = 0, aboveSortMarker = Some("graft_distinct_bigrams")),
+    Gate("text_topgram", maxHashEx = 0, aboveSortMarker = Some("graft_top_gram")),
     // C34: classifier scoring is one fused kernel call per row — a weight
     // join or token explode would show up as a hash exchange here
-    Gate("text_classify", maxHashEx = 0),
+    Gate("text_classify", maxHashEx = 0, aboveSortMarker = Some("graft_token_weight")),
     // C40: LM scoring is the same fused-kernel pure map — the model rides
     // with the plan; a count-table join or token explode would exchange
-    Gate("text_perplexity", maxHashEx = 0),
+    Gate("text_perplexity", maxHashEx = 0, aboveSortMarker = Some("graft_lm_score")),
     // C35: the snapshot diff moves only (id, hash) pairs — one hash exchange
     // per join side, never the corpus text, never a nested-loop join
     Gate("corpus_diff", maxHashEx = 2, maxSortMerge = 1),
@@ -62,9 +68,10 @@ class PlanGateSpec extends SparkSpec {
     // C33: vocab agg + token-key join + doc rollup; the corpus token stream
     // is shuffled at most twice (freq build + rollup), never more
     Gate("text_novelty", maxHashEx = 4),
-    Gate("mm_pipeline", maxHashEx = 1),
+    // C12: the decode seam sits above the media_id sort — ONE (range) exchange
+    Gate("mm_pipeline", maxHashEx = 0, aboveSortMarker = Some("MapPartitions")),
     // C12e: decode + resample is a zero-shuffle pure map over the codec seam
-    Gate("mm_resize", maxHashEx = 0),
+    Gate("mm_resize", maxHashEx = 0, aboveSortMarker = Some("MapPartitions")),
     Gate("corpus_split", maxHashEx = 0),
     Gate("embed_quantize", maxHashEx = 0),
     Gate("contamination_bloom", maxHashEx = 4, minBroadcast = 1),
@@ -92,7 +99,7 @@ class PlanGateSpec extends SparkSpec {
     Gate("prepare_corpus_v2", maxHashEx = 3, needPushdown = true,
       maxSortMerge = 3),
     // the chunker is a pure per-row fan-out: one Generate, zero shuffles
-    Gate("seq_slice", maxHashEx = 0),
+    Gate("seq_slice", maxHashEx = 0, aboveSortMarker = Some("Generate")),
     // C29: pairwise stays confined to the cid SMJ; the dup rollup broadcasts
     // no broadcast floor: the rank-guarded verify side is bounded but by
     // K·MaxBucket (GBs at the flat K budget), so the pair self-join is
@@ -268,6 +275,14 @@ class PlanGateSpec extends SparkSpec {
       if (g.needPartitionFilters)
         assert("PartitionFilters: \\[\\w".r.findFirstIn(plan).nonEmpty,
           s"${g.name}: partition pruning lost (no PartitionFilters):\n${plan.take(2000)}")
+      g.aboveSortMarker.foreach { marker =>
+        val m = plan.indexOf(marker)
+        val r = plan.indexOf("Exchange rangepartitioning")
+        assert(m >= 0, s"${g.name}: marker '$marker' not in plan:\n${plan.take(2000)}")
+        assert(r < 0 || m < r,
+          s"${g.name}: '$marker' sits BELOW the output sort — the range " +
+            s"exchange's sampling job re-runs it (single-eval pin):\n${plan.take(2000)}")
+      }
       val spans = "Found (\\d+) WholeStageCodegen subtrees".r
         .findFirstMatchIn(org.apache.spark.sql.execution.debug
           .codegenString(df.queryExecution.executedPlan))
