@@ -1129,21 +1129,37 @@ object PipelineOps {
     * hint here so the planner can pick, C15's convention) — followed by
     * the same per-doc rollup and row-local linear cut as C39. No owner
     * window at all: corpus grams never shuffle by g, only the (doc, pos)
-    * hits roll up by doc_id. At blocklist scale C24's bloom pre-filter
-    * slots in front of the join unchanged. */
+    * hits roll up by doc_id. C24's bloom pre-filter fronts the join (the
+    * big-blocklist regime): every corpus gram probes the benchmark sketch
+    * INSIDE the scan's codegen (graft_might_contain over the C15-family
+    * cached sketch — a ~1.2 bytes/gram plan literal where the exact set
+    * would be GBs), so only true hits + ~1% false positives reach the
+    * equi-join, whose exact match kills the FPs — output unchanged, and a
+    * 10⁹-gram eval suite no longer drags every corpus gram through the
+    * join. */
   def decontamSubstr(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.load(spark, sfDir, "documents")
     decontamSubstrOn(d.filter(col("doc_id") % 97 =!= 0),
-      d.filter(col("doc_id") % 97 === 0))
+      d.filter(col("doc_id") % 97 === 0),
+      bloom = Some((spark, benchBloom(spark, sfDir))))
       .orderBy(col("doc_id"))
   }
 
   /** The C45 core over explicit (train, bench) frames — separated so the
-    * spec can plant hand-computed contamination fixtures. */
-  private[graft] def decontamSubstrOn(train: DataFrame,
-    bench: DataFrame): DataFrame = {
+    * spec can plant hand-computed contamination fixtures. `bloom` fronts
+    * the mark join with a sketch probe over the train grams; it must be a
+    * sketch of a SUPERSET of bench's grams (benchBloom's gramSet domain
+    * adds short-doc fallback entries — supersets only widen the FP band
+    * the exact join already kills, never drop a true hit). */
+  private[graft] def decontamSubstrOn(train: DataFrame, bench: DataFrame,
+    bloom: Option[(SparkSession, Array[Byte])] = None): DataFrame = {
     val benchGrams = posGrams(bench).select(col("g")).distinct()
-    val marked = posGrams(train)
+    val trainGrams = posGrams(train)
+    val suspicious = bloom.fold(trainGrams) { case (s, bytes) =>
+      trainGrams.filter(
+        graft.functions.GraftFunctions.mightContain(s, bytes, col("g")))
+    }
+    val marked = suspicious
       .join(benchGrams, Seq("g"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("pos"))).as("marked"))

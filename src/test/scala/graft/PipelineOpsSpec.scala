@@ -469,6 +469,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.forall(_.getLong(0) % 97 != 0), "bench doc leaked into output")
     assert(out.exists(_.getLong(2) > 0), "no span cut on the corpus fixture")
     assert(out.exists(_.getLong(2) == 0), "everything cut — fixture degenerate")
+    // bloom front is a pure pre-filter: a sketch over a SUPERSET of the
+    // bench grams (here: the fixture's own grams + noise entries, the
+    // shape benchBloom's gramSet fallback rows create) must leave the cut
+    // bit-identical — the exact equi-join kills every false positive
+    val noise = Seq((9901L, "n1 n2 n3 n4 n5"), (9902L, "m1")).toDF("doc_id", "text")
+    val sketch = {
+      val grams = org.apache.spark.sql.functions.split(col("text"), " ")
+      val b = bench.union(noise)
+        .select(explode(org.apache.spark.sql.functions.transform(
+          sequence(lit(1), greatest(size(grams) - 4, lit(1))),
+          i => concat_ws(" ", slice(grams, i, lit(5))))).as("g"))
+        .distinct()
+        .select(org.apache.spark.sql.functions.xxhash64(col("g")).as("xx"))
+        .stat.bloomFilter("xx", 64, 0.01)
+      val bos = new java.io.ByteArrayOutputStream(); b.writeTo(bos); bos.toByteArray
+    }
+    val withBloom = PipelineOps.decontamSubstrOn(train, bench,
+        bloom = Some((spark, sketch)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val without = PipelineOps.decontamSubstrOn(train, bench)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(withBloom.sortBy(_._1).toSeq == without.sortBy(_._1).toSeq,
+      "bloom-fronted cut diverged from the exact-only path")
   }
 
   test("seq_slice geometry: closed-form count, exact windows, full coverage") {

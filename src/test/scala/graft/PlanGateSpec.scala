@@ -92,6 +92,11 @@ class PlanGateSpec extends SparkSpec {
     // C39: owner window on the gram + marked rollup + text join-back — three
     // slim exchanges, never a gram self-join; the cut is a row-local HOF
     Gate("dedup_substr", maxHashEx = 3, maxSortMerge = 1),
+    // C45: the mark stage is the bench equi-join, NOT an owner window — two
+    // hash exchanges only (bench distinct on g + the marked doc rollup),
+    // bench grams and the marked arrays both broadcast; the dedicated test
+    // below pins the no-corpus-g-shuffle and bloom-front properties
+    Gate("decontam_substr", maxHashEx = 2, minBroadcast = 2),
     // the composed gate ladder adds NO hash exchange over C39 itself: both
     // kernel gates ride the scan stage (DataFilters), and the post-cut
     // digest window replaces C39's budget for the text join (broadcast at
@@ -156,6 +161,31 @@ class PlanGateSpec extends SparkSpec {
               l.contains("Filter") && l.contains(s"<= ${operators.Dedup.MaxBucket}")),
             s"$name: MaxBucket degenerate-bucket guard missing from plan:\n${plan.take(2000)}")
       }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("plan gate: decontam_substr marks by bounded bench membership — corpus grams never shuffle by g, bloom fronts the join") {
+    // the C45 100 TB contract: the corpus gram stream meets the benchmark
+    // set as the STREAMED side of an equi-join against a bounded dimension
+    // (no owner window, so the only hashpartitioning on g is the bench
+    // side's own distinct), and C24's bloom sketch probes every corpus gram
+    // inside codegen BEFORE the join — at blocklist scale only true hits +
+    // ~1% FPs reach the join, and the exact match kills the FPs
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("decontam_substr")(spark, sfDir)
+      df.write.format("noop").mode("overwrite").save()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"decontam_substr: mark stage degraded to an unbounded join:\n${plan.take(2000)}")
+      val gEx = plan.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning(g#") && !l.contains("ReusedExchange"))
+      assert(gEx <= 1,
+        s"decontam_substr: $gEx exchanges on g — corpus grams are shuffling " +
+          s"by gram (only the bench-side distinct may):\n${plan.take(2000)}")
+      assert(plan.contains("might_contain"),
+        s"decontam_substr: bloom pre-filter left the mark stage:\n${plan.take(2000)}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
