@@ -25,8 +25,18 @@ object GraftConf {
     * mis-targeted the delete (and left `saveAsTable` refusing the location)
     * for every other warehouse URI. */
   def deleteOrphanTableDir(spark: SparkSession, tbl: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), tbl)
+    // the warehouse conf is a URI STRING (Spark escapes it), so decode it
+    // through java.net.URI first — Path(String) would keep the escapes as
+    // literal path characters (a dir with '%' or a space mis-targets);
+    // fall back to the raw-path form for values URI refuses to parse
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val parent =
+      try new org.apache.hadoop.fs.Path(new java.net.URI(wh))
+      catch {
+        case _: java.net.URISyntaxException | _: IllegalArgumentException =>
+          new org.apache.hadoop.fs.Path(wh)
+      }
+    val p = new org.apache.hadoop.fs.Path(parent, tbl)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(p)) { fs.delete(p, true); () }
   }

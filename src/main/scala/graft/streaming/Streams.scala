@@ -201,7 +201,7 @@ object Streams extends Serializable {
     spark.readStream.schema(DocsSchema).parquet(stageDir.getAbsolutePath)
   }
 
-  private def checkpointDir(sfDir: String, name: String): String =
+  private[graft] def checkpointDir(sfDir: String, name: String): String =
     s"${graft.GraftConf.localRoot}/graft_stream/${sfDir.replaceAll("[^A-Za-z0-9]+", "_")}/$name"
 
   /** Run a streaming DataFrame to completion (AvailableNow) into an in-memory
@@ -311,13 +311,38 @@ object Streams extends Serializable {
   // the repeated-run cost of the D10/D12 ingest replay (the store's content
   // is a deterministic function of the staged source, so a rebuild could
   // only reproduce it byte-for-byte)
+  // value = (reuse key, file manifest at build time): the warm path
+  // re-validates the manifest, not just isDirectory — files deleted or
+  // partially removed under a live memo force a rebuild, never a silent
+  // read of a truncated store
   private val ingestStoreMemo =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    scala.collection.concurrent.TrieMap.empty[String, (String, Set[String])]
 
   /** Evict the ingest-store reuse markers (ColdWarm's cold-path hook — the
     * stream-store analog of Similarity.clearCaches). The next run rebuilds
     * each store from a fresh checkpoint. */
   private[graft] def clearIngestStores(): Unit = ingestStoreMemo.clear()
+
+  /** A store directory derived from a checkpoint path (`<cp><suffix>`) —
+    * ONE derivation shared by the builders and the specs, so a layout or
+    * sanitization change can never silently decouple a test from the real
+    * directory. */
+  private[graft] def storeSibling(cp: java.io.File, suffix: String): java.io.File =
+    new java.io.File(cp.getAbsolutePath + suffix)
+
+  /** Recursive relative-path manifest of a store dir (empty when absent) —
+    * what the reuse memo records at build time and re-checks on the warm
+    * path, so an externally deleted or truncated store is rebuilt instead
+    * of being consumed silently. */
+  private def storeManifest(store: java.io.File): Set[String] = {
+    def walk(f: java.io.File, prefix: String): Iterator[String] =
+      if (f.isFile) Iterator(prefix + f.getName)
+      else Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).iterator
+        .flatMap(c => walk(c, prefix + f.getName + "/"))
+    if (!store.isDirectory) Set.empty
+    else Option(store.listFiles()).getOrElse(Array.empty[java.io.File])
+      .iterator.flatMap(c => walk(c, "")).toSet
+  }
 
   /** ONE reuse guard for every stream-side store builder (the dedup ingest
     * stores and the IVF append layout share this contract, not two
@@ -328,10 +353,14 @@ object Streams extends Serializable {
   private def reuseOrBuild(store: java.io.File, key: Option[String])(
     build: => Unit): Unit = {
     val path = store.getAbsolutePath
-    if (key.exists(k => ingestStoreMemo.get(path).contains(k)) &&
-      store.isDirectory) return
+    val reusable = key.exists { k =>
+      ingestStoreMemo.get(path).exists { case (mk, manifest) =>
+        mk == k && store.isDirectory && storeManifest(store) == manifest
+      }
+    }
+    if (reusable) return
     build
-    key.foreach(k => ingestStoreMemo(path) = k)
+    key.foreach(k => ingestStoreMemo(path) = (k, storeManifest(store)))
   }
 
   /** Delete scratch siblings (`<store>_stage<id>`) a crashed foreachBatch
@@ -930,7 +959,7 @@ object Streams extends Serializable {
     // 100 TB; measured 8.5 s of a 15.9 s sf1 run in the driver-held
     // resolve) — the parquet sink keeps pairs distributed end-to-end.
     val sink = runToFiles(spark, cands,
-      new java.io.File(cp.getAbsolutePath + "_cands"), cp,
+      storeSibling(cp, "_cands"), cp,
       stateKeyHint = allDocs.count() * 16L)
     // batch resolve over the candidate sink: distinct pairs (a pair can
     // collide in several bands), look both signatures up in the caller's
@@ -1056,9 +1085,9 @@ object Streams extends Serializable {
     // into the stream-side hash store (the C37 store's continuous-maintenance
     // form) — the store the dedup tier consumes and the resolve looks up, so
     // a payload the batch corpus never saw still gets a verdict
-    val store = new java.io.File(cp.getAbsolutePath + "_hashstore")
+    val store = storeSibling(cp, "_hashstore")
     ingestAppend(spark, src, store,
-      new java.io.File(cp.getAbsolutePath + "_ingest"), storeReuseKey) { batch =>
+      storeSibling(cp, "_ingest"), storeReuseKey) { batch =>
       batch.as[MediaIn](org.apache.spark.sql.Encoders.product[MediaIn])
         .mapPartitions(_.map(m =>
           (m.media_id, graft.operators.Multimodal.dHashOfBytes(m.media))))(
@@ -1087,7 +1116,7 @@ object Streams extends Serializable {
     // state-key cardinality ≈ docs × 4 chunk keys (bounded above by the
     // 4 × 65536 key space); candidates land distributed, never the driver
     val sink = runToFiles(spark, cands,
-      new java.io.File(cp.getAbsolutePath + "_cands"), cp,
+      storeSibling(cp, "_cands"), cp,
       stateKeyHint = math.min(hashes.count() * 4L, 4L * 65536L))
     // resolve against the STREAM store: both pair sides are stream arrivals
     // (keepers are arrivals too), so every candidate — including one for a
@@ -1181,9 +1210,9 @@ object Streams extends Serializable {
     // O(batch) append applied to the C29/C32 assignment table, and the
     // store the resolve below looks up, so a vector the batch corpus never
     // saw still gets a verdict
-    val store = new java.io.File(cp.getAbsolutePath + "_assignstore")
+    val store = storeSibling(cp, "_assignstore")
     ingestAppend(spark, src, store,
-      new java.io.File(cp.getAbsolutePath + "_ingest"), storeReuseKey) { batch =>
+      storeSibling(cp, "_ingest"), storeReuseKey) { batch =>
       batch
         .select(col("vec_id"), transform(col("embedding"),
           x => x.cast("double")).as("v"))
@@ -1209,7 +1238,7 @@ object Streams extends Serializable {
       .toDF()
     // state-key cardinality = cluster count (K), tiny next to D5's band keys
     val sink = runToFiles(spark, cands,
-      new java.io.File(cp.getAbsolutePath + "_cands"), cp,
+      storeSibling(cp, "_cands"), cp,
       stateKeyHint = codebook.length.toLong)
       .withColumnRenamed("doc_id", "vec_id")
     // resolve against the STREAM store: one vector lookup per pair side —
@@ -1264,7 +1293,7 @@ object Streams extends Serializable {
     val stageDir = embBatchStageDir(sfDir)
     stageEmbeddingsBatch(spark, sfDir, stageDir)
     val cp = new java.io.File(checkpointDir(sfDir, "stream_ivf_append"))
-    val appendDir = new java.io.File(cp.getAbsolutePath + "_appended")
+    val appendDir = storeSibling(cp, "_appended")
     val reuseKey = "ivfappend:" + graft.Tables.fingerprint(sfDir, "embeddings")
     reuseOrBuild(appendDir, Some(reuseKey)) {
       org.apache.commons.io.FileUtils.deleteQuietly(cp)

@@ -674,9 +674,11 @@ class StreamingSpec extends SparkSpec {
             java.nio.file.Files.getLastModifiedTime(p).toMillis).toSet
       } finally s.close()
     }
-    val appendDir = new java.io.File(
-      s"${GraftConf.localRoot}/graft_stream/" +
-        s"${sfDir.replaceAll("[^A-Za-z0-9]+", "_")}/stream_ivf_append_appended")
+    // the REAL layout via Streams' own derivation — a hand-rebuilt path
+    // here would silently decouple this test from a checkpointDir rename
+    val appendDir = Streams.storeSibling(
+      new java.io.File(Streams.checkpointDir(sfDir, "stream_ivf_append")),
+      "_appended")
     val r1 = Streams.streamIvfAppend(spark, sfDir).collect().map(_.toSeq).toSeq
     val l1 = listing(appendDir)
     assert(l1.nonEmpty, "append layout missing after a cold run")
@@ -687,16 +689,25 @@ class StreamingSpec extends SparkSpec {
     val r3 = Streams.streamIvfAppend(spark, sfDir).collect().map(_.toSeq).toSeq
     assert(r3 == r1, "post-eviction rebuild drifted")
     assert(listing(appendDir) != l1, "eviction did not force a rebuild")
+    // manifest re-validation: files deleted EXTERNALLY while the JVM memo is
+    // live must force a rebuild, never a silent read of a truncated store
+    val victim = java.nio.file.Files.walk(appendDir.toPath)
+      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    java.nio.file.Files.delete(victim)
+    val truncated = listing(appendDir)
+    val r4 = Streams.streamIvfAppend(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(r4 == r1, "rebuild after external file loss drifted")
+    assert(listing(appendDir) != truncated,
+      "store not rebuilt after external file loss")
   }
 
   test("ingest-store rebuilds sweep scratch dirs a crashed batch left behind") {
     // the success path cleans its own scratch; a death between the parquet
     // write and the move must not leak the sibling dir forever — the next
     // rebuild sweeps every <store>_stage* orphan
-    val store = new java.io.File(
-      s"${GraftConf.localRoot}/graft_stream/" +
-        s"${sfDir.replaceAll("[^A-Za-z0-9]+", "_")}/" +
-        "stream_dedup_semantic_assignstore")
+    val store = Streams.storeSibling(
+      new java.io.File(Streams.checkpointDir(sfDir, "stream_dedup_semantic")),
+      "_assignstore")
     val orphan = new java.io.File(store.getParentFile, store.getName + "_stage99")
     // self-healing fixture: a prior failed run may have left the orphan
     // behind — clear it so createNewFile can't mask the real regression
