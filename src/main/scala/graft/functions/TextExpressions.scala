@@ -292,6 +292,76 @@ case class GramSetStats(child: Expression, n: Int, dictBlob: String)
     copy(child = newChild)
 }
 
+/** Positional-gram kernel for [[GramMarkPositions]]: one pass over a
+  * document's word n-grams IN POSITION (contiguous byte spans over the
+  * single-space token starts — the byte-level mirror of
+  * PipelineOps.posGrams' zipped slices, no whole-text fallback: a <n-token
+  * document has no positional gram and is never trimmed), emitting the
+  * 0-based token index of every gram that is a member of the reference
+  * set, ascending. The C45 mark stage made row-local: with the eval-suite
+  * grams riding as a plan reference, the streaming cut tier needs NO
+  * owner window, NO join and NO per-doc aggregation — D7's statelessness
+  * property extended from the gate decision to the cut itself. */
+object GramMarkKernel {
+  def marks(s: UTF8String, n: Int,
+    dict: java.util.HashSet[UTF8String]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val bytes = s.getBytes
+    val (starts, nStarts) = TokenStarts.of(bytes)
+    val out = new java.util.ArrayList[Any]()
+    var t = 0
+    while (t <= nStarts - n) {
+      val until = if (t + n < nStarts) starts(t + n) - 1 else bytes.length
+      if (dict.contains(UTF8String.fromBytes(bytes, starts(t), until - starts(t))))
+        out.add(t)
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+}
+
+/** Marked positional-gram start indexes as ONE projected array expression —
+  * the row-local form of C45's mark join (same dictionary transport as
+  * [[GramSetStats]]: a newline-delimited blob parsed once per plan). The
+  * output feeds the same row-local cut as the batch operator
+  * (PipelineOps.cutFromMarked), so stream and batch share one cut
+  * definition by construction. */
+case class GramMarkPositions(child: Expression, n: Int, dictBlob: String)
+  extends UnaryExpression {
+
+  @transient private lazy val dict: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String]()
+    // an empty blob is an EMPTY dictionary ("".split would plant the
+    // empty-string gram — GramSetStats' rule)
+    if (dictBlob.nonEmpty)
+      dictBlob.split("\n", -1).foreach(g => s.add(UTF8String.fromString(g)))
+    s
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_gram_marks expects a string column, got $other")
+  }
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "graft_gram_marks"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GramMarkKernel.marks(input.asInstanceOf[UTF8String], n, dict)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val dictRef = ctx.addReferenceObj("gramDict", dict,
+      "java.util.HashSet<org.apache.spark.unsafe.types.UTF8String>")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.GramMarkKernel.marks($c, $n, $dictRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GramMarkPositions =
+    copy(child = newChild)
+}
+
 /** Top-gram kernel for [[TopGramStats]]: one hashing pass over a document's
   * word bigrams (the SAME contiguous-byte-span domain as [[BigramKernel]]:
   * single-space splits, empties included) producing the two Gopher-family

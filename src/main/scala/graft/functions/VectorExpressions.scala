@@ -842,6 +842,21 @@ object GraftFunctions {
       "graft_gram_hits expects (text, n int literal, gram-blob string literal)")
   }
 
+  val gramMarksInfo = new ExpressionInfo(
+    classOf[GramMarkPositions].getName, "graft_gram_marks")
+
+  /** (text, n literal, blob literal) — gramHits' contract, positional form. */
+  private[functions] val gramMarksBuilder: Seq[Expression] => Expression = {
+    case Seq(text, nArg, blobArg)
+      if nArg.foldable && nArg.dataType.isInstanceOf[org.apache.spark.sql.types.IntegerType] &&
+        nArg.eval(null) != null &&
+        blobArg.foldable && blobArg.dataType.isInstanceOf[org.apache.spark.sql.types.StringType] &&
+        blobArg.eval(null) != null =>
+      GramMarkPositions(text, nArg.eval(null).asInstanceOf[Int], blobArg.eval(null).toString)
+    case _ => throw new IllegalArgumentException(
+      "graft_gram_marks expects (text, n int literal, gram-blob string literal)")
+  }
+
   val topGramInfo = new ExpressionInfo(
     classOf[TopGramStats].getName, "graft_top_gram")
 
@@ -916,6 +931,7 @@ object GraftFunctions {
       (FunctionIdentifier("graft_bpe_merge_count"), bpeMergeCountInfo, bpeMergeCountBuilder),
       (FunctionIdentifier("graft_top_gram"), topGramInfo, topGramBuilder),
       (FunctionIdentifier("graft_gram_hits"), gramHitsInfo, gramHitsBuilder),
+      (FunctionIdentifier("graft_gram_marks"), gramMarksInfo, gramMarksBuilder),
       (FunctionIdentifier("graft_minhash_sig"), minhashSigInfo, minhashSigBuilder),
       (FunctionIdentifier("graft_lm_score"), lmScoreInfo, lmScoreBuilder),
       (FunctionIdentifier("graft_lm_score_bc"), lmScoreBcInfo, lmScoreBcBuilder))
@@ -991,6 +1007,17 @@ object GraftFunctions {
       "gram blob contains an empty gram (embedded newline in a gram?)")
     ensureRegistered(spark)
     call_function("graft_gram_hits", text,
+      org.apache.spark.sql.functions.lit(n), org.apache.spark.sql.functions.lit(blob))
+  }
+
+  /** Column-API entry point: marked positional-gram start indexes (the
+    * row-local C45 mark stage; D14's stateless cut). Same blob contract as
+    * [[gramHits]]. */
+  def gramMarks(spark: SparkSession, text: Column, n: Int, blob: String): Column = {
+    require(blob.isEmpty || blob.split("\n", -1).forall(_.nonEmpty),
+      "gram blob contains an empty gram (embedded newline in a gram?)")
+    ensureRegistered(spark)
+    call_function("graft_gram_marks", text,
       org.apache.spark.sql.functions.lit(n), org.apache.spark.sql.functions.lit(blob))
   }
 

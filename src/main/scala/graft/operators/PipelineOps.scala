@@ -1098,12 +1098,25 @@ object PipelineOps {
       Seq("doc_id", "text", "ts", "n_tokens", "n_removed", "kept",
         "kept_text", "marked", "pos", "g", "owner")).isEmpty,
       s"cutMarked passengers collide with internal columns: $passengers")
+    val ride = passengers.map(col)
+    cutFromMarked(
+      d.select(col("doc_id") +: split(col("text"), " ").as("ts") +: ride: _*)
+        .join(marked, Seq("doc_id"), "left"),
+      passengers)
+  }
+
+  /** The row-local cut PROJECTION over any frame carrying (doc_id, ts,
+    * marked[, passengers]) — ONE definition shared by the batch join form
+    * ([[cutMarked]]) and D14's inline streaming form, where `marked` comes
+    * straight from the graft_gram_marks kernel with no join at all. A null
+    * `marked` (the batch left join's clean docs) cuts nothing. */
+  private[graft] def cutFromMarked(withMarked: DataFrame,
+    passengers: Seq[String] = Nil): DataFrame = {
     val covered = flatten(transform(
       coalesce(col("marked"), lit(Array.empty[Int])),
       p => sequence(p, p + lit(4))))
     val ride = passengers.map(col)
-    d.select(col("doc_id") +: split(col("text"), " ").as("ts") +: ride: _*)
-      .join(marked, Seq("doc_id"), "left")
+    withMarked
       .select(col("doc_id") +: size(col("ts")).cast("bigint").as("n_tokens") +:
         transform(
           array_except(sequence(lit(0), size(col("ts")) - 1), covered),

@@ -736,6 +736,41 @@ object Streams extends Serializable {
       .orderBy(col("doc_id"))
   }
 
+  /** D14 — streaming span-cut DECONTAMINATION: C45's salvage operator as a
+    * continuous-ingest tier. D7's gate DROPS a contaminated arrival whole;
+    * this tier CUTS the benchmark-shared spans and keeps the rest — the
+    * token-preserving form a starved pipeline wants, now applied at ingest
+    * so a salvageable crawl page never costs a full drop-and-recrawl cycle.
+    * The mark stage is fully ROW-LOCAL: the eval-suite gram set rides as a
+    * plan reference (D7's transport) into functions.GramMarkPositions,
+    * which emits each arrival's marked gram-start positions in one pass —
+    * no owner window, no join, no state store, no shuffle, so the tier is
+    * STATELESS like D6/D7/D9/D13 and the drained backlog equals the batch
+    * operator exactly: stream and batch share C45's cut projection
+    * (PipelineOps.cutFromMarked) in code and ONE oracle
+    * (decontamSubstrSql) in the gate. At C24's blocklist scale the same
+    * split applies as D7 documents: the bloom sketch gates in-stream, and
+    * suspicious arrivals divert to the batch-side exact cut (C45's
+    * bloom-fronted form). */
+  def streamDecontamCut(spark: SparkSession, sfDir: String): DataFrame = {
+    val cp = new java.io.File(checkpointDir(sfDir, "stream_decontam_cut"))
+    org.apache.commons.io.FileUtils.deleteQuietly(cp)
+    spark.catalog.dropTempView("stream_decontam_cut")
+    // the offline eval-suite build (batch side, cached per dir) — the blob's
+    // extra <5-token whole-text entries can never equal a positional 5-gram
+    // (exactly 4 separator spaces vs at most 3), so the positional kernel
+    // marks exactly the batch mark join's pair set
+    val blob = graft.operators.PipelineOps.benchGramBlob(spark, sfDir)
+    val cut = graft.operators.PipelineOps.cutFromMarked(
+      docsStream(spark, sfDir)
+        .filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), split(col("text"), " ").as("ts"),
+          graft.functions.GraftFunctions
+            .gramMarks(spark, col("text"), 5, blob).as("marked")))
+    runToMemory(spark, cut, "stream_decontam_cut", cp, OutputMode.Append())
+      .orderBy(col("doc_id"))
+  }
+
   /** Test hook: every staged file its own micro-batch (maxFilesPerTrigger=1),
     * so cross-batch keeper persistence runs for real. */
   private[graft] def streamDedupMultiBatch(spark: SparkSession,
@@ -1473,6 +1508,7 @@ object Streams extends Serializable {
     "stream_classify" -> (streamClassify _),
     "stream_lm_gate" -> (streamLmGate _),
     "stream_decontam_gate" -> (streamDecontamGate _),
+    "stream_decontam_cut" -> (streamDecontamCut _),
     "stream_join" -> (streamJoin _))
 
   /** With sentinel-driven finalization all three streaming queries are exactly
@@ -1515,6 +1551,9 @@ object Streams extends Serializable {
         | COALESCE(h.n_contaminated, 0) = 0 AS kept
         |FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
         |ORDER BY c.doc_id""".stripMargin),
+    // D14 is stateless -> exactly C45's batch cut on the drained backlog
+    // (ONE oracle for the batch and streaming forms, the C29/D10 rule)
+    "stream_decontam_cut" -> graft.operators.PipelineOps.decontamSubstrSql,
     // D8: inner interval joins emit watermark-independently, so the drained
     // backlog is exactly the batch join (timestamps compared at the micro
     // precision both engines truncate to)

@@ -666,6 +666,33 @@ class FunctionsSpec extends SparkSpec {
       "empty dictionary produced a contamination hit")
   }
 
+  test("graft_gram_marks emits exactly the dict-member gram start positions") {
+    import spark.implicits._
+    val dict = Seq("b1 b2 b3 b4 b5", "c1 c2 c3 c4 c5").mkString("\n")
+    val df = Seq(
+      (1L, "x1 b1 b2 b3 b4 b5 y1"),      // one mid-doc hit at position 1
+      (2L, "b1 b2 b3 b4 b5 c1 c2 c3 c4 c5"), // two hits: 0 and 5
+      (3L, "b1 b2 b3 b4"),               // sub-5-token: no positional gram
+      (4L, "n1 n2 n3 n4 n5 n6"),         // clean
+      (5L, ""),                          // empty text
+      (6L, "b1 b2 b3 b4 b5 b1 b2 b3 b4 b5") // repeat: both starts marked
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        graft.functions.GraftFunctions.gramMarks(spark, col("text"), 5, dict).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(got(1L) == Seq(1), s"mid-doc: ${got(1L)}")
+    assert(got(2L) == Seq(0, 5), s"two hits: ${got(2L)}")
+    assert(got(3L) == Seq(), s"short doc: ${got(3L)}")
+    assert(got(4L) == Seq(), s"clean doc: ${got(4L)}")
+    assert(got(5L) == Seq(), s"empty doc: ${got(5L)}")
+    assert(got(6L) == Seq(0, 5), s"repeat: ${got(6L)}")
+    // empty dictionary marks nothing (the GramSetStats empty-blob rule)
+    val none = df.select(
+        graft.functions.GraftFunctions.gramMarks(spark, col("text"), 5, "").as("m"))
+      .collect().map(_.getSeq[Int](0))
+    assert(none.forall(_.isEmpty), "empty dictionary produced a mark")
+  }
+
   test("row-local minhash kernel equals the reference signature semantics") {
     import spark.implicits._
     import graft.functions.MinHashFamily

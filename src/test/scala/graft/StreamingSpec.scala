@@ -365,6 +365,26 @@ class StreamingSpec extends SparkSpec {
       s"decontamination gate stopped being stateless:\n${plan.take(2000)}")
   }
 
+  test("streaming span-cut decontamination equals the batch C45 cut exactly") {
+    import org.apache.spark.sql.functions._
+    val got = Streams.streamDecontamCut(spark, sfDir).collect().map(_.toSeq)
+    // one shared contract: the drained backlog IS the batch operator's frame
+    val want = graft.operators.PipelineOps.decontamSubstr(spark, sfDir)
+      .collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq,
+      s"stream cut drifted from batch: got ${got.take(3)} want ${want.take(3)}")
+    // the fixture must drive the cut non-vacuously in BOTH directions
+    assert(got.exists(_(2).asInstanceOf[Long] > 0), "no span cut on the backlog")
+    assert(got.exists(_(2).asInstanceOf[Long] == 0), "everything cut")
+    // statelessness contract (D6/D7/D9/D13's): the mark is a plan-reference
+    // kernel in the scan and the cut is row-local — no state store, no
+    // shuffle, no join
+    val plan = Streams.lastStreamPlan
+    assert(!plan.contains("StateStore") && !plan.contains("Exchange hashpartitioning")
+        && !plan.contains("Join"),
+      s"span-cut tier stopped being stateless:\n${plan.take(2000)}")
+  }
+
   test("streaming dedup equals the batch window-min form on one backlog") {
     import org.apache.spark.sql.functions._
     val streamed = Streams.streamDedup(spark, sfDir).collect().map(_.toSeq).toSet
