@@ -339,6 +339,8 @@ object Similarity {
     ivfAppendBuilt.clear()
     streamIvfBaseBuilt.clear()
     pqCache.clear()
+    pqBucketedBuilt.clear()
+    vecBucketedBuilt.clear()
     // the trained codebooks' executor broadcasts go with them — without this
     // every retrain (incl. Lloyd's per-iteration codebooks at K > the
     // broadcast threshold) would pin another codebook-sized block forever
@@ -991,6 +993,232 @@ object Similarity {
        |ORDER BY ip DESC, vec_id LIMIT 10""".stripMargin
   }
 
+  // ----- C38c: PQ-assisted kNN join (IVFADC, the many-query regime) -----
+
+  private val PqJoinRerank = 64 // per-query ADC shortlist fed to exact rerank
+
+  // dir -> (embeddings fingerprint, coded table name): the COMPRESSED index
+  // artifact — cid-bucketed codes, no full vectors (ivfBucketedBuilt's
+  // discipline applied to the PQ form)
+  private val pqBucketedBuilt =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  /** The IVFADC index as a cid-BUCKETED CODED table: (vec_id, cid, c0..c7)
+    * — 4 bytes of PQ code per vector where the full-vector index holds 512,
+    * the compression that lets a 100 TB corpus's ANN index fit a cluster's
+    * memory. Codes come from the SAME path-index assignment and the SAME
+    * trained PQ books as C7e (read, never re-derived), bucketed by cid so
+    * the ADC join's corpus side reports HashPartitioning(cid) and takes
+    * ZERO exchange — exactly ensureIvfBucketedTable's contract minus the
+    * vectors. */
+  private def ensurePqBucketedTable(spark: SparkSession, sfDir: String):
+      (String, Array[(Int, Array[Double])], Array[Array[Array[Double]]]) =
+    this.synchronized {
+      val (path, codebook) = ensureIvfIndexWithCodebook(spark, sfDir)
+      val books = trainPqCodebooks(spark, sfDir)
+      val fp = graft.Tables.fingerprint(sfDir, "embeddings")
+      val tbl = "pq_bkt" + sfDir.replaceAll("[^A-Za-z0-9]+", "_")
+      pqBucketedBuilt.get(sfDir) match {
+        case Some((f, t)) if f == fp && spark.catalog.tableExists(t) =>
+          (t, codebook, books)
+        case _ =>
+          if (!spark.catalog.tableExists(tbl)) {
+            graft.GraftConf.deleteOrphanTableDir(spark, tbl)
+          }
+          spark.read.parquet(path)
+            .select(col("vec_id") +: col("cid").cast("bigint").as("cid") +:
+              (0 until PqM).map(m => pqCodeExpr(m, books).as(s"c$m")): _*)
+            .write.bucketBy(IvfK, "cid").sortBy("cid").mode("overwrite")
+            .saveAsTable(tbl)
+          pqBucketedBuilt(sfDir) = (fp, tbl)
+          (tbl, codebook, books)
+      }
+    }
+
+  // dir -> (embeddings fingerprint, vec_id-bucketed vectors table): the
+  // rerank leg's point-read store — bucketed by vec_id so the shortlist's
+  // exact-rerank join takes ZERO corpus-side exchange (the full vector
+  // store must never re-shuffle for a rerank of R rows per query)
+  private val vecBucketedBuilt =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  /** The full-vector store as a vec_id-BUCKETED table — the rerank analog
+    * of ensureIvfBucketedTable: a real deployment's vector store is keyed
+    * (bucketed/indexed) by vector id precisely so ADC shortlists resolve as
+    * point reads; here the bucketed scan reports HashPartitioning(vec_id)
+    * and the rerank join exchanges only the slim (q_id, vec_id) shortlist. */
+  private def ensureVecBucketedTable(spark: SparkSession, sfDir: String): String =
+    this.synchronized {
+      val (path, _) = ensureIvfIndexWithCodebook(spark, sfDir)
+      val fp = graft.Tables.fingerprint(sfDir, "embeddings")
+      val tbl = "vec_bkt" + sfDir.replaceAll("[^A-Za-z0-9]+", "_")
+      vecBucketedBuilt.get(sfDir) match {
+        case Some((f, t)) if f == fp && spark.catalog.tableExists(t) => t
+        case _ =>
+          if (!spark.catalog.tableExists(tbl)) {
+            graft.GraftConf.deleteOrphanTableDir(spark, tbl)
+          }
+          spark.read.parquet(path)
+            .select(col("vec_id"), col("v"))
+            .write.bucketBy(IvfK, "vec_id").sortBy("vec_id").mode("overwrite")
+            .saveAsTable(tbl)
+          vecBucketedBuilt(sfDir) = (fp, tbl)
+          tbl
+      }
+    }
+
+  /** C38c — the kNN join over the COMPRESSED index (IVFADC, Jégou et al.
+    * 2011): the missing cell of the ANN matrix — C38 is exact many-query,
+    * C38b prunes candidates with IVF but still pays a full-vector cosine
+    * per candidate, C7e scores compressed codes for ONE query; this is the
+    * many-query regime a 100 TB embedding-dedup or hard-negative-mining
+    * pass actually runs. Probe planning is C38b's, fully DISTRIBUTED: each
+    * query row derives its nProbe cid list row-locally (only the O(K)
+    * codebook broadcasts) AND builds its own M×Ks ADC lookup table as 128
+    * fixed-order fold expressions over the PQ-book literals — the classic
+    * per-query ADC table, computed on the executor so the |Q| ∝ N query
+    * set never touches the driver. Candidates meet the CODED bucketed
+    * index in the cid equi-join (corpus side: zero exchange, and the scan
+    * moves 4-byte codes, not 512-byte vectors); each candidate's
+    * approximate score is 8 table lookups summed in fixed subspace order;
+    * the per-query top-[[PqJoinRerank]] shortlist is a slim-row window
+    * rank; and ONLY the shortlist joins back to the full-vector store for
+    * the exact cosine rerank (R point-reads per query at scale, never a
+    * second corpus scan) under C38's rank/tie/round rules — so recall is
+    * directly measurable against the exact baseline (OperatorsSpec).
+    * Merge hints pin every ∝ N side off the driver, as in C38b. */
+  def knnJoinPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val nProbe = 4
+    val (tbl, codebook, books) = ensurePqBucketedTable(spark, sfDir)
+    // the per-query ADC table, (m asc, c asc) order: element m*Ks+c+1 is
+    // q_sub(m) · book(m)(c) — the same 0.0-seeded fold as the oracle's
+    val adcTable = array((for (m <- 0 until PqM; c <- 0 until PqKs) yield
+      aggregate(
+        zip_with(slice(col("q"), m * PqDsub + 1, PqDsub), lit(books(m)(c)),
+          (x, cc) => x * cc),
+        lit(0.0), (acc, z) => acc + z)): _*)
+    val queriesOf = Tables.load(spark, sfDir, "embeddings")
+      .filter(col("vec_id") % 97 === 7)
+      .select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("q"))
+    val probes = queriesOf
+      .select(col("q_id"), adcTable.as("tbl"),
+        explode(graft.functions.GraftFunctions
+          .nearestCidsBroadcast(spark, col("q"), codebook, nProbe)).as("cid"))
+    // approximate inner product: 8 lookups, fixed subspace order (left-
+    // assoc sum, the oracle's CASE-sum order)
+    val adc = (0 until PqM)
+      .map(m => element_at(col("tbl"), col(s"c$m") + lit(m * PqKs + 1)))
+      .reduce(_ + _)
+    val shortlist = spark.table(tbl)
+      .join(probes.hint("merge"), "cid")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), adc.as("adc"))
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("adc").desc, col("vec_id"))
+    val cand = shortlist.withColumn("srk", row_number().over(ws))
+      .filter(col("srk") <= PqJoinRerank)
+      .select(col("q_id"), col("vec_id"))
+    // exact rerank over full vectors — only the R-per-query shortlist reads
+    // them: the q_id join reuses the ADC window's partitioning, and the
+    // vec_id leg meets the vec_id-BUCKETED vector store (zero corpus-side
+    // exchange — the point-read shape; only the slim shortlist shuffles)
+    val sims = cand
+      .join(queriesOf.hint("merge"), "q_id")
+      .join(spark.table(ensureVecBucketedTable(spark, sfDir)).hint("merge"),
+        "vec_id")
+      .select(col("q_id"), col("vec_id"),
+        graft.functions.GraftFunctions.cosine(spark, col("v"), col("q")).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    sims.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("rnk"), col("vec_id").as("cand_id"),
+        round(col("sim"), 6).as("sim_r"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** C38c's oracle: PQ-book literals + coarse-centroid literals (both
+    * dir-bound, untrained fallbacks labeled), ROW_NUMBER argmin codes,
+    * per-query ADC tables from the same 0.0-seeded folds, fixed-order
+    * CASE sum, shortlist rank, exact-cosine rerank under C38's rules —
+    * every double the same IEEE op sequence as the plan. */
+  def knnJoinPqSql(sfDir: String): String = {
+    val fp = if (sfDir.nonEmpty) graft.Tables.fingerprint(sfDir, "embeddings") else ""
+    val books = pqCache.get(sfDir).filter(_._1 == fp).map(_._2)
+    val pqCentCte = books match {
+      case Some(b) =>
+        val rows = (for (m <- 0 until PqM; c <- 0 until PqKs)
+          yield s"($m, $c, ${b(m)(c).mkString("[", ", ", "]")})").mkString(",\n  ")
+        s"cent AS (SELECT m, c, cv FROM (VALUES\n  $rows) t(m, c, cv))"
+      case None =>
+        s"""cent AS (
+           | SELECT t.m, CAST(e.vec_id AS INT) AS c,
+           |  list_transform(range(1, ${PqDsub + 1}), i -> e.v[t.m * $PqDsub + i]) AS cv
+           | FROM e, range($PqM) t(m) WHERE e.vec_id < $PqKs)""".stripMargin
+    }
+    val coarseCte = centroidValuesCte(cachedCodebook(sfDir))
+      .getOrElse(s"c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $IvfK)")
+    def fold(body: String) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, ${PqDsub + 1}), i -> $body)), (a, b) -> a + b)"
+    val adcSum = (0 until PqM)
+      .map(m => s"MAX(CASE WHEN s.m = $m THEN t.ip END)").mkString(" + ")
+    s"""WITH e AS (
+       | SELECT vec_id, list_transform(embedding, z -> CAST(z AS DOUBLE)) AS v
+       | FROM embeddings),
+       |$coarseCte,
+       |$pqCentCte,
+       |asn AS (
+       | SELECT vec_id, cid,
+       |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rk
+       | FROM (SELECT x.vec_id, c.cid, ${sqlCos("x.v", "c.cv")} AS csim FROM e x, c) t),
+       |assigned AS (SELECT vec_id, cid FROM asn WHERE rk = 1),
+       |l2 AS (
+       | SELECT e.vec_id, cent.m, cent.c,
+       |  ${fold("(e.v[cent.m * " + PqDsub + " + i] - cent.cv[i]) * (e.v[cent.m * " + PqDsub + " + i] - cent.cv[i])")} AS l2
+       | FROM e, cent),
+       |codes AS (
+       | SELECT vec_id, m, c AS code FROM (
+       |  SELECT vec_id, m, c,
+       |   ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY l2, c) AS rk
+       |  FROM l2) x WHERE rk = 1),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 97 = 7),
+       |pl AS (
+       | SELECT q_id, cid FROM (
+       |  SELECT q_id, cid,
+       |   ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY csim DESC, cid) AS prk
+       |  FROM (SELECT q.q_id, c.cid, ${sqlCos("q.qv", "c.cv")} AS csim FROM q, c) t) x
+       | WHERE prk <= 4),
+       |tbl AS (
+       | SELECT q.q_id, cent.m, cent.c,
+       |  ${fold("q.qv[cent.m * " + PqDsub + " + i] * cent.cv[i]")} AS ip
+       | FROM q, cent),
+       |cand AS (
+       | SELECT pl.q_id, a.vec_id
+       | FROM assigned a JOIN pl ON a.cid = pl.cid
+       | WHERE a.vec_id <> pl.q_id),
+       |scores AS (
+       | SELECT cand.q_id, cand.vec_id, $adcSum AS adc
+       | FROM cand
+       | JOIN codes s ON s.vec_id = cand.vec_id
+       | JOIN tbl t ON t.q_id = cand.q_id AND t.m = s.m AND t.c = s.code
+       | GROUP BY cand.q_id, cand.vec_id),
+       |short AS (
+       | SELECT q_id, vec_id FROM (
+       |  SELECT q_id, vec_id,
+       |   ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc DESC, vec_id) AS rk
+       |  FROM scores) x WHERE rk <= $PqJoinRerank),
+       |rer AS (
+       | SELECT sh.q_id, sh.vec_id, ${sqlCos("e.v", "q.qv")} AS sim
+       | FROM short sh JOIN e ON e.vec_id = sh.vec_id JOIN q ON q.q_id = sh.q_id),
+       |rk AS (
+       | SELECT q_id, vec_id, sim,
+       |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+       | FROM rer)
+       |SELECT q_id, CAST(rnk AS INT) AS rnk, vec_id AS cand_id, ROUND(sim, 6) AS sim_r
+       |FROM rk WHERE rnk <= 5
+       |ORDER BY q_id, rnk""".stripMargin
+  }
+
   // ----- C29: semantic dedup -----
 
   /** Semantic-dedup cluster BUDGET — the flat ceiling on K. SemDeDup itself
@@ -1298,7 +1526,8 @@ object Similarity {
     "dedup_semantic" -> (dedupSemantic _),
     "embed_quantize" -> (embedQuantize _),
     "embed_prune" -> (embedPrune _),
-    "sim_pq" -> (simPq _))
+    "sim_pq" -> (simPq _),
+    "knn_join_pq" -> (knnJoinPq _))
 
   /** Generated oracle for C7b — the TRAINED centroids are inlined as list
     * literals (Scala's Double.toString round-trips exactly, so DuckDB parses
@@ -1379,7 +1608,8 @@ object Similarity {
     "stream_dedup_semantic" -> streamDedupSemanticSql(sfDir),
     "embed_quantize" -> embedQuantizeSql,
     "embed_prune" -> embedPruneSql(sfDir),
-    "sim_pq" -> simPqSql(sfDir))
+    "sim_pq" -> simPqSql(sfDir),
+    "knn_join_pq" -> knnJoinPqSql(sfDir))
 
   /** Dir-less contract form, total for any JVM state: one trained codebook →
     * that dir's centroid-literal oracle; none → the data-derived seed

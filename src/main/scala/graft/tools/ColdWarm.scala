@@ -28,8 +28,23 @@ object ColdWarm {
       graft.SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
     }
-    def time(name: String): Double = {
-      val t0 = System.nanoTime(); run(name); (System.nanoTime() - t0) / 1e9
+    // lm_model's probe: acquire the trained model artifact and score a
+    // BOUNDED slice through it. The natural representative query
+    // (text_perplexity) scores the WHOLE corpus — a Θ(N) pure-map kernel
+    // pass whose warm time is linear compute, not store economics (r11's
+    // "warm ×5.8" read was exactly this conflation: the model fetch itself
+    // is a 0-ms fingerprint-checked cache hit). The bench lane keeps the
+    // full-corpus number; THIS table measures the store.
+    def lmStoreProbe(): Unit = {
+      val (u, b) = graft.operators.TextAnalysis.lmModel(spark, sfDir)
+      graft.operators.TextAnalysis.lmProjection(spark,
+          graft.Tables.load(spark, sfDir, "documents")
+            .filter(org.apache.spark.sql.functions.col("doc_id") < 1000),
+          u, b)
+        .write.format("noop").mode("overwrite").save()
+    }
+    def time(probe: () => Unit): Double = {
+      val t0 = System.nanoTime(); probe(); (System.nanoTime() - t0) / 1e9
     }
     def clearAll(): Unit = {
       graft.operators.Dedup.clear()
@@ -51,21 +66,24 @@ object ColdWarm {
     // reference-LM blob build. r11: the fingerprint-reused streaming
     // stores — the dedup ingest store and the cid-partitioned append
     // layout — whose cold run pays the full micro-batch replay)
-    val families = Seq(
-      "signatures" -> "dedup_minhash",
-      "semantic_assignment" -> "dedup_semantic",
-      "ivf_index" -> "sim_ivf_pruned",
-      "ivf_bucketed" -> "knn_join_ivf",
-      "media_hashes" -> "dedup_media",
-      "lm_model" -> "text_perplexity",
-      "stream_ingest_store" -> "stream_dedup_semantic",
-      "ivf_append_store" -> "stream_ivf_append")
+    val families: Seq[(String, String, () => Unit)] = Seq(
+      ("signatures", "dedup_minhash", () => run("dedup_minhash")),
+      ("semantic_assignment", "dedup_semantic", () => run("dedup_semantic")),
+      ("ivf_index", "sim_ivf_pruned", () => run("sim_ivf_pruned")),
+      ("ivf_bucketed", "knn_join_ivf", () => run("knn_join_ivf")),
+      // r12: the IVFADC artifacts — PQ books + coded bucketed table +
+      // vec_id-bucketed rerank store — all built by the C38c query's cold run
+      ("pq_coded_index", "knn_join_pq", () => run("knn_join_pq")),
+      ("media_hashes", "dedup_media", () => run("dedup_media")),
+      ("lm_model", "lm_store_probe", () => lmStoreProbe()),
+      ("stream_ingest_store", "stream_dedup_semantic", () => run("stream_dedup_semantic")),
+      ("ivf_append_store", "stream_ivf_append", () => run("stream_ivf_append")))
     def r3(v: Double) =
       new java.math.BigDecimal(v).setScale(3, java.math.RoundingMode.HALF_UP)
-    val lines = families.map { case (family, q) =>
+    val lines = families.map { case (family, q, probe) =>
       clearAll()
-      val cold = time(q)
-      val warm = time(q)
+      val cold = time(probe)
+      val warm = time(probe)
       s"""{"family":"$family","query":"$q","cold_sec":${r3(cold)},"warm_sec":${r3(warm)},"sf":"$sfDir"}"""
     }
     try {

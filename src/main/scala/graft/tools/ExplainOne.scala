@@ -9,7 +9,7 @@ object ExplainOne {
     val df = SparkEntry.queries(args(0))(spark, args.lift(1).getOrElse("/root/testdata/sf0.001"))
     df.write.format("noop").mode("overwrite").save()
     println("=====PLAN=====")
-    println(df.queryExecution.executedPlan.toString.take(8000))
+    println(df.queryExecution.executedPlan.toString)
     spark.stop()
   }
 }

@@ -336,6 +336,33 @@ class OperatorsSpec extends SparkSpec {
     assert(hits * 10 >= exact.size * 6, s"kNN-join recall $hits/${exact.size}")
   }
 
+  test("kNN join over PQ codes: per-query shape and recall vs the exact baseline") {
+    val exact = Similarity.knnJoin(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.knnJoinIvf(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pq = Similarity.knnJoinPq(spark, sfDir).collect()
+    val byQ = pq.groupBy(_.getLong(0))
+    assert(byQ.nonEmpty, "no queries in the PQ kNN join fixture")
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length == 5, s"query $q returned ${rows.length} neighbors")
+      val sims = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b },
+        s"query $q neighbors not sorted by similarity")
+    }
+    // two approximation layers stack: IVF's probe misses (C38b's) plus the
+    // ADC shortlist's 4-bit ranking error before the exact rerank. The
+    // 64-deep shortlist must keep the PQ join within one notch of the
+    // IVF-exact join: >= 50% of the exact edges pooled (C38b pins 60%),
+    // and at most 2 edges lost vs C38b itself.
+    val pqEdges = pq.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val hits = pqEdges.intersect(exact).size
+    assert(hits * 10 >= exact.size * 5, s"PQ kNN-join recall $hits/${exact.size}")
+    val ivfHits = ivf.intersect(exact).size
+    assert(hits >= ivfHits - 2,
+      s"ADC shortlist lost ${ivfHits - hits} edges vs the IVF-exact join")
+  }
+
   test("PQ+ADC search: recall floor vs exact, trained codebooks, no exchange") {
     val pq = Similarity.simPq(spark, sfDir).collect()
     assert(pq.length == 10)

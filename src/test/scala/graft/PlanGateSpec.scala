@@ -85,6 +85,12 @@ class PlanGateSpec extends SparkSpec {
     // window rank; the dedicated test below pins the no-driver/no-broadcast
     // properties this Gate row can't express
     Gate("knn_join_ivf", maxHashEx = 2, maxSortMerge = 1),
+    // C38c: five SLIM exchanges — probe cid shuffle, ADC-shortlist window,
+    // the rerank's query-side join, the shortlist's vec_id shuffle, and the
+    // final rank window; BOTH corpus-sized sides (coded index, full vector
+    // store) are bucketed scans with zero exchange. The dedicated test
+    // below pins the codes-only-scan and no-broadcast properties.
+    Gate("knn_join_pq", maxHashEx = 5, maxSortMerge = 3),
     Gate("sim_ivf_append", maxHashEx = 0, maxRangeEx = 0, needPartitionFilters = true),
     // C28: two count windows + the per-doc rollup — and NO join-back (the
     // n_docs>=2 test must stay a window, never a gram self-join)
@@ -161,6 +167,37 @@ class PlanGateSpec extends SparkSpec {
               l.contains("Filter") && l.contains(s"<= ${operators.Dedup.MaxBucket}")),
             s"$name: MaxBucket degenerate-bucket guard missing from plan:\n${plan.take(2000)}")
       }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("plan gate: knn_join_pq scans codes, not vectors — distributed ADC, rerank-only vector reads") {
+    // the IVFADC contract: probe planning is C38b's (row-local kernel, no
+    // driver materialization, no query-derived broadcast), the ADC stage's
+    // corpus side is the CODED bucketed table (4-byte codes — the scan must
+    // not read a vector column), and full vectors enter only the rerank leg
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("knn_join_pq")(spark, sfDir)
+      df.write.format("noop").mode("overwrite").save()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("LocalTableScan"),
+        s"knn_join_pq: driver-materialized rows re-entered the plan:\n${plan.take(2000)}")
+      assert(!plan.contains("BroadcastExchange"),
+        s"knn_join_pq: a query-derived side is broadcast:\n${plan.take(2000)}")
+      assert(plan.contains("graft_nearest_cids_bc"),
+        s"knn_join_pq: probe planning left the distributed kernel:\n${plan.take(2000)}")
+      assert(plan.contains("SelectedBucketsCount"),
+        s"knn_join_pq: ADC side no longer reads the bucketed coded layout:\n${plan.take(2000)}")
+      val codedScan = plan.linesIterator.find(_.contains("pq_bkt"))
+      assert(codedScan.exists(l => !l.contains("v#")),
+        s"knn_join_pq: the coded scan reads a vector column — PQ compression lost:\n$codedScan")
+      // the rerank's vector store is the vec_id-bucketed table: a rerank
+      // that re-shuffles the full vector store would print an Exchange over
+      // an embeddings-sized side instead of this bucketed scan
+      assert(plan.linesIterator.exists(l =>
+          l.contains("vec_bkt") && l.contains("Bucketed: true")),
+        s"knn_join_pq: rerank left the bucketed vector store:\n${plan.take(2000)}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
