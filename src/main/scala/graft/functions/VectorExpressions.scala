@@ -842,6 +842,28 @@ object GraftFunctions {
       "graft_gram_hits expects (text, n int literal, gram-blob string literal)")
   }
 
+  val pqCodesInfo = new ExpressionInfo(
+    classOf[PqEncodeCodes].getName, "graft_pq_codes")
+
+  /** (v, m literal, ks literal, dsub literal, flat-books double-array
+    * literal) — the codebooks are plan metadata, nearestCid's contract. */
+  private[functions] val pqCodesBuilder: Seq[Expression] => Expression = {
+    case Seq(v, mArg, ksArg, dsubArg, flatArg)
+      if Seq(mArg, ksArg, dsubArg).forall(a => a.foldable &&
+          a.dataType.isInstanceOf[org.apache.spark.sql.types.IntegerType] &&
+          a.eval(null) != null) &&
+        flatArg.foldable && flatArg.eval(null) != null =>
+      PqEncodeCodes(v,
+        mArg.eval(null).asInstanceOf[Int],
+        ksArg.eval(null).asInstanceOf[Int],
+        dsubArg.eval(null).asInstanceOf[Int],
+        flatArg.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toDoubleArray().toSeq)
+    case _ => throw new IllegalArgumentException(
+      "graft_pq_codes expects (v, m int literal, ks int literal, " +
+        "dsub int literal, flat-books array<double> literal)")
+  }
+
   val gramMarksInfo = new ExpressionInfo(
     classOf[GramMarkPositions].getName, "graft_gram_marks")
 
@@ -932,6 +954,7 @@ object GraftFunctions {
       (FunctionIdentifier("graft_top_gram"), topGramInfo, topGramBuilder),
       (FunctionIdentifier("graft_gram_hits"), gramHitsInfo, gramHitsBuilder),
       (FunctionIdentifier("graft_gram_marks"), gramMarksInfo, gramMarksBuilder),
+      (FunctionIdentifier("graft_pq_codes"), pqCodesInfo, pqCodesBuilder),
       (FunctionIdentifier("graft_minhash_sig"), minhashSigInfo, minhashSigBuilder),
       (FunctionIdentifier("graft_lm_score"), lmScoreInfo, lmScoreBuilder),
       (FunctionIdentifier("graft_lm_score_bc"), lmScoreBcInfo, lmScoreBcBuilder))
@@ -1019,6 +1042,23 @@ object GraftFunctions {
     ensureRegistered(spark)
     call_function("graft_gram_marks", text,
       org.apache.spark.sql.functions.lit(n), org.apache.spark.sql.functions.lit(blob))
+  }
+
+  /** Column-API entry point: a vector's M PQ codes under trained books
+    * (books(m)(c) = centroid c of subspace m). */
+  def pqCodes(spark: SparkSession, v: Column,
+    books: Array[Array[Array[Double]]]): Column = {
+    require(books.nonEmpty && books.head.nonEmpty && books.head.head.nonEmpty,
+      "pqCodes: empty codebooks")
+    val (m, ks, dsub) = (books.length, books.head.length, books.head.head.length)
+    require(books.forall(b => b.length == ks && b.forall(_.length == dsub)),
+      "pqCodes: ragged codebooks")
+    ensureRegistered(spark)
+    call_function("graft_pq_codes", v,
+      org.apache.spark.sql.functions.lit(m),
+      org.apache.spark.sql.functions.lit(ks),
+      org.apache.spark.sql.functions.lit(dsub),
+      org.apache.spark.sql.functions.lit(books.flatten.flatten))
   }
 
   /** Column-API entry point: per-doc top-bigram stats struct (C31). */
@@ -1159,6 +1199,82 @@ object GraftFunctions {
     call_function("graft_might_contain",
       org.apache.spark.sql.functions.lit(bloomBytes), value)
   }
+}
+
+/** PQ-encode kernel for [[PqEncodeCodes]]: one pass over a vector emitting
+  * its M product-quantization codes — per subspace, the L2-argmin centroid
+  * with ties to the lowest code, each L2 a 0.0-seeded LEFT fold of squared
+  * diffs in dimension order. This is bit-for-bit the composed HOF form
+  * (least over aggregate(zip_with…)) Similarity.pqCodeExpr builds — the
+  * HOF tree is interpreted (higher-order functions sit outside whole-stage
+  * codegen) and costs M·Ks·dsub lambda dispatches per row; the kernel is
+  * one generated call (FunctionsSpec pins the equivalence). */
+object PqEncodeKernel {
+  def codes(x: org.apache.spark.sql.catalyst.util.ArrayData,
+    m: Int, ks: Int, dsub: Int, books: Array[Array[Double]]):
+      org.apache.spark.sql.catalyst.util.ArrayData = {
+    val out = new Array[Any](m)
+    var mm = 0
+    while (mm < m) {
+      var bestL2 = Double.PositiveInfinity
+      var bestC = 0
+      var c = 0
+      while (c < ks) {
+        val cv = books(mm * ks + c)
+        var l2 = 0.0
+        var d = 0
+        while (d < dsub) {
+          val diff = x.getDouble(mm * dsub + d) - cv(d)
+          l2 += diff * diff
+          d += 1
+        }
+        // strict less + ascending scan = least(struct(l2, c))'s tie rule
+        if (l2 < bestL2) { bestL2 = l2; bestC = c }
+        c += 1
+      }
+      out(mm) = bestC
+      mm += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** A vector's M PQ codes as ONE projected array expression — the encode leg
+  * of C7e/C38c as a native kernel. The codebooks travel as
+  * `(m, ks, dsub, flat)` value-equal fields (NearestCentroid's transport
+  * rule), parsed once per plan. */
+case class PqEncodeCodes(child: Expression, m: Int, ks: Int, dsub: Int,
+  flat: Seq[Double])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(m > 0 && ks > 0 && dsub > 0, "graft_pq_codes: bad dimensions")
+  require(flat.size == m * ks * dsub,
+    s"graft_pq_codes: flat size ${flat.size} != $m x $ks x $dsub")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_pq_codes expects array<double>, got $t")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_pq_codes"
+
+  @transient private lazy val books: Array[Array[Double]] =
+    flat.toArray.grouped(dsub).toArray
+
+  override protected def nullSafeEval(a: Any): Any =
+    PqEncodeKernel.codes(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      m, ks, dsub, books)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val b = ctx.addReferenceObj("pqBooks", books, "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.PqEncodeKernel.codes($c, $m, $ks, $dsub, $b)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeCodes =
+    copy(child = newChild)
 }
 
 /** Extensions entry point: `--conf spark.sql.extensions=graft.functions.GraftExtensions`. */

@@ -1039,8 +1039,7 @@ object PipelineOps {
     * special case of this gram-chain join. Sub-5-token documents are never
     * trimmed (a whole-doc duplicate is C1's removal, not a substring's). */
   def dedupSubstr(spark: SparkSession, sfDir: String): DataFrame =
-    dedupSubstrOn(Tables.load(spark, sfDir, "documents"))
-      .orderBy(col("doc_id"))
+    dedupSubstrOn(Tables.load(spark, sfDir, "documents"), sortBeforeCut = true)
 
   /** The substring-removal core over any (doc_id, text) frame — separated so
     * the spec can plant hand-computed overlap fixtures. `passengers` names
@@ -1051,14 +1050,14 @@ object PipelineOps {
     * sibling DataFrame subtrees, so a rejoin would re-run the whole
     * upstream projection per branch. */
   private[graft] def dedupSubstrOn(d: DataFrame,
-    passengers: Seq[String] = Nil): DataFrame = {
+    passengers: Seq[String] = Nil, sortBeforeCut: Boolean = false): DataFrame = {
     val byG = org.apache.spark.sql.expressions.Window.partitionBy("g")
     val marked = posGrams(d)
       .withColumn("owner", min(col("doc_id")).over(byG))
       .filter(col("owner") < col("doc_id"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("pos"))).as("marked"))
-    cutMarked(d, marked, passengers)
+    cutMarked(d, marked, passengers, sortBeforeCut)
   }
 
   /** Positional word-5-grams — (doc_id, pos, g) with 0-based token
@@ -1093,15 +1092,23 @@ object PipelineOps {
     * pipeline (C41) sorts after its digest window — an inner sort would
     * ride into that plan as a second, wasted range exchange. */
   private def cutMarked(d: DataFrame, marked: DataFrame,
-    passengers: Seq[String] = Nil): DataFrame = {
+    passengers: Seq[String] = Nil, sortBeforeCut: Boolean = false): DataFrame = {
     require(passengers.intersect(
       Seq("doc_id", "text", "ts", "n_tokens", "n_removed", "kept",
         "kept_text", "marked", "pos", "g", "owner")).isEmpty,
       s"cutMarked passengers collide with internal columns: $passengers")
     val ride = passengers.map(col)
-    cutFromMarked(
-      d.select(col("doc_id") +: split(col("text"), " ").as("ts") +: ride: _*)
-        .join(marked, Seq("doc_id"), "left"),
+    val joined = d
+      .select(col("doc_id") +: split(col("text"), " ").as("ts") +: ride: _*)
+      .join(marked, Seq("doc_id"), "left")
+    // sortBeforeCut: establish the entry point's doc_id output order HERE,
+    // between the join and the cut, so the range exchange's sampling job
+    // re-evaluates only scan+split+join — never the interpreted cut HOFs
+    // (Tables.loadSorted documents the double-eval; measured ~25% of
+    // dedup_substr's sf1 time). Strategy-independent: the sort sits above
+    // the join, so it holds whether the join broadcasts or merges.
+    // Composed pipelines (C41) keep sorting at their own entry.
+    cutFromMarked(if (sortBeforeCut) joined.orderBy(col("doc_id")) else joined,
       passengers)
   }
 
@@ -1154,8 +1161,8 @@ object PipelineOps {
     val d = Tables.load(spark, sfDir, "documents")
     decontamSubstrOn(d.filter(col("doc_id") % 97 =!= 0),
       d.filter(col("doc_id") % 97 === 0),
-      bloom = Some((spark, benchBloom(spark, sfDir))))
-      .orderBy(col("doc_id"))
+      bloom = Some((spark, benchBloom(spark, sfDir))),
+      sortBeforeCut = true)
   }
 
   /** The C45 core over explicit (train, bench) frames — separated so the
@@ -1165,7 +1172,8 @@ object PipelineOps {
     * adds short-doc fallback entries — supersets only widen the FP band
     * the exact join already kills, never drop a true hit). */
   private[graft] def decontamSubstrOn(train: DataFrame, bench: DataFrame,
-    bloom: Option[(SparkSession, Array[Byte])] = None): DataFrame = {
+    bloom: Option[(SparkSession, Array[Byte])] = None,
+    sortBeforeCut: Boolean = false): DataFrame = {
     val benchGrams = posGrams(bench).select(col("g")).distinct()
     val trainGrams = posGrams(train)
     val suspicious = bloom.fold(trainGrams) { case (s, bytes) =>
@@ -1176,7 +1184,7 @@ object PipelineOps {
       .join(benchGrams, Seq("g"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("pos"))).as("marked"))
-    cutMarked(train, marked)
+    cutMarked(train, marked, sortBeforeCut = sortBeforeCut)
   }
 
   /** Same positional-gram domain in DuckDB (1-based positions — the indexed

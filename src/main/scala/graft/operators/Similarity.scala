@@ -823,7 +823,7 @@ object Similarity {
     * same shape as nearestCid and the same ROW_NUMBER(l2 ASC, c ASC)
     * tie-break the oracle uses. Fold order is pinned (0.0-seeded left fold)
     * so the doubles are bit-identical cross-engine. */
-  private def pqCodeExpr(m: Int, books: Array[Array[Array[Double]]]): Column = {
+  private[graft] def pqCodeExpr(m: Int, books: Array[Array[Array[Double]]]): Column = {
     val sv = slice(col("v"), m * PqDsub + 1, PqDsub)
     least((0 until PqKs).map { c =>
       struct(
@@ -853,8 +853,11 @@ object Similarity {
         }
         val sample = e.filter(pmod(col("vec_id"), lit(3)) === 0)
         for (_ <- 1 to PqIters) {
+          // one native encode per row (functions.PqEncodeCodes — bit-equal
+          // to the composed pqCodeExpr argmin trees, FunctionsSpec-pinned)
+          val codes = graft.functions.GraftFunctions.pqCodes(spark, col("v"), books)
           val subStructs = array((0 until PqM).map { m =>
-            struct(lit(m).as("m"), pqCodeExpr(m, books).as("code"),
+            struct(lit(m).as("m"), element_at(codes, m + 1).as("code"),
               slice(col("v"), m * PqDsub + 1, PqDsub).as("sv"))
           }: _*)
           val means = sample.select(explode(subStructs).as("s"))
@@ -910,10 +913,13 @@ object Similarity {
       s
     }
     // codes materialize in their own projection (the "stored" encoded form),
-    // so each argmin tree is evaluated once, not once per CASE branch
+    // via ONE native kernel call per row (functions.PqEncodeCodes — the
+    // composed argmin trees cost M·Ks·dsub interpreted lambda dispatches)
+    val pqc = graft.functions.GraftFunctions.pqCodes(spark, col("v"), books)
     val encoded = e.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("v"), pqc.as("codes"))
       .select(col("vec_id") +: col("v") +:
-        (0 until PqM).map(m => pqCodeExpr(m, books).as(s"c$m")): _*)
+        (0 until PqM).map(m => element_at(col("codes"), m + 1).as(s"c$m")): _*)
     val score = (0 until PqM).map { m =>
       (0 until PqKs).foldLeft(lit(Double.NaN)) { (acc, c) =>
         when(col(s"c$m") === lit(c), lit(table(m)(c))).otherwise(acc)
@@ -1025,9 +1031,12 @@ object Similarity {
           if (!spark.catalog.tableExists(tbl)) {
             graft.GraftConf.deleteOrphanTableDir(spark, tbl)
           }
+          val codes = graft.functions.GraftFunctions.pqCodes(spark, col("v"), books)
           spark.read.parquet(path)
-            .select(col("vec_id") +: col("cid").cast("bigint").as("cid") +:
-              (0 until PqM).map(m => pqCodeExpr(m, books).as(s"c$m")): _*)
+            .select(col("vec_id"), col("cid").cast("bigint").as("cid"),
+              codes.as("codes"))
+            .select(col("vec_id") +: col("cid") +:
+              (0 until PqM).map(m => element_at(col("codes"), m + 1).as(s"c$m")): _*)
             .write.bucketBy(IvfK, "cid").sortBy("cid").mode("overwrite")
             .saveAsTable(tbl)
           pqBucketedBuilt(sfDir) = (fp, tbl)

@@ -693,6 +693,33 @@ class FunctionsSpec extends SparkSpec {
     assert(none.forall(_.isEmpty), "empty dictionary produced a mark")
   }
 
+  test("native PQ-encode kernel equals the composed argmin-tree form bit-for-bit") {
+    import spark.implicits._
+    // deterministic 64-dim fixture vectors + 8x16x8 books with planted ties
+    // (books 3 and 7 of subspace 2 are identical -> the lowest code must win)
+    def vec(seed: Int): Array[Double] =
+      Array.tabulate(64)(i => ((seed * 31 + i * 7) % 13 - 6) / 3.0)
+    val books = Array.tabulate(8, 16)((m, c) =>
+      if (m == 2 && c == 7) vec(100 + 2 * 16 + 3).slice(16, 24)
+      else vec(100 + m * 16 + c).slice(m * 8, m * 8 + 8))
+    val df = (0 until 20).map(i => (i.toLong, vec(i).toSeq)).toDF("vec_id", "v")
+    val got = df.select(col("vec_id"),
+        graft.functions.GraftFunctions.pqCodes(spark, col("v"), books).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val want = df.select(col("vec_id") +:
+        (0 until 8).map(m => graft.operators.Similarity.pqCodeExpr(m, books).as(s"c$m")): _*)
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getInt)).toMap
+    (0 until 20).foreach { i =>
+      assert(got(i.toLong) == want(i.toLong),
+        s"vec $i: kernel ${got(i.toLong)} != composed ${want(i.toLong)}")
+    }
+    // the planted duplicate book means some vector's subspace-2 argmin is a
+    // tie — the equality above only exercises the tie rule if code 3 (the
+    // lower of the identical pair) actually appears
+    assert(got.values.exists(_(2) == 3), "tie fixture never selected — widen it")
+    assert(got.values.forall(_(2) != 7), "a tie resolved to the HIGHER code")
+  }
+
   test("row-local minhash kernel equals the reference signature semantics") {
     import spark.implicits._
     import graft.functions.MinHashFamily

@@ -97,12 +97,14 @@ class PlanGateSpec extends SparkSpec {
     Gate("dedup_spans", maxHashEx = 3),
     // C39: owner window on the gram + marked rollup + text join-back — three
     // slim exchanges, never a gram self-join; the cut is a row-local HOF
-    Gate("dedup_substr", maxHashEx = 3, maxSortMerge = 1),
+    Gate("dedup_substr", maxHashEx = 3, maxSortMerge = 1,
+      aboveSortMarker = Some("array_except")),
     // C45: the mark stage is the bench equi-join, NOT an owner window — two
     // hash exchanges only (bench distinct on g + the marked doc rollup),
     // bench grams and the marked arrays both broadcast; the dedicated test
     // below pins the no-corpus-g-shuffle and bloom-front properties
-    Gate("decontam_substr", maxHashEx = 2, minBroadcast = 2),
+    Gate("decontam_substr", maxHashEx = 2, minBroadcast = 2,
+      aboveSortMarker = Some("array_except")),
     // the composed gate ladder adds NO hash exchange over C39 itself: both
     // kernel gates ride the scan stage (DataFilters), and the post-cut
     // digest window replaces C39's budget for the text join (broadcast at
