@@ -819,9 +819,8 @@ object PipelineOps {
   }
 
   def corpusSplit(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = Tables.load(spark, sfDir, "documents")
+    val d = Tables.loadSorted(spark, sfDir, "documents", "doc_id")
     d.select(col("doc_id"), splitOf(col("doc_id")).as("split"))
-      .orderBy(col("doc_id"))
   }
 
   val corpusSplitSql: String =

@@ -764,7 +764,9 @@ object Similarity {
     * this float-heavy op is hash-checkable. The quantization guarantee
     * max_abs_err ≤ scale/2 is pinned in OperatorsSpec. */
   def embedQuantize(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = Tables.load(spark, sfDir, "embeddings")
+    // pre-sorted input: the per-element quantization map runs once, above
+    // the range exchange (Tables.loadSorted has the sampling-job argument)
+    val e = Tables.loadSorted(spark, sfDir, "embeddings", "vec_id")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val q: Column => Column = x => floor(x / col("q_scale") + lit(0.5))
     e.withColumn("max_abs", array_max(transform(col("v"), x => abs(x))))
@@ -776,7 +778,6 @@ object Similarity {
         when(col("max_abs") === 0.0, lit(0L)).otherwise(
           size(filter(col("v"), x => abs(q(x)) === lit(127L))).cast("bigint"))
           .as("n_saturated"))
-      .orderBy(col("vec_id"))
   }
 
   /** DuckDB oracle with the identical IEEE op sequence per element
