@@ -110,11 +110,19 @@ object Similarity {
     * this operator exists to run) and the build REFUSES a query set above
     * [[knnMaxQ]] instead of silently broadcasting a corpus-scale side —
     * the same loud-failure contract as the LM reference ceiling. */
+  /** ONE definition of the kNN-join query set — the graded |Q| ∝ N slice
+    * every C38 variant (exact, IVF, PQ) and every oracle's `vec_id % 97 =
+    * 7` must agree on; the recall comparisons in OperatorsSpec assume all
+    * three operators rank the SAME queries. */
+  private def knnQueries(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "embeddings")
+      .filter(col("vec_id") % 97 === 7)
+      .select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("q"))
+
   def knnJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.load(spark, sfDir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val queries = e.filter(col("vec_id") % 97 === 7)
-      .select(col("vec_id").as("q_id"), col("v").as("q"))
+    val queries = knnQueries(spark, sfDir)
     // the ceiling count is memoized per (dir, fingerprint) like every
     // trained artifact: the check is eager (build-time), and without the
     // memo every plan BUILD — gates, EXPLAIN tooling, harness wiring —
@@ -239,9 +247,7 @@ object Similarity {
   def knnJoinIvf(spark: SparkSession, sfDir: String): DataFrame = {
     val nProbe = 4
     val (tbl, codebook) = ensureIvfBucketedTable(spark, sfDir)
-    val probes = Tables.load(spark, sfDir, "embeddings")
-      .filter(col("vec_id") % 97 === 7)
-      .select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("q"))
+    val probes = knnQueries(spark, sfDir)
       .select(col("q_id"), col("q"),
         explode(graft.functions.GraftFunctions
           .nearestCidsBroadcast(spark, col("q"), codebook, nProbe)).as("cid"))
@@ -1101,15 +1107,16 @@ object Similarity {
     val nProbe = 4
     val (tbl, codebook, books) = ensurePqBucketedTable(spark, sfDir)
     // the per-query ADC table, (m asc, c asc) order: element m*Ks+c+1 is
-    // q_sub(m) · book(m)(c) — the same 0.0-seeded fold as the oracle's
+    // q_sub(m) · book(m)(c) — the same 0.0-seeded fold as the oracle's.
+    // These 128 folds are interpreted HOFs, but they run on |Q| = N/97
+    // QUERY rows only (~1% of the encode cost PqEncodeKernel eliminated);
+    // a native ADC-table kernel is the dual upgrade if |Q| ever grows
     val adcTable = array((for (m <- 0 until PqM; c <- 0 until PqKs) yield
       aggregate(
         zip_with(slice(col("q"), m * PqDsub + 1, PqDsub), lit(books(m)(c)),
           (x, cc) => x * cc),
         lit(0.0), (acc, z) => acc + z)): _*)
-    val queriesOf = Tables.load(spark, sfDir, "embeddings")
-      .filter(col("vec_id") % 97 === 7)
-      .select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("q"))
+    val queriesOf = knnQueries(spark, sfDir)
     val probes = queriesOf
       .select(col("q_id"), adcTable.as("tbl"),
         explode(graft.functions.GraftFunctions

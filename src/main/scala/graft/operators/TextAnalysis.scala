@@ -441,12 +441,18 @@ object TextAnalysis {
     // a second line-count rule here could silently diverge from the V
     // inside every score term if a blob ever carried duplicate entries
     val v = new graft.functions.GramLmModel(uniBlob, biBlob).v
-    d.select(col("doc_id"),
+    // domain rule BEFORE the kernel, as a cheap token-count predicate
+    // (n_bigrams >= 1 ⟺ tokens >= 2 — the kernel returns
+    // max(tokens-1, 0)): a post-kernel filter on s.n_bigrams gets
+    // predicate-pushed below the entry point's sort WITH the kernel
+    // expression inside it, re-scoring every row in the filter and again
+    // in the range sampler (the single-eval plan gate caught this)
+    d.filter(size(split(col("text"), " ")) >= 2)
+      .select(col("doc_id"),
         // size-switched transport: literal blobs under the threshold,
         // executor broadcast past it — same kernel, same bits either way
         graft.functions.GraftFunctions
           .lmScoreAuto(spark, col("text"), uniBlob, biBlob).as("s"))
-      .filter(col("s.n_bigrams") >= 1)
       .select(col("doc_id"), col("s.n_bigrams").as("n_bigrams"),
         round(col("s.inv_sum") / col("s.n_bigrams"), 6).as("lm_score"),
         (col("s.inv_sum") / col("s.n_bigrams") > lit(v.toDouble)).as("lowq"))

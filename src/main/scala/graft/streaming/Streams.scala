@@ -316,7 +316,7 @@ object Streams extends Serializable {
   // partially removed under a live memo force a rebuild, never a silent
   // read of a truncated store
   private val ingestStoreMemo =
-    scala.collection.concurrent.TrieMap.empty[String, (String, Set[String])]
+    scala.collection.concurrent.TrieMap.empty[String, (String, Map[String, Long])]
 
   /** Evict the ingest-store reuse markers (ColdWarm's cold-path hook — the
     * stream-store analog of Similarity.clearCaches). The next run rebuilds
@@ -330,18 +330,20 @@ object Streams extends Serializable {
   private[graft] def storeSibling(cp: java.io.File, suffix: String): java.io.File =
     new java.io.File(cp.getAbsolutePath + suffix)
 
-  /** Recursive relative-path manifest of a store dir (empty when absent) —
-    * what the reuse memo records at build time and re-checks on the warm
-    * path, so an externally deleted or truncated store is rebuilt instead
-    * of being consumed silently. */
-  private def storeManifest(store: java.io.File): Set[String] = {
-    def walk(f: java.io.File, prefix: String): Iterator[String] =
-      if (f.isFile) Iterator(prefix + f.getName)
+  /** Recursive relative-path → length manifest of a store dir (empty when
+    * absent) — what the reuse memo records at build time and re-checks on
+    * the warm path, so an externally deleted, truncated or partially
+    * rewritten store is rebuilt instead of being consumed silently (the
+    * LENGTH is what catches in-place truncation, which a name-only set
+    * would miss). */
+  private def storeManifest(store: java.io.File): Map[String, Long] = {
+    def walk(f: java.io.File, prefix: String): Iterator[(String, Long)] =
+      if (f.isFile) Iterator((prefix + f.getName) -> f.length)
       else Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).iterator
         .flatMap(c => walk(c, prefix + f.getName + "/"))
-    if (!store.isDirectory) Set.empty
+    if (!store.isDirectory) Map.empty
     else Option(store.listFiles()).getOrElse(Array.empty[java.io.File])
-      .iterator.flatMap(c => walk(c, "")).toSet
+      .iterator.flatMap(c => walk(c, "")).toMap
   }
 
   /** ONE reuse guard for every stream-side store builder (the dedup ingest

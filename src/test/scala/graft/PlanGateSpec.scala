@@ -345,11 +345,20 @@ class PlanGateSpec extends SparkSpec {
         assert("PartitionFilters: \\[\\w".r.findFirstIn(plan).nonEmpty,
           s"${g.name}: partition pruning lost (no PartitionFilters):\n${plan.take(2000)}")
       g.aboveSortMarker.foreach { marker =>
-        val m = plan.indexOf(marker)
-        val r = plan.indexOf("Exchange rangepartitioning")
-        assert(m >= 0, s"${g.name}: marker '$marker' not in plan:\n${plan.take(2000)}")
-        assert(r < 0 || m < r,
-          s"${g.name}: '$marker' sits BELOW the output sort — the range " +
+        // line-based split at the first REAL range exchange (a
+        // ReusedExchange line repeats the same text but is a pointer —
+        // the counter above has the same rule); the marker must appear
+        // above it and NOWHERE below it (a second occurrence below the
+        // sort would be exactly the double evaluation this pin exists for)
+        val lines = plan.linesIterator.toVector
+        val r = lines.indexWhere(l =>
+          l.contains("Exchange rangepartitioning") && !l.contains("ReusedExchange"))
+        val (above, below) =
+          if (r < 0) (lines, Vector.empty[String]) else lines.splitAt(r)
+        assert(above.exists(_.contains(marker)),
+          s"${g.name}: marker '$marker' not above the output sort:\n${plan.take(2000)}")
+        assert(!below.exists(_.contains(marker)),
+          s"${g.name}: '$marker' appears BELOW the output sort — the range " +
             s"exchange's sampling job re-runs it (single-eval pin):\n${plan.take(2000)}")
       }
       val spans = "Found (\\d+) WholeStageCodegen subtrees".r

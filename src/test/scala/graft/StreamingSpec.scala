@@ -711,8 +711,15 @@ class StreamingSpec extends SparkSpec {
     assert(listing(appendDir) != l1, "eviction did not force a rebuild")
     // manifest re-validation: files deleted EXTERNALLY while the JVM memo is
     // live must force a rebuild, never a silent read of a truncated store
-    val victim = java.nio.file.Files.walk(appendDir.toPath)
-      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    val victim = {
+      val w = java.nio.file.Files.walk(appendDir.toPath)
+      try {
+        import scala.jdk.CollectionConverters._
+        val fs = w.iterator().asScala.filter(_.toString.endsWith(".parquet")).toList
+        assert(fs.nonEmpty, "no parquet file in the append store to delete")
+        fs.head
+      } finally w.close()
+    }
     java.nio.file.Files.delete(victim)
     val truncated = listing(appendDir)
     val r4 = Streams.streamIvfAppend(spark, sfDir).collect().map(_.toSeq).toSeq
