@@ -496,6 +496,20 @@ object PipelineOps {
     * blobs — separated so the spec can plant a corpus + reference that
     * exercise every stage. */
   private[graft] def prepareCorpusV2On(spark: SparkSession, d: DataFrame,
+    uniBlob: String, biBlob: String): DataFrame =
+    gateLadderSurvivors(spark, d, uniBlob, biBlob)
+      .filter(pmod(idHash(col("doc_id")), lit(100)) < 50)
+      .select(col("doc_id"), col("lang"), col("clf_score"), col("lm_score"),
+        col("n_tokens"), col("n_removed"), col("kept_text"))
+      .orderBy(col("doc_id"))
+
+  /** The shared survivor frame of the composed pipelines — C41's ladder up
+    * to (and including) the post-cut exact dedup, BEFORE the sample:
+    * classifier + LM gates → C39 cut over survivors → drop fully-cut →
+    * exact dedup keep-min on the REWRITTEN text. v2 samples this directly;
+    * v3 (C41b) runs the semantic tier over it first. ONE definition so the
+    * two pipelines can never disagree on a gate. */
+  private def gateLadderSurvivors(spark: SparkSession, d: DataFrame,
     uniBlob: String, biBlob: String): DataFrame = {
     val v = new graft.functions.GramLmModel(uniBlob, biBlob).v
     val gated = d.select(col("doc_id"), col("lang"), col("text"),
@@ -519,9 +533,56 @@ object PipelineOps {
     rewritten
       .withColumn("rep", min(col("doc_id")).over(byFp))
       .filter(col("doc_id") === col("rep"))
-      .filter(pmod(idHash(col("doc_id")), lit(100)) < 50)
       .select(col("doc_id"), col("lang"), col("clf_score"), col("lm_score"),
         col("n_tokens"), col("n_removed"), col("kept_text"))
+  }
+
+  /** C41b — composed corpus-prep v3 (`prepare_corpus_v3`): the v2 gate
+    * ladder with the SEMANTIC tier folded in before the sample — the full
+    * RefinedWeb-shaped run (filter → exact-substring cut → exact dedup →
+    * semantic dedup → sample) as ONE declarative plan. The semantic tier is
+    * C29's, survivor-restricted (the paper's order: dedup the FILTERED
+    * corpus): survivors join the memoized corpus assignment store on
+    * doc_id = vec_id (each document's embedding row — the frozen-codebook
+    * artifact is shared with C29/C32/C7b, never retrained per pipeline
+    * run), keeper ranks and the rank-guarded pair set are computed over
+    * survivors only (C29's exact contract scoped down: {(x, y) same cid,
+    * rank(x) < rank(y) <= MaxBucket}, rank = ROW_NUMBER by vec_id within
+    * cid over SURVIVORS), and the higher-rank member of any pair at
+    * cosine ≥ τ is dropped.
+    *
+    * Scale shape: the assignment side is a memoized parquet store (reading
+    * it twice costs two store scans, not two assignments); the pair stage
+    * is C29's merge-hinted self-join whose two sides reuse ONE cid
+    * exchange; and the dup set the anti-join removes is bounded by the
+    * rank guard (≤ K·MaxBucket rows). The ladder's lineage does appear in
+    * both the dup derivation and the main branch (the C39 two-branch
+    * discipline — at 100 TB a production run materializes the survivor
+    * tier between stages exactly as the v2 scaladoc documents for its own
+    * branches). */
+  def prepareCorpusV3(spark: SparkSession, sfDir: String): DataFrame = {
+    val (uniBlob, biBlob) = TextAnalysis.lmModel(spark, sfDir)
+    prepareCorpusV3On(spark, Tables.load(spark, sfDir, "documents"),
+      graft.operators.Similarity.semanticAssigned(spark, sfDir),
+      uniBlob, biBlob)
+  }
+
+  /** The C41b pipeline over explicit frames — separated so the spec can
+    * plant a corpus whose gates, cut, exact dedup AND semantic tier all
+    * fire non-vacuously. `assigned` must carry (vec_id, v, cid). */
+  private[graft] def prepareCorpusV3On(spark: SparkSession, d: DataFrame,
+    assigned: DataFrame, uniBlob: String, biBlob: String): DataFrame = {
+    val surv = gateLadderSurvivors(spark, d, uniBlob, biBlob)
+    val withAsn = surv.join(
+      assigned.select(col("vec_id"), col("v"), col("cid")),
+      surv("doc_id") === col("vec_id"))
+    val dups = graft.operators.Similarity.semanticPairs(spark, withAsn)
+      .filter(col("cosine") >= graft.operators.Similarity.SemanticTau)
+      .select(col("vec_id")).distinct()
+    withAsn.join(dups, Seq("vec_id"), "left_anti")
+      .filter(pmod(idHash(col("doc_id")), lit(100)) < 50)
+      .select(col("doc_id"), col("lang"), col("clf_score"), col("lm_score"),
+        col("n_tokens"), col("n_removed"), col("cid"), col("kept_text"))
       .orderBy(col("doc_id"))
   }
 
@@ -529,7 +590,20 @@ object PipelineOps {
     * through CTEs in pipeline order — each stage's text is its standalone
     * oracle's verbatim (same folds, same windows, same hash), re-scoped to
     * the previous stage's survivors. */
-  val prepareCorpusV2Sql: String =
+  // lazy: gateLadderCtesSql is declared below; a strict val here would
+  // read it as null during object init (Scala top-to-bottom val order)
+  lazy val prepareCorpusV2Sql: String = gateLadderCtesSql +
+    """
+      |SELECT doc_id, lang, clf_score, lm_score, n_tokens, n_removed, kept_text
+      |FROM k
+      |WHERE doc_id = rep
+      | AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS INT64) % 100 < 50
+      |ORDER BY doc_id""".stripMargin
+
+  /** The gate ladder's oracle CTE chain (through the exact-dedup window
+    * `k`) — ONE text shared by the v2 and v3 oracles, mirroring
+    * [[gateLadderSurvivors]] on the Spark side. */
+  private lazy val gateLadderCtesSql: String =
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
       |ref AS (SELECT ts FROM toks WHERE doc_id % 97 = 0),
       |uni AS (SELECT t, COUNT(*) AS c
@@ -587,12 +661,45 @@ object PipelineOps {
       |  array_to_string(r.kept, ' ') AS kept_text
       | FROM gated g JOIN res r USING (doc_id)
       | WHERE len(r.kept) > 0),
-      |k AS (SELECT *, MIN(doc_id) OVER (PARTITION BY md5(kept_text)) AS rep FROM rw)
-      |SELECT doc_id, lang, clf_score, lm_score, n_tokens, n_removed, kept_text
-      |FROM k
-      |WHERE doc_id = rep
-      | AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS INT64) % 100 < 50
-      |ORDER BY doc_id""".stripMargin
+      |k AS (SELECT *, MIN(doc_id) OVER (PARTITION BY md5(kept_text)) AS rep FROM rw)""".stripMargin
+
+  /** C41b's oracle: the shared gate-ladder CTEs + the semantic tier scoped
+    * to the survivors — centroid literals dir-bound like C29's, the SAME
+    * assignment argmax / keeper-rank / rank-guarded pair text as
+    * streamDedupSemanticSql, restricted to `sur`, then the v2 sample rule.
+    * Every fold and tie-break is the op sequence the Spark plan runs. */
+  def prepareCorpusV3Sql(sfDir: String): String = {
+    def cos(a: String, b: String) = graft.operators.Similarity.sqlCos(a, b)
+    gateLadderCtesSql + s""",
+      |sur AS (SELECT doc_id, lang, clf_score, lm_score, n_tokens, n_removed, kept_text
+      |        FROM k WHERE doc_id = rep),
+      |e AS (SELECT vec_id, list_transform(embedding, z -> CAST(z AS DOUBLE)) AS v
+      |      FROM embeddings),
+      |${graft.operators.Similarity.semanticCentroidCteFor(sfDir)},
+      |sasn AS (
+      | SELECT vec_id, v, cid,
+      |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rk
+      | FROM (SELECT x.vec_id, x.v, c.cid, ${cos("x.v", "c.cv")} AS csim
+      |       FROM e x JOIN sur s ON x.vec_id = s.doc_id, c) t),
+      |sassigned AS (SELECT vec_id, v, cid FROM sasn WHERE rk = 1),
+      |sranked AS (
+      | SELECT vec_id, v, cid,
+      |  ROW_NUMBER() OVER (PARTITION BY cid ORDER BY vec_id) AS krank
+      | FROM sassigned),
+      |sdups AS (
+      | SELECT DISTINCT y.vec_id
+      | FROM sranked x JOIN sranked y
+      |  ON x.cid = y.cid AND x.krank < y.krank
+      |   AND y.krank <= ${graft.operators.Dedup.MaxBucket}
+      | WHERE ${cos("x.v", "y.v")} >= ${graft.operators.Similarity.SemanticTau})
+      |SELECT s.doc_id, s.lang, s.clf_score, s.lm_score, s.n_tokens,
+      | s.n_removed, a.cid, s.kept_text
+      |FROM sur s JOIN sassigned a ON a.vec_id = s.doc_id
+      |LEFT JOIN sdups dp ON dp.vec_id = s.doc_id
+      |WHERE dp.vec_id IS NULL
+      | AND CAST(('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 8)) AS INT64) % 100 < 50
+      |ORDER BY s.doc_id""".stripMargin
+  }
 
   /** C19 — PII redaction: scrub email addresses and phone numbers with
     * codegen'd regexp_replace (no UDFs; at 100 TB this is a pure map stage,
@@ -1311,7 +1418,8 @@ object PipelineOps {
     "seq_pack_bpe" -> (seqPackBpe _),
     "seq_slice" -> (seqSlice _),
     "seq_pack_manifest" -> (seqPackManifest _),
-    "decontam_substr" -> (decontamSubstr _))
+    "decontam_substr" -> (decontamSubstr _),
+    "prepare_corpus_v3" -> (prepareCorpusV3 _))
 
   val oracles: Map[String, String] = Map(
     "corpus_diff" -> corpusDiffSql,

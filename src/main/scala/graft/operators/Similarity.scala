@@ -1361,11 +1361,15 @@ object Similarity {
     * ROW_NUMBER by vec_id within cid — so C29 and D10 return identical
     * frames and share the closed-form oracle
     * ([[streamDedupSemanticSql]]). */
+  /** The semantic near-dup cosine threshold — ONE constant shared by C29,
+    * D10 and the composed v3 pipeline (and interpolated into their
+    * oracles, so Spark and SQL can never disagree on τ). */
+  private[graft] val SemanticTau = 0.45
+
   private[graft] def dedupSemanticOn(spark: SparkSession,
     assigned: DataFrame): DataFrame = {
-    val tau = 0.45
     val pairs = semanticPairs(spark, assigned)
-      .filter(col("cosine") >= tau)
+      .filter(col("cosine") >= SemanticTau)
       .select(col("vec_id"), col("va"), col("cosine"))
     val dupOf = pairs.groupBy(col("vec_id"))
       .agg(min(col("va")).as("dup_of"), max(col("cosine")).as("max_cosine"))
@@ -1413,6 +1417,12 @@ object Similarity {
     s"""c AS (SELECT vec_id AS cid, v AS cv FROM e  -- UNTRAINED SEED FALLBACK: codebook cache cold for this dir
        | WHERE vec_id < GREATEST(16, LEAST((SELECT COUNT(*) FROM e) // 128, $semanticKBudget)))""".stripMargin
 
+  /** The dir-bound semantic-centroid CTE (trained literals, or the labeled
+    * untrained-seed fallback) — exposed for composed oracles that embed the
+    * semantic tier (prepare_corpus_v3). */
+  private[graft] def semanticCentroidCteFor(sfDir: String): String =
+    centroidValuesCte(cachedSemanticCodebook(sfDir)).getOrElse(semanticSeedCte)
+
   /** Generated oracle for C29 — IDENTICAL to D10's by design: with the
     * keeper-rank saturation guard folded into the batch verify
     * ([[dedupSemanticOn]]), the batch and streaming semantic tiers share
@@ -1458,7 +1468,7 @@ object Similarity {
        |   AND y.krank <= ${Dedup.MaxBucket}),
        |agg AS (
        | SELECT vec_id, MIN(va) AS dup_of, MAX(cosine) AS max_cosine
-       | FROM pairs WHERE cosine >= 0.45 GROUP BY vec_id)
+       | FROM pairs WHERE cosine >= $SemanticTau GROUP BY vec_id)
        |SELECT b.vec_id, b.cid, a.dup_of,
        | COALESCE(a.max_cosine, 0.0) AS max_cosine,
        | a.dup_of IS NOT NULL AS is_duplicate
@@ -1583,7 +1593,7 @@ object Similarity {
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> $vec[i] * $vec[i])), (a, b) -> a + b)"
   private def sqlDot(a: String, b: String) =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> $a[i] * $b[i])), (a, b) -> a + b)"
-  private def sqlCos(a: String, b: String) =
+  private[graft] def sqlCos(a: String, b: String) =
     s"${sqlDot(a, b)} / (sqrt(${sqlSq(a)}) * sqrt(${sqlSq(b)}))"
 
   private def ivfProbeSql(centroidCte: String): String = {
@@ -1626,7 +1636,10 @@ object Similarity {
     "embed_quantize" -> embedQuantizeSql,
     "embed_prune" -> embedPruneSql(sfDir),
     "sim_pq" -> simPqSql(sfDir),
-    "knn_join_pq" -> knnJoinPqSql(sfDir))
+    "knn_join_pq" -> knnJoinPqSql(sfDir),
+    // C41b embeds the semantic tier, so its oracle is dir-bound like C29's
+    // (the query itself lives in PipelineOps)
+    "prepare_corpus_v3" -> PipelineOps.prepareCorpusV3Sql(sfDir))
 
   /** Dir-less contract form, total for any JVM state: one trained codebook →
     * that dir's centroid-literal oracle; none → the data-derived seed

@@ -597,4 +597,77 @@ class PipelineOpsSpec extends SparkSpec {
     assert(expect.keySet.exists(sampled), "no doc on the sample-keep branch")
     assert(expect.keySet.exists(id => !sampled(id)), "no doc on the sample-drop branch")
   }
+
+  test("prepare_corpus_v3 folds the semantic tier into the ladder non-vacuously") {
+    import spark.implicits._
+    // the v2 planted corpus again (same gates/cut/dedup expectations), plus
+    // a planted ASSIGNMENT frame: survivors 4 and 5 share a cluster with
+    // near-identical vectors (semantic dup -> the higher keeper-rank side,
+    // 5, is dropped); survivors 1 and 2 share a cluster but are ORTHOGONAL
+    // (below tau -> both kept) — the tier must fire in both directions
+    def hex(str: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(str.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    def weight(t: String): Long = hex(t) % 1001L - 500L
+    def words(prefix: String, sign: Long, n: Int): Seq[String] =
+      Iterator.from(0).map(i => s"$prefix$i")
+        .filter(t => weight(t) * sign > 0).take(n).toSeq
+    val p = words("p", 1, 8)
+    val q = words("q", 1, 5); val x = words("x", 1, 5); val y = words("y", 1, 5)
+    val z = words("z", 1, 4); val g = words("g", 1, 12); val h = words("h", 1, 12)
+    val neg = words("n", -1, 5)
+    val fillers = (0 until 12).map(i => (20L + i, s"${g(i)} ${h(i)}"))
+    val corpus = Seq(
+      1L -> p.mkString(" "), 2L -> (p.take(5) ++ q).mkString(" "),
+      3L -> (q ++ p.take(5)).mkString(" "),
+      4L -> x.mkString(" "), 5L -> y.mkString(" "),
+      6L -> (x ++ z).mkString(" "), 7L -> (y ++ z).mkString(" "),
+      8L -> "d1 d2", 9L -> "d1 d2",
+      10L -> Seq(p(0), p(2), p(0), p(3)).mkString(" "),
+      11L -> neg.mkString(" ")
+    ) ++ fillers
+    val ref = corpus.filter(_._1 != 10L).toDF("doc_id", "text")
+    val (uni, bi) = graft.operators.TextAnalysis.lmModelFrom(ref)
+    val docs = corpus.map { case (id, t) => (id, "xx", t) }
+      .toDF("doc_id", "lang", "text")
+    def unit(axis: Int, eps: Double = 0.0): Seq[Double] = {
+      val v = Array.fill(64)(0.0); v(axis) = 1.0
+      if (eps != 0.0) v((axis + 1) % 64) = eps
+      v.toSeq
+    }
+    val assigned = (corpus.map(_._1).map { id =>
+      val (v, cid) = id match {
+        case 4L => (unit(0), 70L)            // keeper (krank 1 in cid 70)
+        case 5L => (unit(0, 0.01), 70L)      // near-dup of 4 -> dropped
+        case 1L => (unit(10), 71L)           // same cid as 2 but orthogonal
+        case 2L => (unit(20), 71L)           // cos 0 < tau -> both kept
+        case other => (unit((other % 30).toInt + 30), 100L + other)
+      }
+      (id, v, cid)
+    }).toDF("vec_id", "v", "cid")
+    val out = PipelineOps.prepareCorpusV3On(spark, docs, assigned, uni, bi)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(4), r.getLong(5), r.getLong(6), r.getString(7))))
+      .toMap
+    def sampled(id: Long) = hex(id.toString) % 100L < 50L
+    // v2's survivor set minus the semantic dup (5), with cid in the frame
+    val expect = Map[Long, (Long, Long, Long, String)](
+      1L -> ((8L, 0L, 71L, p.mkString(" "))),
+      2L -> ((10L, 5L, 71L, q.mkString(" "))),
+      4L -> ((5L, 0L, 70L, x.mkString(" "))),
+      6L -> ((9L, 5L, 106L, z.mkString(" "))),
+      8L -> ((2L, 0L, 108L, "d1 d2"))
+    ) ++ fillers.map { case (id, t) => id -> ((2L, 0L, 100L + id, t)) }
+    val want = expect.filter(kv => sampled(kv._1))
+    assert(out == want,
+      s"v3 pipeline drifted: got ${out.keySet.toSeq.sorted}, " +
+        s"want ${want.keySet.toSeq.sorted}")
+    assert(!out.contains(5L), "semantic dup survived the tier")
+    // the sub-tau same-cid pair must NOT be collapsed (both kept modulo
+    // the sample rule)
+    Seq(1L, 2L).filter(sampled).foreach(id =>
+      assert(out.contains(id), s"sub-tau doc $id wrongly dropped"))
+  }
 }

@@ -111,6 +111,13 @@ class PlanGateSpec extends SparkSpec {
     // gate scale). maxSortMerge headroom for the stats-driven join choice.
     Gate("prepare_corpus_v2", maxHashEx = 3, needPushdown = true,
       maxSortMerge = 3),
+    // C41b: v2's ladder exchanges + the semantic tier's — the survivor-
+    // assignment join, the keeper-rank window whose cid exchange the
+    // merge-hinted pair self-join REUSES (one shipment for both sides,
+    // C29's discipline), and the slim dup anti-join; gates still reach
+    // both scan branches
+    Gate("prepare_corpus_v3", maxHashEx = 7, needPushdown = true,
+      maxSortMerge = 4),
     // the chunker is a pure per-row fan-out: one Generate, zero shuffles
     Gate("seq_slice", maxHashEx = 0, aboveSortMarker = Some("Generate")),
     // C29: pairwise stays confined to the cid SMJ; the dup rollup broadcasts
