@@ -1078,6 +1078,82 @@ object PipelineOps {
       |   < floor(1000000 * sqrt(CAST(n_min AS DOUBLE) / n_l))
       |ORDER BY doc_id""".stripMargin
 
+  /** C46 — epoch-repeat source mixing (the LLaMA/Pile recipe table: each
+    * source runs a FRACTIONAL number of epochs over the training horizon —
+    * curated sources above 1.0, web crawl below). This is the first mixing
+    * op that UPSAMPLES: C13/C23/C30 only ever drop rows; a real pretraining
+    * mix repeats scarce curated data 2-3× while a huge crawl contributes
+    * well under one epoch. Source groups (curated = src0-src3, web = rest)
+    * get target token shares of 45% / 55% of the corpus token budget, spread
+    * evenly over the group's sources; a source's epoch factor is then
+    * target_tokens / own_tokens, capped at 4.0 epochs (the "don't loop tiny
+    * sources forever" rule). A doc is emitted floor(e) times, plus one more
+    * iff its id-hash millibucket clears frac(e) — so repeats are exact in
+    * expectation AND deterministic per doc (growth-stable: the extra-copy
+    * decision depends only on the doc's own id, never its neighbors).
+    *
+    * Shape at 100 TB: two tiny aggregates (per-source token sums, corpus
+    * total) broadcast back over ONE corpus scan; the repetition is a
+    * sequence-explode fan-out (bounded ≤ 5 rows/doc) inside the scan stage —
+    * no corpus shuffle. The epoch arithmetic runs the identical IEEE op
+    * sequence in Spark and the oracle (divide → multiply → floor, each
+    * correctly rounded over exact integer inputs), so the threshold is
+    * bit-deterministic across engines — the C30 discipline. */
+  def mixEpochs(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("grp",
+        when(col("source").isin("src0", "src1", "src2", "src3"), lit("curated"))
+          .otherwise(lit("web")))
+    val bySource = d.groupBy(col("grp"), col("source"))
+      .agg(sum(col("n_chars")).as("t_s"))
+    val byGroup = bySource.groupBy(col("grp")).agg(count(lit(1)).as("k_g"))
+    val tot = d.agg(sum(col("n_chars")).as("b_tot"))
+    val bp = when(col("grp") === "curated", lit(4500.0)).otherwise(lit(5500.0))
+    val eMilli = least(lit(4000L),
+      floor((bp / lit(10.0)) *
+        (col("b_tot").cast("double") / (col("k_g") * col("t_s")).cast("double"))))
+    val repeats = call_function("div", col("e_milli"), lit(1000L)) +
+      when(pmod(idHash(col("doc_id")), lit(1000)) < pmod(col("e_milli"), lit(1000L)),
+        lit(1L)).otherwise(lit(0L))
+    d.join(broadcast(bySource), Seq("grp", "source"))
+      .join(broadcast(byGroup), Seq("grp"))
+      .crossJoin(broadcast(tot))
+      .withColumn("e_milli", eMilli)
+      .withColumn("repeats", repeats)
+      .select(col("doc_id"), col("source"),
+        explode(when(col("repeats") > 0, sequence(lit(1L), col("repeats")))
+          .otherwise(array().cast("array<bigint>"))).as("epoch"))
+      .orderBy(col("doc_id"), col("epoch"))
+  }
+
+  val mixEpochsSql: String =
+    """WITH d AS (
+      | SELECT doc_id, source, n_chars,
+      |  CASE WHEN source IN ('src0','src1','src2','src3') THEN 'curated'
+      |       ELSE 'web' END AS grp
+      | FROM documents),
+      |s AS (SELECT grp, source, SUM(n_chars) AS t_s FROM d GROUP BY grp, source),
+      |g AS (SELECT grp, COUNT(*) AS k_g FROM s GROUP BY grp),
+      |t AS (SELECT SUM(n_chars) AS b_tot FROM d),
+      |e AS (
+      | SELECT d.doc_id, d.source,
+      |  LEAST(4000, CAST(FLOOR(
+      |    (CASE WHEN d.grp = 'curated' THEN 4500.0 ELSE 5500.0 END / 10.0)
+      |    * (CAST(t.b_tot AS DOUBLE) / CAST(g.k_g * s.t_s AS DOUBLE))) AS BIGINT))
+      |   AS e_milli
+      | FROM d JOIN s ON d.grp = s.grp AND d.source = s.source
+      |        JOIN g ON d.grp = g.grp CROSS JOIN t),
+      |r AS (
+      | SELECT doc_id, source,
+      |  e_milli // 1000 +
+      |  CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS INT64)
+      |            % 1000 < e_milli % 1000 THEN 1 ELSE 0 END AS repeats
+      | FROM e)
+      |SELECT doc_id, source, UNNEST(range(1, repeats + 1)) AS epoch
+      |FROM r
+      |ORDER BY doc_id, epoch""".stripMargin
+
   /** C28 — cross-document duplicated-span fraction (the RefinedWeb/Dolma
     * dedup-priority signal): per document, the fraction of its distinct word
     * 5-grams that also occur in at least one OTHER document. Complements C25
@@ -1403,6 +1479,7 @@ object PipelineOps {
     "corpus_shuffle" -> (corpusShuffle _),
     "mix_sources" -> (mixSources _),
     "mix_temperature" -> (mixTemperature _),
+    "mix_epochs" -> (mixEpochs _),
     "prepare_corpus" -> (prepareCorpus _),
     "prepare_corpus_v2" -> (prepareCorpusV2 _),
     "sample_stratified" -> (sampleStratified _),
@@ -1430,6 +1507,7 @@ object PipelineOps {
     "corpus_shuffle" -> corpusShuffleSql,
     "mix_sources" -> mixSourcesSql,
     "mix_temperature" -> mixTemperatureSql,
+    "mix_epochs" -> mixEpochsSql,
     "prepare_corpus" -> prepareCorpusSql,
     "prepare_corpus_v2" -> prepareCorpusV2Sql,
     "sample_stratified" -> sampleStratifiedSql,

@@ -95,6 +95,48 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("epoch mixing repeats curated sources and downsamples web, exactly") {
+    val d = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val curated = Set("src0", "src1", "src2", "src3")
+    def grp(s: String) = if (curated(s)) "curated" else "web"
+    val tS = d.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val kG = tS.keys.groupBy(grp).view.mapValues(_.size).toMap
+    val bTot = d.map(_._3).sum
+    def eMilli(s: String): Long = {
+      val bp = if (grp(s) == "curated") 4500.0 else 5500.0
+      math.min(4000L,
+        math.floor((bp / 10.0) * (bTot.toDouble / (kG(grp(s)) * tS(s)).toDouble)).toLong)
+    }
+    def h(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16)
+    }
+    val want = d.flatMap { case (id, s, _) =>
+      val em = eMilli(s)
+      val reps = em / 1000 + (if (h(id) % 1000 < em % 1000) 1 else 0)
+      (1L to reps).map(e => (id, e))
+    }.sorted.toSeq
+    val out = PipelineOps.mixEpochs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq.sorted
+    assert(out == want, "epoch-repeat rows must match the driver-side recompute")
+    // the mix must actually move in BOTH directions on this corpus: curated
+    // docs run >1 epoch on average, web (20-ish× the curated share budget
+    // spread over 16 sources) runs <1 and drops some docs entirely
+    val bySrc = out.map(_._1).map(id => d.find(_._1 == id).get._2)
+    val nCur = bySrc.count(curated)
+    val curDocs = d.count(x => curated(x._2))
+    val webDocs = d.size - curDocs
+    assert(nCur > curDocs, "curated sources must be upsampled past 1 epoch")
+    assert(bySrc.length - nCur < webDocs, "web sources must be downsampled")
+    // epochs are contiguous 1..r per doc (a trainer reads them as a count)
+    out.groupBy(_._1).foreach { case (id, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1L to rows.length).toSeq, s"doc $id epochs")
+    }
+  }
+
   test("stratified sample is deterministic and rebalances en vs the rest") {
     val a = PipelineOps.sampleStratified(spark, sfDir).collect()
     val b = PipelineOps.sampleStratified(spark, sfDir).collect()

@@ -143,6 +143,10 @@ class PlanGateSpec extends SparkSpec {
     // C30: corpus scan never shuffles — only the tiny per-lang aggregates do,
     // and they come back as a broadcast
     Gate("mix_temperature", maxHashEx = 2, minBroadcast = 1, needPushdown = true),
+    // C46: two tiny rate aggregates broadcast back over ONE corpus scan; the
+    // epoch fan-out is a Generate inside the scan stage — a corpus-side
+    // exchange (e.g. a join keyed on doc rows) would print a third hash ex
+    Gate("mix_epochs", maxHashEx = 3, minBroadcast = 2, needPushdown = true),
     // B20: both correlated aggregates decorrelate to BROADCAST joins
     Gate("q_correlated_subquery", maxHashEx = 3, minBroadcast = 2, needPushdown = true),
     // B19: ONE user_id exchange shared by the stacked windows AND the
