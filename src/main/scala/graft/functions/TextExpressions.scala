@@ -218,6 +218,82 @@ case class DistinctBigrams(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Gopher-rule kernel for [[GopherStats]]: ONE byte pass computing the word
+  * and line shape stats the Rae et al. 2021 repetition-free quality rules
+  * need — word count (single-space splits, empties included: the corpus-wide
+  * token convention), words containing an ASCII letter, line count (newline
+  * splits), lines opening with a "- "/"* " bullet, lines closing with "...".
+  * All probes are ASCII bytes, which never occur inside a UTF-8 multibyte
+  * sequence, so byte scanning is multibyte-safe; a newline is NOT a word
+  * separator (it stays inside the surrounding word), exactly matching the
+  * split-on-space oracle semantics. */
+object GopherKernel {
+  def stats(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = s.getBytes
+    var nWords = 1L; var nAlpha = 0L
+    var nLines = 1L; var nBullet = 0L; var nEllipsis = 0L
+    var wordHasAlpha = false
+    var lineStart = 0
+    var i = 0
+    def closeLine(end: Int): Unit = {
+      if (end - lineStart >= 2 && bytes(lineStart + 1) == ' ' &&
+          (bytes(lineStart) == '-' || bytes(lineStart) == '*')) nBullet += 1
+      if (end - lineStart >= 3 && bytes(end - 1) == '.' &&
+          bytes(end - 2) == '.' && bytes(end - 3) == '.') nEllipsis += 1
+    }
+    while (i < bytes.length) {
+      val b = bytes(i)
+      if (b == ' ') {
+        if (wordHasAlpha) nAlpha += 1
+        wordHasAlpha = false
+        nWords += 1
+      } else if (b == '\n') {
+        closeLine(i)
+        lineStart = i + 1
+        nLines += 1
+      } else if ((b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z')) {
+        wordHasAlpha = true
+      }
+      i += 1
+    }
+    if (wordHasAlpha) nAlpha += 1
+    closeLine(bytes.length)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nWords, nAlpha, nLines, nBullet, nEllipsis))
+  }
+}
+
+/** Per-document Gopher word/line shape stats as ONE projected struct
+  * expression — the C47 quality-rule bundle stays a zero-shuffle pure map
+  * (a split-explode or HOF-lambda form would leave codegen and, for the
+  * line rules, allocate every line as a string; this allocates nothing). */
+case class GopherStats(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_gopher_stats expects a string column, got $other")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_words", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_alpha_words", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_lines", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_bullet_lines", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_ellipsis_lines", LongType, nullable = false)))
+  override def prettyName: String = "graft_gopher_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GopherKernel.stats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.GopherKernel.stats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): GopherStats =
+    copy(child = newChild)
+}
+
 /** Gram-set kernel for [[GramSetStats]]: one pass over a document's DISTINCT
   * word n-grams (contiguous byte spans, single-space splits with empties —
   * the same domain as PipelineOps.gramSet, including the <n-token whole-text

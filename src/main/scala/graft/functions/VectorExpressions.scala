@@ -788,6 +788,15 @@ object GraftFunctions {
       s"graft_distinct_bigrams expects 1 argument, got ${other.size}")
   }
 
+  val gopherStatsInfo = new ExpressionInfo(
+    classOf[GopherStats].getName, "graft_gopher_stats")
+
+  private[functions] val gopherStatsBuilder: Seq[Expression] => Expression = {
+    case Seq(c) => GopherStats(c)
+    case other => throw new IllegalArgumentException(
+      s"graft_gopher_stats expects 1 argument, got ${other.size}")
+  }
+
   /** Tail args must be foldable NON-NULL string literals — the dictionary is
     * plan metadata, not per-row data. */
   private[functions] val stopHitsBuilder: Seq[Expression] => Expression = {
@@ -949,6 +958,7 @@ object GraftFunctions {
       (FunctionIdentifier("graft_ntz_utc"), ntzUtcInfo, ntzUtcBuilder),
       (FunctionIdentifier("graft_stop_hits"), stopHitsInfo, stopHitsBuilder),
       (FunctionIdentifier("graft_distinct_bigrams"), distinctBigramsInfo, distinctBigramsBuilder),
+      (FunctionIdentifier("graft_gopher_stats"), gopherStatsInfo, gopherStatsBuilder),
       (FunctionIdentifier("graft_bpe_count"), bpeCountInfo, bpeCountBuilder),
       (FunctionIdentifier("graft_bpe_merge_count"), bpeMergeCountInfo, bpeMergeCountBuilder),
       (FunctionIdentifier("graft_top_gram"), topGramInfo, topGramBuilder),
@@ -1004,6 +1014,12 @@ object GraftFunctions {
   def distinctBigrams(spark: SparkSession, text: Column): Column = {
     ensureRegistered(spark)
     call_function("graft_distinct_bigrams", text)
+  }
+
+  /** Column-API entry point: fused Gopher word/line shape stats (C47). */
+  def gopherStats(spark: SparkSession, text: Column): Column = {
+    ensureRegistered(spark)
+    call_function("graft_gopher_stats", text)
   }
 
   /** Column-API entry point: shuffle-free stopword-hit count (C8). The
@@ -1302,6 +1318,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       GraftFunctions.stopHitsInfo, GraftFunctions.stopHitsBuilder))
     ext.injectFunction((FunctionIdentifier("graft_distinct_bigrams"),
       GraftFunctions.distinctBigramsInfo, GraftFunctions.distinctBigramsBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_gopher_stats"),
+      GraftFunctions.gopherStatsInfo, GraftFunctions.gopherStatsBuilder))
     ext.injectFunction((FunctionIdentifier("graft_bpe_count"),
       GraftFunctions.bpeCountInfo, GraftFunctions.bpeCountBuilder))
     ext.injectFunction((FunctionIdentifier("graft_bpe_merge_count"),

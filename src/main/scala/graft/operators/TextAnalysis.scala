@@ -493,6 +493,95 @@ object TextAnalysis {
 
   val textPerplexitySql: String = lmSql("")
 
+  /** C47 — the full Gopher quality-rule bundle (Rae et al. 2021 §A1.1): the
+    * word- and LINE-shape rules C9's score does not see — word count in
+    * [50, 100k], mean word length in [3, 10], ≥80% of words contain an
+    * alphabetic character, ≤90% of lines open with a bullet, ≤30% of lines
+    * close with an ellipsis, symbol-to-word ratio ('#' chars + '...' runs)
+    * ≤ 0.1 — each emitted as its measured fraction plus the composed admit
+    * decision. The synthetic corpus is single-line prose, so deterministic
+    * shape salts are folded in FIRST (same construction in the oracle SQL,
+    * the C19 salted-PII discipline): bullet/ellipsis lines, numeric-word and
+    * '#' floods, and a bullet-flood tail — every rule both passes and FAILS
+    * on real corpus runs at every scale, never vacuously.
+    *
+    * Shape at 100 TB: the word/line stats come from ONE fused byte-pass
+    * kernel (functions.GopherStats — a split-explode or HOF-lambda form
+    * would allocate every word and line of the corpus and leave codegen);
+    * ratios and thresholds are arithmetic over the struct. Zero shuffle,
+    * order established on the raw scan (single-eval sort discipline). */
+  def textGopher(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.loadSorted(spark, sfDir, "documents", "doc_id")
+    val salted = concat(
+      when(pmod(col("doc_id"), lit(7)) === 0, lit("- lead bullet\n")).otherwise(lit("")),
+      col("text"),
+      when(pmod(col("doc_id"), lit(11)) === 0, lit("\n0123 4567 89 ##")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(17)) === 0,
+        concat(lit(" "), repeat(lit("12345 "), 30))).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(13)) === 0,
+        concat(lit(" "), repeat(lit("#"), 40))).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(23)) === 0,
+        concat(lit("\n"), repeat(lit("- b\n"), 20))).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(5)) === 0, lit("\nto be continued...")).otherwise(lit("")))
+    val nEll3 = (length(col("t")) -
+      length(call_function("replace", col("t"), lit("..."), lit("")))) / lit(3)
+    val nHash = length(col("t")) -
+      length(call_function("replace", col("t"), lit("#"), lit("")))
+    d.select(col("doc_id"), salted.as("t"),
+        graft.functions.GraftFunctions.gopherStats(spark, salted).as("gs"))
+      .select(col("doc_id"),
+        col("gs.n_words").as("n_words"),
+        ((length(col("t")) - (col("gs.n_words") - 1)) / col("gs.n_words"))
+          .as("mean_word_len"),
+        (col("gs.n_alpha_words") / col("gs.n_words")).as("alpha_frac"),
+        (col("gs.n_bullet_lines") / col("gs.n_lines")).as("bullet_frac"),
+        (col("gs.n_ellipsis_lines") / col("gs.n_lines")).as("ellipsis_frac"),
+        ((nHash + nEll3) / col("gs.n_words")).as("symbol_ratio"))
+      .withColumn("admit",
+        col("n_words").between(50, 100000) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("alpha_frac") >= 0.8 && col("bullet_frac") <= 0.9 &&
+          col("ellipsis_frac") <= 0.3 && col("symbol_ratio") <= 0.1)
+  }
+
+  val textGopherSql: String =
+    """WITH s AS (
+      | SELECT doc_id,
+      |  CASE WHEN doc_id % 7 = 0 THEN '- lead bullet' || chr(10) ELSE '' END
+      |  || text
+      |  || CASE WHEN doc_id % 11 = 0 THEN chr(10) || '0123 4567 89 ##' ELSE '' END
+      |  || CASE WHEN doc_id % 17 = 0 THEN ' ' || repeat('12345 ', 30) ELSE '' END
+      |  || CASE WHEN doc_id % 13 = 0 THEN ' ' || repeat('#', 40) ELSE '' END
+      |  || CASE WHEN doc_id % 23 = 0 THEN chr(10) || repeat('- b' || chr(10), 20) ELSE '' END
+      |  || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'to be continued...' ELSE '' END AS t
+      | FROM documents),
+      |m AS (
+      | SELECT doc_id, t,
+      |  len(string_split(t, ' ')) AS n_words,
+      |  len(list_filter(string_split(t, ' '),
+      |      w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+      |  len(string_split(t, chr(10))) AS n_lines,
+      |  len(list_filter(string_split(t, chr(10)),
+      |      l -> starts_with(l, '- ') OR starts_with(l, '* '))) AS n_bullet,
+      |  len(list_filter(string_split(t, chr(10)),
+      |      l -> ends_with(l, '...'))) AS n_ellipsis,
+      |  length(t) - length(replace(t, '#', '')) AS n_hash,
+      |  (length(t) - length(replace(t, '...', ''))) / 3 AS n_ell3
+      | FROM s)
+      |SELECT doc_id, n_words,
+      | (length(t) - (n_words - 1)) / n_words AS mean_word_len,
+      | n_alpha / n_words AS alpha_frac,
+      | n_bullet / n_lines AS bullet_frac,
+      | n_ellipsis / n_lines AS ellipsis_frac,
+      | (n_hash + n_ell3) / n_words AS symbol_ratio,
+      | (n_words BETWEEN 50 AND 100000)
+      |  AND (length(t) - (n_words - 1)) / n_words BETWEEN 3.0 AND 10.0
+      |  AND n_alpha / n_words >= 0.8 AND n_bullet / n_lines <= 0.9
+      |  AND n_ellipsis / n_lines <= 0.3 AND (n_hash + n_ell3) / n_words <= 0.1
+      |  AS admit
+      |FROM m
+      |ORDER BY doc_id""".stripMargin
+
   /** D13's oracle: C40's SQL with the admit predicate folded in (the stream
     * is stateless, so the drained backlog equals the gated batch query). */
   private[graft] def lmGateSql: String =
@@ -505,7 +594,8 @@ object TextAnalysis {
     "text_langid" -> (textLangid _),
     "text_fingerprint" -> (textFingerprint _),
     "text_perplexity" -> (textPerplexity _),
-    "text_classify" -> (textClassify _))
+    "text_classify" -> (textClassify _),
+    "text_gopher" -> (textGopher _))
 
   val oracles: Map[String, String] = Map(
     "text_tokens" -> textTokensSql,
@@ -514,5 +604,6 @@ object TextAnalysis {
     "text_langid" -> textLangidSql,
     "text_fingerprint" -> textFingerprintSql,
     "text_perplexity" -> textPerplexitySql,
-    "text_classify" -> textClassifySql)
+    "text_classify" -> textClassifySql,
+    "text_gopher" -> textGopherSql)
 }

@@ -329,6 +329,41 @@ class FunctionsSpec extends SparkSpec {
     assert(n.head().isNullAt(0))
   }
 
+  test("graft_gopher_stats equals the split-based reference on corpus + edges") {
+    import spark.implicits._
+    def ref(t: String): Seq[Long] = {
+      val words = t.split(" ", -1)
+      val lines = t.split("\n", -1)
+      Seq(words.length.toLong,
+        words.count(_.exists(c => (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z'))).toLong,
+        lines.length.toLong,
+        lines.count(l => l.startsWith("- ") || l.startsWith("* ")).toLong,
+        lines.count(_.endsWith("...")).toLong)
+    }
+    val corpus = Tables.load(spark, sfDir, "documents").select(col("text"))
+    // edges the corpus never shows: empties, bullet/ellipsis lines (incl. a
+    // line that is ONLY "..." or a bare "-"), a newline INSIDE a word (not a
+    // word separator), multibyte text (byte probes must skip continuation
+    // bytes), trailing newline (empty last line), all-numeric words
+    val edges = Seq("", " ", "\n", "a\nb", "w x\ny z", "- bullet\nplain",
+      "* b\n- c\n", "-\n...", "tail...", "so...on\nend...", "wor\nd more",
+      "héllo wörld\n- é ...", "日本語 テスト\n- 線 ...", "12 34 #5", "a b ")
+      .toDF("text")
+    Seq(corpus, edges).foreach { df =>
+      val rows = df.select(col("text"),
+        graft.functions.GraftFunctions.gopherStats(spark, col("text")).as("gs"))
+        .select(col("text"), col("gs.*")).collect()
+      rows.foreach { r =>
+        val got = (1 to 5).map(r.getLong)
+        assert(got == ref(r.getString(0)),
+          s"gopher stats $got != ${ref(r.getString(0))} on ${r.getString(0).take(40)}")
+      }
+    }
+    val n = Seq(Option.empty[String]).toDF("text")
+      .select(graft.functions.GraftFunctions.gopherStats(spark, col("text")))
+    assert(n.head().isNullAt(0))
+  }
+
   test("graft_token_weight equals the composed HOF form on the corpus + edges") {
     import spark.implicits._
     val corpus = Tables.load(spark, sfDir, "documents").select(col("text"))

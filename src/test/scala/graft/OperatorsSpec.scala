@@ -511,6 +511,30 @@ class OperatorsSpec extends SparkSpec {
     assert(langs.subsetOf(Set("en", "es", "de", "fr", "zh", "und")))
   }
 
+  test("gopher rules fire in both directions and admit is their exact conjunction") {
+    val rows = TextAnalysis.textGopher(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nw, mwl, af, bf, ef, sr, admit) = (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6),
+        r.getBoolean(7))
+      assert(af >= 0 && af <= 1 && bf >= 0 && bf <= 1 && ef >= 0 && ef <= 1)
+      assert(admit == (nw >= 50 && nw <= 100000 && mwl >= 3.0 && mwl <= 10.0 &&
+        af >= 0.8 && bf <= 0.9 && ef <= 0.3 && sr <= 0.1),
+        s"doc ${r.getLong(0)}: admit is not the conjunction of its rules")
+    }
+    // the shape salts guarantee non-vacuous rules on ANY corpus slice: the
+    // %17 numeric flood sinks alpha_frac, the %13 '#' flood trips the symbol
+    // ratio, the %23 bullet flood crosses 0.9, the %5 ellipsis tail shows up
+    assert(rows.exists(!_.getBoolean(7)) && rows.exists(_.getBoolean(7)))
+    assert(rows.exists(_.getDouble(3) < 0.8), "alpha rule never fired")
+    assert(rows.exists(_.getDouble(6) > 0.1), "symbol rule never fired")
+    assert(rows.exists(_.getDouble(4) > 0.9), "bullet-flood rule never fired")
+    assert(rows.exists(_.getDouble(5) > 0.3), "ellipsis rule never fired")
+    assert(rows.exists(r => r.getDouble(4) > 0 && r.getDouble(4) <= 0.9),
+      "no doc with a sub-threshold bullet fraction — the PASS direction")
+  }
+
   test("classifier scores are the normalized weight sum and bound to [-1, 1]") {
     val rows = TextAnalysis.textClassify(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -51,6 +51,9 @@ class PlanGateSpec extends SparkSpec {
     // C34: classifier scoring is one fused kernel call per row — a weight
     // join or token explode would show up as a hash exchange here
     Gate("text_classify", maxHashEx = 0, aboveSortMarker = Some("graft_token_weight")),
+    // C47: the Gopher rule bundle is ONE fused byte-pass kernel per row —
+    // a split-explode or line-explode form would Generate and shuffle
+    Gate("text_gopher", maxHashEx = 0, aboveSortMarker = Some("graft_gopher_stats")),
     // C40: LM scoring is the same fused-kernel pure map — the model rides
     // with the plan; a count-table join or token explode would exchange
     Gate("text_perplexity", maxHashEx = 0, aboveSortMarker = Some("graft_lm_score")),

@@ -46,6 +46,7 @@ class SortedEntrySpec extends SparkSpec {
   pinned("text_fingerprint", "doc_id")
   pinned("text_classify", "doc_id")
   pinned("text_perplexity", "doc_id")
+  pinned("text_gopher", "doc_id")
   pinned("text_repetition", "doc_id")
   pinned("text_topgram", "doc_id")
   pinned("text_redact", "doc_id")
