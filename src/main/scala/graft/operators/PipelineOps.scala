@@ -754,7 +754,7 @@ object PipelineOps {
     * per lang — which is how a distributed trainer consumes packed streams
     * anyway (one reader per shard, no cross-reader coordination). */
   def seqPack(spark: SparkSession, sfDir: String): DataFrame =
-    packWindows(spark, sfDir, _ => size(split(col("text"), " ")).cast("bigint"))
+    packWindows(spark, sfDir, WsTokMeasure)
 
   /** C42 — the same packing under the TOKENIZER'S count: windows close at
     * 4096 BPE tokens (C10b's real greedy-merge kernel, one fused call per
@@ -768,7 +768,21 @@ object PipelineOps {
     packWindows(spark, sfDir, s => graft.functions.GraftFunctions
       .bpeMergeCount(s, col("text"), TextAnalysis.EmbeddedBpeMerges))
 
-  private val PackWindowTokens = 4096L
+  private[graft] val PackWindowTokens = 4096L
+
+  /** The whitespace token measure C20/C44/D15 share (C42 swaps in the BPE
+    * kernel) — one definition so batch and stream cannot disagree on it. */
+  private[graft] val WsTokMeasure: SparkSession => Column =
+    _ => size(split(col("text"), " ")).cast("bigint")
+
+  /** (lang, shard, doc_id, n_tok) under a caller-supplied measure — the ONE
+    * definition of the sub-shard hash layout, shared by the batch assignment
+    * frame below and D15's streaming packer so the two pipelines cannot
+    * disagree on which sub-shard a document packs into. */
+  private[graft] def packDocFrame(docs: DataFrame, nTok: Column): DataFrame =
+    docs.select(col("lang"), col("doc_id"),
+      pmod(idHash(col("doc_id")), lit(SeqPackShards.toLong)).as("shard"),
+      nTok.as("n_tok"))
 
   /** The packing ASSIGNMENT frame — (lang, shard, doc_id, n_tok, cum,
     * win_id) under whatever token measure the caller supplies — the ONE
@@ -778,10 +792,7 @@ object PipelineOps {
     * contract holds by construction, not just by the spec that pins it. */
   private def packAssignment(spark: SparkSession, sfDir: String,
     nTok: SparkSession => Column): DataFrame = {
-    val d = Tables.load(spark, sfDir, "documents")
-      .select(col("lang"), col("doc_id"),
-        pmod(idHash(col("doc_id")), lit(SeqPackShards.toLong)).as("shard"),
-        nTok(spark).as("n_tok"))
+    val d = packDocFrame(Tables.load(spark, sfDir, "documents"), nTok(spark))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
@@ -899,7 +910,7 @@ object PipelineOps {
     * (lang, shard) sub-sharded window as C20, so the de-straggler gate
     * covers it; one exchange, no rollup. */
   def seqPackManifest(spark: SparkSession, sfDir: String): DataFrame =
-    packAssignment(spark, sfDir, _ => size(split(col("text"), " ")).cast("bigint"))
+    packAssignment(spark, sfDir, WsTokMeasure)
       .select(col("lang"), col("shard"), col("doc_id"), col("n_tok"),
         col("win_id"), (col("cum") % PackWindowTokens).as("win_offset"))
       .orderBy(col("doc_id"))

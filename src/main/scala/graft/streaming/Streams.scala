@@ -773,6 +773,81 @@ object Streams extends Serializable {
       .orderBy(col("doc_id"))
   }
 
+  // ----- D15: streaming sequence packing -----
+
+  case class PackDoc(lang: String, shard: Long, doc_id: Long, n_tok: Long)
+  case class PackCursor(cum: Long)
+  case class PackRow(lang: String, shard: Long, doc_id: Long, n_tok: Long,
+    win_id: Long, win_offset: Long)
+
+  /** D15 — streaming sequence packing: C44's document-grain packing manifest
+    * computed CONTINUOUSLY, the tier that turns the gated/deduped ingest
+    * stream into trainer shards without a batch re-pack. State per
+    * (lang, shard) sub-shard is ONE long — the running token total, i.e.
+    * the packing cursor — so an arriving document is assigned its
+    * (win_id, win_offset) in the same pass that admits it, and the state
+    * store holds exactly langs × SeqPackShards longs regardless of corpus
+    * size (the smallest keyed state of any stateful tier here). The
+    * sub-shard layout and token measure are PipelineOps.packDocFrame /
+    * WsTokMeasure — single-sourced with C20/C44, so batch and stream cannot
+    * disagree on which window a document packs into, and the two forms
+    * share ONE oracle (seqPackManifestSql, the C29/D10 rule).
+    *
+    * Batch equivalence: within a batch each sub-shard packs by ascending
+    * doc_id (sorted below); across micro-batches the cursor carries over,
+    * so the drained backlog equals the batch manifest exactly when arrival
+    * order is doc_id-monotone per sub-shard — the same inherent ordering
+    * caveat D2/D4 document (ingest ids are monotone in practice; the
+    * multi-batch spec stages a split backlog and pins cursor carry-over
+    * for real). */
+  def streamPack(spark: SparkSession, sfDir: String): DataFrame = {
+    val cp = new java.io.File(checkpointDir(sfDir, "stream_pack"))
+    packRun(spark, docsStream(spark, sfDir), "stream_pack", cp)
+  }
+
+  private def packRun(spark: SparkSession, src: DataFrame, name: String,
+    cp: java.io.File): DataFrame = {
+    import spark.implicits._
+    org.apache.commons.io.FileUtils.deleteQuietly(cp)
+    spark.catalog.dropTempView(name)
+    val w = graft.operators.PipelineOps.PackWindowTokens
+
+    def pack(key: (String, Long), docs: Iterator[PackDoc],
+      state: GroupState[PackCursor]): Iterator[PackRow] = {
+      var cum = state.getOption.map(_.cum).getOrElse(0L)
+      val out = docs.toArray.sortBy(_.doc_id).map { d =>
+        val row = PackRow(d.lang, d.shard, d.doc_id, d.n_tok, cum / w, cum % w)
+        cum += d.n_tok
+        row
+      }
+      state.update(PackCursor(cum))
+      out.iterator
+    }
+
+    val assigned = graft.operators.PipelineOps
+      .packDocFrame(src, graft.operators.PipelineOps.WsTokMeasure(spark))
+      .as[PackDoc]
+      .groupByKey(d => (d.lang, d.shard))
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(pack)
+      .toDF()
+    runToMemory(spark, assigned, name, cp, OutputMode.Append())
+      .select(col("lang"), col("shard"), col("doc_id"), col("n_tok"),
+        col("win_id"), col("win_offset"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Test hook: the packer over a staged multi-file backlog, one micro-batch
+    * per file, so the cursor carry-over across batches runs for real. */
+  private[graft] def streamPackMultiBatch(spark: SparkSession,
+    stageDir: String, name: String): DataFrame = {
+    val cp = new java.io.File(stageDir + "_cp_" + name)
+    val src = spark.readStream.schema(DocsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stageDir)
+    packRun(spark, src, name, cp)
+  }
+
   /** Test hook: every staged file its own micro-batch (maxFilesPerTrigger=1),
     * so cross-batch keeper persistence runs for real. */
   private[graft] def streamDedupMultiBatch(spark: SparkSession,
@@ -1511,6 +1586,7 @@ object Streams extends Serializable {
     "stream_lm_gate" -> (streamLmGate _),
     "stream_decontam_gate" -> (streamDecontamGate _),
     "stream_decontam_cut" -> (streamDecontamCut _),
+    "stream_pack" -> (streamPack _),
     "stream_join" -> (streamJoin _))
 
   /** With sentinel-driven finalization all three streaming queries are exactly
@@ -1556,6 +1632,10 @@ object Streams extends Serializable {
     // D14 is stateless -> exactly C45's batch cut on the drained backlog
     // (ONE oracle for the batch and streaming forms, the C29/D10 rule)
     "stream_decontam_cut" -> graft.operators.PipelineOps.decontamSubstrSql,
+    // D15 shares C44's manifest oracle: layout and measure are single-
+    // sourced (packDocFrame/WsTokMeasure) and the in-batch sub-shard order
+    // is ascending doc_id, so the drained backlog IS the batch manifest
+    "stream_pack" -> graft.operators.PipelineOps.seqPackManifestSql,
     // D8: inner interval joins emit watermark-independently, so the drained
     // backlog is exactly the batch join (timestamps compared at the micro
     // precision both engines truncate to)

@@ -745,4 +745,60 @@ class StreamingSpec extends SparkSpec {
     Streams.streamDedupSemantic(spark, sfDir).collect()
     assert(!orphan.exists(), "orphan scratch dir survived the rebuild sweep")
   }
+
+  test("streaming packer carries the sub-shard cursor across micro-batches") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // two staged files = two micro-batches; every doc is 2200 words, so any
+    // sub-shard that receives two docs crosses the 4096-token window INSIDE
+    // the second doc — if the cursor state did not persist across batches,
+    // every batch-2 doc would restart at win_id 0 / offset 0 and diverge
+    // from the batch manifest recompute below
+    val nTok = 2200L
+    val text = Seq.fill(nTok.toInt)("x").mkString(" ")
+    val b1 = (1L to 20L).map(id => (id, text))
+    val b2 = (21L to 40L).map(id => (id, text))
+    val stageDir = new java.io.File("/root/repo/target/test_stream_pack_mb")
+    org.apache.commons.io.FileUtils.deleteQuietly(stageDir)
+    stageDir.mkdirs()
+    Seq(b1, b2).zipWithIndex.foreach { case (rows, i) =>
+      val tmp = new java.io.File(stageDir.getParent, s"pack_tmp_$i")
+      rows.toDF("doc_id", "text")
+        .select(col("doc_id"), col("text"), lit("en").as("lang"),
+          lit("test").as("source"), length(col("text")).cast("bigint").as("n_chars"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(stageDir, f"batch_$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + i * 60000L)
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+    }
+    // the C44 manifest rule recomputed on the driver: shard = md5-hash
+    // bucket, cursor = running token total per shard in doc_id order
+    // (arrival order here IS doc_id order — batch files are staged
+    // ascending), win_id/offset from the cursor before each doc
+    def h(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16)
+    }
+    val cursor = scala.collection.mutable.Map.empty[Long, Long]
+    val want = (1L to 40L).map { id =>
+      val shard = h(id) % 16
+      val cum = cursor.getOrElse(shard, 0L)
+      cursor(shard) = cum + nTok
+      (id, shard, nTok, cum / 4096, cum % 4096)
+    }.toSet
+    val got = Streams.streamPackMultiBatch(spark, stageDir.getAbsolutePath,
+      "mb_pack").collect()
+      .map(r => (r.getLong(2), r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSet
+    assert(got == want,
+      s"cursor carry-over diverged: ${(got diff want).take(3)} vs ${(want diff got).take(3)}")
+    // the boundary actually crossed: some doc landed at win_id >= 1
+    assert(got.exists(_._4 >= 1), "no sub-shard ever crossed the 4096 window")
+    // and some batch-2 doc inherited a NONZERO offset from batch-1 tokens
+    assert(got.exists(t => t._1 >= 21L && t._5 > 0),
+      "no batch-2 doc started mid-window — cursor state never persisted")
+  }
 }
