@@ -1434,6 +1434,98 @@ object PipelineOps {
       | COALESCE(array_to_string(kept, ' '), '') AS kept_text
       |FROM res ORDER BY doc_id""".stripMargin
 
+  /** C48 — cross-document LINE-level dedup (`dedup_lines`): CCNet's
+    * paragraph-dedup move (Wenzek et al. 2019 §3.1 run it before any
+    * doc-level filter; RefinedWeb's "line-wise deduplication" is the same
+    * pass), the grain between C1's whole-document hash and C39's token-run
+    * grams — and the one that actually removes boilerplate, because
+    * headers, nav bars and cookie banners repeat across crawls as whole
+    * LINES at positions C39's owner-window grams need not align on. Every
+    * duplicated line keeps its FIRST occurrence corpus-wide (the
+    * (doc_id, idx)-min — within-doc repeats dedup too) and every other
+    * occurrence is cut from its document; output is the C39 frame at line
+    * grain. The synthetic corpus is single-line prose, so the lined view
+    * is a deterministic 10-token re-layout (the C47 salt discipline:
+    * identical construction in the oracle); a real crawl swaps in
+    * split(text, '\n') unchanged.
+    *
+    * Scale shape: the keeper decision shuffles (lh, doc_id, idx) triples
+    * ONLY — a 16-byte line hash plus two longs per ~10-token line, so the
+    * exchange is a few percent of corpus bytes and the text itself never
+    * leaves its scan (the mark join back to the lined docs is
+    * doc_id-keyed, C39's shape). One lh window (the owner-window move at
+    * line grain) marks non-first occurrences, marks roll up per doc
+    * (second slim exchange), and the cut is the row-local indexed
+    * complement over the line array — linear in (lines + marks), no
+    * 5-expansion needed since line marks never overlap. */
+  def dedupLines(spark: SparkSession, sfDir: String): DataFrame =
+    dedupLinesOn(linedDocs(Tables.load(spark, sfDir, "documents")),
+      sortBeforeCut = true)
+
+  /** The deterministic 10-token lined view: (doc_id, lines). Tokens are
+    * split ONCE into an attribute the chunk lambda slices (the cutMarked
+    * discipline — an inline split would re-split per chunk). */
+  private[graft] def linedDocs(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .select(col("doc_id"), transform(
+        sequence(lit(0), ceil(size(col("ts")) / lit(10.0)).cast("int") - 1),
+        i => array_join(slice(col("ts"), i * lit(10) + lit(1), lit(10)), " "))
+        .as("lines"))
+
+  /** The line-dedup core over any (doc_id, lines) frame — separated so the
+    * spec can plant hand-computed boilerplate fixtures. sortBeforeCut:
+    * C39's single-eval discipline — the entry point's doc_id order is
+    * established between the mark join and the cut lambdas, so the range
+    * sampler re-evaluates only scan+join, never the cut HOFs. */
+  private[graft] def dedupLinesOn(d: DataFrame,
+    sortBeforeCut: Boolean = false): DataFrame = {
+    val byLh = org.apache.spark.sql.expressions.Window.partitionBy("lh")
+    val marked = d
+      .select(col("doc_id"), posexplode(col("lines")).as(Seq("idx", "line")))
+      .select(col("doc_id"), col("idx"), md5(col("line").cast("binary")).as("lh"))
+      .withColumn("k", min(struct(col("doc_id"), col("idx"))).over(byLh))
+      .filter(col("k.doc_id") =!= col("doc_id") || col("k.idx") =!= col("idx"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("idx"))).as("marked"))
+    val joined = d.join(marked, Seq("doc_id"), "left")
+    val ordered = if (sortBeforeCut) joined.orderBy(col("doc_id")) else joined
+    ordered.select(col("doc_id"),
+      size(col("lines")).cast("bigint").as("n_lines"),
+      coalesce(size(col("marked")), lit(0)).cast("bigint").as("n_removed"),
+      array_join(transform(
+        array_except(sequence(lit(0), size(col("lines")) - 1),
+          coalesce(col("marked"), lit(Array.empty[Int]))),
+        i => get(col("lines"), i)), " ").as("kept_text"))
+  }
+
+  /** C48's oracle: the same 10-token lined view, keeper via FIRST_VALUE
+    * over (doc_id, idx) per line hash, 1-based list_filter cut. */
+  val dedupLinesSql: String =
+    """WITH lined AS (
+      | SELECT doc_id, list_transform(range(0, CAST(ceil(len(ts) / 10.0) AS INT)),
+      |   i -> array_to_string(list_slice(ts, i*10 + 1, i*10 + 10), ' ')) AS lines
+      | FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)),
+      |occ AS (
+      | SELECT doc_id, i - 1 AS idx, md5(lines[i]) AS lh
+      | FROM (SELECT doc_id, lines, unnest(range(1, len(lines) + 1)) AS i FROM lined)),
+      |mk AS (
+      | SELECT doc_id, list_sort(list(idx)) AS marked
+      | FROM (SELECT doc_id, idx,
+      |         FIRST_VALUE(doc_id) OVER w AS kd, FIRST_VALUE(idx) OVER w AS ki
+      |       FROM occ
+      |       WINDOW w AS (PARTITION BY lh ORDER BY doc_id, idx
+      |                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+      | WHERE kd <> doc_id OR ki <> idx
+      | GROUP BY doc_id),
+      |res AS (
+      | SELECT l.doc_id, len(l.lines) AS n_l,
+      |  list_filter(l.lines, (x, i) -> NOT list_contains(COALESCE(m.marked, []), i - 1)) AS kept
+      | FROM lined l LEFT JOIN mk m USING (doc_id))
+      |SELECT doc_id, CAST(n_l AS BIGINT) AS n_lines,
+      | CAST(n_l - len(kept) AS BIGINT) AS n_removed,
+      | COALESCE(array_to_string(kept, ' '), '') AS kept_text
+      |FROM res ORDER BY doc_id""".stripMargin
+
   /** C35 — corpus snapshot diff: classify every document across two corpus
     * generations as added / removed / changed / unchanged, comparing CONTENT
     * HASHES rather than text so the join moves 16 bytes per side instead of
@@ -1507,6 +1599,7 @@ object PipelineOps {
     "seq_slice" -> (seqSlice _),
     "seq_pack_manifest" -> (seqPackManifest _),
     "decontam_substr" -> (decontamSubstr _),
+    "dedup_lines" -> (dedupLines _),
     "prepare_corpus_v3" -> (prepareCorpusV3 _))
 
   val oracles: Map[String, String] = Map(
@@ -1536,5 +1629,6 @@ object PipelineOps {
     "seq_pack_bpe" -> seqPackBpeSql,
     "seq_slice" -> seqSliceSql,
     "seq_pack_manifest" -> seqPackManifestSql,
-    "decontam_substr" -> decontamSubstrSql)
+    "decontam_substr" -> decontamSubstrSql,
+    "dedup_lines" -> dedupLinesSql)
 }

@@ -536,6 +536,42 @@ class PipelineOpsSpec extends SparkSpec {
       "bloom-fronted cut diverged from the exact-only path")
   }
 
+  test("dedup_lines keeps the first occurrence of every duplicated line") {
+    import spark.implicits._
+    // planted lined frames (the core takes (doc_id, lines)): doc 1 owns A+B;
+    // doc 2 repeats A (cut) and owns C; doc 3 is B+A only (fully cut); doc 4
+    // repeats its own line D WITHIN the doc (first occurrence kept — the
+    // CCNet global rule dedups intra-doc too); doc 5 is clean
+    val lined = Seq(
+      (1L, Seq("a1 a2", "b1 b2")),
+      (2L, Seq("a1 a2", "c1 c2")),
+      (3L, Seq("b1 b2", "a1 a2")),
+      (4L, Seq("d1 d2", "d1 d2", "e1")),
+      (5L, Seq("f1 f2"))
+    ).toDF("doc_id", "lines")
+    val got = PipelineOps.dedupLinesOn(lined).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got(1L) == ((2L, 0L, "a1 a2 b1 b2")), s"owner doc: ${got(1L)}")
+    assert(got(2L) == ((2L, 1L, "c1 c2")), s"cross-doc dup: ${got(2L)}")
+    assert(got(3L) == ((2L, 2L, "")), s"fully duplicated doc: ${got(3L)}")
+    assert(got(4L) == ((3L, 1L, "d1 d2 e1")), s"within-doc dup: ${got(4L)}")
+    assert(got(5L) == ((1L, 0L, "f1 f2")), s"clean doc: ${got(5L)}")
+    // the lined view chunks at 10 tokens with a short tail kept
+    val view = PipelineOps.linedDocs(
+      Seq((7L, (1 to 23).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text"))
+      .collect()
+    val lines = view.head.getSeq[String](1)
+    assert(lines.length == 3, s"23 tokens must chunk to 3 lines: $lines")
+    assert(lines(0) == (1 to 10).map(i => s"t$i").mkString(" "), lines(0))
+    assert(lines(2) == "t21 t22 t23", s"short tail: ${lines(2)}")
+    // real corpus: the op fires in both directions (planted dups share
+    // aligned chunks; clean docs survive untouched)
+    val out = PipelineOps.dedupLines(spark, sfDir).collect()
+    assert(out.exists(_.getLong(2) > 0), "no line cut on the corpus fixture")
+    assert(out.exists(_.getLong(2) == 0), "everything cut — fixture degenerate")
+  }
+
   test("seq_slice geometry: closed-form count, exact windows, full coverage") {
     val w = PipelineOps.SliceTokens; val s = PipelineOps.SliceStride
     val docs = Tables.load(spark, sfDir, "documents")

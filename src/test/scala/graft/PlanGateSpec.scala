@@ -108,6 +108,12 @@ class PlanGateSpec extends SparkSpec {
     // below pins the no-corpus-g-shuffle and bloom-front properties
     Gate("decontam_substr", maxHashEx = 2, minBroadcast = 2,
       aboveSortMarker = Some("array_except")),
+    // C48: C39's owner-window shape at LINE grain — keeper window on the
+    // line hash + marked rollup + doc join-back, three slim exchanges of
+    // (lh, doc_id, idx) triples; the text never exchanges and the cut is
+    // the row-local indexed complement above the output sort
+    Gate("dedup_lines", maxHashEx = 3, maxSortMerge = 1,
+      aboveSortMarker = Some("array_except")),
     // the composed gate ladder adds NO hash exchange over C39 itself: both
     // kernel gates ride the scan stage (DataFilters), and the post-cut
     // digest window replaces C39's budget for the text join (broadcast at

@@ -63,4 +63,5 @@ class SortedEntrySpec extends SparkSpec {
   // the substring cuts (sort between mark join and cut projection)
   pinned("dedup_substr", "doc_id")
   pinned("decontam_substr", "doc_id")
+  pinned("dedup_lines", "doc_id")
 }
