@@ -510,8 +510,14 @@ object TextAnalysis {
     * would allocate every word and line of the corpus and leave codegen);
     * ratios and thresholds are arithmetic over the struct. Zero shuffle,
     * order established on the raw scan (single-eval sort discipline). */
-  def textGopher(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = Tables.loadSorted(spark, sfDir, "documents", "doc_id")
+  def textGopher(spark: SparkSession, sfDir: String): DataFrame =
+    gopherProjection(spark, Tables.loadSorted(spark, sfDir, "documents", "doc_id"))
+
+  /** The C47 rule bundle over any (doc_id, text) relation — shared by the
+    * batch query and D16's streaming gate (every rule is row-local, so a
+    * stream is just another unbounded relation to project over; the shape
+    * salts key off doc_id and are identical in both engines). */
+  private[graft] def gopherProjection(spark: SparkSession, d: DataFrame): DataFrame = {
     val salted = concat(
       when(pmod(col("doc_id"), lit(7)) === 0, lit("- lead bullet\n")).otherwise(lit("")),
       col("text"),
@@ -544,8 +550,12 @@ object TextAnalysis {
           col("ellipsis_frac") <= 0.3 && col("symbol_ratio") <= 0.1)
   }
 
-  val textGopherSql: String =
-    """WITH s AS (
+  /** ONE source for the C47 rule SQL — shared by the batch oracle and D16's
+    * gated form so a rule-threshold change can never desynchronize them.
+    * The final SELECT is wrapped so the gate's WHERE can reference the
+    * composed `admit` alias portably. */
+  private def gopherSql(where: String): String =
+    s"""WITH s AS (
       | SELECT doc_id,
       |  CASE WHEN doc_id % 7 = 0 THEN '- lead bullet' || chr(10) ELSE '' END
       |  || text
@@ -567,20 +577,28 @@ object TextAnalysis {
       |      l -> ends_with(l, '...'))) AS n_ellipsis,
       |  length(t) - length(replace(t, '#', '')) AS n_hash,
       |  (length(t) - length(replace(t, '...', ''))) / 3 AS n_ell3
-      | FROM s)
-      |SELECT doc_id, n_words,
-      | (length(t) - (n_words - 1)) / n_words AS mean_word_len,
-      | n_alpha / n_words AS alpha_frac,
-      | n_bullet / n_lines AS bullet_frac,
-      | n_ellipsis / n_lines AS ellipsis_frac,
-      | (n_hash + n_ell3) / n_words AS symbol_ratio,
-      | (n_words BETWEEN 50 AND 100000)
-      |  AND (length(t) - (n_words - 1)) / n_words BETWEEN 3.0 AND 10.0
-      |  AND n_alpha / n_words >= 0.8 AND n_bullet / n_lines <= 0.9
-      |  AND n_ellipsis / n_lines <= 0.3 AND (n_hash + n_ell3) / n_words <= 0.1
-      |  AS admit
-      |FROM m
-      |ORDER BY doc_id""".stripMargin
+      | FROM s),
+      |g AS (
+      | SELECT doc_id, n_words,
+      |  (length(t) - (n_words - 1)) / n_words AS mean_word_len,
+      |  n_alpha / n_words AS alpha_frac,
+      |  n_bullet / n_lines AS bullet_frac,
+      |  n_ellipsis / n_lines AS ellipsis_frac,
+      |  (n_hash + n_ell3) / n_words AS symbol_ratio,
+      |  (n_words BETWEEN 50 AND 100000)
+      |   AND (length(t) - (n_words - 1)) / n_words BETWEEN 3.0 AND 10.0
+      |   AND n_alpha / n_words >= 0.8 AND n_bullet / n_lines <= 0.9
+      |   AND n_ellipsis / n_lines <= 0.3 AND (n_hash + n_ell3) / n_words <= 0.1
+      |   AS admit
+      | FROM m)
+      |SELECT * FROM g
+      |${where}ORDER BY doc_id""".stripMargin
+
+  val textGopherSql: String = gopherSql("")
+
+  /** D16's oracle: C47's SQL with the composed admit folded in (stateless ⇒
+    * the drained backlog equals the gated batch query). */
+  private[graft] def gopherGateSql: String = gopherSql("WHERE admit\n")
 
   /** D13's oracle: C40's SQL with the admit predicate folded in (the stream
     * is stateless, so the drained backlog equals the gated batch query). */

@@ -707,6 +707,29 @@ object Streams extends Serializable {
       .orderBy(col("doc_id"))
   }
 
+  /** D16 — streaming Gopher-rule gate: C47's full word/line-shape bundle as
+    * a continuous-ingest filter, the heuristic-rule tier of the stateless
+    * gate ladder (D6 score, D7 decontamination, D9 learned classifier, D13
+    * reference LM, this rule bundle — Gopher runs its rule filter BEFORE
+    * the learned tiers, Rae et al. 2021 §A1.1, and so does this ladder).
+    * All six rules come from ONE fused byte-pass kernel call per row
+    * (functions.GopherStats) inside the micro-batch's scan — no state
+    * store, no watermark, no shuffle — so the tier's throughput is the
+    * batch kernel's and the drained backlog equals the gated batch query
+    * exactly (single-sourced gopherSql oracle). Admits the composed rule
+    * decision; the per-rule fractions ride along so downstream tiers can
+    * re-threshold without re-scanning. */
+  def streamGopherGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val cp = new java.io.File(checkpointDir(sfDir, "stream_gopher"))
+    org.apache.commons.io.FileUtils.deleteQuietly(cp)
+    spark.catalog.dropTempView("stream_gopher")
+    val scored = graft.operators.TextAnalysis
+      .gopherProjection(spark, docsStream(spark, sfDir))
+      .filter(col("admit"))
+    runToMemory(spark, scored, "stream_gopher", cp, OutputMode.Append())
+      .orderBy(col("doc_id"))
+  }
+
   /** D7 — streaming decontamination gate: the eval-overlap tier of
     * continuous ingest, between D6's quality filter and the dedup tiers —
     * benchmark-contaminated crawl output should never reach the corpus at
@@ -1584,6 +1607,7 @@ object Streams extends Serializable {
     "stream_quality_gate" -> (streamQualityGate _),
     "stream_classify" -> (streamClassify _),
     "stream_lm_gate" -> (streamLmGate _),
+    "stream_gopher" -> (streamGopherGate _),
     "stream_decontam_gate" -> (streamDecontamGate _),
     "stream_decontam_cut" -> (streamDecontamCut _),
     "stream_pack" -> (streamPack _),
@@ -1613,6 +1637,9 @@ object Streams extends Serializable {
     // D9 is stateless → exactly the gated C34 on the drained backlog
     "stream_classify" -> graft.operators.TextAnalysis.classifyGateSql,
     "stream_lm_gate" -> graft.operators.TextAnalysis.lmGateSql,
+    // D16 is stateless → exactly the gated C47 on the drained backlog
+    // (single-sourced gopherSql, the D6/D9/D13 pattern)
+    "stream_gopher" -> graft.operators.TextAnalysis.gopherGateSql,
     // D7 is stateless → exactly C15's report with the gate verdict; shares
     // the gramsCte domain (incl. the <5-token whole-text fallback)
     "stream_decontam_gate" ->

@@ -342,6 +342,24 @@ class StreamingSpec extends SparkSpec {
       s"LM gate grew a shuffle:\n${plan.take(2000)}")
   }
 
+  test("streaming Gopher gate is stateless and equals the gated batch query exactly") {
+    val total = Tables.load(spark, sfDir, "documents").count()
+    val got = Streams.streamGopherGate(spark, sfDir).collect().map(_.toSeq).toSeq
+    val want = graft.operators.TextAnalysis.textGopher(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("admit"))
+      .collect().map(_.toSeq).toSeq
+    assert(got == want, "stream/batch divergence in the Gopher gate")
+    assert(got.nonEmpty && got.length < total, "gate must pass some docs and drop some")
+    // the statelessness contract shared by the whole gate ladder: the six
+    // rules are one fused kernel call in the scan — a state store or a
+    // shuffle would mean the tier stopped being free-throughput
+    val plan = Streams.lastStreamPlan
+    assert(!plan.contains("StateStore"),
+      s"Gopher gate grew a state store:\n${plan.take(2000)}")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"Gopher gate grew a shuffle:\n${plan.take(2000)}")
+  }
+
   test("streaming decontamination gate equals the batch contamination report") {
     import org.apache.spark.sql.functions._
     val got = Streams.streamDecontamGate(spark, sfDir).collect()
