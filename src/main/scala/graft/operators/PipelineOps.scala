@@ -1446,18 +1446,30 @@ object PipelineOps {
     * occurrence is cut from its document; output is the C39 frame at line
     * grain. The synthetic corpus is single-line prose, so the lined view
     * is a deterministic 10-token re-layout (the C47 salt discipline:
-    * identical construction in the oracle); a real crawl swaps in
-    * split(text, '\n') unchanged.
+    * identical construction in the oracle); a real crawl swaps the lined
+    * view for a newline split — with the caveat that Spark's `split` is
+    * REGEX (consecutive delimiters yield empty lines; metacharacters need
+    * quoting) while engines like DuckDB split on a literal string, so the
+    * real-crawl variant must pin one delimiter semantics on both sides
+    * (e.g. `split(text, java.util.regex.Pattern.quote("\n"), -1)` vs
+    * `string_split(text, chr(10))`) before any cross-engine oracle holds.
     *
     * Scale shape: the keeper decision shuffles (lh, doc_id, idx) triples
     * ONLY — a 16-byte line hash plus two longs per ~10-token line, so the
     * exchange is a few percent of corpus bytes and the text itself never
     * leaves its scan (the mark join back to the lined docs is
-    * doc_id-keyed, C39's shape). One lh window (the owner-window move at
-    * line grain) marks non-first occurrences, marks roll up per doc
-    * (second slim exchange), and the cut is the row-local indexed
-    * complement over the line array — linear in (lines + marks), no
-    * 5-expansion needed since line marks never overlap. */
+    * doc_id-keyed, C39's shape). The keeper is a TWO-PHASE AGGREGATE, not
+    * a window: `groupBy(lh).agg(min(struct(doc_id, idx)))` gets map-side
+    * partial aggregation, so a boilerplate line repeated in 10^8 documents
+    * (cookie banners, nav bars — the operator's whole target per CCNet
+    * §3.1) arrives at its reducer as one row PER MAP TASK, not one row per
+    * occurrence; an lh window would buffer the entire hot partition in a
+    * single task. The occurrence stream then meets the 1-row-per-lh keeper
+    * table in an equi-join (AQE's skew split applies cleanly because the
+    * build side is duplicate-free), marks roll up per doc, and the cut is
+    * the row-local indexed complement over the line array — linear in
+    * (lines + marks), no 5-expansion needed since line marks never
+    * overlap. */
   def dedupLines(spark: SparkSession, sfDir: String): DataFrame =
     dedupLinesOn(linedDocs(Tables.load(spark, sfDir, "documents")),
       sortBeforeCut = true)
@@ -1479,12 +1491,26 @@ object PipelineOps {
     * sampler re-evaluates only scan+join, never the cut HOFs. */
   private[graft] def dedupLinesOn(d: DataFrame,
     sortBeforeCut: Boolean = false): DataFrame = {
-    val byLh = org.apache.spark.sql.expressions.Window.partitionBy("lh")
-    val marked = d
+    val occ = d
       .select(col("doc_id"), posexplode(col("lines")).as(Seq("idx", "line")))
       .select(col("doc_id"), col("idx"), md5(col("line").cast("binary")).as("lh"))
-      .withColumn("k", min(struct(col("doc_id"), col("idx"))).over(byLh))
-      .filter(col("k.doc_id") =!= col("doc_id") || col("k.idx") =!= col("idx"))
+    // keeper per line hash as a two-phase aggregate (see scaladoc: hot
+    // boilerplate lines MUST combine map-side, so no Window over lh). The
+    // (doc_id, idx) pair is packed into one decimal(38,0) — min(struct)
+    // would fall back to a SortAggregate (struct isn't a mutable hash
+    // buffer type), costing a per-map-task sort; a decimal min stays a
+    // HashAggregate. Packing doc_id*10^9 + idx preserves lexicographic
+    // order for any long doc_id (negative included) while idx < 10^9 — a
+    // doc with 10^9 ten-token lines is a ~40 GB row, already impossible.
+    val keeper = occ.groupBy(col("lh"))
+      .agg(min(col("doc_id").cast("decimal(29,0)") * lit(1000000000L)
+        + col("idx")).as("pk"))
+      .select(col("lh"),
+        ((col("pk") - (col("pk") % 1000000000L)) / 1000000000L)
+          .cast("long").as("kdoc"),
+        (col("pk") % 1000000000L).cast("long").as("kidx"))
+    val marked = occ.join(keeper, Seq("lh"))
+      .filter(col("kdoc") =!= col("doc_id") || col("kidx") =!= col("idx"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("idx"))).as("marked"))
     val joined = d.join(marked, Seq("doc_id"), "left")

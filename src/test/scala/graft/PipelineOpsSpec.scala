@@ -565,6 +565,18 @@ class PipelineOpsSpec extends SparkSpec {
     assert(lines.length == 3, s"23 tokens must chunk to 3 lines: $lines")
     assert(lines(0) == (1 to 10).map(i => s"t$i").mkString(" "), lines(0))
     assert(lines(2) == "t21 t22 t23", s"short tail: ${lines(2)}")
+    // HOT-LINE fixture: one boilerplate line planted in EVERY doc (the
+    // cookie-banner shape the two-phase keeper aggregate exists for) —
+    // only the lowest (doc_id, idx) occurrence survives, every other doc
+    // loses exactly that line, and the per-doc payload stays intact
+    val hot = (1L to 200L).map(i => (i, Seq("hot banner", s"own $i")))
+      .toDF("doc_id", "lines")
+    val hotGot = PipelineOps.dedupLinesOn(hot).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(hotGot(1L) == ((0L, "hot banner own 1")), s"keeper doc: ${hotGot(1L)}")
+    (2L to 200L).foreach { i =>
+      assert(hotGot(i) == ((1L, s"own $i")), s"hot line survived in doc $i: ${hotGot(i)}")
+    }
     // real corpus: the op fires in both directions (planted dups share
     // aligned chunks; clean docs survive untouched)
     val out = PipelineOps.dedupLines(spark, sfDir).collect()

@@ -108,11 +108,13 @@ class PlanGateSpec extends SparkSpec {
     // below pins the no-corpus-g-shuffle and bloom-front properties
     Gate("decontam_substr", maxHashEx = 2, minBroadcast = 2,
       aboveSortMarker = Some("array_except")),
-    // C48: C39's owner-window shape at LINE grain — keeper window on the
-    // line hash + marked rollup + doc join-back, three slim exchanges of
-    // (lh, doc_id, idx) triples; the text never exchanges and the cut is
-    // the row-local indexed complement above the output sort
-    Gate("dedup_lines", maxHashEx = 3, maxSortMerge = 1,
+    // C48: keeper via TWO-PHASE lh aggregate + occurrence equi-join (NOT a
+    // window — hot boilerplate lines must combine map-side; the dedicated
+    // test below pins partial_min and the no-Window property), marked
+    // rollup + doc join-back — four slim exchanges of (lh, doc_id, idx)
+    // triples; the text never exchanges and the cut is the row-local
+    // indexed complement above the output sort
+    Gate("dedup_lines", maxHashEx = 4, maxSortMerge = 2,
       aboveSortMarker = Some("array_except")),
     // the composed gate ladder adds NO hash exchange over C39 itself: both
     // kernel gates ride the scan stage (DataFilters), and the post-cut
@@ -245,6 +247,30 @@ class PlanGateSpec extends SparkSpec {
           s"by gram (only the bench-side distinct may):\n${plan.take(2000)}")
       assert(plan.contains("might_contain"),
         s"decontam_substr: bloom pre-filter left the mark stage:\n${plan.take(2000)}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("plan gate: dedup_lines' keeper is a partial-aggregating two-phase min — no Window on the line hash") {
+    // the C48 100 TB contract: on a real crawl the hot line hashes ARE the
+    // operator's target (boilerplate repeats across millions of pages), so
+    // the keeper decision must combine map-side — a partial_min
+    // HashAggregate below the lh exchange turns 10^8 occurrences of one
+    // line into one row per map task. A Window.partitionBy(lh) form
+    // (the pre-round-13 shape) buffers the entire hot partition in a
+    // single task instead; this gate keeps it out.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("dedup_lines")(spark, sfDir)
+      df.write.format("noop").mode("overwrite").save()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"),
+        s"dedup_lines: a window re-entered the keeper decision:\n${plan.take(2000)}")
+      assert(plan.linesIterator.exists(l =>
+          l.contains("HashAggregate") && l.contains("partial_min")),
+        s"dedup_lines: keeper min lost map-side partial aggregation:\n${plan.take(2000)}")
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"dedup_lines: keeper join degraded to an unbounded join:\n${plan.take(2000)}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
