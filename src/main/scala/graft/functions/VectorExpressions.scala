@@ -873,6 +873,28 @@ object GraftFunctions {
         "dsub int literal, flat-books array<double> literal)")
   }
 
+  val adcTableInfo = new ExpressionInfo(
+    classOf[AdcTable].getName, "graft_adc_table")
+
+  /** (q, m literal, ks literal, dsub literal, flat-books double-array
+    * literal) — pqCodesBuilder's contract, query-side dual. */
+  private[functions] val adcTableBuilder: Seq[Expression] => Expression = {
+    case Seq(q, mArg, ksArg, dsubArg, flatArg)
+      if Seq(mArg, ksArg, dsubArg).forall(a => a.foldable &&
+          a.dataType.isInstanceOf[org.apache.spark.sql.types.IntegerType] &&
+          a.eval(null) != null) &&
+        flatArg.foldable && flatArg.eval(null) != null =>
+      AdcTable(q,
+        mArg.eval(null).asInstanceOf[Int],
+        ksArg.eval(null).asInstanceOf[Int],
+        dsubArg.eval(null).asInstanceOf[Int],
+        flatArg.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toDoubleArray().toSeq)
+    case _ => throw new IllegalArgumentException(
+      "graft_adc_table expects (q, m int literal, ks int literal, " +
+        "dsub int literal, flat-books array<double> literal)")
+  }
+
   val gramMarksInfo = new ExpressionInfo(
     classOf[GramMarkPositions].getName, "graft_gram_marks")
 
@@ -965,6 +987,7 @@ object GraftFunctions {
       (FunctionIdentifier("graft_gram_hits"), gramHitsInfo, gramHitsBuilder),
       (FunctionIdentifier("graft_gram_marks"), gramMarksInfo, gramMarksBuilder),
       (FunctionIdentifier("graft_pq_codes"), pqCodesInfo, pqCodesBuilder),
+      (FunctionIdentifier("graft_adc_table"), adcTableInfo, adcTableBuilder),
       (FunctionIdentifier("graft_minhash_sig"), minhashSigInfo, minhashSigBuilder),
       (FunctionIdentifier("graft_lm_score"), lmScoreInfo, lmScoreBuilder),
       (FunctionIdentifier("graft_lm_score_bc"), lmScoreBcInfo, lmScoreBcBuilder))
@@ -1071,6 +1094,23 @@ object GraftFunctions {
       "pqCodes: ragged codebooks")
     ensureRegistered(spark)
     call_function("graft_pq_codes", v,
+      org.apache.spark.sql.functions.lit(m),
+      org.apache.spark.sql.functions.lit(ks),
+      org.apache.spark.sql.functions.lit(dsub),
+      org.apache.spark.sql.functions.lit(books.flatten.flatten))
+  }
+
+  /** Column-API entry point: a query's M×Ks ADC lookup table under trained
+    * books (entry m*Ks+c = q_sub(m) · book(m)(c)) — [[pqCodes]]' dual. */
+  def adcTable(spark: SparkSession, q: Column,
+    books: Array[Array[Array[Double]]]): Column = {
+    require(books.nonEmpty && books.head.nonEmpty && books.head.head.nonEmpty,
+      "adcTable: empty codebooks")
+    val (m, ks, dsub) = (books.length, books.head.length, books.head.head.length)
+    require(books.forall(b => b.length == ks && b.forall(_.length == dsub)),
+      "adcTable: ragged codebooks")
+    ensureRegistered(spark)
+    call_function("graft_adc_table", q,
       org.apache.spark.sql.functions.lit(m),
       org.apache.spark.sql.functions.lit(ks),
       org.apache.spark.sql.functions.lit(dsub),
@@ -1293,6 +1333,78 @@ case class PqEncodeCodes(child: Expression, m: Int, ks: Int, dsub: Int,
     copy(child = newChild)
 }
 
+/** ADC-table kernel for [[AdcTable]]: one pass over a QUERY vector emitting
+  * its M×Ks asymmetric-distance lookup table — entry m*Ks+c is the inner
+  * product of query subvector m with centroid c of subspace m, accumulated
+  * as a 0.0-seeded LEFT fold in dimension order. This is bit-for-bit the
+  * composed HOF form (aggregate over zip_with) Similarity.adcTableExpr
+  * builds — PqEncodeKernel's dual on the query side of IVFADC: the HOF
+  * tree is interpreted and costs M·Ks lambda-dispatched folds per query
+  * row, fine while |Q| = N/97 but |Q| ∝ N by design; the kernel is one
+  * generated call (FunctionsSpec pins the equivalence). */
+object AdcTableKernel {
+  def table(q: org.apache.spark.sql.catalyst.util.ArrayData,
+    m: Int, ks: Int, dsub: Int, books: Array[Array[Double]]):
+      org.apache.spark.sql.catalyst.util.ArrayData = {
+    val out = new Array[Any](m * ks)
+    var mm = 0
+    while (mm < m) {
+      var c = 0
+      while (c < ks) {
+        val cv = books(mm * ks + c)
+        var acc = 0.0
+        var d = 0
+        while (d < dsub) {
+          acc += q.getDouble(mm * dsub + d) * cv(d)
+          d += 1
+        }
+        out(mm * ks + c) = acc
+        c += 1
+      }
+      mm += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** A query vector's M×Ks ADC lookup table as ONE projected array expression —
+  * the query leg of C38c as a native kernel, [[PqEncodeCodes]]' dual. The
+  * codebooks travel as `(m, ks, dsub, flat)` value-equal fields
+  * (NearestCentroid's transport rule), parsed once per plan. */
+case class AdcTable(child: Expression, m: Int, ks: Int, dsub: Int,
+  flat: Seq[Double])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(m > 0 && ks > 0 && dsub > 0, "graft_adc_table: bad dimensions")
+  require(flat.size == m * ks * dsub,
+    s"graft_adc_table: flat size ${flat.size} != $m x $ks x $dsub")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_adc_table expects array<double>, got $t")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_adc_table"
+
+  @transient private lazy val books: Array[Array[Double]] =
+    flat.toArray.grouped(dsub).toArray
+
+  override protected def nullSafeEval(a: Any): Any =
+    AdcTableKernel.table(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      m, ks, dsub, books)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val b = ctx.addReferenceObj("adcBooks", books, "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.AdcTableKernel.table($c, $m, $ks, $dsub, $b)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AdcTable =
+    copy(child = newChild)
+}
+
 /** Extensions entry point: `--conf spark.sql.extensions=graft.functions.GraftExtensions`. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
@@ -1326,5 +1438,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       GraftFunctions.bpeMergeCountInfo, GraftFunctions.bpeMergeCountBuilder))
     ext.injectFunction((FunctionIdentifier("graft_minhash_sig"),
       GraftFunctions.minhashSigInfo, GraftFunctions.minhashSigBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_adc_table"),
+      GraftFunctions.adcTableInfo, GraftFunctions.adcTableBuilder))
   }
 }

@@ -840,6 +840,19 @@ object Similarity {
     }: _*).getField("c")
   }
 
+  /** The composed-HOF ADC table over a query column `q` — the (m asc, c
+    * asc) flat M×Ks inner-product table as 128 fold expressions, kept as
+    * the bit-identity reference for the native [[graft.functions.AdcTable]]
+    * kernel knnJoinPq actually plans (FunctionsSpec pins kernel == this,
+    * the pqCodeExpr/graft_pq_codes pattern). Fold order pinned: 0.0-seeded
+    * left fold in dimension order. */
+  private[graft] def adcTableExpr(books: Array[Array[Array[Double]]]): Column =
+    array((for (m <- 0 until PqM; c <- 0 until PqKs) yield
+      aggregate(
+        zip_with(slice(col("q"), m * PqDsub + 1, PqDsub), lit(books(m)(c)),
+          (x, cc) => x * cc),
+        lit(0.0), (acc, z) => acc + z)): _*)
+
   /** Train the PQ codebooks: independent Lloyd runs in each of the 8
     * subspaces, batched as ONE scan per iteration (subspace structs explode →
     * groupBy(m, code, dim) with DECIMAL-exact means — determinism contract as
@@ -1107,18 +1120,14 @@ object Similarity {
     val nProbe = 4
     val (tbl, codebook, books) = ensurePqBucketedTable(spark, sfDir)
     // the per-query ADC table, (m asc, c asc) order: element m*Ks+c+1 is
-    // q_sub(m) · book(m)(c) — the same 0.0-seeded fold as the oracle's.
-    // These 128 folds are interpreted HOFs, but they run on |Q| = N/97
-    // QUERY rows only (~1% of the encode cost PqEncodeKernel eliminated);
-    // a native ADC-table kernel is the dual upgrade if |Q| ever grows
-    val adcTable = array((for (m <- 0 until PqM; c <- 0 until PqKs) yield
-      aggregate(
-        zip_with(slice(col("q"), m * PqDsub + 1, PqDsub), lit(books(m)(c)),
-          (x, cc) => x * cc),
-        lit(0.0), (acc, z) => acc + z)): _*)
+    // q_sub(m) · book(m)(c) — the same 0.0-seeded fold as the oracle's,
+    // as ONE native kernel call (|Q| ∝ N by design, so the query side
+    // deserves PqEncodeKernel's treatment too; adcTableExpr keeps the
+    // composed HOF form for the FunctionsSpec bit-identity pin)
     val queriesOf = knnQueries(spark, sfDir)
     val probes = queriesOf
-      .select(col("q_id"), adcTable.as("tbl"),
+      .select(col("q_id"),
+        graft.functions.GraftFunctions.adcTable(spark, col("q"), books).as("tbl"),
         explode(graft.functions.GraftFunctions
           .nearestCidsBroadcast(spark, col("q"), codebook, nProbe)).as("cid"))
     // approximate inner product: 8 lookups, fixed subspace order (left-

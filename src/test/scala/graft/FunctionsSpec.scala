@@ -755,6 +755,34 @@ class FunctionsSpec extends SparkSpec {
     assert(got.values.forall(_(2) != 7), "a tie resolved to the HIGHER code")
   }
 
+  test("native ADC-table kernel equals the composed fold-tree form bit-for-bit") {
+    import spark.implicits._
+    // deterministic 64-dim fixture queries + 8x16x8 books — non-trivial
+    // signs and magnitudes so the fold's IEEE rounding sequence matters
+    def vec(seed: Int): Array[Double] =
+      Array.tabulate(64)(i => ((seed * 37 + i * 11) % 17 - 8) / 7.0)
+    val books = Array.tabulate(8, 16)((m, c) =>
+      vec(200 + m * 16 + c).slice(m * 8, m * 8 + 8))
+    val df = (0 until 20).map(i => (i.toLong, vec(i).toSeq)).toDF("q_id", "q")
+    val got = df.select(col("q_id"),
+        graft.functions.GraftFunctions.adcTable(spark, col("q"), books).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val want = df.select(col("q_id"),
+        graft.operators.Similarity.adcTableExpr(books).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    (0 until 20).foreach { i =>
+      val (g, w) = (got(i.toLong), want(i.toLong))
+      assert(g.length == 128 && w.length == 128, s"q $i: table length ${g.length}")
+      // bit-identical, not approximately equal: the kernel must replay the
+      // HOF's exact 0.0-seeded left-fold rounding sequence
+      g.zip(w).zipWithIndex.foreach { case ((gv, wv), k) =>
+        assert(java.lang.Double.doubleToRawLongBits(gv) ==
+          java.lang.Double.doubleToRawLongBits(wv),
+          s"q $i entry $k: kernel $gv != composed $wv (bit mismatch)")
+      }
+    }
+  }
+
   test("row-local minhash kernel equals the reference signature semantics") {
     import spark.implicits._
     import graft.functions.MinHashFamily

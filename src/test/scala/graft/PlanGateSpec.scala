@@ -211,6 +211,9 @@ class PlanGateSpec extends SparkSpec {
         s"knn_join_pq: a query-derived side is broadcast:\n${plan.take(2000)}")
       assert(plan.contains("graft_nearest_cids_bc"),
         s"knn_join_pq: probe planning left the distributed kernel:\n${plan.take(2000)}")
+      assert(plan.contains("graft_adc_table"),
+        s"knn_join_pq: ADC tables left the native kernel (128 interpreted " +
+          s"folds per query row again):\n${plan.take(2000)}")
       assert(plan.contains("SelectedBucketsCount"),
         s"knn_join_pq: ADC side no longer reads the bucketed coded layout:\n${plan.take(2000)}")
       val codedScan = plan.linesIterator.find(_.contains("pq_bkt"))
