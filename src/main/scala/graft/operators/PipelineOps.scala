@@ -510,31 +510,34 @@ object PipelineOps {
     * v3 (C41b) runs the semantic tier over it first. ONE definition so the
     * two pipelines can never disagree on a gate. */
   private def gateLadderSurvivors(spark: SparkSession, d: DataFrame,
-    uniBlob: String, biBlob: String): DataFrame = {
+    uniBlob: String, biBlob: String, extra: Seq[String] = Nil): DataFrame = {
     val v = new graft.functions.GramLmModel(uniBlob, biBlob).v
-    val gated = d.select(col("doc_id"), col("lang"), col("text"),
+    val gated = d.select(Seq(col("doc_id"), col("lang"), col("text"),
         graft.functions.GraftFunctions.tokenWeight(spark, col("text")).as("weight_sum"),
         TextAnalysis.wsTokenCount(col("text")).cast("bigint").as("ws_tokens"),
         graft.functions.GraftFunctions
           .lmScoreAuto(spark, col("text"), uniBlob, biBlob).as("s"))
-      .select(col("doc_id"), col("lang"), col("text"),
+        ++ extra.map(col): _*)
+      .select(Seq(col("doc_id"), col("lang"), col("text"),
         (col("weight_sum") / (lit(500L) * col("ws_tokens"))).as("clf_score"),
         col("s.n_bigrams").as("n_bigrams"),
         (col("s.inv_sum") / col("s.n_bigrams")).as("raw_lm"))
+        ++ extra.map(col): _*)
       .filter(col("clf_score") > 0.0 && col("n_bigrams") >= 1 &&
         col("raw_lm") <= lit(v.toDouble))
-      .select(col("doc_id"), col("lang"), col("text"), col("clf_score"),
-        round(col("raw_lm"), 6).as("lm_score"))
+      .select(Seq(col("doc_id"), col("lang"), col("text"), col("clf_score"),
+        round(col("raw_lm"), 6).as("lm_score")) ++ extra.map(col): _*)
     val rewritten = dedupSubstrOn(gated,
-        passengers = Seq("lang", "clf_score", "lm_score"))
+        passengers = Seq("lang", "clf_score", "lm_score") ++ extra)
       .filter(col("n_removed") < col("n_tokens"))
     val byFp = org.apache.spark.sql.expressions.Window
       .partitionBy(md5(col("kept_text").cast("binary")))
     rewritten
       .withColumn("rep", min(col("doc_id")).over(byFp))
       .filter(col("doc_id") === col("rep"))
-      .select(col("doc_id"), col("lang"), col("clf_score"), col("lm_score"),
-        col("n_tokens"), col("n_removed"), col("kept_text"))
+      .select(Seq(col("doc_id"), col("lang"), col("clf_score"), col("lm_score"),
+        col("n_tokens"), col("n_removed")) ++ extra.map(col)
+        :+ col("kept_text"): _*)
   }
 
   /** C41b — composed corpus-prep v3 (`prepare_corpus_v3`): the v2 gate
@@ -571,8 +574,70 @@ object PipelineOps {
     * plant a corpus whose gates, cut, exact dedup AND semantic tier all
     * fire non-vacuously. `assigned` must carry (vec_id, v, cid). */
   private[graft] def prepareCorpusV3On(spark: SparkSession, d: DataFrame,
+    assigned: DataFrame, uniBlob: String, biBlob: String): DataFrame =
+    semanticTierSampled(spark,
+      gateLadderSurvivors(spark, d, uniBlob, biBlob), assigned)
+
+  /** C49 — composed corpus-prep v4 (`prepare_corpus_v4`): the COMPLETE
+    * RefinedWeb-shaped run — the heuristic tiers that v3 still left
+    * standalone are folded in ahead of its ladder, in the order Rae et al.
+    * / Penedo et al. run them: Gopher rule gate (C47's six word/line-shape
+    * rules, UNSALTED — a pipeline tier never mutates the text it forwards)
+    * → cross-document line dedup (C48's de-skewed two-phase keeper, fully
+    * cut docs dropped, per-doc line-cut count riding as a passenger) →
+    * classifier + LM gates → exact-substring cut → exact dedup → semantic
+    * dedup → deterministic sample, ONE declarative plan with ONE
+    * end-to-end value-level oracle.
+    *
+    * Scale shape: the Gopher gate is a zero-shuffle kernel filter inside
+    * the corpus scan (every rejected doc dies before ANY exchange — the
+    * cheapest tier runs first exactly because of that); the line tier
+    * shuffles only (lh, doc_id, idx) triples + the doc-keyed mark join
+    * (C48's shape); and everything downstream is v3's audited ladder over
+    * a strictly smaller survivor set. The rewritten (line-cut) text is
+    * what the LM/classifier gates score and the gram stage shuffles, so
+    * upstream tiers REDUCE downstream bytes — the whole point of the
+    * RefinedWeb ordering. The declarative compose re-reads the corpus once
+    * per ladder branch (each scan carrying the pushed gopher gate —
+    * plan-gated); a production run materializes the admitted tier between
+    * stages, the v2 scaladoc's documented trade.
+    *
+    * On the graded synthetic corpus the funnel is sparse by construction
+    * (the v2 scaladoc's LM-head note, now two tiers deeper): at sf0.01
+    * three docs reach the sample and all three fail its hash draw, so the
+    * oracle-matched result is EMPTY there — at sf0.1 the same pipeline
+    * yields ~22 rows. The planted-corpus spec drives every tier in both
+    * directions regardless of scale. */
+  def prepareCorpusV4(spark: SparkSession, sfDir: String): DataFrame = {
+    val (uniBlob, biBlob) = TextAnalysis.lmModel(spark, sfDir)
+    prepareCorpusV4On(spark, Tables.load(spark, sfDir, "documents"),
+      graft.operators.Similarity.semanticAssigned(spark, sfDir),
+      uniBlob, biBlob)
+  }
+
+  /** The C49 pipeline over explicit frames — separated so the spec can
+    * plant a corpus driving BOTH new tiers (gopher reject + line cut) and
+    * every v3 stage non-vacuously. */
+  private[graft] def prepareCorpusV4On(spark: SparkSession, d: DataFrame,
     assigned: DataFrame, uniBlob: String, biBlob: String): DataFrame = {
-    val surv = gateLadderSurvivors(spark, d, uniBlob, biBlob)
+    val admitted = TextAnalysis.gopherAdmittedDocs(spark, d)
+    val lineCut = dedupLinesOn(linedDocs(admitted, keep = Seq("lang")),
+        keep = Seq("lang"))
+      .filter(col("n_removed") < col("n_lines"))
+      .select(col("doc_id"), col("lang"),
+        col("n_removed").as("n_lines_removed"), col("kept_text").as("text"))
+    val surv = gateLadderSurvivors(spark, lineCut, uniBlob, biBlob,
+      extra = Seq("n_lines_removed"))
+    semanticTierSampled(spark, surv, assigned, extra = Seq("n_lines_removed"))
+  }
+
+  /** The shared tail of the v3/v4 composed pipelines: C29's survivor-scoped
+    * semantic tier + the v2 sample rule over a gate-ladder survivor frame.
+    * ONE definition so the two pipelines can never disagree on the
+    * semantic contract; `extra` carries upstream-tier passenger columns
+    * (v4's n_lines_removed) into the output. */
+  private def semanticTierSampled(spark: SparkSession, surv: DataFrame,
+    assigned: DataFrame, extra: Seq[String] = Nil): DataFrame = {
     val withAsn = surv.join(
       assigned.select(col("vec_id"), col("v"), col("cid")),
       surv("doc_id") === col("vec_id"))
@@ -581,8 +646,9 @@ object PipelineOps {
       .select(col("vec_id")).distinct()
     withAsn.join(dups, Seq("vec_id"), "left_anti")
       .filter(pmod(idHash(col("doc_id")), lit(100)) < 50)
-      .select(col("doc_id"), col("lang"), col("clf_score"), col("lm_score"),
-        col("n_tokens"), col("n_removed"), col("cid"), col("kept_text"))
+      .select(Seq(col("doc_id"), col("lang"), col("clf_score"), col("lm_score"),
+        col("n_tokens"), col("n_removed")) ++ extra.map(col)
+        ++ Seq(col("cid"), col("kept_text")): _*)
       .orderBy(col("doc_id"))
   }
 
@@ -601,11 +667,16 @@ object PipelineOps {
       |ORDER BY doc_id""".stripMargin
 
   /** The gate ladder's oracle CTE chain (through the exact-dedup window
-    * `k`) — ONE text shared by the v2 and v3 oracles, mirroring
-    * [[gateLadderSurvivors]] on the Spark side. */
-  private lazy val gateLadderCtesSql: String =
-    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-      |ref AS (SELECT ts FROM toks WHERE doc_id % 97 = 0),
+    * `k`) — ONE text shared by the v2, v3 and v4 oracles, mirroring
+    * [[gateLadderSurvivors]] on the Spark side. `src` is the (doc_id,
+    * lang, text) relation the ladder gates; the LM reference slice always
+    * trains on the RAW corpus (doc_id % 97 = 0 of `documents`), matching
+    * the Spark side's TextAnalysis.lmModel — v4's upstream tiers rewrite
+    * the scored text but never the model. */
+  private def gateLadderCtesFor(src: String): String =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM $src),
+      |ref AS (SELECT string_split(text, ' ') AS ts FROM documents
+      |        WHERE doc_id % 97 = 0),
       |uni AS (SELECT t, COUNT(*) AS c
       |        FROM (SELECT unnest(ts) AS t FROM ref) GROUP BY t),
       |bi AS (SELECT g, COUNT(*) AS c FROM (
@@ -629,12 +700,12 @@ object PipelineOps {
       |    t -> CAST(CAST(('0x' || substr(md5(t), 1, 8)) AS INT64) AS BIGINT) % 1001 - 500))
       |   AS BIGINT) AS weight_sum,
       |  length(text) - length(regexp_replace(text, ' ', '', 'g')) + 1 AS ws_tokens
-      | FROM documents),
+      | FROM $src),
       |gated AS (
       | SELECT d.doc_id, d.lang, d.text,
       |  c.weight_sum / (500 * c.ws_tokens) AS clf_score,
       |  ROUND(l.inv_sum / l.n_bi, 6) AS lm_score
-      | FROM documents d JOIN clf c USING (doc_id) JOIN lm l USING (doc_id)
+      | FROM $src d JOIN clf c USING (doc_id) JOIN lm l USING (doc_id)
       | WHERE c.weight_sum / (500 * c.ws_tokens) > 0.0
       |   AND l.inv_sum / l.n_bi <= CAST(l.v AS DOUBLE)),
       |gt AS (SELECT doc_id, string_split(text, ' ') AS ts FROM gated),
@@ -663,15 +734,31 @@ object PipelineOps {
       | WHERE len(r.kept) > 0),
       |k AS (SELECT *, MIN(doc_id) OVER (PARTITION BY md5(kept_text)) AS rep FROM rw)""".stripMargin
 
+  /** The v2/v3 instance of the ladder CTEs: gates run on the raw corpus. */
+  private lazy val gateLadderCtesSql: String = "WITH " + gateLadderCtesFor("documents")
+
   /** C41b's oracle: the shared gate-ladder CTEs + the semantic tier scoped
     * to the survivors — centroid literals dir-bound like C29's, the SAME
     * assignment argmax / keeper-rank / rank-guarded pair text as
     * streamDedupSemanticSql, restricted to `sur`, then the v2 sample rule.
     * Every fold and tie-break is the op sequence the Spark plan runs. */
-  def prepareCorpusV3Sql(sfDir: String): String = {
-    def cos(a: String, b: String) = graft.operators.Similarity.sqlCos(a, b)
+  def prepareCorpusV3Sql(sfDir: String): String =
     gateLadderCtesSql + s""",
-      |sur AS (SELECT doc_id, lang, clf_score, lm_score, n_tokens, n_removed, kept_text
+      |${semanticTierCtesSql(sfDir)}
+      |SELECT s.doc_id, s.lang, s.clf_score, s.lm_score, s.n_tokens,
+      | s.n_removed, a.cid, s.kept_text
+      |FROM sur s JOIN sassigned a ON a.vec_id = s.doc_id
+      |LEFT JOIN sdups dp ON dp.vec_id = s.doc_id
+      |WHERE dp.vec_id IS NULL
+      | AND CAST(('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 8)) AS INT64) % 100 < 50
+      |ORDER BY s.doc_id""".stripMargin
+
+  /** The semantic-tier oracle CTEs over the ladder's `k` — sur through
+    * sdups, ONE text shared by the v3 and v4 oracles (mirrors
+    * [[semanticTierSampled]] being shared on the Spark side). */
+  private def semanticTierCtesSql(sfDir: String): String = {
+    def cos(a: String, b: String) = graft.operators.Similarity.sqlCos(a, b)
+    s"""sur AS (SELECT doc_id, lang, clf_score, lm_score, n_tokens, n_removed, kept_text
       |        FROM k WHERE doc_id = rep),
       |e AS (SELECT vec_id, list_transform(embedding, z -> CAST(z AS DOUBLE)) AS v
       |      FROM embeddings),
@@ -691,15 +778,38 @@ object PipelineOps {
       | FROM sranked x JOIN sranked y
       |  ON x.cid = y.cid AND x.krank < y.krank
       |   AND y.krank <= ${graft.operators.Dedup.MaxBucket}
-      | WHERE ${cos("x.v", "y.v")} >= ${graft.operators.Similarity.SemanticTau})
+      | WHERE ${cos("x.v", "y.v")} >= ${graft.operators.Similarity.SemanticTau})""".stripMargin
+  }
+
+  /** C49's oracle: the unsalted C47 rule CTEs gate the raw corpus, the C48
+    * line-dedup chain (prefix `l_` — the ladder reuses mk/res) rewrites the
+    * admitted docs, and the shared ladder + semantic-tier texts run over
+    * the rewrite; n_lines_removed re-joins from the line tier at the end
+    * (the Spark side carries it as a passenger — same doc_id key). */
+  def prepareCorpusV4Sql(sfDir: String): String =
+    s"""WITH s AS (SELECT doc_id, text AS t FROM documents),
+      |${graft.operators.TextAnalysis.gopherRuleCtesSql},
+      |adm AS (
+      | SELECT d.doc_id, d.lang, d.text
+      | FROM documents d JOIN g USING (doc_id)
+      | WHERE g.admit),
+      |${dedupLinesCtesSql("adm", "l_")},
+      |v4docs AS (
+      | SELECT r.doc_id, a.lang,
+      |  CAST(r.n_l - len(r.kept) AS BIGINT) AS n_lines_removed,
+      |  array_to_string(r.kept, ' ') AS text
+      | FROM l_res r JOIN adm a USING (doc_id)
+      | WHERE len(r.kept) > 0),
+      |${gateLadderCtesFor("v4docs")},
+      |${semanticTierCtesSql(sfDir)}
       |SELECT s.doc_id, s.lang, s.clf_score, s.lm_score, s.n_tokens,
-      | s.n_removed, a.cid, s.kept_text
+      | s.n_removed, vd.n_lines_removed, a.cid, s.kept_text
       |FROM sur s JOIN sassigned a ON a.vec_id = s.doc_id
+      |JOIN v4docs vd ON vd.doc_id = s.doc_id
       |LEFT JOIN sdups dp ON dp.vec_id = s.doc_id
       |WHERE dp.vec_id IS NULL
       | AND CAST(('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 8)) AS INT64) % 100 < 50
       |ORDER BY s.doc_id""".stripMargin
-  }
 
   /** C19 — PII redaction: scrub email addresses and phone numbers with
     * codegen'd regexp_replace (no UDFs; at 100 TB this is a pure map stage,
@@ -1477,12 +1587,13 @@ object PipelineOps {
   /** The deterministic 10-token lined view: (doc_id, lines). Tokens are
     * split ONCE into an attribute the chunk lambda slices (the cutMarked
     * discipline — an inline split would re-split per chunk). */
-  private[graft] def linedDocs(d: DataFrame): DataFrame =
-    d.select(col("doc_id"), split(col("text"), " ").as("ts"))
-      .select(col("doc_id"), transform(
+  private[graft] def linedDocs(d: DataFrame, keep: Seq[String] = Nil): DataFrame =
+    d.select(Seq(col("doc_id"), split(col("text"), " ").as("ts"))
+        ++ keep.map(col): _*)
+      .select(Seq(col("doc_id"), transform(
         sequence(lit(0), ceil(size(col("ts")) / lit(10.0)).cast("int") - 1),
         i => array_join(slice(col("ts"), i * lit(10) + lit(1), lit(10)), " "))
-        .as("lines"))
+        .as("lines")) ++ keep.map(col): _*)
 
   /** The line-dedup core over any (doc_id, lines) frame — separated so the
     * spec can plant hand-computed boilerplate fixtures. sortBeforeCut:
@@ -1490,7 +1601,7 @@ object PipelineOps {
     * established between the mark join and the cut lambdas, so the range
     * sampler re-evaluates only scan+join, never the cut HOFs. */
   private[graft] def dedupLinesOn(d: DataFrame,
-    sortBeforeCut: Boolean = false): DataFrame = {
+    sortBeforeCut: Boolean = false, keep: Seq[String] = Nil): DataFrame = {
     val occ = d
       .select(col("doc_id"), posexplode(col("lines")).as(Seq("idx", "line")))
       .select(col("doc_id"), col("idx"), md5(col("line").cast("binary")).as("lh"))
@@ -1515,38 +1626,46 @@ object PipelineOps {
       .agg(sort_array(collect_set(col("idx"))).as("marked"))
     val joined = d.join(marked, Seq("doc_id"), "left")
     val ordered = if (sortBeforeCut) joined.orderBy(col("doc_id")) else joined
-    ordered.select(col("doc_id"),
+    ordered.select(Seq(col("doc_id"),
       size(col("lines")).cast("bigint").as("n_lines"),
       coalesce(size(col("marked")), lit(0)).cast("bigint").as("n_removed"),
       array_join(transform(
         array_except(sequence(lit(0), size(col("lines")) - 1),
           coalesce(col("marked"), lit(Array.empty[Int]))),
         i => get(col("lines"), i)), " ").as("kept_text"))
+      ++ keep.map(col): _*)
   }
 
-  /** C48's oracle: the same 10-token lined view, keeper via FIRST_VALUE
-    * over (doc_id, idx) per line hash, 1-based list_filter cut. */
-  val dedupLinesSql: String =
-    """WITH lined AS (
+  /** The C48 oracle CTE chain over any (doc_id, text) relation `src`: the
+    * same 10-token lined view, keeper via FIRST_VALUE over (doc_id, idx)
+    * per line hash, 1-based list_filter cut. CTE names carry prefix `p` so
+    * the chain can coexist with the gate-ladder CTEs (which also use
+    * mk/res) inside the composed v4 oracle. */
+  private def dedupLinesCtesSql(src: String, p: String): String =
+    s"""${p}lined AS (
       | SELECT doc_id, list_transform(range(0, CAST(ceil(len(ts) / 10.0) AS INT)),
       |   i -> array_to_string(list_slice(ts, i*10 + 1, i*10 + 10), ' ')) AS lines
-      | FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)),
-      |occ AS (
+      | FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM $src)),
+      |${p}occ AS (
       | SELECT doc_id, i - 1 AS idx, md5(lines[i]) AS lh
-      | FROM (SELECT doc_id, lines, unnest(range(1, len(lines) + 1)) AS i FROM lined)),
-      |mk AS (
+      | FROM (SELECT doc_id, lines, unnest(range(1, len(lines) + 1)) AS i FROM ${p}lined)),
+      |${p}mk AS (
       | SELECT doc_id, list_sort(list(idx)) AS marked
       | FROM (SELECT doc_id, idx,
       |         FIRST_VALUE(doc_id) OVER w AS kd, FIRST_VALUE(idx) OVER w AS ki
-      |       FROM occ
+      |       FROM ${p}occ
       |       WINDOW w AS (PARTITION BY lh ORDER BY doc_id, idx
       |                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
       | WHERE kd <> doc_id OR ki <> idx
       | GROUP BY doc_id),
-      |res AS (
+      |${p}res AS (
       | SELECT l.doc_id, len(l.lines) AS n_l,
       |  list_filter(l.lines, (x, i) -> NOT list_contains(COALESCE(m.marked, []), i - 1)) AS kept
-      | FROM lined l LEFT JOIN mk m USING (doc_id))
+      | FROM ${p}lined l LEFT JOIN ${p}mk m USING (doc_id))""".stripMargin
+
+  /** C48's standalone oracle: the shared CTE chain over the raw corpus. */
+  val dedupLinesSql: String =
+    "WITH " + dedupLinesCtesSql("documents", "") + """
       |SELECT doc_id, CAST(n_l AS BIGINT) AS n_lines,
       | CAST(n_l - len(kept) AS BIGINT) AS n_removed,
       | COALESCE(array_to_string(kept, ' '), '') AS kept_text
@@ -1626,7 +1745,8 @@ object PipelineOps {
     "seq_pack_manifest" -> (seqPackManifest _),
     "decontam_substr" -> (decontamSubstr _),
     "dedup_lines" -> (dedupLines _),
-    "prepare_corpus_v3" -> (prepareCorpusV3 _))
+    "prepare_corpus_v3" -> (prepareCorpusV3 _),
+    "prepare_corpus_v4" -> (prepareCorpusV4 _))
 
   val oracles: Map[String, String] = Map(
     "corpus_diff" -> corpusDiffSql,

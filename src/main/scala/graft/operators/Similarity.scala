@@ -1648,7 +1648,8 @@ object Similarity {
     "knn_join_pq" -> knnJoinPqSql(sfDir),
     // C41b embeds the semantic tier, so its oracle is dir-bound like C29's
     // (the query itself lives in PipelineOps)
-    "prepare_corpus_v3" -> PipelineOps.prepareCorpusV3Sql(sfDir))
+    "prepare_corpus_v3" -> PipelineOps.prepareCorpusV3Sql(sfDir),
+    "prepare_corpus_v4" -> PipelineOps.prepareCorpusV4Sql(sfDir))
 
   /** Dir-less contract form, total for any JVM state: one trained codebook →
     * that dir's centroid-literal oracle; none → the data-derived seed

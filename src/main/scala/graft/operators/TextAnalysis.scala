@@ -517,8 +517,9 @@ object TextAnalysis {
     * batch query and D16's streaming gate (every rule is row-local, so a
     * stream is just another unbounded relation to project over; the shape
     * salts key off doc_id and are identical in both engines). */
-  private[graft] def gopherProjection(spark: SparkSession, d: DataFrame): DataFrame = {
-    val salted = concat(
+  private[graft] def gopherProjection(spark: SparkSession, d: DataFrame,
+    salt: Boolean = true, keep: Seq[String] = Nil): DataFrame = {
+    val salted = if (!salt) col("text") else concat(
       when(pmod(col("doc_id"), lit(7)) === 0, lit("- lead bullet\n")).otherwise(lit("")),
       col("text"),
       when(pmod(col("doc_id"), lit(11)) === 0, lit("\n0123 4567 89 ##")).otherwise(lit("")),
@@ -533,9 +534,10 @@ object TextAnalysis {
       length(call_function("replace", col("t"), lit("..."), lit("")))) / lit(3)
     val nHash = length(col("t")) -
       length(call_function("replace", col("t"), lit("#"), lit("")))
-    d.select(col("doc_id"), salted.as("t"),
+    d.select(Seq(col("doc_id"), salted.as("t"),
         graft.functions.GraftFunctions.gopherStats(spark, salted).as("gs"))
-      .select(col("doc_id"),
+        ++ keep.map(col): _*)
+      .select(Seq(col("doc_id"),
         col("gs.n_words").as("n_words"),
         ((length(col("t")) - (col("gs.n_words") - 1)) / col("gs.n_words"))
           .as("mean_word_len"),
@@ -543,12 +545,26 @@ object TextAnalysis {
         (col("gs.n_bullet_lines") / col("gs.n_lines")).as("bullet_frac"),
         (col("gs.n_ellipsis_lines") / col("gs.n_lines")).as("ellipsis_frac"),
         ((nHash + nEll3) / col("gs.n_words")).as("symbol_ratio"))
+        ++ keep.map(col): _*)
       .withColumn("admit",
         col("n_words").between(50, 100000) &&
           col("mean_word_len").between(3.0, 10.0) &&
           col("alpha_frac") >= 0.8 && col("bullet_frac") <= 0.9 &&
           col("ellipsis_frac") <= 0.3 && col("symbol_ratio") <= 0.1)
   }
+
+  /** The C47 admit as a composed-pipeline GATE over the RAW text: the
+    * standalone query's shape salts exist only so every rule fires on the
+    * single-line synthetic corpus — a pipeline tier must never mutate the
+    * text it forwards, so the gate projects the same six rules unsalted
+    * (single-sourced through [[gopherProjection]]) and keeps only
+    * (doc_id, lang, text) of the admitted documents. On the synthetic
+    * corpus the word-count floor alone cuts ~45% of docs, so the tier is
+    * non-vacuous at every scale. */
+  private[graft] def gopherAdmittedDocs(spark: SparkSession, d: DataFrame): DataFrame =
+    gopherProjection(spark, d, salt = false, keep = Seq("lang", "text"))
+      .filter(col("admit"))
+      .select(col("doc_id"), col("lang"), col("text"))
 
   /** ONE source for the C47 rule SQL — shared by the batch oracle and D16's
     * gated form so a rule-threshold change can never desynchronize them.
@@ -565,7 +581,16 @@ object TextAnalysis {
       |  || CASE WHEN doc_id % 23 = 0 THEN chr(10) || repeat('- b' || chr(10), 20) ELSE '' END
       |  || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'to be continued...' ELSE '' END AS t
       | FROM documents),
-      |m AS (
+      |$gopherRuleCtesSql
+      |SELECT * FROM g
+      |${where}ORDER BY doc_id""".stripMargin
+
+  /** The C47 measurement + rule CTEs (`m`, `g`) over a prior CTE `s` with
+    * (doc_id, t) — ONE text shared by the standalone/salted oracle above
+    * and the composed pipelines' unsalted gate (prepareCorpusV4Sql), which
+    * differ only in how they build `s`. Mirrors [[gopherProjection]]. */
+  private[graft] val gopherRuleCtesSql: String =
+    s"""m AS (
       | SELECT doc_id, t,
       |  len(string_split(t, ' ')) AS n_words,
       |  len(list_filter(string_split(t, ' '),
@@ -590,9 +615,7 @@ object TextAnalysis {
       |   AND n_alpha / n_words >= 0.8 AND n_bullet / n_lines <= 0.9
       |   AND n_ellipsis / n_lines <= 0.3 AND (n_hash + n_ell3) / n_words <= 0.1
       |   AS admit
-      | FROM m)
-      |SELECT * FROM g
-      |${where}ORDER BY doc_id""".stripMargin
+      | FROM m)""".stripMargin
 
   val textGopherSql: String = gopherSql("")
 

@@ -760,4 +760,102 @@ class PipelineOpsSpec extends SparkSpec {
     Seq(1L, 2L).filter(sampled).foreach(id =>
       assert(out.contains(id), s"sub-tau doc $id wrongly dropped"))
   }
+
+  test("prepare_corpus_v4 drives the gopher and line tiers in both directions") {
+    import spark.implicits._
+    // v4 = gopher gate -> line dedup -> the v2/v3 ladder (whose internals
+    // the two tests above already pin over the SAME shared code); this
+    // fixture's job is the two NEW tiers plus end-to-end composition. All
+    // ladder-visible words are >=5 chars (the gopher mean-word-length
+    // floor is 3.0) and picked positive-weight so the clf gate passes
+    // wherever the plant doesn't target it.
+    def hex(str: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(str.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    def weight(t: String): Long = hex(t) % 1001L - 500L
+    def words(prefix: String, sign: Long, n: Int): Seq[String] =
+      Iterator.from(0).map(i => s"$prefix$i")
+        .filter(t => weight(t) * sign > 0).take(n).toSeq
+    def blk(prefix: String): Seq[String] = words(prefix, 1, 10)
+    val boiler = blk("boiler")
+    val a = Seq("alfa", "arbor", "amber", "aspen").map(blk)
+    val c = Seq("cedar", "coral", "cobal", "crest").map(blk)
+    val d1 = blk("delta"); val d2 = blk("drift")
+    val du = words("dunes", 1, 5); val sp = words("spann", 1, 5)
+    val d4 = blk("dover"); val d5 = blk("dusty")
+    val fa = words("fable", 1, 5)
+    val f = Seq("ferry", "flint", "frost", "fjord").map(blk)
+    val k119 = Seq("koala", "kiosk", "krill", "kayak", "knoll").map(blk)
+    val k122 = Seq("lemur", "lotus", "lilac", "llama", "lunar").map(blk)
+    val doc113 = d1 ++ d2 ++ du ++ sp ++ d4 ++ d5
+    val doc117 = fa.take(3) ++ sp ++ fa.drop(3) ++ f.flatten
+    val corpus = Seq(
+      100L -> words("tiny", 1, 10).mkString(" "),          // gopher: <50 words
+      101L -> (boiler ++ a.flatten).mkString(" "),         // owns the boiler line
+      102L -> (boiler ++ c.flatten).mkString(" "),         // loses line 0 to 101
+      103L -> Seq.fill(5)(boiler).flatten.mkString(" "),   // all-boiler: fully cut
+      106L -> (0 until 25).flatMap(i =>
+        Seq(a(0)(i % 10), d1((i + 1 + i / 10) % 10))).mkString(" "), // LM drop:
+        // known unigrams, never-seen cross-block bigrams (the v2 doc-10 rule)
+      109L -> words("negw", -1, 50).mkString(" "),         // clf drop
+      113L -> doc113.mkString(" "),                        // owns the s-span
+      117L -> doc117.mkString(" "),                        // loses s-span to 113
+      119L -> k119.flatten.mkString(" "),                  // semantic keeper
+      122L -> k122.flatten.mkString(" "))                  // semantic dup of 119
+    val ref = corpus.filter(_._1 != 106L).toDF("doc_id", "text")
+    val (uni, bi) = graft.operators.TextAnalysis.lmModelFrom(ref)
+    val docs = corpus.map { case (id, t) => (id, "xx", t) }
+      .toDF("doc_id", "lang", "text")
+    // the gopher tier standalone, both directions
+    val admitted = graft.operators.TextAnalysis.gopherAdmittedDocs(spark, docs)
+      .collect().map(_.getLong(0)).toSet
+    assert(!admitted.contains(100L), "sub-50-word doc passed the gopher gate")
+    assert(admitted == corpus.map(_._1).toSet - 100L,
+      s"gopher gate over-rejected: $admitted")
+    def unit(axis: Int, eps: Double = 0.0): Seq[Double] = {
+      val v = Array.fill(64)(0.0); v(axis) = 1.0
+      if (eps != 0.0) v((axis + 1) % 64) = eps
+      v.toSeq
+    }
+    val assigned = (corpus.map(_._1).map { id =>
+      val (v, cid) = id match {
+        case 119L => (unit(0), 70L)        // keeper (krank 1 in cid 70)
+        case 122L => (unit(0, 0.01), 70L)  // near-dup of 119 -> dropped
+        case 101L => (unit(10), 71L)       // same cid as 102 but orthogonal
+        case 102L => (unit(20), 71L)       // cos 0 < tau -> both kept
+        case other => (unit((other % 30).toInt + 30), 100L + other)
+      }
+      (id, v, cid)
+    }).toDF("vec_id", "v", "cid")
+    val out = PipelineOps.prepareCorpusV4On(spark, docs, assigned, uni, bi)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getString(8))))
+      .toMap
+    def sampled(id: Long) = hex(id.toString) % 100L < 50L
+    // survivors before the sample: 101 (line keeper), 102 (line-cut), 113
+    // (span owner), 117 (span-cut), 119 (semantic keeper)
+    val expect = Map[Long, (Long, Long, Long, Long, String)](
+      101L -> ((50L, 0L, 0L, 71L, (boiler ++ a.flatten).mkString(" "))),
+      102L -> ((40L, 0L, 1L, 71L, c.flatten.mkString(" "))),
+      113L -> ((50L, 0L, 0L, 213L, doc113.mkString(" "))),
+      117L -> ((50L, 5L, 0L, 217L, (fa ++ f.flatten).mkString(" "))),
+      119L -> ((50L, 0L, 0L, 70L, k119.flatten.mkString(" "))))
+    val want = expect.filter(kv => sampled(kv._1))
+    assert(out == want,
+      s"v4 pipeline drifted: got ${out.keySet.toSeq.sorted} " +
+        s"want ${want.keySet.toSeq.sorted}\n$out")
+    // both sample branches exercised among the pre-sample survivors
+    assert(expect.keySet.exists(sampled) && expect.keySet.exists(id => !sampled(id)),
+      "sample rule not exercised in both directions")
+    // every tier provably fired: gopher reject (100), line full-cut (103),
+    // line partial cut (102), LM gate (106), clf gate (109), substring cut
+    // (117 lost the 5-token span), semantic dup (122 — sample-KEEP branch,
+    // so its absence is the semantic tier, not the sample)
+    Seq(100L, 103L, 106L, 109L, 122L).foreach(id =>
+      assert(!out.contains(id), s"doc $id should have been dropped"))
+    assert(sampled(122L), "fixture broke: 122 must be on the sample-keep branch")
+  }
 }

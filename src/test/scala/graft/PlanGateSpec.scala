@@ -129,6 +129,12 @@ class PlanGateSpec extends SparkSpec {
     // both scan branches
     Gate("prepare_corpus_v3", maxHashEx = 7, needPushdown = true,
       maxSortMerge = 4),
+    // C49: v3's ladder exchanges + the line tier's three (keeper agg, the
+    // occurrence probe's lh shuffle, the line-mark doc rollup) — the
+    // gopher tier adds ZERO (it's a scan-stage kernel filter; the
+    // dedicated test below pins it into every corpus scan branch)
+    Gate("prepare_corpus_v4", maxHashEx = 10, needPushdown = true,
+      maxSortMerge = 4),
     // the chunker is a pure per-row fan-out: one Generate, zero shuffles
     Gate("seq_slice", maxHashEx = 0, aboveSortMarker = Some("Generate")),
     // C29: pairwise stays confined to the cid SMJ; the dup rollup broadcasts
@@ -274,6 +280,32 @@ class PlanGateSpec extends SparkSpec {
         s"dedup_lines: keeper min lost map-side partial aggregation:\n${plan.take(2000)}")
       assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
         s"dedup_lines: keeper join degraded to an unbounded join:\n${plan.take(2000)}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("plan gate: prepare_corpus_v4 pushes the gopher gate into every corpus scan branch") {
+    // the composed-pipeline 100 TB contract: the cheapest tier (C47's
+    // zero-shuffle kernel filter) must run FIRST in every branch that
+    // re-reads the corpus — a rejected doc never ships a byte to any
+    // exchange. A plan where some branch scans documents without the
+    // kernel in its DataFilters silently re-admits the rejects there. The
+    // line tier's keeper must also stay the C48 two-phase aggregate (the
+    // ladder's digest/keeper windows are doc-keyed, never lh-keyed).
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("prepare_corpus_v4")(spark, sfDir)
+      df.write.format("noop").mode("overwrite").save()
+      val plan = df.queryExecution.executedPlan.toString
+      val corpusScans = plan.linesIterator
+        .filter(l => l.contains("FileScan parquet") && l.contains("documents.parquet"))
+        .toSeq
+      assert(corpusScans.nonEmpty, "no corpus scan found in the v4 plan")
+      corpusScans.foreach(l => assert(l.contains("graft_gopher_stats"),
+        s"a corpus scan branch lost the pushed gopher gate:\n${l.take(400)}"))
+      assert(!plan.linesIterator.exists(l =>
+          l.contains("Window") && l.contains("lh#")),
+        s"v4: the line tier's keeper regressed to an lh window:\n${plan.take(2000)}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
