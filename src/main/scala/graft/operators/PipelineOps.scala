@@ -1624,6 +1624,15 @@ object PipelineOps {
       .filter(col("kdoc") =!= col("doc_id") || col("kidx") =!= col("idx"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("idx"))).as("marked"))
+    lineCut(d, marked, sortBeforeCut, keep)
+  }
+
+  /** The C48 cut over a lined frame `d` and a per-doc mark rollup
+    * (doc_id, marked sorted int array) — factored out of [[dedupLinesOn]]
+    * so D17's batch resolve applies the IDENTICAL indexed-complement cut
+    * to stream-emitted marks. */
+  private[graft] def lineCut(d: DataFrame, marked: DataFrame,
+    sortBeforeCut: Boolean = false, keep: Seq[String] = Nil): DataFrame = {
     val joined = d.join(marked, Seq("doc_id"), "left")
     val ordered = if (sortBeforeCut) joined.orderBy(col("doc_id")) else joined
     ordered.select(Seq(col("doc_id"),

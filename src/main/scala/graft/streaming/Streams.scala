@@ -1039,6 +1039,96 @@ object Streams extends Serializable {
         graft.functions.GraftFunctions.minhashSig(spark, col("text")).as("sig")))
   }
 
+  // ----- D17: streaming LINE-level dedup -----
+
+  case class LineOcc(doc_id: Long, idx: Int, lh: String)
+  case class LineKeeper(kdoc: Long, kidx: Int)
+  case class LineMark(doc_id: Long, idx: Int)
+
+  /** D17 — streaming cross-document LINE dedup: C48's CCNet tier as a
+    * continuous-ingest operator, completing the streaming dedup ladder at
+    * the grain it was missing (exact D4, near D5, semantic D10, media D12).
+    * Each arriving doc re-lays into the deterministic 10-token lined view
+    * inside the micro-batch scan (PipelineOps.linedDocs — the C48
+    * construction verbatim), fans out to slim (doc_id, idx, lh)
+    * occurrences, and flatMapGroupsWithState keyed on the LINE HASH holds
+    * the keeper (doc_id, idx) — ONE long+int per distinct line. That state
+    * shape is the streaming mirror of C48's de-skewed two-phase aggregate
+    * and is inherently saturation-proof: a boilerplate line arriving 10^8
+    * times updates one point state row (D5's MaxBucket guard exists
+    * because its band state holds a keeper LIST; here membership never
+    * accumulates). Only NON-keeper occurrences emit marks, and they land
+    * in a FILE sink (D5's candidate-volume rule: on a boilerplate-heavy
+    * backlog marks approach the corpus line count, and a memory sink would
+    * round-trip them through the driver). The batch resolve rolls marks up
+    * per doc and applies the factored C48 cut (PipelineOps.lineCut) over
+    * the staged corpus — output frame and oracle are C48's VERBATIM (the
+    * C29/D10 one-oracle rule).
+    *
+    * Batch equivalence: within a batch, a line hash's occurrences decide
+    * by ascending (doc_id, idx), so the single-backlog run equals the
+    * batch min-struct keeper exactly. Across micro-batches first-seen-wins
+    * — a later batch's smaller (doc_id, idx) cannot re-crown an
+    * established keeper (append mode already emitted its marks); D4's
+    * monotone-ingest-id caveat, pinned by the multi-batch carry-over spec. */
+  def streamDedupLines(spark: SparkSession, sfDir: String): DataFrame = {
+    val cp = new java.io.File(checkpointDir(sfDir, "stream_dedup_lines"))
+    dedupLinesRun(spark, docsStream(spark, sfDir), "stream_dedup_lines", cp,
+      graft.Tables.load(spark, sfDir, "documents"))
+  }
+
+  private def dedupLinesRun(spark: SparkSession, src: DataFrame, name: String,
+    cp: java.io.File, allDocs: DataFrame): DataFrame = {
+    import spark.implicits._
+    org.apache.commons.io.FileUtils.deleteQuietly(cp)
+    spark.catalog.dropTempView(name)
+
+    def decide(lh: String, occs: Iterator[LineOcc],
+      state: GroupState[LineKeeper]): Iterator[LineMark] = {
+      val arr = occs.toArray.sortBy(o => (o.doc_id, o.idx))
+      var k = state.getOption.orNull
+      val out = Array.newBuilder[LineMark]
+      arr.foreach { o =>
+        if (k == null) k = LineKeeper(o.doc_id, o.idx)
+        else if (k.kdoc != o.doc_id || k.kidx != o.idx)
+          out += LineMark(o.doc_id, o.idx)
+      }
+      state.update(k)
+      out.result().iterator
+    }
+
+    val occs = graft.operators.PipelineOps.linedDocs(src)
+      .select(col("doc_id"), posexplode(col("lines")).as(Seq("idx", "line")))
+      .select(col("doc_id"), col("idx"),
+        md5(col("line").cast("binary")).as("lh"))
+      .as[LineOcc]
+    val marks = occs
+      .groupByKey(_.lh)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(decide)
+      .toDF()
+    // state-key cardinality ≈ distinct lines ≈ docs × ~12 ten-token lines
+    val sink = runToFiles(spark, marks, storeSibling(cp, "_marks"), cp,
+      stateKeyHint = allDocs.count() * 12L)
+    val marked = sink.groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("idx"))).as("marked"))
+    graft.operators.PipelineOps
+      .lineCut(graft.operators.PipelineOps.linedDocs(allDocs), marked)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Multi-batch form for the keeper carry-over spec: maxFilesPerTrigger=1
+    * over a pre-staged two-file layout. */
+  private[graft] def streamDedupLinesMultiBatch(spark: SparkSession,
+    stageDir: String, name: String): DataFrame = {
+    val cp = new java.io.File(stageDir + "_cp_" + name)
+    val src = spark.readStream.schema(DocsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stageDir)
+    dedupLinesRun(spark, src, name, cp,
+      spark.read.schema(DocsSchema).parquet(stageDir))
+  }
+
   /** The shared band-keeper state transition (D5's LSH bands and D12's
     * perceptual-hash chunks — any tier whose band key is a Long over docs).
     * Saturation guard — the streaming analog of the batch MaxBucket
@@ -1601,6 +1691,7 @@ object Streams extends Serializable {
     "stream_to_catalog" -> (streamToCatalog _),
     "stream_dedup" -> (streamDedup _),
     "stream_dedup_near" -> (streamDedupNear _),
+    "stream_dedup_lines" -> (streamDedupLines _),
     "stream_dedup_semantic" -> (streamDedupSemantic _),
     "stream_dedup_media" -> (streamDedupMedia _),
     "stream_ivf_append" -> (streamIvfAppend _),
@@ -1629,6 +1720,9 @@ object Streams extends Serializable {
     // D5's closed-form oracle: rank-guarded band candidates + signature
     // agreement (see Dedup.streamDedupNearSql's scaladoc)
     "stream_dedup_near" -> graft.operators.Dedup.streamDedupNearSql,
+    // D17 is batch-equivalent on the finite backlog → C48's oracle
+    // VERBATIM (the C29/D10 one-oracle rule)
+    "stream_dedup_lines" -> graft.operators.PipelineOps.dedupLinesSql,
     // D12's closed-form oracle: C37's pixel/hash/banding SQL with the
     // keeper-rank guard (see Multimodal.streamDedupMediaSql's scaladoc)
     "stream_dedup_media" -> graft.operators.Multimodal.streamDedupMediaSql,

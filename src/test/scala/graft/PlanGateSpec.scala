@@ -147,6 +147,11 @@ class PlanGateSpec extends SparkSpec {
     // at most), dup rollup + final join broadcast — no corpus-wide extra
     // exchange beyond the pair resolution itself
     Gate("stream_dedup_semantic", maxHashEx = 3, minBroadcast = 2, maxSortMerge = 1),
+    // D17's batch resolve: the mark rollup's doc_id aggregate is the ONLY
+    // hash exchange (marks are already slim (doc_id, idx) rows from the
+    // file sink); the cut join broadcasts the rollup — the corpus text
+    // never exchanges, C48's mark-join shape
+    Gate("stream_dedup_lines", maxHashEx = 1, maxSortMerge = 1),
     // D11: the post-stream probe is C7d's — both union legs partition-pruned,
     // zero exchanges
     Gate("stream_ivf_append", maxHashEx = 0, maxRangeEx = 0, needPartitionFilters = true),

@@ -451,6 +451,46 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, s"got $got")
   }
 
+  test("streaming line dedup keeps line keepers across micro-batches (first-seen wins)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // lines are exact 10-token blocks so the lined view is deterministic.
+    // batch 1 crowns keepers for lines A (doc 1, idx 0), B (1, 1), C (2, 1);
+    // batch 2 re-sends A under a new doc (must be cut against the batch-1
+    // keeper), a within-doc repeat (E), and a doc made ENTIRELY of batch-1
+    // lines (fully cut)
+    def ln(p: String) = (0 until 10).map(i => s"$p$i").mkString(" ")
+    val (a, b, c, d, e) = (ln("aa"), ln("bb"), ln("cc"), ln("dd"), ln("ee"))
+    val b1 = Seq((1L, s"$a $b"), (2L, s"$a $c"))
+    val b2 = Seq((10L, s"$a $d"), (11L, s"$e $e"), (12L, s"$b $c"))
+    val stageDir = new java.io.File("/root/repo/target/test_stream_lines_mb")
+    org.apache.commons.io.FileUtils.deleteQuietly(stageDir)
+    stageDir.mkdirs()
+    Seq(b1, b2).zipWithIndex.foreach { case (rows, i) =>
+      val tmp = new java.io.File(stageDir.getParent, s"lines_tmp_$i")
+      rows.toDF("doc_id", "text")
+        .select(col("doc_id"), col("text"), lit("en").as("lang"),
+          lit("test").as("source"), length(col("text")).cast("bigint").as("n_chars"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(stageDir, f"batch_$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + i * 60000L)
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+    }
+    val got = Streams.streamDedupLinesMultiBatch(spark, stageDir.getAbsolutePath,
+      "mb_dedup_lines").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    val want = Map(
+      1L -> ((2L, 0L, s"$a $b")),   // keeper doc, untouched
+      2L -> ((2L, 1L, c)),          // in-batch dup of A
+      10L -> ((2L, 1L, d)),         // CROSS-BATCH dup of A: batch-1 keeper held
+      11L -> ((2L, 1L, e)),         // within-doc repeat, first kept
+      12L -> ((2L, 2L, "")))        // both lines crowned in batch 1: fully cut
+    assert(got == want, s"got $got")
+  }
+
   test("TTL'd streaming dedup evicts idle digests and stays batch-exact inside the window") {
     import org.apache.spark.sql.functions._
     import java.sql.Timestamp
