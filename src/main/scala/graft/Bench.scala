@@ -17,7 +17,15 @@ object Bench {
     // minutes into catalog staging
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
-    // Warm-up: materialize catalog tables + JIT/codegen caches on a light query
+    // Warm-up: materialize catalog tables, the memoized store families and
+    // JIT/codegen caches BEFORE the timed loop, and report its cost as its
+    // own field (warmup_sec). Store builds are one-time corpus-generation
+    // cost (ColdWarm measures them separately); letting them land inside
+    // the first timed rep made the round-12 driver headline read 118.7 s
+    // against a 72.7 s warmed sweep of the same code — a ~36 s phantom
+    // regression. The representative queries below are ColdWarm's family
+    // list: their first run builds every derived store the bench touches.
+    val warmT0 = System.nanoTime()
     try {
       operators.Pmr.ensureCustomerByNation(spark, sfDir)
       operators.Pmr.ensureOrdersByPriceRange(spark, sfDir)
@@ -28,8 +36,18 @@ object Bench {
       operators.Similarity.ensureIvfAppendIndex(spark, sfDir)
       operators.TextAnalysis.lmModel(spark, sfDir)
       streaming.Streams.stage(spark, sfDir)
+      // one cold run per memoized store family not covered above (the
+      // ColdWarm registry): semantic assignment, cid-bucketed IVF join
+      // table, PQ books + coded + rerank stores, media hash table, the
+      // streaming ingest/append stores
+      Seq("dedup_semantic", "knn_join_ivf", "knn_join_pq", "dedup_media",
+        "stream_dedup_semantic", "stream_ivf_append").foreach { name =>
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+      }
       operators.Relational.q1PricingSummary(spark, sfDir).count()
     } catch { case e: Throwable => System.err.println(s"[bench] warmup: ${e.getMessage}") }
+    val warmupSec = (System.nanoTime() - warmT0) / 1e9
     // Fixed (sorted) execution order and n=2 repetitions with min reported:
     // Map-iteration order made cross-round per-query diffs noisy, and a single
     // rep conflates first-run codegen/JIT cost with steady-state latency. The
@@ -78,7 +96,7 @@ object Bench {
     // fixed path is last-writer-wins across bench invocations)
     val fullLine =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},""" +
-        s""""queries":$qs,"sf":"$sfDir"}"""
+        s""""warmup_sec":${r3(warmupSec)},"queries":$qs,"sf":"$sfDir"}"""
     // "queries" stays in the compact line for schema compatibility but
     // carries only the FAILED entries (normally empty — the success map is
     // what blew the capture window)
@@ -104,6 +122,7 @@ object Bench {
       if (sidecarOk) "\"target/bench_last.json\"" else "null"
     val compactLine =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},""" +
+        s""""warmup_sec":${r3(warmupSec)},""" +
         s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""queries":$failedQs,"queries_file":$sidecarField,"sf":"$sfDir"}"""
     operators.Dedup.clear()
