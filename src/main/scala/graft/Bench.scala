@@ -26,27 +26,32 @@ object Bench {
     // regression. The representative queries below are ColdWarm's family
     // list: their first run builds every derived store the bench touches.
     val warmT0 = System.nanoTime()
-    try {
-      operators.Pmr.ensureCustomerByNation(spark, sfDir)
-      operators.Pmr.ensureOrdersByPriceRange(spark, sfDir)
-      operators.Dedup.warmSignatures(spark, sfDir)
-      operators.Similarity.trainCodebook(spark, sfDir)
-      operators.Similarity.trainSemanticCodebook(spark, sfDir)
-      operators.Similarity.ensureIvfIndex(spark, sfDir)
-      operators.Similarity.ensureIvfAppendIndex(spark, sfDir)
-      operators.TextAnalysis.lmModel(spark, sfDir)
-      streaming.Streams.stage(spark, sfDir)
-      // one cold run per memoized store family not covered above (the
-      // ColdWarm registry): semantic assignment, cid-bucketed IVF join
-      // table, PQ books + coded + rerank stores, media hash table, the
-      // streaming ingest/append stores
-      Seq("dedup_semantic", "knn_join_ivf", "knn_join_pq", "dedup_media",
-        "stream_dedup_semantic", "stream_ivf_append").foreach { name =>
-        SparkEntry.queries(name)(spark, sfDir)
-          .write.format("noop").mode("overwrite").save()
+    // per-step isolation: one flaky store build must not abort the REST of
+    // the warm-up (a skipped family's build would land inside the timed
+    // loop — the exact phantom regression this block exists to prevent)
+    def warm(label: String)(body: => Unit): Unit =
+      try body catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $label: ${e.getMessage}")
       }
-      operators.Relational.q1PricingSummary(spark, sfDir).count()
-    } catch { case e: Throwable => System.err.println(s"[bench] warmup: ${e.getMessage}") }
+    warm("edfs_customer")(operators.Pmr.ensureCustomerByNation(spark, sfDir))
+    warm("edfs_orders")(operators.Pmr.ensureOrdersByPriceRange(spark, sfDir))
+    warm("signatures")(operators.Dedup.warmSignatures(spark, sfDir))
+    warm("codebook")(operators.Similarity.trainCodebook(spark, sfDir))
+    warm("semantic_codebook")(operators.Similarity.trainSemanticCodebook(spark, sfDir))
+    warm("ivf_index")(operators.Similarity.ensureIvfIndex(spark, sfDir))
+    warm("ivf_append")(operators.Similarity.ensureIvfAppendIndex(spark, sfDir))
+    warm("lm_model")(operators.TextAnalysis.lmModel(spark, sfDir))
+    warm("stream_stage")(streaming.Streams.stage(spark, sfDir))
+    // one cold run per memoized store family not covered above (the
+    // ColdWarm registry): semantic assignment, cid-bucketed IVF join
+    // table, PQ books + coded + rerank stores, media hash table, the
+    // streaming ingest/append stores
+    Seq("dedup_semantic", "knn_join_ivf", "knn_join_pq", "dedup_media",
+      "stream_dedup_semantic", "stream_ivf_append").foreach { name =>
+      warm(name)(SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save())
+    }
+    warm("jit")(operators.Relational.q1PricingSummary(spark, sfDir).count())
     val warmupSec = (System.nanoTime() - warmT0) / 1e9
     // Fixed (sorted) execution order and n=2 repetitions with min reported:
     // Map-iteration order made cross-round per-query diffs noisy, and a single

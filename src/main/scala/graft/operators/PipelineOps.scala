@@ -1611,15 +1611,19 @@ object PipelineOps {
     // would fall back to a SortAggregate (struct isn't a mutable hash
     // buffer type), costing a per-map-task sort; a decimal min stays a
     // HashAggregate. Packing doc_id*10^9 + idx preserves lexicographic
-    // order for any long doc_id (negative included) while idx < 10^9 — a
-    // doc with 10^9 ten-token lines is a ~40 GB row, already impossible.
+    // order for any long doc_id (negative included — hashed 64-bit crawl
+    // ids) while idx < 10^9: a doc with 10^9 ten-token lines is a ~40 GB
+    // row, already impossible. The unpack must use FLOOR semantics (pmod),
+    // not the truncating %, or a negative pk would yield a phantom
+    // (kdoc, kidx) matching no occurrence and the filter below would mark
+    // the true keeper too (spec-pinned with a negative-id fixture).
     val keeper = occ.groupBy(col("lh"))
       .agg(min(col("doc_id").cast("decimal(29,0)") * lit(1000000000L)
         + col("idx")).as("pk"))
+      .select(col("lh"), pmod(col("pk"), lit(1000000000L)).as("kidx0"), col("pk"))
       .select(col("lh"),
-        ((col("pk") - (col("pk") % 1000000000L)) / 1000000000L)
-          .cast("long").as("kdoc"),
-        (col("pk") % 1000000000L).cast("long").as("kidx"))
+        ((col("pk") - col("kidx0")) / 1000000000L).cast("long").as("kdoc"),
+        col("kidx0").cast("long").as("kidx"))
     val marked = occ.join(keeper, Seq("lh"))
       .filter(col("kdoc") =!= col("doc_id") || col("kidx") =!= col("idx"))
       .groupBy(col("doc_id"))

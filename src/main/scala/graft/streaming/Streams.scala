@@ -1083,14 +1083,27 @@ object Streams extends Serializable {
     org.apache.commons.io.FileUtils.deleteQuietly(cp)
     spark.catalog.dropTempView(name)
 
+    // Single-pass running-min keeper: a hot boilerplate line's 10^8
+    // in-batch occurrences must NOT be buffered and sorted in this task
+    // (each LineOcc carries a 32-char hash string — the in-memory blowup
+    // the batch side's two-phase aggregate exists to avoid). Tracking the
+    // candidate min and emitting the DISPLACED candidate as a mark yields
+    // the identical mark set (everything but the final min) with O(1)
+    // group memory beyond the emitted marks themselves. A keeper restored
+    // from STATE is never displaced (k eq stateK ⇒ mark any arrival):
+    // first-seen-wins across batches, append mode can't re-crown.
     def decide(lh: String, occs: Iterator[LineOcc],
       state: GroupState[LineKeeper]): Iterator[LineMark] = {
-      val arr = occs.toArray.sortBy(o => (o.doc_id, o.idx))
-      var k = state.getOption.orNull
+      val stateK = state.getOption.orNull
+      var k = stateK
       val out = Array.newBuilder[LineMark]
-      arr.foreach { o =>
+      occs.foreach { o =>
         if (k == null) k = LineKeeper(o.doc_id, o.idx)
-        else if (k.kdoc != o.doc_id || k.kidx != o.idx)
+        else if ((k ne stateK) &&
+            (o.doc_id < k.kdoc || (o.doc_id == k.kdoc && o.idx < k.kidx))) {
+          out += LineMark(k.kdoc, k.kidx)
+          k = LineKeeper(o.doc_id, o.idx)
+        } else if (o.doc_id != k.kdoc || o.idx != k.kidx)
           out += LineMark(o.doc_id, o.idx)
       }
       state.update(k)

@@ -565,6 +565,20 @@ class PipelineOpsSpec extends SparkSpec {
     assert(lines.length == 3, s"23 tokens must chunk to 3 lines: $lines")
     assert(lines(0) == (1 to 10).map(i => s"t$i").mkString(" "), lines(0))
     assert(lines(2) == "t21 t22 t23", s"short tail: ${lines(2)}")
+    // NEGATIVE doc_ids (hashed 64-bit crawl ids): the packed-decimal
+    // keeper must unpack with floor semantics — a truncating % would
+    // yield a phantom keeper for negative ids and cut the true first
+    // occurrence too. Keeper of the shared line is (-5, 1), the
+    // lexicographic min; doc -5's OWN idx-0 line is untouched
+    val negGot = PipelineOps.dedupLinesOn(Seq(
+        (-5L, Seq("own neg", "shared line")),
+        (-2L, Seq("shared line", "other neg")),
+        (3L, Seq("shared line", "pos tail"))
+      ).toDF("doc_id", "lines")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(negGot(-5L) == ((0L, "own neg shared line")), s"neg keeper: ${negGot(-5L)}")
+    assert(negGot(-2L) == ((1L, "other neg")), s"neg dup: ${negGot(-2L)}")
+    assert(negGot(3L) == ((1L, "pos tail")), s"pos dup of neg keeper: ${negGot(3L)}")
     // HOT-LINE fixture: one boilerplate line planted in EVERY doc (the
     // cookie-banner shape the two-phase keeper aggregate exists for) —
     // only the lowest (doc_id, idx) occurrence survives, every other doc
