@@ -1655,13 +1655,7 @@ object PipelineOps {
     * the chain can coexist with the gate-ladder CTEs (which also use
     * mk/res) inside the composed v4 oracle. */
   private def dedupLinesCtesSql(src: String, p: String): String =
-    s"""${p}lined AS (
-      | SELECT doc_id, list_transform(range(0, CAST(ceil(len(ts) / 10.0) AS INT)),
-      |   i -> array_to_string(list_slice(ts, i*10 + 1, i*10 + 10), ' ')) AS lines
-      | FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM $src)),
-      |${p}occ AS (
-      | SELECT doc_id, i - 1 AS idx, md5(lines[i]) AS lh
-      | FROM (SELECT doc_id, lines, unnest(range(1, len(lines) + 1)) AS i FROM ${p}lined)),
+    s"""${linedOccCtesSql(src, p)},
       |${p}mk AS (
       | SELECT doc_id, list_sort(list(idx)) AS marked
       | FROM (SELECT doc_id, idx,
@@ -1671,7 +1665,22 @@ object PipelineOps {
       |                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
       | WHERE kd <> doc_id OR ki <> idx
       | GROUP BY doc_id),
-      |${p}res AS (
+      |${lineResCteSql(p)}""".stripMargin
+
+  /** The lined-view + occurrence CTEs alone — shared by C48's keeper chain
+    * and C50's frequency chain, which differ only in how `mk` is derived. */
+  private def linedOccCtesSql(src: String, p: String): String =
+    s"""${p}lined AS (
+      | SELECT doc_id, list_transform(range(0, CAST(ceil(len(ts) / 10.0) AS INT)),
+      |   i -> array_to_string(list_slice(ts, i*10 + 1, i*10 + 10), ' ')) AS lines
+      | FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM $src)),
+      |${p}occ AS (
+      | SELECT doc_id, i - 1 AS idx, md5(lines[i]) AS lh
+      | FROM (SELECT doc_id, lines, unnest(range(1, len(lines) + 1)) AS i FROM ${p}lined))""".stripMargin
+
+  /** The indexed-complement cut CTE over ${p}mk — [[lineCut]]'s SQL text. */
+  private def lineResCteSql(p: String): String =
+    s"""${p}res AS (
       | SELECT l.doc_id, len(l.lines) AS n_l,
       |  list_filter(l.lines, (x, i) -> NOT list_contains(COALESCE(m.marked, []), i - 1)) AS kept
       | FROM ${p}lined l LEFT JOIN ${p}mk m USING (doc_id))""".stripMargin
@@ -1679,6 +1688,73 @@ object PipelineOps {
   /** C48's standalone oracle: the shared CTE chain over the raw corpus. */
   val dedupLinesSql: String =
     "WITH " + dedupLinesCtesSql("documents", "") + """
+      |SELECT doc_id, CAST(n_l AS BIGINT) AS n_lines,
+      | CAST(n_l - len(kept) AS BIGINT) AS n_removed,
+      | COALESCE(array_to_string(kept, ' '), '') AS kept_text
+      |FROM res ORDER BY doc_id""".stripMargin
+
+  /** C50's document-frequency ceiling: a line present in MORE than this
+    * many distinct documents is boilerplate and is removed from every
+    * document, keeper included. CCNet tabulates exactly this (a handful of
+    * pages share real content; thousands share nav bars) — 2 here so the
+    * rule fires both ways on the synthetic corpus; production tunes it to
+    * crawl shape. */
+  val LineDfMax = 2
+
+  /** C50 — corpus-frequency line REMOVAL (`dedup_lines_df`): the other half
+    * of CCNet's line treatment and the C4/RefinedWeb boilerplate policy —
+    * where C48 KEEPS one occurrence of a duplicated line (dedup), this
+    * REMOVES every occurrence of a line whose document frequency exceeds
+    * [[LineDfMax]] (a nav bar in 10^6 pages is noise in all 10^6, the
+    * keeper included; a quote shared by two pages survives in both).
+    * Within-doc repeats count ONCE toward df (distinct doc_id), so a
+    * self-repeating chorus in one document is not boilerplate. Output is
+    * the C48 frame over the same lined view.
+    *
+    * Scale shape: df is computed as distinct-pairs-then-count — the
+    * (lh, doc_id) pre-aggregate distributes a hot line's occurrences
+    * across the pair exchange (no single-task lh buffer, the C48 de-skew
+    * discipline applied to counting) and the lh-level count then sees one
+    * row per (line, doc). The hot-line table the occurrence stream joins
+    * is df-FILTERED (boilerplate lines only — tiny next to the line
+    * universe), marks roll up per doc, and the cut is the shared
+    * row-local indexed complement ([[lineCut]]). All exchanges carry
+    * (lh, doc_id, idx) triples or slimmer; text never leaves its scan. */
+  def dedupLinesDf(spark: SparkSession, sfDir: String): DataFrame =
+    dedupLinesDfOn(linedDocs(Tables.load(spark, sfDir, "documents")),
+      sortBeforeCut = true)
+
+  /** The frequency-removal core over any (doc_id, lines) frame — separated
+    * for the spec's planted fixtures, [[dedupLinesOn]]'s discipline. */
+  private[graft] def dedupLinesDfOn(d: DataFrame,
+    sortBeforeCut: Boolean = false, keep: Seq[String] = Nil): DataFrame = {
+    val occ = d
+      .select(col("doc_id"), posexplode(col("lines")).as(Seq("idx", "line")))
+      .select(col("doc_id"), col("idx"), md5(col("line").cast("binary")).as("lh"))
+    val hot = occ.select(col("lh"), col("doc_id")).distinct()
+      .groupBy(col("lh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > LineDfMax)
+      .select(col("lh"))
+    val marked = occ.join(hot, Seq("lh"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("idx"))).as("marked"))
+    lineCut(d, marked, sortBeforeCut, keep)
+  }
+
+  /** C50's oracle: the shared lined/occ CTEs, df via COUNT(DISTINCT
+    * doc_id) per line hash, every occurrence of an over-ceiling line
+    * marked, the shared cut. */
+  val dedupLinesDfSql: String =
+    "WITH " + linedOccCtesSql("documents", "") + s""",
+      |hot AS (
+      | SELECT lh FROM (
+      |   SELECT lh, COUNT(DISTINCT doc_id) AS df FROM occ GROUP BY lh) t
+      | WHERE df > $LineDfMax),
+      |mk AS (
+      | SELECT doc_id, list_sort(list(idx)) AS marked
+      | FROM occ JOIN hot USING (lh)
+      | GROUP BY doc_id),
+      |""".stripMargin + lineResCteSql("") + """
       |SELECT doc_id, CAST(n_l AS BIGINT) AS n_lines,
       | CAST(n_l - len(kept) AS BIGINT) AS n_removed,
       | COALESCE(array_to_string(kept, ' '), '') AS kept_text
@@ -1758,6 +1834,7 @@ object PipelineOps {
     "seq_pack_manifest" -> (seqPackManifest _),
     "decontam_substr" -> (decontamSubstr _),
     "dedup_lines" -> (dedupLines _),
+    "dedup_lines_df" -> (dedupLinesDf _),
     "prepare_corpus_v3" -> (prepareCorpusV3 _),
     "prepare_corpus_v4" -> (prepareCorpusV4 _))
 
@@ -1789,5 +1866,6 @@ object PipelineOps {
     "seq_slice" -> seqSliceSql,
     "seq_pack_manifest" -> seqPackManifestSql,
     "decontam_substr" -> decontamSubstrSql,
-    "dedup_lines" -> dedupLinesSql)
+    "dedup_lines" -> dedupLinesSql,
+    "dedup_lines_df" -> dedupLinesDfSql)
 }

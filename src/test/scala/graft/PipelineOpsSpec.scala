@@ -598,6 +598,37 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.exists(_.getLong(2) == 0), "everything cut — fixture degenerate")
   }
 
+  test("dedup_lines_df removes over-ceiling lines everywhere and spares the rest") {
+    import spark.implicits._
+    // LineDfMax = 2: line H lives in 3 docs -> removed from ALL three
+    // (keeper included — removal, not dedup); line P lives in exactly 2
+    // docs -> kept in both; doc 4 repeats its own line 3 times -> df = 1
+    // (distinct doc_id), nothing removed; doc 5 is clean
+    val lined = Seq(
+      (1L, Seq("h1 h2", "a1 a2")),
+      (2L, Seq("h1 h2", "p1 p2")),
+      (3L, Seq("b1 b2", "h1 h2")),
+      (4L, Seq("d1 d2", "d1 d2", "d1 d2")),
+      (5L, Seq("p1 p2", "e1 e2")),
+      (6L, Seq("f1 f2"))
+    ).toDF("doc_id", "lines")
+    val got = PipelineOps.dedupLinesDfOn(lined).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got(1L) == ((2L, 1L, "a1 a2")), s"boiler removed incl. first doc: ${got(1L)}")
+    assert(got(2L) == ((2L, 1L, "p1 p2")), s"df=2 line spared: ${got(2L)}")
+    assert(got(3L) == ((2L, 1L, "b1 b2")), s"boiler removed at idx 1: ${got(3L)}")
+    assert(got(4L) == ((3L, 0L, "d1 d2 d1 d2 d1 d2")),
+      s"within-doc repeats are not boilerplate (df=1): ${got(4L)}")
+    assert(got(5L) == ((2L, 0L, "p1 p2 e1 e2")), s"df=2 line spared: ${got(5L)}")
+    assert(got(6L) == ((1L, 0L, "f1 f2")), s"clean doc: ${got(6L)}")
+    // real corpus: fires in both directions (the sf fixture carries lines
+    // shared by up to 6 docs and a long df=1 tail)
+    val out = PipelineOps.dedupLinesDf(spark, sfDir).collect()
+    assert(out.exists(_.getLong(2) > 0), "no boilerplate line removed on the corpus fixture")
+    assert(out.exists(_.getLong(2) == 0), "everything removed — fixture degenerate")
+  }
+
   test("seq_slice geometry: closed-form count, exact windows, full coverage") {
     val w = PipelineOps.SliceTokens; val s = PipelineOps.SliceStride
     val docs = Tables.load(spark, sfDir, "documents")

@@ -116,6 +116,12 @@ class PlanGateSpec extends SparkSpec {
     // indexed complement above the output sort
     Gate("dedup_lines", maxHashEx = 4, maxSortMerge = 2,
       aboveSortMarker = Some("array_except")),
+    // C50: df via distinct-pairs-then-count (two slim aggregates — the
+    // (lh, doc_id) pre-aggregate is the de-skew move applied to counting),
+    // occurrence join against the df-FILTERED hot set, doc rollup; the
+    // cut is the shared row-local complement above the output sort
+    Gate("dedup_lines_df", maxHashEx = 4, maxSortMerge = 2,
+      aboveSortMarker = Some("array_except")),
     // the composed gate ladder adds NO hash exchange over C39 itself: both
     // kernel gates ride the scan stage (DataFilters), and the post-cut
     // digest window replaces C39's budget for the text join (broadcast at
