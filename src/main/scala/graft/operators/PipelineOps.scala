@@ -819,10 +819,12 @@ object PipelineOps {
     * vacuously pass. Patterns are Java-regex/RE2 common subset. */
   def textRedact(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.loadSorted(spark, sfDir, "documents", "doc_id")
+    // truncating %, matching the oracle's `doc_id % 100` — pmod would salt
+    // a DIFFERENT string for negative (hashed-crawl) doc_ids cross-engine
     val salted = concat(col("text"),
       lit(" reach me at user"), col("doc_id").cast("string"),
       lit("@mail.example.com or +1-555-01"),
-      lpad(pmod(col("doc_id"), lit(100)).cast("string"), 2, "0"))
+      lpad((col("doc_id") % lit(100)).cast("string"), 2, "0"))
     val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     val phoneRe = "\\+[0-9][0-9()\\- ]{6,}[0-9]"
     d.select(col("doc_id"),
@@ -1600,11 +1602,17 @@ object PipelineOps {
     * C39's single-eval discipline — the entry point's doc_id order is
     * established between the mark join and the cut lambdas, so the range
     * sampler re-evaluates only scan+join, never the cut HOFs. */
+  /** The (doc_id, idx, lh) line-occurrence stream over a lined frame — ONE
+    * derivation (explode order, hash input cast) shared by C48's keeper
+    * chain, C50's frequency chain and D17's streaming form, whose
+    * correctness rests on all three hashing the same bytes. */
+  private[graft] def lineOccs(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), posexplode(col("lines")).as(Seq("idx", "line")))
+      .select(col("doc_id"), col("idx"), md5(col("line").cast("binary")).as("lh"))
+
   private[graft] def dedupLinesOn(d: DataFrame,
     sortBeforeCut: Boolean = false, keep: Seq[String] = Nil): DataFrame = {
-    val occ = d
-      .select(col("doc_id"), posexplode(col("lines")).as(Seq("idx", "line")))
-      .select(col("doc_id"), col("idx"), md5(col("line").cast("binary")).as("lh"))
+    val occ = lineOccs(d)
     // keeper per line hash as a two-phase aggregate (see scaladoc: hot
     // boilerplate lines MUST combine map-side, so no Window over lh). The
     // (doc_id, idx) pair is packed into one decimal(38,0) — min(struct)
@@ -1728,9 +1736,7 @@ object PipelineOps {
     * for the spec's planted fixtures, [[dedupLinesOn]]'s discipline. */
   private[graft] def dedupLinesDfOn(d: DataFrame,
     sortBeforeCut: Boolean = false, keep: Seq[String] = Nil): DataFrame = {
-    val occ = d
-      .select(col("doc_id"), posexplode(col("lines")).as(Seq("idx", "line")))
-      .select(col("doc_id"), col("idx"), md5(col("line").cast("binary")).as("lh"))
+    val occ = lineOccs(d)
     val hot = occ.select(col("lh"), col("doc_id")).distinct()
       .groupBy(col("lh")).agg(count(lit(1)).as("df"))
       .filter(col("df") > LineDfMax)

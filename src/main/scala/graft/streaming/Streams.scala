@@ -131,15 +131,33 @@ object Streams extends Serializable {
       val tmp = new java.io.File(stageDir.getParentFile, "events_norm_tmp")
       graft.Tables.events(spark, sfDir)
         .write.mode("overwrite").parquet(tmp.getAbsolutePath)
-      tmp.listFiles().filter(_.getName.endsWith(".parquet")).zipWithIndex
-        .foreach { case (p, i) =>
-          java.nio.file.Files.move(p.toPath,
-            new java.io.File(stageDir, f"events_$i%05d.parquet").toPath,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        }
-      org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+      moveStagedParts(tmp, stageDir, "events")
+      // the EOS sentinel is written AFTER the data parts, so its real
+      // mtime sorts strictly behind their pinned ones — it must land in
+      // the LAST micro-batch or windows/sessions finalize early
       writeSentinel(spark, stageDir, sentinel)
     }
+  }
+
+  /** Move a tmp dir's part files into a landing dir as sequentially-named
+    * flat files with PINNED ascending mtimes, then drop the tmp dir — ONE
+    * copy of the staging move shared by every staged stream source.
+    * Part-file name order IS write order (and range order under
+    * repartitionByRange), and the file-stream source lists batches by
+    * (mtime, path); write-task mtimes are arbitrary, so without the sort
+    * AND the pin a maxFilesPerTrigger=1 replay could ingest batches in
+    * filesystem-arbitrary order. */
+  private def moveStagedParts(tmp: java.io.File, stageDir: java.io.File,
+    prefix: String): Unit = {
+    tmp.listFiles().filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .zipWithIndex.foreach { case (p, i) =>
+        val dst = new java.io.File(stageDir, f"${prefix}_$i%05d.parquet")
+        java.nio.file.Files.move(p.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dst.setLastModified(1700000000000L + i * 60000L)
+        ()
+      }
+    org.apache.commons.io.FileUtils.deleteQuietly(tmp)
   }
 
   /** The events stream: readStream over the staged landing dir, which holds
@@ -917,14 +935,25 @@ object Streams extends Serializable {
         Iterator.empty
       } else {
         val arr = docs.toArray.sortBy(_.doc_id)
-        var keeper = state.getOption.map(_.keeper).getOrElse(-1L)
+        // presence-based keeper, never a negative sentinel (dedupRun's rule)
+        var keeper: Option[Long] = state.getOption.map(_.keeper)
         val out = arr.map { d =>
-          if (keeper < 0) { keeper = d.doc_id; DedupDecision(d.doc_id, None, is_duplicate = false) }
-          else DedupDecision(d.doc_id, Some(keeper), is_duplicate = true)
+          keeper match {
+            case None =>
+              keeper = Some(d.doc_id)
+              DedupDecision(d.doc_id, None, is_duplicate = false)
+            case Some(k) => DedupDecision(d.doc_id, Some(k), is_duplicate = true)
+          }
         }
-        state.update(KeeperState(keeper))
+        keeper.foreach(k => state.update(KeeperState(k)))
         val lastSeenMs = arr.map(d => micros(d.ingest_ts)).max / 1000
-        state.setTimeoutTimestamp(lastSeenMs + ttlMinutes * 60000L)
+        val timeoutMs = lastSeenMs + ttlMinutes * 60000L
+        // a timeout at-or-behind the watermark would THROW (D2 guards the
+        // same call): a digest whose whole batch arrived ≥TTL late is
+        // already past its horizon — evict now; the next arrival re-crowns
+        // (the documented TTL trade, just taken immediately)
+        if (timeoutMs <= state.getCurrentWatermarkMs()) state.remove()
+        else state.setTimeoutTimestamp(timeoutMs)
         out.iterator
       }
     }
@@ -959,15 +988,21 @@ object Streams extends Serializable {
     org.apache.commons.io.FileUtils.deleteQuietly(cp)
     spark.catalog.dropTempView(name)
 
+    // keeper presence is the STATE's presence, never a sentinel value — a
+    // `-1` flag re-crowns every doc whose keeper id is negative (hashed
+    // 64-bit crawl ids), the bug class C48's keeper fix removed
     def decide(h: String, docs: Iterator[Doc],
       state: GroupState[KeeperState]): Iterator[DedupDecision] = {
       val ids = docs.map(_.doc_id).toArray.sorted
-      var keeper = state.getOption.map(_.keeper).getOrElse(-1L)
+      var keeper: Option[Long] = state.getOption.map(_.keeper)
       val out = ids.map { id =>
-        if (keeper < 0) { keeper = id; DedupDecision(id, None, is_duplicate = false) }
-        else DedupDecision(id, Some(keeper), is_duplicate = true)
+        keeper match {
+          case None =>
+            keeper = Some(id); DedupDecision(id, None, is_duplicate = false)
+          case Some(k) => DedupDecision(id, Some(k), is_duplicate = true)
+        }
       }
-      state.update(KeeperState(keeper))
+      keeper.foreach(k => state.update(KeeperState(k)))
       out.iterator
     }
 
@@ -1110,10 +1145,8 @@ object Streams extends Serializable {
       out.result().iterator
     }
 
-    val occs = graft.operators.PipelineOps.linedDocs(src)
-      .select(col("doc_id"), posexplode(col("lines")).as(Seq("idx", "line")))
-      .select(col("doc_id"), col("idx"),
-        md5(col("line").cast("binary")).as("lh"))
+    val occs = graft.operators.PipelineOps
+      .lineOccs(graft.operators.PipelineOps.linedDocs(src))
       .as[LineOcc]
     val marks = occs
       .groupByKey(_.lh)
@@ -1248,18 +1281,7 @@ object Streams extends Serializable {
       graft.operators.Multimodal.gradMediaTable(spark, sfDir)
         .repartitionByRange(4, col("media_id"))
         .write.mode("overwrite").parquet(tmp.getAbsolutePath)
-      // part-file name order IS range order under repartitionByRange; keep
-      // it in the landing names and mtimes so the file-stream source lists
-      // batches in ascending media_id
-      tmp.listFiles().filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-        .zipWithIndex.foreach { case (p, i) =>
-          val dst = new java.io.File(stageDir, f"media_$i%03d.parquet")
-          java.nio.file.Files.move(p.toPath, dst.toPath,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          dst.setLastModified(1700000000000L + i * 60000L)
-          ()
-        }
-      org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+      moveStagedParts(tmp, stageDir, "media")
     }
   }
 
@@ -1491,7 +1513,10 @@ object Streams extends Serializable {
         Seq("cand_id"))
       .withColumn("cosine",
         graft.functions.GraftFunctions.cosine(spark, col("v"), col("cand_v")))
-      .filter(col("cosine") >= 0.45)
+      // the SHARED admit threshold — the batch tier (C29), the composed
+      // pipelines and the generated D10 oracle all read this constant, so
+      // a retune moves every tier together
+      .filter(col("cosine") >= graft.operators.Similarity.SemanticTau)
     val dup = pairs.groupBy(col("vec_id"))
       .agg(min(col("cand_id")).as("dup_of"), max(col("cosine")).as("max_cosine"))
     assignedAll.select(col("vec_id"), col("cid"))
@@ -1576,20 +1601,7 @@ object Streams extends Serializable {
         .filter(col("vec_id") % 10 === 9)
         .repartitionByRange(3, col("vec_id"))
         .write.mode("overwrite").parquet(tmp.getAbsolutePath)
-      // part-file name order IS range order under repartitionByRange; keep
-      // it in the landing names AND mtimes — the file-stream source orders
-      // batches by (mtime, path), and write-task mtimes are arbitrary, so
-      // without the pin a maxFilesPerTrigger=1 replay could ingest out of
-      // vec_id order (stageMedia pins for exactly this reason)
-      tmp.listFiles().filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-        .zipWithIndex.foreach { case (p, i) =>
-          val dst = new java.io.File(stageDir, f"emb_$i%03d.parquet")
-          java.nio.file.Files.move(p.toPath, dst.toPath,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          dst.setLastModified(1700000000000L + i * 60000L)
-          ()
-        }
-      org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+      moveStagedParts(tmp, stageDir, "emb")
     }
   }
 
