@@ -451,6 +451,43 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, s"got $got")
   }
 
+  test("streaming dedup crowns negative doc_ids correctly (no sentinel re-crowning)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // hashed 64-bit crawl ids are routinely negative: the keeper must be
+    // presence-based, never a 'keeper < 0' sentinel test — under the old
+    // sentinel every doc whose keeper was negative re-crowned itself
+    val stageDir = new java.io.File("/root/repo/target/test_stream_dedup_neg")
+    org.apache.commons.io.FileUtils.deleteQuietly(stageDir)
+    stageDir.mkdirs()
+    val b1 = Seq((-7L, "alpha"), (-3L, "alpha"), (-9L, "beta"))
+    val b2 = Seq((5L, "alpha"), (-1L, "beta"))
+    Seq(b1, b2).zipWithIndex.foreach { case (rows, i) =>
+      val tmp = new java.io.File(stageDir.getParent, s"neg_tmp_$i")
+      rows.toDF("doc_id", "text")
+        .select(col("doc_id"), col("text"), lit("en").as("lang"),
+          lit("test").as("source"), length(col("text")).cast("bigint").as("n_chars"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(stageDir, f"batch_$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + i * 60000L)
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+    }
+    val got = Streams.streamDedupMultiBatch(spark, stageDir.getAbsolutePath,
+      "mb_dedup_neg").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) Long.MinValue else r.getLong(1),
+        r.getBoolean(2)))
+      .toSet
+    val want = Set(
+      (-7L, Long.MinValue, false),  // crowned
+      (-3L, -7L, true),             // in-batch dup of a NEGATIVE keeper
+      (-9L, Long.MinValue, false),  // crowned
+      (5L, -7L, true),              // cross-batch dup of the negative keeper
+      (-1L, -9L, true))             // negative dup of a negative keeper
+    assert(got == want, s"got $got")
+  }
+
   test("streaming line dedup keeps line keepers across micro-batches (first-seen wins)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
