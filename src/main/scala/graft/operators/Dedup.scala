@@ -13,8 +13,9 @@ import graft.Tables
   * LSH-style keys — minhash band signatures (C2), simhash chunk blocks (C3),
   * hyperplane sign buckets (C5) — so the shuffle carries (key, doc) pairs and
   * the pairwise work is confined to collision buckets. Signatures are computed
-  * with built-in codegen'd expressions (md5/conv multiply-mod for minhash —
-  * portable to the DuckDB oracle — xxhash64 bit-votes for simhash), not UDFs.
+  * with built-in codegen'd expressions (md5/conv multiply-mod for minhash,
+  * md5-derived 64-bit bit-votes for simhash — both portable to the DuckDB
+  * oracle), not UDFs.
   */
 object Dedup {
 
@@ -119,6 +120,9 @@ object Dedup {
     * way a production pipeline shares its persisted signature store. Eager
     * count(): the table feeds several subtrees of one job; without it they
     * race and each recomputes the build before the cache fills (~3×). */
+  // CONTRACT: tags must embed the source-table fingerprint (the external
+  // callers' mediahash:/semcid: pattern) — an appId:sfDir:kind key alone
+  // serves STALE signatures after an in-session regeneration of the dir
   private val memo = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   private[operators] def memoize(spark: SparkSession, sfDir: String, tag: String)
@@ -145,11 +149,12 @@ object Dedup {
   }
 
   private def withSig(spark: SparkSession, sfDir: String): DataFrame =
-    memoize(spark, sfDir, "minhash") {
+    memoize(spark, sfDir,
+      "minhash:" + graft.Tables.fingerprint(sfDir, "documents")) {
       // 3-shingle rows come from the window-lead gram builder (explode once,
       // lead×2), NOT explode(shingles(...)): the array-lambda form re-splits
       // the text per element (interpreted HOF + CollapseProject inlining).
-      // Same strings → same xxhash64 → identical signatures.
+      // Same strings → same md5-derived base hash → identical signatures.
       sigsOf(PipelineOps.gramSet(Tables.load(spark, sfDir, "documents"), 3))
     }
 
@@ -201,10 +206,15 @@ object Dedup {
     // not diverge engines.
     val rawPri =
       col("source").substr(lit(4), length(col("source"))).cast("bigint")
+    // NULL source is malformed TOO: a NULL pri would WIN Spark's struct
+    // argmin (ASC NULLS FIRST) but rank LAST in the oracle's ORDER BY
+    // (NULLS LAST) — the same silent engine divergence as a non-numeric
+    // suffix, so both fail loudly
     d.select(md5(col("text").cast("binary")).as("text_hash"),
-        when(col("source").isNotNull && rawPri.isNull,
-          raise_error(concat(lit("dedup_priority: non-numeric source suffix in '"),
-            col("source"), lit("' (expected srcN)"))))
+        when(rawPri.isNull,
+          raise_error(concat(lit("dedup_priority: missing or non-numeric "),
+            lit("source suffix in '"), coalesce(col("source"), lit("NULL")),
+            lit("' (expected srcN)"))))
           .otherwise(rawPri).as("pri"),
         col("doc_id"))
       .groupBy(col("text_hash"))
@@ -419,7 +429,8 @@ object Dedup {
     * tiers; the production analog is the signature table the ingest
     * pipeline maintains). */
   private[graft] def rowLocalSigs(spark: SparkSession, sfDir: String): DataFrame =
-    memoize(spark, sfDir, "minhash_rowlocal") {
+    memoize(spark, sfDir,
+      "minhash_rowlocal:" + graft.Tables.fingerprint(sfDir, "documents")) {
       val d = Tables.load(spark, sfDir, "documents")
       d.select(col("doc_id"),
         graft.functions.GraftFunctions.minhashSig(spark, col("text")).as("sig"))
@@ -484,6 +495,15 @@ object Dedup {
       prevSum = s
       round += 1
     }
+    // the cap exists to bound pathological chain-shaped components (graph
+    // diameter > rounds) — but exiting un-converged means WRONG cluster
+    // labels (a chain's far end keeps an intermediate rep), which the exact
+    // recursive-closure oracle would surface as an opaque hash mismatch;
+    // fail loudly at the source instead. Real near-dup graphs are
+    // dense-cluster-shaped (diameter 2-3); a deeper corpus raises the cap.
+    require(converged,
+      s"dedup_clusters: min-label propagation did not converge in $round " +
+        "rounds — a dup-graph component has diameter > rounds; raise the cap")
     // labels is localCheckpoint'd (materialized, lineage cut), so the edge
     // cache can be released before the final lazy joins run
     edges.unpersist(false)
@@ -529,7 +549,8 @@ object Dedup {
     * must agree on ≥1 chunk), Hamming-distance verify via bit_count(xor). One
     * row per doc. */
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
-    val sigs = memoize(spark, sfDir, "simhash") {
+    val sigs = memoize(spark, sfDir,
+      "simhash:" + graft.Tables.fingerprint(sfDir, "documents")) {
       simhashSigs(Tables.load(spark, sfDir, "documents"))
     }
     val chunks = array((0 until 4).map { j =>
@@ -833,11 +854,11 @@ object Dedup {
     val planes = hyperplanes(8, 64)
     val e = Tables.load(spark, sfDir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
-    val norm = sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x))
     val bucket = planes.zipWithIndex.map { case (p, i) =>
       when(dot(col("v"), p) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
-    val sigs = memoize(spark, sfDir, "embsig") {
+    val sigs = memoize(spark, sfDir,
+      "embsig:" + graft.Tables.fingerprint(sfDir, "embeddings")) {
       e.select(col("vec_id"), col("v"), bucket.as("bucket"))
     }
     val pairs = sigs.as("x").join(sigs.as("y"),
@@ -868,11 +889,7 @@ object Dedup {
     val bucket = planes.zipWithIndex.map { case (p, i) =>
       s"CASE WHEN ${dot("v", p)} > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
     }.mkString(" + ")
-    def sq(vec: String) =
-      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> $vec[i] * $vec[i])), (a, b) -> a + b)"
-    def dotv(a: String, b: String) =
-      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> $a[i] * $b[i])), (a, b) -> a + b)"
-    val cosine = s"${dotv("x.v", "y.v")} / (sqrt(${sq("x.v")}) * sqrt(${sq("y.v")}))"
+    val cosine = Similarity.sqlCos("x.v", "y.v")
     s"""WITH e AS (
        | SELECT vec_id, list_transform(embedding, z -> CAST(z AS DOUBLE)) AS v
        | FROM embeddings),

@@ -20,12 +20,6 @@ object Similarity {
 
   private def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  private def dotSeq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, z) => acc + z)
-
-  private def norm(v: Column): Column =
-    sqrt(aggregate(transform(v, x => x * x), lit(0.0), (acc, z) => acc + z))
-
   /** C6 — brute-force cosine top-k vs the probe vector (vec_id 0): the exact
     * baseline every ANN variant is judged against. */
   def simTopk(spark: SparkSession, sfDir: String): DataFrame = {
@@ -738,11 +732,7 @@ object Similarity {
     val bucket = planes.zipWithIndex.map { case (p, i) =>
       s"CASE WHEN ${dot("v", p)} > 0 THEN ${1 << i} ELSE 0 END"
     }.mkString(" + ")
-    def sq(vec: String) =
-      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> $vec[i] * $vec[i])), (a, b) -> a + b)"
-    def dotv(a: String, b: String) =
-      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> $a[i] * $b[i])), (a, b) -> a + b)"
-    val cosine = s"${dotv("c.v", "p.pv")} / (sqrt(${sq("c.v")}) * sqrt(${sq("p.pv")}))"
+    val cosine = sqlCos("c.v", "p.pv")
     val masks = (0 until 8).map(1 << _) ++
       (for (i <- 0 until 8; j <- i + 1 until 8) yield (1 << i) | (1 << j))
     val neighborCond = (Seq("c.bucket = p.pb") ++
@@ -1450,11 +1440,7 @@ object Similarity {
     * ROW_NUMBER by vec_id within cid. Same centroid binding, assignment
     * argmax, cosine fold and τ as the batch form. */
   def streamDedupSemanticSql(sfDir: String): String = {
-    def sq(vec: String) =
-      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> $vec[i] * $vec[i])), (a, b) -> a + b)"
-    def dotv(a: String, b: String) =
-      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> $a[i] * $b[i])), (a, b) -> a + b)"
-    def cos(a: String, b: String) = s"${dotv(a, b)} / (sqrt(${sq(a)}) * sqrt(${sq(b)}))"
+    def cos(a: String, b: String) = sqlCos(a, b)
     val centroidCte = centroidValuesCte(cachedSemanticCodebook(sfDir))
       .getOrElse(semanticSeedCte)
     s"""WITH e AS (
@@ -1522,11 +1508,7 @@ object Similarity {
   /** Generated oracle for C32: same centroid literals, same sequential-fold
     * cosine, same integer keep rule. */
   def embedPruneSql(sfDir: String): String = {
-    def sq(vec: String) =
-      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> $vec[i] * $vec[i])), (a, b) -> a + b)"
-    def dotv(a: String, b: String) =
-      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> $a[i] * $b[i])), (a, b) -> a + b)"
-    def cos(a: String, b: String) = s"${dotv(a, b)} / (sqrt(${sq(a)}) * sqrt(${sq(b)}))"
+    def cos(a: String, b: String) = sqlCos(a, b)
     val centroidCte = centroidValuesCte(cachedSemanticCodebook(sfDir))
       .getOrElse(semanticSeedCte)
     s"""WITH e AS (
@@ -1676,6 +1658,9 @@ object Similarity {
         ("dedup_semantic" -> (banner + dedupSemanticSql(""))) :+
         ("stream_dedup_semantic" -> (banner + streamDedupSemanticSql(""))) :+
         ("embed_prune" -> (banner + embedPruneSql(""))) :+
-        ("sim_pq" -> (banner + simPqSql(""))))
+        ("sim_pq" -> (banner + simPqSql(""))) :+
+        ("knn_join_pq" -> (banner + knnJoinPqSql(""))) :+
+        ("prepare_corpus_v3" -> (banner + PipelineOps.prepareCorpusV3Sql(""))) :+
+        ("prepare_corpus_v4" -> (banner + PipelineOps.prepareCorpusV4Sql(""))))
   }
 }
