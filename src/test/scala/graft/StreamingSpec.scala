@@ -583,6 +583,49 @@ class StreamingSpec extends SparkSpec {
     assert(removed == 2, s"expected 2 evicted digests; progress shows $removed")
   }
 
+  test("TTL'd streaming dedup survives a whole-batch-late digest (immediate eviction, no throw)") {
+    import org.apache.spark.sql.functions._
+    import java.sql.Timestamp
+    import spark.implicits._
+    // flatMapGroupsWithState does NOT drop watermark-late input, so a NEW
+    // digest whose entire batch arrives with ingest_ts more than TTL behind
+    // the watermark computes a timeout at-or-behind it — an unguarded
+    // setTimeoutTimestamp THROWS and fails the query. The guard must
+    // instead decide the batch normally and evict the state immediately
+    // (the TTL re-crown trade taken at once): L is crowned, emitted, and a
+    // later L re-arrival is fresh because no state survived.
+    val t0 = 1700000000000L
+    def ts(min: Long) = new Timestamp(t0 + min * 60000L)
+    val batches = Seq(
+      Seq((1L, "aa", ts(600))),                    // advances watermark to 600
+      Seq((2L, "ll", ts(0)), (3L, "ll", ts(10))),  // WHOLE batch ≥TTL late
+      Seq((4L, "ll", ts(700))))                    // re-arrival: fresh (evicted)
+    val stageDir = new java.io.File("/root/repo/target/test_stream_dedup_ttl_late")
+    org.apache.commons.io.FileUtils.deleteQuietly(stageDir)
+    stageDir.mkdirs()
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val tmp = new java.io.File(stageDir.getParent, s"ttl_late_tmp_$i")
+      rows.toDF("doc_id", "text", "ingest_ts")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(stageDir, f"batch_$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(t0 + i * 60000L)
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+    }
+    val (df, _) = Streams.streamDedupTtlMultiBatch(spark,
+      stageDir.getAbsolutePath, "ttl_dedup_late", ttlMinutes = 120)
+    val got = df.collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1), r.getBoolean(2)))
+      .toSet
+    val want = Set(
+      (1L, -1L, false),   // watermark driver
+      (2L, -1L, false),   // late digest still crowned and decided in-batch
+      (3L, 2L, true),     // in-batch dup of the late keeper
+      (4L, -1L, false))   // state was evicted at once -> re-crowned fresh
+    assert(got == want, s"got $got")
+  }
+
   test("streaming semantic dedup survives multi-batch slicing (keeper state persists)") {
     import org.apache.spark.sql.functions._
     // slice the corpus embeddings into two vec_id-ordered files: cluster
