@@ -66,6 +66,14 @@ object Dedup {
     * work from a handful of mega-buckets — at 100 TB it would be unbounded. */
   private[graft] val MaxBucket = 64
 
+  /** Round cap for C5b's min-label propagation — bounds pathological
+    * chain-shaped dup components (graph diameter > rounds). Real near-dup
+    * graphs are dense-cluster-shaped (diameter 2-3); a corpus with a
+    * legitimately deeper component raises this via `-Dgraft.cluster.rounds`
+    * instead of editing code (the convergence `require` names the knob). */
+  private[graft] def ClusterRoundCap: Int =
+    sys.props.get("graft.cluster.rounds").map(_.toInt).getOrElse(10)
+
   /** sigs(doc_id, sig) → one row per (doc, band) with the band's portable
     * 60-bit key (md5 of "<band index>,<comma-joined signature slice>" — the
     * band index is FOLDED INTO the hash, so one column is the complete join
@@ -480,7 +488,7 @@ object Dedup {
     var prevSum = ""
     var converged = false
     var round = 0
-    while (!converged && round < 10) {
+    while (!converged && round < ClusterRoundCap) {
       val msgs = edges
         .join(labels.withColumnRenamed("doc_id", "src"), "src")
         .select(col("dst").as("doc_id"), col("label"))
@@ -503,7 +511,8 @@ object Dedup {
     // dense-cluster-shaped (diameter 2-3); a deeper corpus raises the cap.
     require(converged,
       s"dedup_clusters: min-label propagation did not converge in $round " +
-        "rounds — a dup-graph component has diameter > rounds; raise the cap")
+        "rounds — a dup-graph component has diameter > rounds; raise the " +
+        s"cap (-Dgraft.cluster.rounds, currently $ClusterRoundCap)")
     // labels is localCheckpoint'd (materialized, lineage cut), so the edge
     // cache can be released before the final lazy joins run
     edges.unpersist(false)

@@ -154,11 +154,29 @@ object Streams extends Serializable {
         val dst = new java.io.File(stageDir, f"${prefix}_$i%05d.parquet")
         java.nio.file.Files.move(p.toPath, dst.toPath,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        dst.setLastModified(1700000000000L + i * 60000L)
-        ()
+        pinMtime(dst, StagedMtimeEpoch + i * 60000L)
       }
     org.apache.commons.io.FileUtils.deleteQuietly(tmp)
   }
+
+  /** Base of the pinned staged-file mtime ladder (parts ascend from here in
+    * 60 s steps; the EOS sentinel is pinned one step past the last part).
+    * Pinning EVERYTHING in the ladder — sentinel included — keeps the whole
+    * ingest order a function of staging, never of wall clock: a sentinel
+    * left at its real (current) mtime sits >7 days past the pinned parts,
+    * so a checkpoint that survived a restage and had already seen the old
+    * sentinel would batch it BEFORE freshly restaged parts (FileStreamSource
+    * orders by (mtime, path)) and silently finalize windows early. */
+  private val StagedMtimeEpoch = 1700000000000L
+
+  /** setLastModified with its result CHECKED: on a filesystem where the call
+    * fails (returns false) the staged-order contract silently breaks — the
+    * source would list files in write-time order, which is arbitrary across
+    * write tasks — so refuse loudly instead. */
+  private def pinMtime(f: java.io.File, mtime: Long): Unit =
+    require(f.setLastModified(mtime),
+      s"setLastModified failed for $f — this filesystem cannot pin staged " +
+        "mtimes, so the file-stream ingest order contract cannot hold")
 
   /** The events stream: readStream over the staged landing dir, which holds
     * the canonically-encoded testdata copy (stageEventsNormalized) plus the
@@ -202,6 +220,10 @@ object Streams extends Serializable {
     val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
     java.nio.file.Files.move(part.toPath, sentinel.toPath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // the sentinel joins the pinned mtime ladder one step past the last
+    // part (see StagedMtimeEpoch: a real-clock sentinel mtime breaks the
+    // ingest-order contract under a surviving checkpoint or maxFileAge)
+    pinMtime(sentinel, StagedMtimeEpoch + dataFiles.length.toLong * 60000L)
     org.apache.commons.io.FileUtils.deleteQuietly(tmp)
   }
 
@@ -438,7 +460,7 @@ object Streams extends Serializable {
               val dst = new java.io.File(storeDir, f"batch-$id%09d.parquet")
               java.nio.file.Files.move(f.toPath, dst.toPath,
                 java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-              dst.setLastModified(1700000000000L + id * 60000L); ()
+              pinMtime(dst, StagedMtimeEpoch + id * 60000L)
             }
           org.apache.commons.io.FileUtils.deleteQuietly(scratch)
           ()
@@ -1108,12 +1130,23 @@ object Streams extends Serializable {
     * monotone-ingest-id caveat, pinned by the multi-batch carry-over spec. */
   def streamDedupLines(spark: SparkSession, sfDir: String): DataFrame = {
     val cp = new java.io.File(checkpointDir(sfDir, "stream_dedup_lines"))
+    // oracleBatchGuard: the REGISTERED query shares C48's batch oracle, and
+    // that equivalence holds only when the backlog drains in one micro-batch
     dedupLinesRun(spark, docsStream(spark, sfDir), "stream_dedup_lines", cp,
-      graft.Tables.load(spark, sfDir, "documents"))
+      graft.Tables.load(spark, sfDir, "documents"), oracleBatchGuard = true)
   }
 
+  /** Count of micro-batches a drained query committed (checkpoint offset
+    * log entries) — the guard input for streams whose registered oracle is
+    * only valid on a single-batch drain. */
+  private def committedBatches(cp: java.io.File): Int =
+    Option(new java.io.File(cp, "offsets").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .count(f => f.getName.forall(_.isDigit))
+
   private def dedupLinesRun(spark: SparkSession, src: DataFrame, name: String,
-    cp: java.io.File, allDocs: DataFrame): DataFrame = {
+    cp: java.io.File, allDocs: DataFrame,
+    oracleBatchGuard: Boolean = false): DataFrame = {
     import spark.implicits._
     org.apache.commons.io.FileUtils.deleteQuietly(cp)
     spark.catalog.dropTempView(name)
@@ -1156,6 +1189,23 @@ object Streams extends Serializable {
     // state-key cardinality ≈ distinct lines ≈ docs × ~12 ten-token lines
     val sink = runToFiles(spark, marks, storeSibling(cp, "_marks"), cp,
       stateKeyHint = allDocs.count() * 12L)
+    // Cross-batch keeper semantics are FIRST-SEEN-WINS (a later batch's
+    // smaller (doc_id, idx) cannot re-crown — append mode already emitted
+    // its marks), while C48's batch oracle crowns the GLOBAL min. The two
+    // agree exactly when the backlog drains in ONE micro-batch (the
+    // registered production path: AvailableNow over the single staged
+    // file); any future maxFilesPerTrigger or multi-file staging would
+    // silently break oracle parity, so the registered entry ASSERTS the
+    // single-batch precondition instead of assuming it. The multi-batch
+    // spec path exercises carry-over deliberately and skips the guard.
+    if (oracleBatchGuard) {
+      val n = committedBatches(cp)
+      require(n <= 1,
+        s"$name drained in $n micro-batches — its registered oracle " +
+          "(C48's global-min keeper) is only first-seen-wins-equivalent " +
+          "on a single-batch drain; restage as one file or re-derive the " +
+          "oracle for monotone multi-batch ingest")
+    }
     val marked = sink.groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("idx"))).as("marked"))
     graft.operators.PipelineOps

@@ -66,7 +66,14 @@ object ColdWarm {
     // reference-LM blob build. r11: the fingerprint-reused streaming
     // stores — the dedup ingest store and the cid-partitioned append
     // layout — whose cold run pays the full micro-batch replay)
+    // r14: the C16/C16b incremental-dedup store family (bucketed corpus
+    // digest table + band-key/signature stores) — previously the ONE store
+    // family whose build cost was never measured separately; its cold run
+    // pays the digest write plus the corpus signature pass and both
+    // bucketed band/sig table writes.
     val families: Seq[(String, String, () => Unit)] = Seq(
+      ("digest_band_store", "dedup_incremental_near",
+        () => { run("dedup_incremental"); run("dedup_incremental_near") }),
       ("signatures", "dedup_minhash", () => run("dedup_minhash")),
       ("semantic_assignment", "dedup_semantic", () => run("dedup_semantic")),
       ("ivf_index", "sim_ivf_pruned", () => run("sim_ivf_pruned")),
