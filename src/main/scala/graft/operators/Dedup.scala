@@ -255,27 +255,25 @@ object Dedup {
   /** Source-data fingerprint (Tables.fingerprint) recorded when the digest
     * table is built: if documents under the same sfDir are regenerated
     * in-session, the memo invalidates and rebuilds instead of silently
-    * serving digests of the old data. */
+    * serving digests of the old data. This map is only the session-hot
+    * fast path — the DURABLE fingerprint lives on disk with the table
+    * (StoreFp sidecar), so a brand-new JVM adopts a valid persisted store
+    * instead of dropping and rebuilding it (the r13 directive: at 100 TB
+    * the band store IS the dedup index, and "built once as the offline
+    * backfill" must survive the session that built it). */
   private val digestFingerprint =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
-  /** Build-or-reuse a persisted store table keyed on a source fingerprint.
+  /** Build-or-reuse a persisted store table keyed on a source fingerprint:
+    * the in-memory memo short-circuits the session-hot path; everything
+    * else (disk-fingerprint validation, fresh-JVM adoption, loud
+    * mismatch rebuild) is StoreFp.ensureTable's one shared contract.
     * Coarse class-level lock: two concurrent builders would race DROP TABLE
     * against saveAsTable on the same table name. */
   private def ensureStoreTable(spark: SparkSession, tbl: String, fp: String)
     (build: => Unit): String = this.synchronized {
-    if (!spark.catalog.tableExists(tbl) || !digestFingerprint.get(tbl).contains(fp)) {
-      if (spark.catalog.tableExists(tbl)) {
-        // a REGISTERED table owns its directory — retire it through the
-        // catalog (managed drop removes the data too), never a raw delete
-        spark.sql(s"DROP TABLE `$tbl`")
-      } else {
-        // only an orphan directory (left by a previous session, unknown to
-        // this session's in-memory catalog) is removed directly; without
-        // this, saveAsTable refuses the non-empty location
-        graft.GraftConf.deleteOrphanTableDir(spark, tbl)
-      }
-      build
+    if (!(digestFingerprint.get(tbl).contains(fp) && spark.catalog.tableExists(tbl))) {
+      graft.StoreFp.ensureTable(spark, tbl, fp)(build)
       digestFingerprint(tbl) = fp
     }
     tbl

@@ -202,16 +202,16 @@ object Similarity {
       case Some((f, t)) if f == fp && spark.catalog.tableExists(t) =>
         (t, codebook)
       case _ =>
-        // a table directory left by a previous session is unknown to this
-        // session's in-memory catalog; clear it or saveAsTable refuses the
-        // location (B18's ensure does the same)
-        if (!spark.catalog.tableExists(tbl)) {
-          graft.GraftConf.deleteOrphanTableDir(spark, tbl)
+        // disk-fingerprint validation + fresh-JVM adoption + loud mismatch
+        // rebuild: StoreFp.ensureTable's shared contract (adoption is safe
+        // because the codebook retrain above is bit-deterministic — the
+        // adopted table's cid layout matches the retrained centroids)
+        graft.StoreFp.ensureTable(spark, tbl, fp) {
+          spark.read.parquet(path)
+            .select(col("vec_id"), col("v"), col("cid").cast("bigint").as("cid"))
+            .write.bucketBy(IvfK, "cid").sortBy("cid").mode("overwrite")
+            .saveAsTable(tbl)
         }
-        spark.read.parquet(path)
-          .select(col("vec_id"), col("v"), col("cid").cast("bigint").as("cid"))
-          .write.bucketBy(IvfK, "cid").sortBy("cid").mode("overwrite")
-          .saveAsTable(tbl)
         ivfBucketedBuilt(sfDir) = (fp, tbl)
         (tbl, codebook)
     }
@@ -534,12 +534,23 @@ object Similarity {
     ivfIndexBuilt.get(sfDir) match {
       case Some((f, cb)) if f == fp && new java.io.File(path, "_SUCCESS").exists() =>
         (path, cb)
+      // fresh-JVM adoption: a layout a previous session built from the same
+      // source data (disk fingerprint, StoreFp sidecar) is reused — only
+      // the codebook retrains, and Lloyd is bit-deterministic (decimal-exact
+      // means, deterministic sample/seed), so the retrained centroids match
+      // the stored lists' assignment exactly
+      case _ if graft.StoreFp.dirFp(path).contains(fp) &&
+          new java.io.File(path, "_SUCCESS").exists() =>
+        val codebook = trainCodebook(spark, sfDir)
+        ivfIndexBuilt(sfDir) = (fp, codebook)
+        (path, codebook)
       case _ =>
         val codebook = trainCodebook(spark, sfDir)
         Tables.load(spark, sfDir, "embeddings")
           .select(col("vec_id"), asDouble(col("embedding")).as("v"))
           .withColumn("cid", nearestCid(spark, codebook))
           .write.mode("overwrite").partitionBy("cid").parquet(path)
+        graft.StoreFp.commitDir(path, fp) // commit marker: AFTER the write
         ivfIndexBuilt(sfDir) = (fp, codebook)
         (path, codebook)
     }
@@ -1038,17 +1049,16 @@ object Similarity {
         case Some((f, t)) if f == fp && spark.catalog.tableExists(t) =>
           (t, codebook, books)
         case _ =>
-          if (!spark.catalog.tableExists(tbl)) {
-            graft.GraftConf.deleteOrphanTableDir(spark, tbl)
+          graft.StoreFp.ensureTable(spark, tbl, fp) {
+            val codes = graft.functions.GraftFunctions.pqCodes(spark, col("v"), books)
+            spark.read.parquet(path)
+              .select(col("vec_id"), col("cid").cast("bigint").as("cid"),
+                codes.as("codes"))
+              .select(col("vec_id") +: col("cid") +:
+                (0 until PqM).map(m => element_at(col("codes"), m + 1).as(s"c$m")): _*)
+              .write.bucketBy(IvfK, "cid").sortBy("cid").mode("overwrite")
+              .saveAsTable(tbl)
           }
-          val codes = graft.functions.GraftFunctions.pqCodes(spark, col("v"), books)
-          spark.read.parquet(path)
-            .select(col("vec_id"), col("cid").cast("bigint").as("cid"),
-              codes.as("codes"))
-            .select(col("vec_id") +: col("cid") +:
-              (0 until PqM).map(m => element_at(col("codes"), m + 1).as(s"c$m")): _*)
-            .write.bucketBy(IvfK, "cid").sortBy("cid").mode("overwrite")
-            .saveAsTable(tbl)
           pqBucketedBuilt(sfDir) = (fp, tbl)
           (tbl, codebook, books)
       }
@@ -1074,13 +1084,12 @@ object Similarity {
       vecBucketedBuilt.get(sfDir) match {
         case Some((f, t)) if f == fp && spark.catalog.tableExists(t) => t
         case _ =>
-          if (!spark.catalog.tableExists(tbl)) {
-            graft.GraftConf.deleteOrphanTableDir(spark, tbl)
+          graft.StoreFp.ensureTable(spark, tbl, fp) {
+            spark.read.parquet(path)
+              .select(col("vec_id"), col("v"))
+              .write.bucketBy(IvfK, "vec_id").sortBy("vec_id").mode("overwrite")
+              .saveAsTable(tbl)
           }
-          spark.read.parquet(path)
-            .select(col("vec_id"), col("v"))
-            .write.bucketBy(IvfK, "vec_id").sortBy("vec_id").mode("overwrite")
-            .saveAsTable(tbl)
           vecBucketedBuilt(sfDir) = (fp, tbl)
           tbl
       }

@@ -358,9 +358,11 @@ object Streams extends Serializable {
   private val ingestStoreMemo =
     scala.collection.concurrent.TrieMap.empty[String, (String, Map[String, Long])]
 
-  /** Evict the ingest-store reuse markers (ColdWarm's cold-path hook — the
-    * stream-store analog of Similarity.clearCaches). The next run rebuilds
-    * each store from a fresh checkpoint. */
+  /** Evict the in-memory ingest-store reuse markers (the stream-store
+    * analog of Similarity.clearCaches). The next run re-validates against
+    * the PERSISTED sidecar and adopts a still-valid store; a genuine
+    * rebuild additionally needs StoreFp.invalidateAll() (ColdWarm's
+    * cold-path pairing). */
   private[graft] def clearIngestStores(): Unit = ingestStoreMemo.clear()
 
   /** A store directory derived from a checkpoint path (`<cp><suffix>`) —
@@ -388,21 +390,66 @@ object Streams extends Serializable {
 
   /** ONE reuse guard for every stream-side store builder (the dedup ingest
     * stores and the IVF append layout share this contract, not two
-    * hand-maintained copies of it): consume the store as-is when this JVM
-    * already built it for `key`, otherwise run `build` and commit the memo
-    * only after the build completes — a build that throws leaves no marker,
-    * so the next call rebuilds. */
+    * hand-maintained copies of it): consume the store as-is when this JVM —
+    * or, via the persisted sidecar, a PREVIOUS JVM — already built it for
+    * `key`, otherwise run `build` and commit the memo only after the build
+    * completes — a build that throws leaves no marker, so the next call
+    * rebuilds. The (key, manifest) pair is persisted NEXT TO the store
+    * (`<store>_graft_store_fp` — outside it, because the manifest covers
+    * the store's own files), so a fresh session validates and reuses the
+    * replayed backlog instead of re-ingesting it (the r13 on-disk-
+    * fingerprint directive applied to the streaming stores). */
   private def reuseOrBuild(store: java.io.File, key: Option[String])(
     build: => Unit): Unit = {
     val path = store.getAbsolutePath
     val reusable = key.exists { k =>
-      ingestStoreMemo.get(path).exists { case (mk, manifest) =>
-        mk == k && store.isDirectory && storeManifest(store) == manifest
+      ingestStoreMemo.get(path).orElse(readStoreSidecar(store))
+        .exists { case (mk, manifest) =>
+          mk == k && store.isDirectory && storeManifest(store) == manifest
+        }
+    }
+    if (reusable) {
+      // promote a sidecar hit into the in-memory memo (skip the disk read
+      // and manifest walk next call)
+      key.foreach(k => ingestStoreMemo.getOrElseUpdate(path, (k, storeManifest(store))))
+      return
+    }
+    build
+    key.foreach { k =>
+      val m = storeManifest(store)
+      ingestStoreMemo(path) = (k, m)
+      writeStoreSidecar(store, k, m)
+    }
+  }
+
+  private def storeSidecarFile(store: java.io.File): java.io.File =
+    new java.io.File(store.getParentFile,
+      store.getName + graft.StoreFp.SidecarName)
+
+  private def writeStoreSidecar(store: java.io.File, key: String,
+    manifest: Map[String, Long]): Unit = {
+    val body = (s"key=$key" +:
+      manifest.toSeq.sorted.map { case (p, l) => s"m=$p\t$l" }).mkString("\n")
+    java.nio.file.Files.write(storeSidecarFile(store).toPath,
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ()
+  }
+
+  private def readStoreSidecar(
+    store: java.io.File): Option[(String, Map[String, Long])] = {
+    val f = storeSidecarFile(store)
+    if (!f.isFile) None
+    else {
+      val lines = new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).split('\n')
+      lines.headOption.filter(_.startsWith("key=")).map { h =>
+        val manifest = lines.tail.filter(_.startsWith("m=")).map { l =>
+          val Array(p, n) = l.stripPrefix("m=").split('\t')
+          p -> n.toLong
+        }.toMap
+        (h.stripPrefix("key="), manifest)
       }
     }
-    if (reusable) return
-    build
-    key.foreach(k => ingestStoreMemo(path) = (k, storeManifest(store)))
   }
 
   /** Delete scratch siblings (`<store>_stage<id>`) a crashed foreachBatch

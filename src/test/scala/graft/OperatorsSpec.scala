@@ -771,6 +771,9 @@ class OperatorsSpec extends SparkSpec {
     val before = names.map(n => n -> snap(n)).toMap
     operators.Dedup.clear()
     operators.Similarity.clearCaches()
+    // memory eviction alone now ADOPTS persisted stores (StoreFp sidecars);
+    // a genuine cold rebuild needs the disk fingerprints invalidated too
+    graft.StoreFp.invalidateAll()
     names.foreach { n =>
       assert(snap(n) == before(n), s"$n drifted across a cold rebuild")
     }

@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Persisted store fingerprints (StoreFp): a valid on-disk store must
+  * survive the session that built it — a brand-new JVM (simulated here by
+  * clearing the in-memory memos / using a never-registered table name)
+  * validates the sidecar fingerprint and ADOPTS the store instead of
+  * dropping and rebuilding it; a MISMATCHED fingerprint rebuilds. */
+class StoreFpSpec extends SparkSpec {
+
+  private def digestTbl =
+    s"corpus_digests${sfDir.replaceAll("[^A-Za-z0-9]+", "_")}"
+
+  private def tableDir(tbl: String) =
+    new java.io.File(s"${GraftConf.localRoot}/graft_warehouse/$tbl")
+
+  /** name:mtime listing — unchanged listing == nothing was rewritten. */
+  private def listing(d: java.io.File): Set[String] =
+    Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+      .map(f => s"${f.getName}:${f.lastModified}").toSet
+
+  test("store table reuse survives in-memory memo eviction (no rebuild)") {
+    // build (or adopt) the C16 digest store, then simulate the fresh-session
+    // memo state: with the sidecar fingerprint intact the second call must
+    // consume the table AS-IS — byte-for-byte, no file rewritten
+    val r1 = operators.Dedup.dedupIncremental(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val dir = tableDir(digestTbl)
+    assert(new java.io.File(dir, "_graft_store_fp").isFile,
+      "store build did not commit its fingerprint sidecar")
+    val l1 = listing(dir)
+    operators.Dedup.clear()
+    val r2 = operators.Dedup.dedupIncremental(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(r2 == r1, "post-eviction run drifted")
+    assert(listing(dir) == l1,
+      "a valid persisted store was rebuilt after memo eviction — the " +
+        "on-disk fingerprint should have validated it")
+  }
+
+  test("a never-registered table with a matching sidecar is adopted, with its bucket spec") {
+    // the true fresh-JVM path: the catalog has NEVER seen this name, only
+    // the directory + sidecar exist (here: a byte-copy of the real store)
+    operators.Dedup.dedupIncremental(spark, sfDir).collect()
+    val fp = Tables.fingerprint(sfDir, "documents")
+    val tbl2 = digestTbl + "_adopt_probe"
+    spark.sql(s"DROP TABLE IF EXISTS `$tbl2`")
+    org.apache.commons.io.FileUtils.deleteQuietly(tableDir(tbl2))
+    org.apache.commons.io.FileUtils.copyDirectory(
+      tableDir(digestTbl), tableDir(tbl2))
+    try {
+      assert(StoreFp.adoptTable(spark, tbl2, fp), "adoption refused a valid store")
+      // content equals the original store
+      val orig = spark.table(digestTbl).orderBy(col("corpus_id"))
+        .collect().map(_.toSeq).toSeq
+      val adopted = spark.table(tbl2).orderBy(col("corpus_id"))
+        .collect().map(_.toSeq).toSeq
+      assert(adopted == orig, "adopted table content diverged")
+      // the BUCKET SPEC must survive re-registration — it exists only in
+      // catalog metadata, and without it every zero-exchange join plan the
+      // store exists for silently degrades
+      val bs = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(tbl2)).bucketSpec
+      assert(bs.exists(b => b.numBuckets == 8 && b.bucketColumnNames == Seq("h")),
+        s"adopted bucket spec wrong: $bs")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS `$tbl2`")
+      org.apache.commons.io.FileUtils.deleteQuietly(tableDir(tbl2))
+    }
+  }
+
+  test("fingerprint mismatch rebuilds; missing sidecar refuses adoption") {
+    operators.Dedup.dedupIncremental(spark, sfDir).collect()
+    val tbl3 = digestTbl + "_mismatch_probe"
+    spark.sql(s"DROP TABLE IF EXISTS `$tbl3`")
+    org.apache.commons.io.FileUtils.deleteQuietly(tableDir(tbl3))
+    org.apache.commons.io.FileUtils.copyDirectory(
+      tableDir(digestTbl), tableDir(tbl3))
+    try {
+      // stale fingerprint (source data "changed") → adoption must refuse
+      // and ensureTable must run the build
+      assert(!StoreFp.adoptTable(spark, tbl3, "other-fingerprint"),
+        "adoption accepted a mismatched fingerprint")
+      var built = false
+      StoreFp.ensureTable(spark, tbl3, "other-fingerprint") {
+        built = true
+        spark.range(1).select(col("id").as("h"))
+          .write.bucketBy(2, "h").mode("overwrite").saveAsTable(tbl3)
+      }
+      assert(built, "ensureTable served a store with a mismatched fingerprint")
+      // ...and the new sidecar now validates without rebuilding
+      var rebuilt = false
+      StoreFp.ensureTable(spark, tbl3, "other-fingerprint") { rebuilt = true }
+      assert(!rebuilt, "ensureTable rebuilt a just-committed store")
+      // crashed-build shape: directory without a sidecar → refuse adoption
+      spark.sql(s"DROP TABLE `$tbl3`")
+      GraftConf.deleteOrphanTableDir(spark, tbl3)
+      org.apache.commons.io.FileUtils.copyDirectory(
+        tableDir(digestTbl), tableDir(tbl3))
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(tableDir(tbl3), "_graft_store_fp"))
+      assert(!StoreFp.adoptTable(spark, tbl3, Tables.fingerprint(sfDir, "documents")),
+        "adoption accepted a store with no committed sidecar")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS `$tbl3`")
+      org.apache.commons.io.FileUtils.deleteQuietly(tableDir(tbl3))
+    }
+  }
+
+  test("IVF path layout is adopted across memo eviction (codebook retrains only)") {
+    val out1 = operators.Similarity.simIvfPruned(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val dir = new java.io.File(
+      s"${GraftConf.localRoot}/graft_ivf/${sfDir.replaceAll("[^A-Za-z0-9]+", "_")}")
+    assert(new java.io.File(dir, "_graft_store_fp").isFile,
+      "IVF layout build did not commit its fingerprint sidecar")
+    def mtimes(): Set[String] = {
+      val s = java.nio.file.Files.walk(dir.toPath)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+          .map(p => p.toString + ":" +
+            java.nio.file.Files.getLastModifiedTime(p).toMillis).toSet
+      } finally s.close()
+    }
+    val m1 = mtimes()
+    operators.Similarity.clearCaches()
+    operators.Dedup.clear()
+    val out2 = operators.Similarity.simIvfPruned(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(out2 == out1, "probe over the adopted layout drifted")
+    assert(mtimes() == m1,
+      "a valid persisted IVF layout was rewritten after memo eviction")
+  }
+}

@@ -843,7 +843,17 @@ class StreamingSpec extends SparkSpec {
     val r2 = Streams.streamIvfAppend(spark, sfDir).collect().map(_.toSeq).toSeq
     assert(r2 == r1, "warm (reused-store) probe drifted from the cold run")
     assert(listing(appendDir) == l1, "warm run rewrote the append store")
+    // memory eviction alone ADOPTS the persisted store via its on-disk
+    // sidecar (the fresh-JVM reuse path, r14): same results, no rewrite
     Streams.clearIngestStores()
+    val rAdopt = Streams.streamIvfAppend(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(rAdopt == r1, "sidecar-adopted store probe drifted")
+    assert(listing(appendDir) == l1,
+      "memory eviction with a valid sidecar rewrote the store (adoption " +
+        "should reuse it as-is)")
+    // genuine rebuild needs the disk fingerprint invalidated too
+    Streams.clearIngestStores()
+    graft.StoreFp.invalidateAll()
     val r3 = Streams.streamIvfAppend(spark, sfDir).collect().map(_.toSeq).toSeq
     assert(r3 == r1, "post-eviction rebuild drifted")
     assert(listing(appendDir) != l1, "eviction did not force a rebuild")
@@ -879,7 +889,8 @@ class StreamingSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(orphan)
     orphan.mkdirs()
     assert(new java.io.File(orphan, "stranded.parquet").createNewFile())
-    Streams.clearIngestStores() // force the rebuild path
+    Streams.clearIngestStores() // force the rebuild path...
+    graft.StoreFp.invalidateAll() // ...including past the on-disk sidecar
     Streams.streamDedupSemantic(spark, sfDir).collect()
     assert(!orphan.exists(), "orphan scratch dir survived the rebuild sweep")
   }
