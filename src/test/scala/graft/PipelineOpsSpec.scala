@@ -834,6 +834,7 @@ class PipelineOpsSpec extends SparkSpec {
     val f = Seq("ferry", "flint", "frost", "fjord").map(blk)
     val k119 = Seq("koala", "kiosk", "krill", "kayak", "knoll").map(blk)
     val k122 = Seq("lemur", "lotus", "lilac", "llama", "lunar").map(blk)
+    val m124 = Seq("mango", "maple", "mossy", "metro", "minty").map(blk)
     val doc113 = d1 ++ d2 ++ du ++ sp ++ d4 ++ d5
     val doc117 = fa.take(3) ++ sp ++ fa.drop(3) ++ f.flatten
     val corpus = Seq(
@@ -848,7 +849,9 @@ class PipelineOpsSpec extends SparkSpec {
       113L -> doc113.mkString(" "),                        // owns the s-span
       117L -> doc117.mkString(" "),                        // loses s-span to 113
       119L -> k119.flatten.mkString(" "),                  // semantic keeper
-      122L -> k122.flatten.mkString(" "))                  // semantic dup of 119
+      122L -> k122.flatten.mkString(" "),                  // semantic dup of 119
+      124L -> m124.flatten.mkString(" "))                  // survives every tier,
+      // falls out at the V4 sample draw (id-hash bucket 93 >= 90)
     val ref = corpus.filter(_._1 != 106L).toDF("doc_id", "text")
     val (uni, bi) = graft.operators.TextAnalysis.lmModelFrom(ref)
     val docs = corpus.map { case (id, t) => (id, "xx", t) }
@@ -879,15 +882,18 @@ class PipelineOpsSpec extends SparkSpec {
       .map(r => r.getLong(0) ->
         ((r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getString(8))))
       .toMap
-    def sampled(id: Long) = hex(id.toString) % 100L < 50L
+    // v4's own (wider) draw window — the v2/v3 tests pin the 50-window rule
+    def sampled(id: Long) =
+      hex(id.toString) % 100L < PipelineOps.V4SampleWindow.toLong
     // survivors before the sample: 101 (line keeper), 102 (line-cut), 113
-    // (span owner), 117 (span-cut), 119 (semantic keeper)
+    // (span owner), 117 (span-cut), 119 (semantic keeper), 124 (clean)
     val expect = Map[Long, (Long, Long, Long, Long, String)](
       101L -> ((50L, 0L, 0L, 71L, (boiler ++ a.flatten).mkString(" "))),
       102L -> ((40L, 0L, 1L, 71L, c.flatten.mkString(" "))),
       113L -> ((50L, 0L, 0L, 213L, doc113.mkString(" "))),
       117L -> ((50L, 5L, 0L, 217L, (fa ++ f.flatten).mkString(" "))),
-      119L -> ((50L, 0L, 0L, 70L, k119.flatten.mkString(" "))))
+      119L -> ((50L, 0L, 0L, 70L, k119.flatten.mkString(" "))),
+      124L -> ((50L, 0L, 0L, 224L, m124.flatten.mkString(" "))))
     val want = expect.filter(kv => sampled(kv._1))
     assert(out == want,
       s"v4 pipeline drifted: got ${out.keySet.toSeq.sorted} " +
