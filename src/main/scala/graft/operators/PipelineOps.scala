@@ -1602,6 +1602,95 @@ object PipelineOps {
     dedupLinesOn(linedDocs(Tables.load(spark, sfDir, "documents")),
       sortBeforeCut = true)
 
+  /** C51 — cross-document line dedup over REAL NEWLINES (`dedup_lines_nl`):
+    * the production form the C48 scaladoc promised — the lined view is a
+    * literal-newline split of multi-line text, not the synthetic 10-token
+    * re-layout. The corpus is single-line prose, so the multi-line input is
+    * SALTED deterministically (the C19/C47 discipline — identical
+    * construction in the oracle): the 10-token lines joined by '\n', plus
+    * per-doc-id suffixes that plant each delimiter edge case on real data —
+    * a shared boilerplate footer (doc_id % 3), a CONSECUTIVE-delimiter
+    * empty line before a second shared footer (doc_id % 5), and a TRAILING
+    * delimiter (doc_id % 7).
+    *
+    * The delimiter-semantics pin (why this variant exists): Spark's
+    * `split` is REGEX and drops trailing empties by default, while DuckDB's
+    * `string_split` is LITERAL and keeps them — so the lined view is
+    * `split(text, Pattern.quote("\n"), -1)` against the oracle's
+    * `string_split(text, chr(10))`, the one pairing whose empty-line /
+    * consecutive-delimiter / trailing-delimiter behavior agrees exactly.
+    * Empty lines are STRUCTURE, not content: they never enter the
+    * occurrence stream (skipEmpty), so a million blank separator lines are
+    * neither "duplicates of each other" nor ever cut — indices stay
+    * positional over ALL lines, so the cut complement reassembles the
+    * document with its blank lines intact. Keeper/cut/scale shape are
+    * C48's verbatim (the shared dedupLinesOn core: same de-skewed two-phase
+    * keeper, same slim exchanges), output joined by '\n'. */
+  def dedupLinesNl(spark: SparkSession, sfDir: String): DataFrame =
+    dedupLinesOn(nlLinedDocs(Tables.load(spark, sfDir, "documents")),
+      sortBeforeCut = true, sep = "\n", skipEmpty = true)
+
+  /** The salted multi-line view: (doc_id, nl_text) with real newlines,
+    * empty lines and trailing delimiters planted per the C51 scaladoc.
+    * Truncating % (not pmod) matches the oracle's `%` for the same reason
+    * textRedact documents. */
+  private[graft] def nlDocs(d: DataFrame): DataFrame =
+    linedDocs(d).select(col("doc_id"),
+      concat(
+        array_join(col("lines"), "\n"),
+        when(col("doc_id") % 3 === 0,
+          lit("\n" + NlFooterA)).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          lit("\n\n" + NlFooterB)).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit("\n")).otherwise(lit("")))
+        .as("nl_text"))
+
+  private val NlFooterA = "Share this article with your friends"
+  private val NlFooterB = "We use cookies to improve your experience"
+
+  /** The literal-newline lined view over the salted text — the real-crawl
+    * form of [[linedDocs]] (see the C51 delimiter-semantics pin). */
+  private[graft] def nlLinedDocs(d: DataFrame): DataFrame =
+    nlDocs(d).select(col("doc_id"),
+      split(col("nl_text"), java.util.regex.Pattern.quote("\n"), -1).as("lines"))
+
+  /** C51's oracle: the same salted construction, DuckDB's LITERAL
+    * string_split, empty lines excluded from occurrences, C48's keeper and
+    * cut texts, output joined by chr(10). */
+  val dedupLinesNlSql: String =
+    s"""WITH nl AS (
+      | SELECT doc_id,
+      |  array_to_string(list_transform(range(0, CAST(ceil(len(ts) / 10.0) AS INT)),
+      |    i -> array_to_string(list_slice(ts, i*10 + 1, i*10 + 10), ' ')), chr(10))
+      |  || CASE WHEN doc_id % 3 = 0 THEN chr(10) || '$NlFooterA' ELSE '' END
+      |  || CASE WHEN doc_id % 5 = 0 THEN chr(10) || chr(10) || '$NlFooterB' ELSE '' END
+      |  || CASE WHEN doc_id % 7 = 0 THEN chr(10) ELSE '' END AS nl_text
+      | FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)),
+      |lined AS (SELECT doc_id, string_split(nl_text, chr(10)) AS lines FROM nl),
+      |occ AS (
+      | SELECT doc_id, i - 1 AS idx, md5(line) AS lh
+      | FROM (SELECT doc_id, lines[i] AS line, i
+      |       FROM (SELECT doc_id, lines, unnest(range(1, len(lines) + 1)) AS i
+      |             FROM lined))
+      | WHERE line <> ''),
+      |mk AS (
+      | SELECT doc_id, list_sort(list(idx)) AS marked
+      | FROM (SELECT doc_id, idx,
+      |         FIRST_VALUE(doc_id) OVER w AS kd, FIRST_VALUE(idx) OVER w AS ki
+      |       FROM occ
+      |       WINDOW w AS (PARTITION BY lh ORDER BY doc_id, idx
+      |                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+      | WHERE kd <> doc_id OR ki <> idx
+      | GROUP BY doc_id),
+      |res AS (
+      | SELECT l.doc_id, len(l.lines) AS n_l,
+      |  list_filter(l.lines, (x, i) -> NOT list_contains(COALESCE(m.marked, []), i - 1)) AS kept
+      | FROM lined l LEFT JOIN mk m USING (doc_id))
+      |SELECT doc_id, CAST(n_l AS BIGINT) AS n_lines,
+      | CAST(n_l - len(kept) AS BIGINT) AS n_removed,
+      | COALESCE(array_to_string(kept, chr(10)), '') AS kept_text
+      |FROM res ORDER BY doc_id""".stripMargin
+
   /** The deterministic 10-token lined view: (doc_id, lines). Tokens are
     * split ONCE into an attribute the chunk lambda slices (the cutMarked
     * discipline — an inline split would re-split per chunk). */
@@ -1622,13 +1711,21 @@ object PipelineOps {
     * derivation (explode order, hash input cast) shared by C48's keeper
     * chain, C50's frequency chain and D17's streaming form, whose
     * correctness rests on all three hashing the same bytes. */
-  private[graft] def lineOccs(d: DataFrame): DataFrame =
-    d.select(col("doc_id"), posexplode(col("lines")).as(Seq("idx", "line")))
-      .select(col("doc_id"), col("idx"), md5(col("line").cast("binary")).as("lh"))
+  private[graft] def lineOccs(d: DataFrame,
+    skipEmpty: Boolean = false): DataFrame = {
+    val ex = d.select(col("doc_id"), posexplode(col("lines")).as(Seq("idx", "line")))
+    // skipEmpty (the newline-grain variant): empty lines are STRUCTURE, not
+    // content — they never enter the occurrence stream, so they are never
+    // counted as duplicates and never cut (CCNet's paragraph dedup operates
+    // on non-empty paragraphs)
+    val f = if (skipEmpty) ex.filter(col("line") =!= "") else ex
+    f.select(col("doc_id"), col("idx"), md5(col("line").cast("binary")).as("lh"))
+  }
 
   private[graft] def dedupLinesOn(d: DataFrame,
-    sortBeforeCut: Boolean = false, keep: Seq[String] = Nil): DataFrame = {
-    val occ = lineOccs(d)
+    sortBeforeCut: Boolean = false, keep: Seq[String] = Nil,
+    sep: String = " ", skipEmpty: Boolean = false): DataFrame = {
+    val occ = lineOccs(d, skipEmpty)
     // keeper per line hash as a two-phase aggregate (see scaladoc: hot
     // boilerplate lines MUST combine map-side, so no Window over lh). The
     // (doc_id, idx) pair is packed into one decimal(38,0) — min(struct)
@@ -1652,7 +1749,7 @@ object PipelineOps {
       .filter(col("kdoc") =!= col("doc_id") || col("kidx") =!= col("idx"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("idx"))).as("marked"))
-    lineCut(d, marked, sortBeforeCut, keep)
+    lineCut(d, marked, sortBeforeCut, keep, sep)
   }
 
   /** The C48 cut over a lined frame `d` and a per-doc mark rollup
@@ -1660,7 +1757,8 @@ object PipelineOps {
     * so D17's batch resolve applies the IDENTICAL indexed-complement cut
     * to stream-emitted marks. */
   private[graft] def lineCut(d: DataFrame, marked: DataFrame,
-    sortBeforeCut: Boolean = false, keep: Seq[String] = Nil): DataFrame = {
+    sortBeforeCut: Boolean = false, keep: Seq[String] = Nil,
+    sep: String = " "): DataFrame = {
     val joined = d.join(marked, Seq("doc_id"), "left")
     val ordered = if (sortBeforeCut) joined.orderBy(col("doc_id")) else joined
     ordered.select(Seq(col("doc_id"),
@@ -1669,7 +1767,7 @@ object PipelineOps {
       array_join(transform(
         array_except(sequence(lit(0), size(col("lines")) - 1),
           coalesce(col("marked"), lit(Array.empty[Int]))),
-        i => get(col("lines"), i)), " ").as("kept_text"))
+        i => get(col("lines"), i)), sep).as("kept_text"))
       ++ keep.map(col): _*)
   }
 
@@ -1856,6 +1954,7 @@ object PipelineOps {
     "seq_pack_manifest" -> (seqPackManifest _),
     "decontam_substr" -> (decontamSubstr _),
     "dedup_lines" -> (dedupLines _),
+    "dedup_lines_nl" -> (dedupLinesNl _),
     "dedup_lines_df" -> (dedupLinesDf _),
     "prepare_corpus_v3" -> (prepareCorpusV3 _),
     "prepare_corpus_v4" -> (prepareCorpusV4 _))
@@ -1889,5 +1988,6 @@ object PipelineOps {
     "seq_pack_manifest" -> seqPackManifestSql,
     "decontam_substr" -> decontamSubstrSql,
     "dedup_lines" -> dedupLinesSql,
+    "dedup_lines_nl" -> dedupLinesNlSql,
     "dedup_lines_df" -> dedupLinesDfSql)
 }

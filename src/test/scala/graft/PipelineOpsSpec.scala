@@ -598,6 +598,50 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.exists(_.getLong(2) == 0), "everything cut — fixture degenerate")
   }
 
+  test("dedup_lines_nl pins literal-newline split semantics (empty/consecutive/trailing)") {
+    import spark.implicits._
+    // hand-built multi-line text through the REAL literal split (the
+    // Pattern.quote("\n"), -1 pairing the C51 scaladoc pins against
+    // DuckDB's string_split): doc 1 owns the dup line; doc 2 repeats it
+    // around an EMPTY line from consecutive delimiters; doc 3 carries a
+    // TRAILING delimiter; doc 4 is only blank lines
+    val nl = Seq(
+      (1L, "dup line\nunique one"),
+      (2L, "dup line\n\ndup line"),
+      (3L, "solo three\ndup line\n"),
+      (4L, "\n\n")
+    ).toDF("doc_id", "nl_text")
+    val lined = nl.select(col("doc_id"),
+      split(col("nl_text"), java.util.regex.Pattern.quote("\n"), -1).as("lines"))
+    // the -1 limit is the load-bearing detail: default split DROPS trailing
+    // empties and doc 3 would read 2 lines, misaligning every index vs the
+    // oracle's literal split
+    val shapes = lined.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(shapes(2L) == Seq("dup line", "", "dup line"), s"consecutive: ${shapes(2L)}")
+    assert(shapes(3L) == Seq("solo three", "dup line", ""), s"trailing: ${shapes(3L)}")
+    assert(shapes(4L) == Seq("", "", ""), s"all-blank: ${shapes(4L)}")
+    val got = PipelineOps.dedupLinesOn(lined, sep = "\n", skipEmpty = true)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    // doc 1 keeps everything (owns "dup line" at (1,0))
+    assert(got(1L) == ((2L, 0L, "dup line\nunique one")), s"owner: ${got(1L)}")
+    // doc 2 loses BOTH its occurrences; the empty line is structure — never
+    // counted as a duplicate, never cut — so exactly it survives
+    assert(got(2L) == ((3L, 2L, "")), s"consecutive-delimiter doc: ${got(2L)}")
+    // doc 3 loses the dup, keeps its own line and the trailing empty
+    assert(got(3L) == ((3L, 1L, "solo three\n")), s"trailing-delimiter doc: ${got(3L)}")
+    // doc 4: three empty lines, nothing enters the occurrence stream,
+    // nothing is cut — blank structure reassembles intact
+    assert(got(4L) == ((3L, 0L, "\n\n")), s"all-blank doc: ${got(4L)}")
+    // the salted corpus view plants every branch: real newlines everywhere,
+    // an empty line for %5 docs, a trailing empty for %7 docs — and the
+    // boilerplate footers actually dedup (both directions on real data)
+    val outNl = PipelineOps.dedupLinesNl(spark, sfDir).collect()
+    assert(outNl.exists(_.getLong(2) > 0), "no line cut on the salted corpus")
+    assert(outNl.exists(_.getLong(2) == 0), "everything cut — salt degenerate")
+  }
+
   test("dedup_lines_df removes over-ceiling lines everywhere and spares the rest") {
     import spark.implicits._
     // LineDfMax = 2: line H lives in 3 docs -> removed from ALL three

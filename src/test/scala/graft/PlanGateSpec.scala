@@ -116,6 +116,11 @@ class PlanGateSpec extends SparkSpec {
     // indexed complement above the output sort
     Gate("dedup_lines", maxHashEx = 4, maxSortMerge = 2,
       aboveSortMarker = Some("array_except")),
+    // C51: identical shape to C48 (shared dedupLinesOn core) over the
+    // literal-newline lined view — the salted re-layout is scan-stage
+    // projection work and must add NO exchange
+    Gate("dedup_lines_nl", maxHashEx = 4, maxSortMerge = 2,
+      aboveSortMarker = Some("array_except")),
     // C50: df via distinct-pairs-then-count (two slim aggregates — the
     // (lh, doc_id) pre-aggregate is the de-skew move applied to counting),
     // occurrence join against the df-FILTERED hot set, doc rollup; the
