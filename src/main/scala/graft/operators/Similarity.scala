@@ -259,6 +259,65 @@ object Similarity {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** C52 — the FULL-CORPUS kNN graph (`knn_graph`): top-5 approximate
+    * neighbors for EVERY document — the artifact SemDeDup-style ranking,
+    * hard-negative mining and duplicate audits actually consume (C38/C38b
+    * bound |Q| by design; the pipeline operator LLM teams run is "neighbors
+    * for everything"). Exactly C38b's distributed probe planning with
+    * Q = corpus: every row derives its own nProbe probe list through the
+    * row-local `graft_nearest_cids_bc` kernel (the O(K) codebook is the
+    * ONLY broadcast — nothing ∝ N touches the driver, no ceiling), probes
+    * shuffle by cid into the cid-BUCKETED index (corpus side exchange-free
+    * from the bucketed scan), embeddings are dropped before the single
+    * window-rank exchange of slim (q_id, vec_id, sim) rows, per-query top-5
+    * by C38's rank/tie/round rules. Restricted to the C38 query slice this
+    * IS knnJoinIvf row-for-row (spec-pinned frame equality), so C38b's
+    * measured recall-vs-exact transfers verbatim.
+    *
+    * Cost shape (inherent to the operator, not overhead): the graph scores
+    * ~N·(nProbe/K)·N candidate edges — quadratic with the IVF discount —
+    * and at 100 TB that term, not any exchange, is the budget; the probe
+    * and rank exchanges stay linear in candidates with ~24-byte rows.
+    * Tighter budgets swap the scoring leg for C38c's ADC codes; the probe
+    * planning and rank machinery here are unchanged by that swap. */
+  def knnGraph(spark: SparkSession, sfDir: String): DataFrame = {
+    val nProbe = 4
+    val (tbl, codebook) = ensureIvfBucketedTable(spark, sfDir)
+    val probes = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("q"))
+      .select(col("q_id"), col("q"),
+        explode(graft.functions.GraftFunctions
+          .nearestCidsBroadcast(spark, col("q"), codebook, nProbe)).as("cid"))
+    val sims = spark.table(tbl)
+      .join(probes.hint("merge"), "cid")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        graft.functions.GraftFunctions.cosine(spark, col("v"), col("q")).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    sims.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("rnk"), col("vec_id").as("cand_id"),
+        round(col("sim"), 6).as("sim_r"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** The C38 bounded query slice's CTE text — the one fragment C38b's and
+    * C52's oracles differ by (C52 widens q to the whole corpus). */
+  private val KnnQSliceCte =
+    "q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 97 = 7)"
+
+  /** C52's oracle: knnJoinIvfSql with the query CTE widened to the whole
+    * corpus — same centroid literals, same assignment argmax, same
+    * probe-list and candidate ranks. */
+  def knnGraphSql(sfDir: String): String = {
+    val out = knnJoinIvfSql(sfDir)
+      .replace(KnnQSliceCte, "q AS (SELECT vec_id AS q_id, v AS qv FROM e)")
+    require(!out.contains("% 97 = 7"),
+      "knn_graph oracle: the C38 query-slice CTE text drifted — update KnnQSliceCte")
+    out
+  }
+
   /** Dir-bound oracle for C38b: trained centroids inlined (simIvfSql's
     * convention), assignment argmax, per-query probe-list rank, candidate
     * join on cid, C38's rank/tie/round rules. */
@@ -274,7 +333,7 @@ object Similarity {
        |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rk
        | FROM (SELECT x.vec_id, x.v, c.cid, ${sqlCos("x.v", "c.cv")} AS csim FROM e x, c) t),
        |assigned AS (SELECT vec_id, v, cid FROM asn WHERE rk = 1),
-       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 97 = 7),
+       |$KnnQSliceCte,
        |pls AS (
        | SELECT q.q_id, c.cid, q.qv, ${sqlCos("q.qv", "c.cv")} AS csim
        | FROM q, c),
@@ -1546,6 +1605,7 @@ object Similarity {
     "sim_topk" -> (simTopk _),
     "knn_join" -> (knnJoin _),
     "knn_join_ivf" -> (knnJoinIvf _),
+    "knn_graph" -> (knnGraph _),
     "sim_ann" -> (simAnn _),
     "sim_ivf" -> (simIvf _),
     "sim_ivf_pruned" -> (simIvfPruned _),
@@ -1624,6 +1684,7 @@ object Similarity {
     "sim_topk" -> simTopkSql,
     "knn_join" -> knnJoinSql,
     "knn_join_ivf" -> knnJoinIvfSql(sfDir),
+    "knn_graph" -> knnGraphSql(sfDir),
     "sim_ann" -> simAnnSql,
     "sim_ivf" -> simIvfSql(sfDir),
     // identical candidate set + bit-identical cosine → C7c shares C7b's oracle
@@ -1662,6 +1723,7 @@ object Similarity {
       oracles(sfDir = "") ++ (Seq("sim_ivf", "sim_ivf_pruned")
         .map(k => k -> (banner + simIvfSql(""))) :+
         ("knn_join_ivf" -> (banner + knnJoinIvfSql(""))) :+
+        ("knn_graph" -> (banner + knnGraphSql(""))) :+
         ("sim_ivf_append" -> (banner + simIvfAppendSql(""))) :+
         ("stream_ivf_append" -> (banner + simIvfAppendSql(""))) :+
         ("dedup_semantic" -> (banner + dedupSemanticSql(""))) :+

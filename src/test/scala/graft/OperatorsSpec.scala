@@ -336,6 +336,24 @@ class OperatorsSpec extends SparkSpec {
     assert(hits * 10 >= exact.size * 6, s"kNN-join recall $hits/${exact.size}")
   }
 
+  test("knn_graph restricted to the C38 slice IS knnJoinIvf (recall transfers)") {
+    // C52 = C38b with Q widened to the corpus: on the bounded slice the two
+    // must agree ROW FOR ROW (same codebook, same probe lists, same rank
+    // rules) — so the measured recall-vs-exact above covers the graph's
+    // sampled queries verbatim. Full-graph shape: 5 neighbors per corpus
+    // vector, every vector present as a query.
+    val n = Tables.load(spark, sfDir, "embeddings").count()
+    val graph = Similarity.knnGraph(spark, sfDir).collect().map(_.toSeq)
+    assert(graph.length == n * 5, s"graph has ${graph.length} edges, want ${n * 5}")
+    assert(graph.map(_.head).distinct.length == n, "a corpus vector is missing as a query")
+    val slice = graph.filter(r => r.head.asInstanceOf[Long] % 97 == 7)
+    val ivf = Similarity.knnJoinIvf(spark, sfDir).collect().map(_.toSeq)
+    assert(slice.sortBy(r => (r.head.asInstanceOf[Long],
+        r(1).asInstanceOf[Int])).toSeq == ivf.sortBy(r => (r.head.asInstanceOf[Long],
+        r(1).asInstanceOf[Int])).toSeq,
+      "knn_graph's bounded slice diverged from knnJoinIvf")
+  }
+
   test("kNN join over PQ codes: per-query shape and recall vs the exact baseline") {
     val exact = Similarity.knnJoin(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet

@@ -88,6 +88,10 @@ class PlanGateSpec extends SparkSpec {
     // window rank; the dedicated test below pins the no-driver/no-broadcast
     // properties this Gate row can't express
     Gate("knn_join_ivf", maxHashEx = 2, maxSortMerge = 1),
+    // C52: the full-corpus graph keeps C38b's exact shape — the probe cid
+    // shuffle + the window rank are the ONLY hash exchanges even with
+    // Q = corpus (the corpus index side stays bucketed-scan exchange-free)
+    Gate("knn_graph", maxHashEx = 2, maxSortMerge = 1),
     // C38c: five SLIM exchanges — probe cid shuffle, ADC-shortlist window,
     // the rerank's query-side join, the shortlist's vec_id shuffle, and the
     // final rank window; BOTH corpus-sized sides (coded index, full vector
@@ -347,6 +351,32 @@ class PlanGateSpec extends SparkSpec {
         s"knn_join_ivf: probe planning left the distributed kernel:\n${plan.take(2000)}")
       assert(plan.contains("SelectedBucketsCount"),
         s"knn_join_ivf: corpus side no longer reads the bucketed layout:\n${plan.take(2000)}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("plan gate: knn_graph keeps C38b's distributed shape with Q = corpus") {
+    // the no-ceiling contract: with the query side the ENTIRE corpus there
+    // is nothing left that may legally broadcast or driver-materialize —
+    // probe lists stay row-local kernel work, the corpus index side stays a
+    // bucketed scan with zero join exchange, and beyond the cid meet the
+    // only exchange is the slim window rank
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("knn_graph")(spark, sfDir)
+      df.write.format("noop").mode("overwrite").save()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("LocalTableScan"),
+        s"knn_graph: driver-materialized rows entered the plan:\n${plan.take(2000)}")
+      assert(!plan.contains("BroadcastExchange"),
+        s"knn_graph: a corpus-sized side is broadcast:\n${plan.take(2000)}")
+      assert(plan.contains("graft_nearest_cids_bc"),
+        s"knn_graph: probe planning left the distributed kernel:\n${plan.take(2000)}")
+      assert(plan.contains("SelectedBucketsCount"),
+        s"knn_graph: corpus side no longer reads the bucketed layout:\n${plan.take(2000)}")
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(hashEx <= 2,
+        s"knn_graph: $hashEx hash exchanges (want <= 2 — cid meet + rank):\n${plan.take(2000)}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
