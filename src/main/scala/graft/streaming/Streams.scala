@@ -497,26 +497,56 @@ object Streams extends Serializable {
     withStreamShufflePartitions(spark) {
       val q = src.writeStream
         .foreachBatch { (batch: DataFrame, id: Long) =>
-          val scratch = new java.io.File(storeDir.getParentFile,
-            storeDir.getName + s"_stage$id")
-          derive(batch).coalesce(1).write.mode("overwrite")
-            .parquet(scratch.getAbsolutePath)
-          Option(scratch.listFiles()).getOrElse(Array.empty[java.io.File])
-            .find(_.getName.endsWith(".parquet"))
-            .foreach { f =>
-              val dst = new java.io.File(storeDir, f"batch-$id%09d.parquet")
-              java.nio.file.Files.move(f.toPath, dst.toPath,
-                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-              pinMtime(dst, StagedMtimeEpoch + id * 60000L)
-            }
-          org.apache.commons.io.FileUtils.deleteQuietly(scratch)
-          ()
+          writeBatchFile(derive(batch), storeDir, id)
         }
         .option("checkpointLocation", cp.getAbsolutePath)
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
     }
+  }
+
+  /** Land one micro-batch's derived rows as the deterministic store file
+    * `batch-<id>.parquet` (scratch write + move, REPLACE_EXISTING): a
+    * failed-then-retried batch replaces its own earlier attempt, so
+    * foreachBatch's at-least-once delivery becomes an idempotent store
+    * write; the pinned mtime keeps any downstream file-stream replay in
+    * batch order. Factored from ingestAppend so D18's multi-store batches
+    * share the exact commit discipline. */
+  private def writeBatchFile(rows: DataFrame, storeDir: java.io.File,
+    id: Long): Unit = {
+    storeDir.mkdirs()
+    val scratch = new java.io.File(storeDir.getParentFile,
+      storeDir.getName + s"_stage$id")
+    rows.coalesce(1).write.mode("overwrite").parquet(scratch.getAbsolutePath)
+    Option(scratch.listFiles()).getOrElse(Array.empty[java.io.File])
+      .find(_.getName.endsWith(".parquet"))
+      .foreach { f =>
+        val dst = new java.io.File(storeDir, f"batch-$id%09d.parquet")
+        java.nio.file.Files.move(f.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        pinMtime(dst, StagedMtimeEpoch + id * 60000L)
+      }
+    org.apache.commons.io.FileUtils.deleteQuietly(scratch)
+    ()
+  }
+
+  /** Batch reader over a batch-file store, EXCLUDING the current batch's
+    * own file — under an at-least-once replay the store may already hold
+    * this batch's earlier attempt, and reading it back would double-count
+    * the batch against itself (the idempotence rule writeBatchFile's
+    * replace gives the write side, applied to the read side). Empty or
+    * absent store reads as an empty relation. */
+  private def readOtherBatches(spark: SparkSession, storeDir: java.io.File,
+    schema: String, excludeId: Long): DataFrame = {
+    val files = Option(storeDir.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.getName.startsWith("batch-") && f.getName.endsWith(".parquet"))
+      .filterNot(_.getName == f"batch-$excludeId%09d.parquet")
+      .map(_.getAbsolutePath).toSeq
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(schema))
+    else spark.read.schema(schema).parquet(files: _*)
   }
 
   private def runToMemory(spark: SparkSession, df: DataFrame, name: String,
@@ -1272,6 +1302,121 @@ object Streams extends Serializable {
       spark.read.schema(DocsSchema).parquet(stageDir))
   }
 
+  // ----- D18: streaming frequency-ceiling line REMOVAL -----
+
+  /** D18 — streaming corpus-frequency line removal (`stream_dedup_lines_df`):
+    * C50's REMOVAL policy as continuous ingest — the sixth grain of the
+    * streaming dedup ladder, and the one first-seen-wins state CANNOT
+    * express: document frequency is a GLOBAL count, so a line's verdict can
+    * flip from innocent to boilerplate mid-stream and its EARLIER
+    * occurrences (keeper included) must be invalidated retroactively.
+    *
+    * Shape (the C16b persisted-store pattern, not keyed state): each
+    * micro-batch refreshes a persisted (lh, df-increment) store via C50's
+    * two-phase distinct-pair aggregate — `occB.select(lh, doc_id).distinct()
+    * .groupBy(lh).count()` de-skews a hot line's occurrences across the
+    * pair exchange, and because a document arrives in exactly one batch,
+    * per-batch increments SUM to the exact global df (within-doc repeats
+    * still count once). Marks are emitted per batch to a file sink: every
+    * current-batch occurrence of an over-ceiling line, plus — for lines
+    * that CROSSED the ceiling this batch — every past occurrence read back
+    * from the occurrence store (the retroactive late-invalidation leg; the
+    * documented caveat is latency, not correctness — a mark can arrive
+    * batches after the occurrence it kills, so a downstream consumer must
+    * treat admitted lines as provisional until the resolve). The batch
+    * resolve rolls all marks up per doc and applies the shared lineCut —
+    * C50's frame and oracle VERBATIM (one-oracle rule), and unlike D17 the
+    * equivalence needs NO single-batch precondition: df increments are
+    * additive and marks retroactive, so the drained result is identical
+    * under ANY batch slicing (the multi-batch spec pins a mid-stream
+    * ceiling crossing).
+    *
+    * Crash/idempotence contract: all three per-batch artifacts (df
+    * increment, occurrences, marks) land as deterministic batch-id files
+    * (writeBatchFile's replace), and every read EXCLUDES the current
+    * batch's own file (readOtherBatches), so an at-least-once replay can
+    * neither double-count df nor duplicate retro marks; the mark rollup's
+    * collect_set makes the resolve additionally set-idempotent. */
+  def streamDedupLinesDf(spark: SparkSession, sfDir: String): DataFrame = {
+    val cp = new java.io.File(checkpointDir(sfDir, "stream_dedup_lines_df"))
+    dedupLinesDfRun(spark, docsStream(spark, sfDir), "stream_dedup_lines_df",
+      cp, graft.Tables.load(spark, sfDir, "documents"))
+  }
+
+  private val LineOccSchema = "doc_id BIGINT, idx INT, lh STRING"
+  private val LineDfSchema = "lh STRING, bdf BIGINT"
+  private val LineMarkSchema = "doc_id BIGINT, idx INT"
+
+  private def dedupLinesDfRun(spark: SparkSession, src: DataFrame,
+    name: String, cp: java.io.File, allDocs: DataFrame): DataFrame = {
+    org.apache.commons.io.FileUtils.deleteQuietly(cp)
+    val occStore = storeSibling(cp, "_occ")
+    val dfStore = storeSibling(cp, "_df")
+    val markStore = storeSibling(cp, "_marks")
+    Seq(occStore, dfStore, markStore).foreach { d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(d)
+      sweepScratch(d)
+      d.mkdirs()
+    }
+    val dfMax = graft.operators.PipelineOps.LineDfMax
+    withStreamShufflePartitions(spark, stateKeyHint = allDocs.count() * 12L) {
+      val q = src.writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val occB = graft.operators.PipelineOps
+            .lineOccs(graft.operators.PipelineOps.linedDocs(batch))
+            .localCheckpoint() // feeds the pair aggregate AND the mark join
+          val bdf = occB.select(col("lh"), col("doc_id")).distinct()
+            .groupBy(col("lh")).agg(count(lit(1)).as("bdf"))
+          val dfOld = readOtherBatches(spark, dfStore, LineDfSchema,
+              excludeId = id)
+            .groupBy(col("lh")).agg(sum(col("bdf")).as("odf"))
+          // dfNew per line; hot = over ceiling now, newly = crossed it in
+          // THIS batch (retro marks fire exactly once per line)
+          val joined = bdf.join(dfOld, Seq("lh"), "full_outer")
+            .select(col("lh"),
+              (coalesce(col("bdf"), lit(0L)) + coalesce(col("odf"), lit(0L))).as("df"),
+              coalesce(col("odf"), lit(0L)).as("odf"))
+          val hot = joined.filter(col("df") > dfMax).select(col("lh"))
+            .localCheckpoint() // two mark joins below; one derivation
+          val newlyHot = joined
+            .filter(col("df") > dfMax && col("odf") <= dfMax).select(col("lh"))
+          val retro = readOtherBatches(spark, occStore,
+              schema = LineOccSchema, excludeId = id)
+            .join(newlyHot, "lh").select(col("doc_id"), col("idx"))
+          val marks = occB.join(hot, "lh").select(col("doc_id"), col("idx"))
+            .union(retro)
+          // commit order: marks first (recomputable from the OLD stores on
+          // a replay), then the stores the NEXT batch reads
+          writeBatchFile(marks, markStore, id)
+          writeBatchFile(occB, occStore, id)
+          writeBatchFile(bdf, dfStore, id)
+        }
+        .option("checkpointLocation", cp.getAbsolutePath)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val marked = spark.read.schema(LineMarkSchema)
+      .parquet(markStore.getAbsolutePath)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("idx"))).as("marked"))
+    graft.operators.PipelineOps
+      .lineCut(graft.operators.PipelineOps.linedDocs(allDocs), marked)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Multi-batch form for the mid-stream ceiling-crossing spec:
+    * maxFilesPerTrigger=1 over a pre-staged layout. */
+  private[graft] def streamDedupLinesDfMultiBatch(spark: SparkSession,
+    stageDir: String, name: String): DataFrame = {
+    val cp = new java.io.File(stageDir + "_cp_" + name)
+    val src = spark.readStream.schema(DocsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stageDir)
+    dedupLinesDfRun(spark, src, name, cp,
+      spark.read.schema(DocsSchema).parquet(stageDir))
+  }
+
   /** The shared band-keeper state transition (D5's LSH bands and D12's
     * perceptual-hash chunks — any tier whose band key is a Long over docs).
     * Saturation guard — the streaming analog of the batch MaxBucket
@@ -1814,6 +1959,7 @@ object Streams extends Serializable {
     "stream_dedup" -> (streamDedup _),
     "stream_dedup_near" -> (streamDedupNear _),
     "stream_dedup_lines" -> (streamDedupLines _),
+    "stream_dedup_lines_df" -> (streamDedupLinesDf _),
     "stream_dedup_semantic" -> (streamDedupSemantic _),
     "stream_dedup_media" -> (streamDedupMedia _),
     "stream_ivf_append" -> (streamIvfAppend _),
@@ -1845,6 +1991,10 @@ object Streams extends Serializable {
     // D17 is batch-equivalent on the finite backlog → C48's oracle
     // VERBATIM (the C29/D10 one-oracle rule)
     "stream_dedup_lines" -> graft.operators.PipelineOps.dedupLinesSql,
+    // D18 shares C50's oracle verbatim — and unlike D17 the equivalence is
+    // batch-slicing-INDEPENDENT (df increments are additive, marks
+    // retroactive), so no single-batch guard is needed
+    "stream_dedup_lines_df" -> graft.operators.PipelineOps.dedupLinesDfSql,
     // D12's closed-form oracle: C37's pixel/hash/banding SQL with the
     // keeper-rank guard (see Multimodal.streamDedupMediaSql's scaladoc)
     "stream_dedup_media" -> graft.operators.Multimodal.streamDedupMediaSql,

@@ -167,6 +167,9 @@ class PlanGateSpec extends SparkSpec {
     // file sink); the cut join broadcasts the rollup — the corpus text
     // never exchanges, C48's mark-join shape
     Gate("stream_dedup_lines", maxHashEx = 1, maxSortMerge = 1),
+    // D18's batch resolve is D17's shape exactly: marks arrive slim from the
+    // file store, one doc_id rollup exchange, broadcast cut join
+    Gate("stream_dedup_lines_df", maxHashEx = 1, maxSortMerge = 1),
     // D11: the post-stream probe is C7d's — both union legs partition-pruned,
     // zero exchanges
     Gate("stream_ivf_append", maxHashEx = 0, maxRangeEx = 0, needPartitionFilters = true),

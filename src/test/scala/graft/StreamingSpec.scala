@@ -528,6 +528,69 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, s"got $got")
   }
 
+  test("streaming df line removal marks a line retroactively when it crosses the ceiling mid-stream") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the D18 contract: df is GLOBAL, so line S (df ceiling = 2) is innocent
+    // through batch 1 (df 2 — within-doc repeats count once), crosses the
+    // ceiling in batch 2 (df 3 → its batch-1 occurrences, keeper included,
+    // must be marked RETROACTIVELY from the occurrence store), and batch 3
+    // exercises the already-hot path (current-batch mark only — retro marks
+    // fire exactly once per line)
+    def ln(p: String) = (0 until 10).map(i => s"$p$i").mkString(" ")
+    val (s, u2, u3, u4) = (ln("ss"), ln("uu"), ln("vv"), ln("ww"))
+    val batches = Seq(
+      Seq((1L, s"$s $s"), (2L, s"$s $u2")),
+      Seq((3L, s"$s $u3")),
+      Seq((4L, s"$s $u4")))
+    val stageDir = new java.io.File("/root/repo/target/test_stream_lines_df_mb")
+    org.apache.commons.io.FileUtils.deleteQuietly(stageDir)
+    stageDir.mkdirs()
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val tmp = new java.io.File(stageDir.getParent, s"linesdf_tmp_$i")
+      rows.toDF("doc_id", "text")
+        .select(col("doc_id"), col("text"), lit("en").as("lang"),
+          lit("test").as("source"), length(col("text")).cast("bigint").as("n_chars"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(stageDir, f"batch_$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + i * 60000L)
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+    }
+    val name = "mb_dedup_lines_df"
+    val got = Streams.streamDedupLinesDfMultiBatch(spark,
+        stageDir.getAbsolutePath, name).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    // REMOVAL semantics: every occurrence of S dies, keeper included
+    val want = Map(
+      1L -> ((2L, 2L, "")),
+      2L -> ((2L, 1L, u2)),
+      3L -> ((2L, 1L, u3)),
+      4L -> ((2L, 1L, u4)))
+    assert(got == want, s"got $got")
+    // batch-slicing independence (what lets D18 share C50's oracle with no
+    // single-batch guard): the drained result equals the batch operator on
+    // the same union
+    val batchGot = graft.operators.PipelineOps.dedupLinesDfOn(
+        graft.operators.PipelineOps.linedDocs(
+          batches.flatten.toDF("doc_id", "text")))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got == batchGot, "streamed result diverged from batch C50 on the union")
+    // retro marks fire EXACTLY once per line: the raw mark store holds the
+    // 5 occurrence marks with no duplicates (batch 3 must not re-retro S)
+    val markStore = Streams.storeSibling(
+      new java.io.File(stageDir + "_cp_" + name), "_marks")
+    val rawMarks = spark.read.schema("doc_id BIGINT, idx INT")
+      .parquet(markStore.getAbsolutePath)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(rawMarks.sorted == Seq((1L, 0), (1L, 1), (2L, 0), (3L, 0), (4L, 0)),
+      s"raw mark stream wrong (duplicated or missing retro marks): $rawMarks")
+  }
+
   test("TTL'd streaming dedup evicts idle digests and stays batch-exact inside the window") {
     import org.apache.spark.sql.functions._
     import java.sql.Timestamp
