@@ -154,6 +154,12 @@ object Dedup {
   def clear(): Unit = {
     memo.values().forEach(df => df.unpersist(false))
     memo.clear()
+    // the table-fingerprint memo goes too: the next touch re-validates
+    // against the on-disk sidecar (adopt-in-place — cheap) instead of
+    // trusting session state the caller just asked us to drop. Keeping it
+    // would let a clear()+invalidateAll() pair strand a store with a live
+    // memo and no sidecar — served forever, never re-committed.
+    digestFingerprint.clear()
   }
 
   private def withSig(spark: SparkSession, sfDir: String): DataFrame =
