@@ -335,6 +335,85 @@ object Similarity {
     out
   }
 
+  /** C52b — the full-corpus kNN graph over the COMPRESSED index
+    * (`knn_graph_pq`): C52's Q = corpus probe planning on C38c's IVFADC
+    * scoring — the budget swap the C52 scaladoc names. C52 pays a full
+    * 64-double cosine per candidate edge (~N²·nProbe/K of them); here each
+    * candidate costs 8 ADC table lookups over 4-byte codes, and full
+    * vectors are read ONLY for the per-query top-[[PqJoinRerank]] rerank —
+    * at 100 TB that turns the graph's dominant term from bandwidth-bound
+    * vector streaming into cache-resident code arithmetic (Jégou et al.
+    * 2011's regime, applied corpus-wide).
+    *
+    * Plan shape: per-row probe lists + per-row native ADC tables (only the
+    * O(K) codebook and O(M·Ks) PQ books broadcast — nothing ∝ N touches
+    * the driver), probes meet the CODED cid-bucketed index exchange-free
+    * on the corpus side, and the two-stage shortlist from C52 is applied
+    * to the ADC scores: the local (cid, q_id) top-R runs with ZERO
+    * exchange where the candidates were scored (HashPartitioning(cid)
+    * satisfies the clustering), so only |Q|·nProbe·R slim rows reach the
+    * global shortlist rank — exact, because a query's true ADC #R is
+    * within the top-R of its own probe. Both rerank legs (query vector
+    * and candidate vector) resolve as point reads against the
+    * vec_id-BUCKETED full-vector store — with Q = the corpus, the query
+    * side IS the vector store, so no second query-side scan exists.
+    * Restricted to the C38 query slice this is knnJoinPq row-for-row
+    * (spec-pinned), so C38c's measured recall-vs-exact transfers. */
+  def knnGraphPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val nProbe = 4
+    val (tbl, codebook, books) = ensurePqBucketedTable(spark, sfDir)
+    val probes = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("q"))
+      .select(col("q_id"),
+        graft.functions.GraftFunctions.adcTable(spark, col("q"), books).as("tbl"),
+        explode(graft.functions.GraftFunctions
+          .nearestCidsBroadcast(spark, col("q"), codebook, nProbe)).as("cid"))
+    // approximate inner product: 8 lookups in fixed subspace order — the
+    // same left-assoc sum as C38c's (and the oracle's CASE sum)
+    val adc = (0 until PqM)
+      .map(m => element_at(col("tbl"), col(s"c$m") + lit(m * PqKs + 1)))
+      .reduce(_ + _)
+    val scored = spark.table(tbl)
+      .join(probes.hint("merge"), "cid")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("cid"), col("q_id"), col("vec_id"), adc.as("adc"))
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cid"), col("q_id")).orderBy(col("adc").desc, col("vec_id"))
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("adc").desc, col("vec_id"))
+    val cand = scored.withColumn("lrnk", row_number().over(wLocal))
+      .filter(col("lrnk") <= PqJoinRerank)
+      .select(col("q_id"), col("vec_id"), col("adc"))
+      .withColumn("srk", row_number().over(ws))
+      .filter(col("srk") <= PqJoinRerank)
+      .select(col("q_id"), col("vec_id"))
+    val vecs = spark.table(ensureVecBucketedTable(spark, sfDir))
+    val sims = cand
+      .join(vecs.select(col("vec_id").as("q_id"), col("v").as("q")).hint("merge"),
+        "q_id")
+      .join(vecs.hint("merge"), "vec_id")
+      .select(col("q_id"), col("vec_id"),
+        graft.functions.GraftFunctions.cosine(spark, col("v"), col("q")).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    sims.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("rnk"), col("vec_id").as("cand_id"),
+        round(col("sim"), 6).as("sim_r"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** C52b's oracle: knnJoinPqSql with the query CTE widened to the whole
+    * corpus — same PQ-book and coarse-centroid literals, same argmin codes,
+    * same 0.0-seeded ADC folds, shortlist and rerank ranks. */
+  def knnGraphPqSql(sfDir: String): String = {
+    val out = knnJoinPqSql(sfDir)
+      .replace(KnnQSliceCte, "q AS (SELECT vec_id AS q_id, v AS qv FROM e)")
+    require(!out.contains("% 97 = 7"),
+      "knn_graph_pq oracle: the C38 query-slice CTE text drifted — update KnnQSliceCte")
+    out
+  }
+
   /** Dir-bound oracle for C38b: trained centroids inlined (simIvfSql's
     * convention), assignment argmax, per-query probe-list rank, candidate
     * join on cid, C38's rank/tie/round rules. */
@@ -1631,7 +1710,8 @@ object Similarity {
     "embed_quantize" -> (embedQuantize _),
     "embed_prune" -> (embedPrune _),
     "sim_pq" -> (simPq _),
-    "knn_join_pq" -> (knnJoinPq _))
+    "knn_join_pq" -> (knnJoinPq _),
+    "knn_graph_pq" -> (knnGraphPq _))
 
   /** Generated oracle for C7b — the TRAINED centroids are inlined as list
     * literals (Scala's Double.toString round-trips exactly, so DuckDB parses
@@ -1715,6 +1795,7 @@ object Similarity {
     "embed_prune" -> embedPruneSql(sfDir),
     "sim_pq" -> simPqSql(sfDir),
     "knn_join_pq" -> knnJoinPqSql(sfDir),
+    "knn_graph_pq" -> knnGraphPqSql(sfDir),
     // C41b embeds the semantic tier, so its oracle is dir-bound like C29's
     // (the query itself lives in PipelineOps)
     "prepare_corpus_v3" -> PipelineOps.prepareCorpusV3Sql(sfDir),
@@ -1748,6 +1829,7 @@ object Similarity {
         ("embed_prune" -> (banner + embedPruneSql(""))) :+
         ("sim_pq" -> (banner + simPqSql(""))) :+
         ("knn_join_pq" -> (banner + knnJoinPqSql(""))) :+
+        ("knn_graph_pq" -> (banner + knnGraphPqSql(""))) :+
         ("prepare_corpus_v3" -> (banner + PipelineOps.prepareCorpusV3Sql(""))) :+
         ("prepare_corpus_v4" -> (banner + PipelineOps.prepareCorpusV4Sql(""))))
   }

@@ -628,7 +628,73 @@ object TextAnalysis {
   private[graft] def lmGateSql: String =
     lmSql("WHERE (inv_sum / n_bi) <= CAST(v AS DOUBLE)\n")
 
+  /** C53 — TF-IDF keyword extraction (`text_tfidf`): the top-3 terms per
+    * document by tf × rational-idf, the per-doc keyword signal topic
+    * labeling, dataset cards and search-side filtering read off a corpus.
+    * idf is BM25's idf ARGUMENT, (N − df + 0.5)/(df + 0.5), without the
+    * log: ln is strictly monotone so per-TERM rarity ranks identically,
+    * and keeping the whole score inside +,−,×,÷ keeps every double on the
+    * same IEEE op sequence in the plan and the oracle — C40's
+    * transcendental-free discipline (JVM Math.log and DuckDB ln are
+    * correctly-rounded only per-libm, not cross-engine).
+    *
+    * Distributed shape (C50's de-skew discipline applied to df): tf is ONE
+    * partial-aggregating HashAggregate over (doc_id, term) — a stopword
+    * occurring 10⁸ times collapses map-side to one row per task; df counts
+    * the DISTINCT PAIRS tf already produced (never re-scanning the corpus,
+    * never shuffling occurrences by term); the score join meets the
+    * 1-row-per-term df side as a sort-merge (unique-keyed build side — no
+    * per-key buffering under stopword skew), and the corpus size enters as
+    * a broadcast 1-row aggregate, never a collect. The only windows run on
+    * doc_id — naturally balanced, ≤ vocab-per-doc rows each. */
+  def textTfidf(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.load(spark, sfDir, "documents")
+    val toks = d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = d.select(count(lit(1)).cast("double").as("n_docs"))
+    val scored = tf.join(dfc.hint("merge"), "term")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        (col("tf").cast("double") *
+          (col("n_docs") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"),
+        round(col("score"), 6).as("score_r"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  /** C53's oracle: same tf/df derivation (df over the distinct tf pairs),
+    * same parenthesization of the rational-idf score, same rank/tie/round
+    * rules — term ties break on the term's UTF-8 byte order, identical in
+    * Spark's UTF8String compare and DuckDB's default binary collation. */
+  val textTfidfSql: String =
+    """WITH toks AS (
+      | SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+      |dfc AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+      |scored AS (
+      | SELECT tf.doc_id, tf.term, tf.tf, dfc.df,
+      |  CAST(tf.tf AS DOUBLE) *
+      |   (n.n_docs - CAST(dfc.df AS DOUBLE) + 0.5) /
+      |   (CAST(dfc.df AS DOUBLE) + 0.5) AS score
+      | FROM tf JOIN dfc USING (term) CROSS JOIN n),
+      |rk AS (
+      | SELECT doc_id, term, tf, df, score,
+      |  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+      | FROM scored)
+      |SELECT doc_id, CAST(rnk AS INT) AS rnk, term, tf, df,
+      | ROUND(score, 6) AS score_r
+      |FROM rk WHERE rnk <= 3
+      |ORDER BY doc_id, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tfidf" -> (textTfidf _),
     "text_tokens" -> (textTokens _),
     "text_tokens_bpe" -> (textTokensBpe _),
     "text_quality" -> (textQuality _),
@@ -639,6 +705,7 @@ object TextAnalysis {
     "text_gopher" -> (textGopher _))
 
   val oracles: Map[String, String] = Map(
+    "text_tfidf" -> textTfidfSql,
     "text_tokens" -> textTokensSql,
     "text_tokens_bpe" -> textTokensBpeSql,
     "text_quality" -> textQualitySql,

@@ -354,6 +354,24 @@ class OperatorsSpec extends SparkSpec {
       "knn_graph's bounded slice diverged from knnJoinIvf")
   }
 
+  test("knn_graph_pq restricted to the C38 slice IS knnJoinPq (recall transfers)") {
+    // C52b = C38c with Q widened to the corpus: on the bounded slice the two
+    // must agree ROW FOR ROW (same PQ books, same ADC folds, same shortlist
+    // and rerank ranks) — so C38c's measured recall-vs-exact covers the
+    // compressed graph's sampled queries verbatim. Full-graph shape: 5
+    // neighbors per corpus vector, every vector present as a query.
+    val n = Tables.load(spark, sfDir, "embeddings").count()
+    val graph = Similarity.knnGraphPq(spark, sfDir).collect().map(_.toSeq)
+    assert(graph.length == n * 5, s"graph has ${graph.length} edges, want ${n * 5}")
+    assert(graph.map(_.head).distinct.length == n, "a corpus vector is missing as a query")
+    val slice = graph.filter(r => r.head.asInstanceOf[Long] % 97 == 7)
+    val pq = Similarity.knnJoinPq(spark, sfDir).collect().map(_.toSeq)
+    assert(slice.sortBy(r => (r.head.asInstanceOf[Long],
+        r(1).asInstanceOf[Int])).toSeq == pq.sortBy(r => (r.head.asInstanceOf[Long],
+        r(1).asInstanceOf[Int])).toSeq,
+      "knn_graph_pq's bounded slice diverged from knnJoinPq")
+  }
+
   test("kNN join over PQ codes: per-query shape and recall vs the exact baseline") {
     val exact = Similarity.knnJoin(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet

@@ -98,6 +98,11 @@ class PlanGateSpec extends SparkSpec {
     // store) are bucketed scans with zero exchange. The dedicated test
     // below pins the codes-only-scan and no-broadcast properties.
     Gate("knn_join_pq", maxHashEx = 5, maxSortMerge = 3),
+    // C52b: C38c's exchange budget holds with Q = corpus — the local
+    // (cid, q_id) ADC pre-rank adds a sort, never an exchange (it runs on
+    // the probe join's HashPartitioning(cid)), and both rerank legs are
+    // bucketed point-read scans
+    Gate("knn_graph_pq", maxHashEx = 5, maxSortMerge = 3),
     Gate("sim_ivf_append", maxHashEx = 0, maxRangeEx = 0, needPartitionFilters = true),
     // C28: two count windows + the per-doc rollup — and NO join-back (the
     // n_docs>=2 test must stay a window, never a gram self-join)
@@ -223,37 +228,39 @@ class PlanGateSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
-  test("plan gate: knn_join_pq scans codes, not vectors — distributed ADC, rerank-only vector reads") {
+  test("plan gate: knn_join_pq/knn_graph_pq scan codes, not vectors — distributed ADC, rerank-only vector reads") {
     // the IVFADC contract: probe planning is C38b's (row-local kernel, no
     // driver materialization, no query-derived broadcast), the ADC stage's
     // corpus side is the CODED bucketed table (4-byte codes — the scan must
-    // not read a vector column), and full vectors enter only the rerank leg
+    // not read a vector column), and full vectors enter only the rerank leg.
+    // C52b (Q = corpus) must keep every one of C38c's invariants — a graph
+    // that broadcasts or driver-materializes its query side does so ∝ N
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
-      val df = SparkEntry.queries("knn_join_pq")(spark, sfDir)
+    try for (key <- Seq("knn_join_pq", "knn_graph_pq")) {
+      val df = SparkEntry.queries(key)(spark, sfDir)
       df.write.format("noop").mode("overwrite").save()
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("LocalTableScan"),
-        s"knn_join_pq: driver-materialized rows re-entered the plan:\n${plan.take(2000)}")
+        s"$key: driver-materialized rows re-entered the plan:\n${plan.take(2000)}")
       assert(!plan.contains("BroadcastExchange"),
-        s"knn_join_pq: a query-derived side is broadcast:\n${plan.take(2000)}")
+        s"$key: a query-derived side is broadcast:\n${plan.take(2000)}")
       assert(plan.contains("graft_nearest_cids_bc"),
-        s"knn_join_pq: probe planning left the distributed kernel:\n${plan.take(2000)}")
+        s"$key: probe planning left the distributed kernel:\n${plan.take(2000)}")
       assert(plan.contains("graft_adc_table"),
-        s"knn_join_pq: ADC tables left the native kernel (128 interpreted " +
+        s"$key: ADC tables left the native kernel (128 interpreted " +
           s"folds per query row again):\n${plan.take(2000)}")
       assert(plan.contains("SelectedBucketsCount"),
-        s"knn_join_pq: ADC side no longer reads the bucketed coded layout:\n${plan.take(2000)}")
+        s"$key: ADC side no longer reads the bucketed coded layout:\n${plan.take(2000)}")
       val codedScan = plan.linesIterator.find(_.contains("pq_bkt"))
       assert(codedScan.exists(l => !l.contains("v#")),
-        s"knn_join_pq: the coded scan reads a vector column — PQ compression lost:\n$codedScan")
+        s"$key: the coded scan reads a vector column — PQ compression lost:\n$codedScan")
       // the rerank's vector store is the vec_id-bucketed table: a rerank
       // that re-shuffles the full vector store would print an Exchange over
       // an embeddings-sized side instead of this bucketed scan
       assert(plan.linesIterator.exists(l =>
           l.contains("vec_bkt") && l.contains("Bucketed: true")),
-        s"knn_join_pq: rerank left the bucketed vector store:\n${plan.take(2000)}")
+        s"$key: rerank left the bucketed vector store:\n${plan.take(2000)}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
