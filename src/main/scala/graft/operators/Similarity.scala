@@ -238,10 +238,19 @@ object Similarity {
     * exactly IVF's: a true neighbor outside the probe lists is missed —
     * C7's recall dial, measured against C38's exact baseline in
     * OperatorsSpec. */
-  def knnJoinIvf(spark: SparkSession, sfDir: String): DataFrame = {
+  def knnJoinIvf(spark: SparkSession, sfDir: String): DataFrame =
+    knnTopkOver(spark, sfDir, knnQueries(spark, sfDir))
+
+  /** C38b's distributed rank core over an ARBITRARY (q_id, q) query
+    * relation — one definition shared by the batch join (C38b, fed the
+    * graded query slice) and the continuous query stream (D19, fed each
+    * micro-batch's arrivals), so the two can never diverge on probe
+    * planning, candidate rules, or rank/tie/round semantics. */
+  private[graft] def knnTopkOver(spark: SparkSession, sfDir: String,
+    queries: DataFrame): DataFrame = {
     val nProbe = 4
     val (tbl, codebook) = ensureIvfBucketedTable(spark, sfDir)
-    val probes = knnQueries(spark, sfDir)
+    val probes = queries
       .select(col("q_id"), col("q"),
         explode(graft.functions.GraftFunctions
           .nearestCidsBroadcast(spark, col("q"), codebook, nProbe)).as("cid"))
@@ -1781,6 +1790,9 @@ object Similarity {
     "sim_topk" -> simTopkSql,
     "knn_join" -> knnJoinSql,
     "knn_join_ivf" -> knnJoinIvfSql(sfDir),
+    // D19 drains the same query slice against the same frozen index with
+    // the same rank core, statelessly → C38b's oracle verbatim
+    "stream_knn" -> knnJoinIvfSql(sfDir),
     "knn_graph" -> knnGraphSql(sfDir),
     "sim_ann" -> simAnnSql,
     "sim_ivf" -> simIvfSql(sfDir),
@@ -1821,6 +1833,7 @@ object Similarity {
       oracles(sfDir = "") ++ (Seq("sim_ivf", "sim_ivf_pruned")
         .map(k => k -> (banner + simIvfSql(""))) :+
         ("knn_join_ivf" -> (banner + knnJoinIvfSql(""))) :+
+        ("stream_knn" -> (banner + knnJoinIvfSql(""))) :+
         ("knn_graph" -> (banner + knnGraphSql(""))) :+
         ("sim_ivf_append" -> (banner + simIvfAppendSql(""))) :+
         ("stream_ivf_append" -> (banner + simIvfAppendSql(""))) :+

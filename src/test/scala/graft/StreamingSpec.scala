@@ -880,6 +880,25 @@ class StreamingSpec extends SparkSpec {
     assert(pruned >= 2, s"expected 2 partition-pruned scans, plan:\n${plan.take(3000)}")
   }
 
+  test("stream_knn drains the query backlog to exactly the batch kNN join, multi-batch") {
+    // D19 is stateless per batch (frozen index; a query's rank reads only
+    // its own batch's candidate rows), so the drained backlog must equal
+    // C38b on the same query set regardless of batch slicing. The staged
+    // slice is 3 files run at maxFilesPerTrigger=1, so this equality IS the
+    // multi-batch serving path, not a degenerate single batch — pinned
+    // below via the checkpoint's committed batch count.
+    val batch = operators.Similarity.knnJoinIvf(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val streamed = Streams.streamKnn(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(streamed == batch,
+      s"streamed kNN diverged from the batch join:\n$streamed\nvs\n$batch")
+    val commits = new java.io.File(
+      Streams.checkpointDir(sfDir, "stream_knn"), "commits")
+    val nBatches = Option(commits.listFiles()).getOrElse(Array.empty)
+      .count(_.getName.forall(_.isDigit))
+    assert(nBatches >= 3, s"expected >=3 committed micro-batches, got $nBatches")
+  }
+
   test("ivf append store is fingerprint-reused in-JVM and survives eviction") {
     // the reuse contract: a warm call consumes the append layout as-is (no
     // file rewritten — the layout is a deterministic function of the staged
