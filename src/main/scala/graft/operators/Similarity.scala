@@ -289,7 +289,13 @@ object Similarity {
     * and rank exchanges stay linear in candidates with ~24-byte rows.
     * Tighter budgets swap the scoring leg for C38c's ADC codes; the probe
     * planning and rank machinery here are unchanged by that swap. */
-  def knnGraph(spark: SparkSession, sfDir: String): DataFrame = {
+  def knnGraph(spark: SparkSession, sfDir: String): DataFrame =
+    knnGraphEdges(spark, sfDir).orderBy(col("q_id"), col("rnk"))
+
+  /** C52's edge set before the presentation sort — the form downstream
+    * graph consumers (C54's dedup verdicts) compose over, so they never
+    * pay a global order-by they are about to re-aggregate away. */
+  private[graft] def knnGraphEdges(spark: SparkSession, sfDir: String): DataFrame = {
     val nProbe = 4
     val (tbl, codebook) = ensureIvfBucketedTable(spark, sfDir)
     val probes = Tables.load(spark, sfDir, "embeddings")
@@ -325,7 +331,6 @@ object Similarity {
       .filter(col("rnk") <= 5)
       .select(col("q_id"), col("rnk"), col("vec_id").as("cand_id"),
         round(col("sim"), 6).as("sim_r"))
-      .orderBy(col("q_id"), col("rnk"))
   }
 
   /** The C38 bounded query slice's CTE text — the one fragment C38b's and
@@ -411,6 +416,56 @@ object Similarity {
         round(col("sim"), 6).as("sim_r"))
       .orderBy(col("q_id"), col("rnk"))
   }
+
+  /** C54 — kNN-graph semantic dedup (`dedup_semantic_knn`): SemDeDup's
+    * verdict computed from the full-corpus neighbor graph instead of C29's
+    * within-cluster pairwise pass — a vector is a duplicate iff a
+    * SMALLER-id vector appears among its top-5 graph neighbors at cosine ≥
+    * [[SemanticTau]] (min-id keeper, C29's canonical-keeper rule). What the
+    * graph buys over C29: nProbe=4 probe-widened edges SEE ACROSS cluster
+    * boundaries, so a near-dup pair split by the partition function — the
+    * documented blind spot of single-list SemDeDup, and of C29 — is caught
+    * whenever the probe lists overlap; and candidate volume is top-5 edges
+    * per vector (5N verdict rows), not Σ c² pairwise. The trade is the
+    * graph's own: only the 5 nearest neighbors can convict, so mass
+    * duplication beyond the top-5 belongs to the exact tier (C1) — the
+    * same division of labor every near-dup tier here declares.
+    *
+    * Scale shape: everything ∝ N is inherited from C52's audited plan (the
+    * edge derivation is [[knnGraphEdges]], single-sourced with C52); the
+    * verdict itself is one partial-aggregating HashAggregate over the slim
+    * edge set plus a left join back to corpus ids. τ compares the ROUNDED
+    * sim on both engines, so the verdict is bit-stable at the boundary. */
+  def dedupSemanticKnn(spark: SparkSession, sfDir: String): DataFrame = {
+    val dup = knnGraphEdges(spark, sfDir)
+      .filter(col("sim_r") >= SemanticTau && col("cand_id") < col("q_id"))
+      .groupBy(col("q_id"))
+      .agg(min(col("cand_id")).as("dup_of"), max(col("sim_r")).as("max_sim_r"))
+      .withColumnRenamed("q_id", "vec_id")
+    Tables.load(spark, sfDir, "embeddings").select(col("vec_id"))
+      .join(dup, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("dup_of"),
+        coalesce(col("max_sim_r"), lit(0.0)).as("max_sim_r"),
+        col("dup_of").isNotNull.as("is_duplicate"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** C54's oracle: C52's full graph statement embedded as a CTE (nested
+    * WITH — same centroid literals, rank and round texts), then the same
+    * τ-on-rounded-sim filter, min-id/max-sim rollup and left join back to
+    * the corpus ids. */
+  def dedupSemanticKnnSql(sfDir: String): String =
+    s"""WITH g AS (
+       |${knnGraphSql(sfDir)}),
+       |dup AS (
+       | SELECT q_id AS vec_id, MIN(cand_id) AS dup_of, MAX(sim_r) AS max_sim_r
+       | FROM g WHERE sim_r >= $SemanticTau AND cand_id < q_id
+       | GROUP BY q_id)
+       |SELECT e.vec_id, dup.dup_of,
+       | COALESCE(dup.max_sim_r, 0.0) AS max_sim_r,
+       | dup.dup_of IS NOT NULL AS is_duplicate
+       |FROM embeddings e LEFT JOIN dup ON e.vec_id = dup.vec_id
+       |ORDER BY e.vec_id""".stripMargin
 
   /** C52b's oracle: knnJoinPqSql with the query CTE widened to the whole
     * corpus — same PQ-book and coarse-centroid literals, same argmin codes,
@@ -1720,7 +1775,8 @@ object Similarity {
     "embed_prune" -> (embedPrune _),
     "sim_pq" -> (simPq _),
     "knn_join_pq" -> (knnJoinPq _),
-    "knn_graph_pq" -> (knnGraphPq _))
+    "knn_graph_pq" -> (knnGraphPq _),
+    "dedup_semantic_knn" -> (dedupSemanticKnn _))
 
   /** Generated oracle for C7b — the TRAINED centroids are inlined as list
     * literals (Scala's Double.toString round-trips exactly, so DuckDB parses
@@ -1808,6 +1864,7 @@ object Similarity {
     "sim_pq" -> simPqSql(sfDir),
     "knn_join_pq" -> knnJoinPqSql(sfDir),
     "knn_graph_pq" -> knnGraphPqSql(sfDir),
+    "dedup_semantic_knn" -> dedupSemanticKnnSql(sfDir),
     // C41b embeds the semantic tier, so its oracle is dir-bound like C29's
     // (the query itself lives in PipelineOps)
     "prepare_corpus_v3" -> PipelineOps.prepareCorpusV3Sql(sfDir),
@@ -1843,6 +1900,7 @@ object Similarity {
         ("sim_pq" -> (banner + simPqSql(""))) :+
         ("knn_join_pq" -> (banner + knnJoinPqSql(""))) :+
         ("knn_graph_pq" -> (banner + knnGraphPqSql(""))) :+
+        ("dedup_semantic_knn" -> (banner + dedupSemanticKnnSql(""))) :+
         ("prepare_corpus_v3" -> (banner + PipelineOps.prepareCorpusV3Sql(""))) :+
         ("prepare_corpus_v4" -> (banner + PipelineOps.prepareCorpusV4Sql(""))))
   }

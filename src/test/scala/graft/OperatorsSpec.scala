@@ -372,6 +372,35 @@ class OperatorsSpec extends SparkSpec {
       "knn_graph_pq's bounded slice diverged from knnJoinPq")
   }
 
+  test("dedup_semantic_knn verdicts are exactly the graph's tau-edges, min-id keeper") {
+    // C54 = a deterministic fold of C52's edge set: recompute the expected
+    // verdict frame from the graph rows themselves and demand equality —
+    // pins the tau-on-rounded-sim compare, the smaller-id conviction rule,
+    // the min-id/max-sim rollup, and the all-corpus left join (every vector
+    // present, non-dups with max_sim_r = 0.0)
+    val edges = Similarity.knnGraph(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    val expected = edges.filter { case (q, c, s) => s >= 0.45 && c < q }
+      .groupBy(_._1)
+      .map { case (q, es) => q -> (es.map(_._2).min, es.map(_._3).max) }
+    val n = Tables.load(spark, sfDir, "embeddings").count()
+    val got = Similarity.dedupSemanticKnn(spark, sfDir).collect()
+    assert(got.length == n, s"verdict frame has ${got.length} rows, want $n")
+    got.foreach { r =>
+      val vid = r.getLong(0)
+      expected.get(vid) match {
+        case Some((dupOf, maxSim)) =>
+          assert(!r.isNullAt(1) && r.getLong(1) == dupOf && r.getDouble(2) == maxSim
+              && r.getBoolean(3), s"vec $vid: wrong dup verdict $r, want ($dupOf, $maxSim)")
+        case None =>
+          assert(r.isNullAt(1) && r.getDouble(2) == 0.0 && !r.getBoolean(3),
+            s"vec $vid: spurious dup verdict $r")
+      }
+    }
+    assert(expected.nonEmpty || n < 100,
+      "fixture produced zero duplicate verdicts — threshold drifted?")
+  }
+
   test("kNN join over PQ codes: per-query shape and recall vs the exact baseline") {
     val exact = Similarity.knnJoin(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet

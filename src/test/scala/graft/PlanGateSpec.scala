@@ -103,6 +103,9 @@ class PlanGateSpec extends SparkSpec {
     // the probe join's HashPartitioning(cid)), and both rerank legs are
     // bucketed point-read scans
     Gate("knn_graph_pq", maxHashEx = 5, maxSortMerge = 3),
+    // C54: C52's two graph exchanges + the verdict rollup (reuses the rank
+    // window's q_id partitioning) + the corpus-id left join — all slim
+    Gate("dedup_semantic_knn", maxHashEx = 4, maxSortMerge = 2),
     Gate("sim_ivf_append", maxHashEx = 0, maxRangeEx = 0, needPartitionFilters = true),
     // C28: two count windows + the per-doc rollup — and NO join-back (the
     // n_docs>=2 test must stay a window, never a gram self-join)
