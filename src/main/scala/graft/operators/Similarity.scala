@@ -467,6 +467,59 @@ object Similarity {
        |FROM embeddings e LEFT JOIN dup ON e.vec_id = dup.vec_id
        |ORDER BY e.vec_id""".stripMargin
 
+  /** C55 — SEMANTIC decontamination report (`decontam_semantic`): per
+    * training vector, the max cosine to ANY benchmark vector and the
+    * contamination verdict — the embedding-space analog of C15's 5-gram
+    * check, catching the paraphrased/reworded eval leakage a lexical gram
+    * can't (the reason modern pipelines run both tiers). The benchmark is
+    * C15's convention (every 97th id stands in for the eval suite).
+    *
+    * Deliberately EXACT, not ANN: decontamination is the one similarity op
+    * where approximate recall is the wrong trade — a missed eval near-dup
+    * poisons the benchmark, and the miss is silent. The affordable-exact
+    * argument is C15's verbatim: the bench side is an eval suite — fixed
+    * size in production, never ∝ corpus — so it broadcasts, every training
+    * vector streams ONCE through N·|bench| row-local cosines, and the
+    * per-vector max is a partial-aggregating HashAggregate (the shuffle
+    * carries one slim row per vector, not the |bench| fan-out). When an
+    * eval suite ever outgrows broadcast, the C24 move (sketch the bench
+    * side) applies — the report's semantics don't change. τ is
+    * [[SemanticTau]] on the ROUNDED sim (a retune moves every semantic
+    * tier together; bit-stable at the boundary in both engines). */
+  def decontamSemantic(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val bench = e.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("bench_id"), col("v").as("bv"))
+    e.filter(col("vec_id") % 97 =!= 0)
+      .crossJoin(broadcast(bench))
+      .select(col("vec_id"),
+        round(graft.functions.GraftFunctions.cosine(spark, col("v"), col("bv")), 6)
+          .as("sim_r"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("sim_r")).as("max_bench_sim_r"))
+      .select(col("vec_id"), col("max_bench_sim_r"),
+        (col("max_bench_sim_r") >= lit(SemanticTau)).as("contaminated"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** C55's oracle: same bench/train split, same per-pair rounded cosine,
+    * MAX (order-independent, so no fold-order pinning needed), same τ.
+    * A def, not a val: SemanticTau is declared later in this object, and a
+    * val here would interpolate its pre-init 0.0 (initialization order). */
+  def decontamSemanticSql: String =
+    s"""WITH e AS (
+       | SELECT vec_id, list_transform(embedding, z -> CAST(z AS DOUBLE)) AS v
+       | FROM embeddings),
+       |bench AS (SELECT vec_id AS bench_id, v AS bv FROM e WHERE vec_id % 97 = 0),
+       |sims AS (
+       | SELECT t.vec_id, ROUND(${sqlCos("t.v", "b.bv")}, 6) AS sim_r
+       | FROM e t, bench b WHERE t.vec_id % 97 <> 0)
+       |SELECT vec_id, MAX(sim_r) AS max_bench_sim_r,
+       | MAX(sim_r) >= $SemanticTau AS contaminated
+       |FROM sims GROUP BY vec_id
+       |ORDER BY vec_id""".stripMargin
+
   /** C52b's oracle: knnJoinPqSql with the query CTE widened to the whole
     * corpus — same PQ-book and coarse-centroid literals, same argmin codes,
     * same 0.0-seeded ADC folds, shortlist and rerank ranks. */
@@ -1776,7 +1829,8 @@ object Similarity {
     "sim_pq" -> (simPq _),
     "knn_join_pq" -> (knnJoinPq _),
     "knn_graph_pq" -> (knnGraphPq _),
-    "dedup_semantic_knn" -> (dedupSemanticKnn _))
+    "dedup_semantic_knn" -> (dedupSemanticKnn _),
+    "decontam_semantic" -> (decontamSemantic _))
 
   /** Generated oracle for C7b — the TRAINED centroids are inlined as list
     * literals (Scala's Double.toString round-trips exactly, so DuckDB parses
@@ -1865,6 +1919,7 @@ object Similarity {
     "knn_join_pq" -> knnJoinPqSql(sfDir),
     "knn_graph_pq" -> knnGraphPqSql(sfDir),
     "dedup_semantic_knn" -> dedupSemanticKnnSql(sfDir),
+    "decontam_semantic" -> decontamSemanticSql,
     // C41b embeds the semantic tier, so its oracle is dir-bound like C29's
     // (the query itself lives in PipelineOps)
     "prepare_corpus_v3" -> PipelineOps.prepareCorpusV3Sql(sfDir),

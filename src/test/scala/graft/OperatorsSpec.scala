@@ -401,6 +401,35 @@ class OperatorsSpec extends SparkSpec {
       "fixture produced zero duplicate verdicts — threshold drifted?")
   }
 
+  test("decontam_semantic: exact max-cosine vs brute force, bench slice excluded") {
+    // C55 must be EXACT (a decontamination miss is silent poison): recompute
+    // every training vector's max rounded cosine over the bench slice by
+    // brute force and demand equality, verdicts included
+    val all = Tables.load(spark, sfDir, "embeddings").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val bench = all.filter(_._1 % 97 == 0)
+    assert(bench.nonEmpty, "fixture has no bench vectors")
+    val expected = all.filter(_._1 % 97 != 0).map { case (id, v) =>
+      id -> bench.map(b => BigDecimal(cos(v, b._2))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).max
+    }.toMap
+    val got = Similarity.decontamSemantic(spark, sfDir).collect()
+    assert(got.length == expected.size, s"row count ${got.length} != ${expected.size}")
+    got.foreach { r =>
+      val vid = r.getLong(0)
+      assert(vid % 97 != 0, s"bench vector $vid leaked into the training report")
+      assert(math.abs(r.getDouble(1) - expected(vid)) < 1e-9,
+        s"vec $vid: max sim ${r.getDouble(1)} != brute-force ${expected(vid)}")
+      assert(r.getBoolean(2) == (r.getDouble(1) >= 0.45), s"vec $vid: verdict mismatch")
+    }
+  }
+
   test("kNN join over PQ codes: per-query shape and recall vs the exact baseline") {
     val exact = Similarity.knnJoin(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet

@@ -106,6 +106,9 @@ class PlanGateSpec extends SparkSpec {
     // C54: C52's two graph exchanges + the verdict rollup (reuses the rank
     // window's q_id partitioning) + the corpus-id left join — all slim
     Gate("dedup_semantic_knn", maxHashEx = 4, maxSortMerge = 2),
+    // C55: bench side broadcasts (C15's shape), per-vector max is a partial
+    // HashAggregate — ONE slim hash exchange, never a |bench| fan-out shuffle
+    Gate("decontam_semantic", maxHashEx = 1),
     Gate("sim_ivf_append", maxHashEx = 0, maxRangeEx = 0, needPartitionFilters = true),
     // C28: two count windows + the per-doc rollup — and NO join-back (the
     // n_docs>=2 test must stay a window, never a gram self-join)
