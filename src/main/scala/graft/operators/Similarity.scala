@@ -486,12 +486,24 @@ object Similarity {
     * side) applies — the report's semantics don't change. τ is
     * [[SemanticTau]] on the ROUNDED sim (a retune moves every semantic
     * tier together; bit-stable at the boundary in both engines). */
-  def decontamSemantic(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = Tables.load(spark, sfDir, "embeddings")
+  def decontamSemantic(spark: SparkSession, sfDir: String): DataFrame =
+    decontamSemanticOver(spark, sfDir,
+      Tables.load(spark, sfDir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .filter(col("vec_id") % 97 =!= 0))
+      .orderBy(col("vec_id"))
+
+  /** C55's verdict core over an ARBITRARY (vec_id, v) training relation —
+    * single-sourced with the continuous gate (D20), which feeds it each
+    * micro-batch's arrivals; the bench side and every compare rule live
+    * here once. */
+  private[graft] def decontamSemanticOver(spark: SparkSession, sfDir: String,
+    train: DataFrame): DataFrame = {
+    val bench = Tables.load(spark, sfDir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val bench = e.filter(col("vec_id") % 97 === 0)
+      .filter(col("vec_id") % 97 === 0)
       .select(col("vec_id").as("bench_id"), col("v").as("bv"))
-    e.filter(col("vec_id") % 97 =!= 0)
+    train
       .crossJoin(broadcast(bench))
       .select(col("vec_id"),
         round(graft.functions.GraftFunctions.cosine(spark, col("v"), col("bv")), 6)
@@ -500,7 +512,6 @@ object Similarity {
       .agg(max(col("sim_r")).as("max_bench_sim_r"))
       .select(col("vec_id"), col("max_bench_sim_r"),
         (col("max_bench_sim_r") >= lit(SemanticTau)).as("contaminated"))
-      .orderBy(col("vec_id"))
   }
 
   /** C55's oracle: same bench/train split, same per-pair rounded cosine,
@@ -1920,6 +1931,9 @@ object Similarity {
     "knn_graph_pq" -> knnGraphPqSql(sfDir),
     "dedup_semantic_knn" -> dedupSemanticKnnSql(sfDir),
     "decontam_semantic" -> decontamSemanticSql,
+    // D20 drains the same train slice against the same frozen bench set
+    // with the same verdict core, statelessly → C55's oracle verbatim
+    "stream_decontam_semantic" -> decontamSemanticSql,
     // C41b embeds the semantic tier, so its oracle is dir-bound like C29's
     // (the query itself lives in PipelineOps)
     "prepare_corpus_v3" -> PipelineOps.prepareCorpusV3Sql(sfDir),

@@ -49,6 +49,7 @@ object Streams extends Serializable {
     mediaStream(spark, sfDir)
     stageEmbeddingsBatch(spark, sfDir, embBatchStageDir(sfDir))
     stageKnnQueries(spark, sfDir, knnQueryStageDir(sfDir))
+    stageTrainVectors(spark, sfDir, decontamVecStageDir(sfDir))
     ()
   }
 
@@ -1884,6 +1885,77 @@ object Streams extends Serializable {
     spark.read.parquet(outDir.getAbsolutePath).orderBy(col("q_id"), col("rnk"))
   }
 
+  // ----- D20: continuous semantic decontamination (C55 as a gate) -----
+
+  /** D20 — continuous SEMANTIC decontamination (`stream_decontam_semantic`):
+    * C55's verdict run over arriving training vectors — the semantic tier
+    * of the streaming gate ladder (D6 quality, D9 classifier, D13 LM, D16
+    * Gopher, D7/D14 lexical decontam), and the gate a continuous-ingest
+    * pipeline actually wants in front of its corpus store: eval leakage is
+    * cheapest to stop at arrival, before the contaminated vector is
+    * indexed, packed and mixed. Each micro-batch feeds
+    * Similarity.decontamSemanticOver — the verdict core single-sourced
+    * with C55, bench side broadcast from the frozen eval slice — and
+    * appends (vec_id, max_bench_sim_r, contaminated) to a parquet file
+    * sink. Stateless across batches (the eval suite is frozen; a vector's
+    * max is over the STATIC bench set, not over other arrivals), so the
+    * drained backlog equals C55 REGARDLESS of batch slicing — the oracle
+    * is C55's verbatim. Staged as 3 files at maxFilesPerTrigger=1 so the
+    * graded path is real multi-batch gating. */
+  def streamDecontamSemantic(spark: SparkSession, sfDir: String): DataFrame = {
+    val stageDir = decontamVecStageDir(sfDir)
+    stageTrainVectors(spark, sfDir, stageDir)
+    val cp = new java.io.File(checkpointDir(sfDir, "stream_decontam_semantic"))
+    val outDir = storeSibling(cp, "_out")
+    val reuseKey = "streamdecontamsem:" + graft.Tables.fingerprint(sfDir, "embeddings")
+    reuseOrBuild(outDir, Some(reuseKey)) {
+      org.apache.commons.io.FileUtils.deleteQuietly(cp)
+      org.apache.commons.io.FileUtils.deleteQuietly(outDir)
+      val src = spark.readStream.schema(EmbSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stageDir.getAbsolutePath)
+      withStreamShufflePartitions(spark) {
+        val q = src.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val train = batch.select(col("vec_id"),
+              transform(col("embedding"), x => x.cast("double")).as("v"))
+            graft.operators.Similarity
+              .decontamSemanticOver(batch.sparkSession, sfDir, train)
+              .write.mode("append").parquet(outDir.getAbsolutePath)
+            ()
+          }
+          .option("checkpointLocation", cp.getAbsolutePath)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+    }
+    spark.read.parquet(outDir.getAbsolutePath).orderBy(col("vec_id"))
+  }
+
+  /** The landing dir for the D20 training-vector backlog. */
+  private def decontamVecStageDir(sfDir: String): java.io.File = new java.io.File(
+    s"${graft.GraftConf.localRoot}/graft_stream/${sfDir.replaceAll("[^A-Za-z0-9]+", "_")}/dsem_in")
+
+  /** Stage the training-side vectors (vec_id % 97 != 0 — C55's split: the
+    * bench slice is the frozen eval suite, never an arrival) as 3 flat
+    * parquet files, fingerprint-committed like every staged copy. */
+  private def stageTrainVectors(spark: SparkSession, sfDir: String,
+    stageDir: java.io.File): Boolean = {
+    def parts = Option(stageDir.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.getName.startsWith("dsem_") && f.getName.endsWith(".parquet"))
+    withFingerprint(sfDir, "embeddings", stageDir, freshData = parts.nonEmpty) {
+      stageDir.mkdirs()
+      parts.foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+      val tmp = new java.io.File(stageDir.getParentFile, "dsem_tmp")
+      graft.Tables.load(spark, sfDir, "embeddings")
+        .filter(col("vec_id") % 97 =!= 0)
+        .repartitionByRange(3, col("vec_id"))
+        .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      moveStagedParts(tmp, stageDir, "dsem")
+    }
+  }
+
   /** The landing dir for the D19 query backlog — one definition, shared by
     * warmup staging and the query (the embBatchStageDir rule). */
   private def knnQueryStageDir(sfDir: String): java.io.File = new java.io.File(
@@ -2045,6 +2117,7 @@ object Streams extends Serializable {
     "stream_dedup_media" -> (streamDedupMedia _),
     "stream_ivf_append" -> (streamIvfAppend _),
     "stream_knn" -> (streamKnn _),
+    "stream_decontam_semantic" -> (streamDecontamSemantic _),
     "stream_quality_gate" -> (streamQualityGate _),
     "stream_classify" -> (streamClassify _),
     "stream_lm_gate" -> (streamLmGate _),

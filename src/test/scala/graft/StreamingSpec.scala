@@ -899,6 +899,24 @@ class StreamingSpec extends SparkSpec {
     assert(nBatches >= 3, s"expected >=3 committed micro-batches, got $nBatches")
   }
 
+  test("stream_decontam_semantic drains to exactly the batch C55 report, multi-batch") {
+    // D20 is stateless per batch (frozen bench set; a vector's max reads
+    // only the static bench side), so the drained backlog must equal C55
+    // regardless of batch slicing. 3 staged files at maxFilesPerTrigger=1 —
+    // the multi-batch gate path, pinned via the checkpoint's commit count.
+    val batch = operators.Similarity.decontamSemantic(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val streamed = Streams.streamDecontamSemantic(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch,
+      s"streamed decontam diverged from C55:\n${streamed.take(5)}\nvs\n${batch.take(5)}")
+    val commits = new java.io.File(
+      Streams.checkpointDir(sfDir, "stream_decontam_semantic"), "commits")
+    val nBatches = Option(commits.listFiles()).getOrElse(Array.empty)
+      .count(_.getName.forall(_.isDigit))
+    assert(nBatches >= 3, s"expected >=3 committed micro-batches, got $nBatches")
+  }
+
   test("ivf append store is fingerprint-reused in-JVM and survives eviction") {
     // the reuse contract: a warm call consumes the append layout as-is (no
     // file rewritten — the layout is a deterministic function of the staged
