@@ -531,15 +531,75 @@ object Similarity {
        |FROM sims GROUP BY vec_id
        |ORDER BY vec_id""".stripMargin
 
-  /** C52b's oracle: knnJoinPqSql with the query CTE widened to the whole
-    * corpus — same PQ-book and coarse-centroid literals, same argmin codes,
-    * same 0.0-seeded ADC folds, shortlist and rerank ranks. */
+  /** C52b's oracle: the same PQ-book/coarse-centroid literals, argmin
+    * codes, 0.0-seeded ADC folds, shortlist and rerank ranks as C38c's —
+    * but the candidate SCORING is re-expressed as row-local LIST LOOKUPS
+    * instead of C38c's 8-way join + GROUP BY. With Q = the corpus the
+    * candidate set is ~N²·nProbe/K rows; the join-group form materializes
+    * 8× that for the aggregate (measured: DuckDB ran out of a 128 GB
+    * budget at sf1), while this form gathers each query's 128 ip values
+    * and each candidate's 8 codes into per-key lists ONCE and scores each
+    * candidate with 8 list extracts — the Spark plan's own ADC-table
+    * shape. The ip doubles come from the identical fold and the 8-term sum
+    * is written in the same fixed m-order left-assoc sequence, so every
+    * double is bit-identical to both the join-group form and the kernel. */
   def knnGraphPqSql(sfDir: String): String = {
-    val out = knnJoinPqSql(sfDir)
-      .replace(KnnQSliceCte, "q AS (SELECT vec_id AS q_id, v AS qv FROM e)")
-    require(!out.contains("% 97 = 7"),
-      "knn_graph_pq oracle: the C38 query-slice CTE text drifted — update KnnQSliceCte")
-    out
+    val adcLookup = (0 until PqM)
+      .map(m => s"tl[${m * PqKs} + cl[${m + 1}] + 1]").mkString(" + ")
+    s"""WITH e AS (
+       | SELECT vec_id, list_transform(embedding, z -> CAST(z AS DOUBLE)) AS v
+       | FROM embeddings),
+       |${coarseCteFor(sfDir)},
+       |${pqCentCteFor(sfDir)},
+       |asn AS (
+       | SELECT vec_id, cid,
+       |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rk
+       | FROM (SELECT x.vec_id, c.cid, ${sqlCos("x.v", "c.cv")} AS csim FROM e x, c) t),
+       |assigned AS (SELECT vec_id, cid FROM asn WHERE rk = 1),
+       |l2 AS (
+       | SELECT e.vec_id, cent.m, cent.c,
+       |  ${pqFold("(e.v[cent.m * " + PqDsub + " + i] - cent.cv[i]) * (e.v[cent.m * " + PqDsub + " + i] - cent.cv[i])")} AS l2
+       | FROM e, cent),
+       |codes AS (
+       | SELECT vec_id, m, c AS code FROM (
+       |  SELECT vec_id, m, c,
+       |   ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY l2, c) AS rk
+       |  FROM l2) x WHERE rk = 1),
+       |codesv AS (SELECT vec_id, list(code ORDER BY m) AS cl FROM codes GROUP BY vec_id),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e),
+       |pl AS (
+       | SELECT q_id, cid FROM (
+       |  SELECT q_id, cid,
+       |   ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY csim DESC, cid) AS prk
+       |  FROM (SELECT q.q_id, c.cid, ${sqlCos("q.qv", "c.cv")} AS csim FROM q, c) t) x
+       | WHERE prk <= 4),
+       |tbl AS (
+       | SELECT q.q_id, cent.m, cent.c,
+       |  ${pqFold("q.qv[cent.m * " + PqDsub + " + i] * cent.cv[i]")} AS ip
+       | FROM q, cent),
+       |tblq AS (SELECT q_id, list(ip ORDER BY m, c) AS tl FROM tbl GROUP BY q_id),
+       |scores AS (
+       | SELECT pl.q_id, a.vec_id, $adcLookup AS adc
+       | FROM assigned a
+       | JOIN pl ON a.cid = pl.cid
+       | JOIN codesv s ON s.vec_id = a.vec_id
+       | JOIN tblq t ON t.q_id = pl.q_id
+       | WHERE a.vec_id <> pl.q_id),
+       |short AS (
+       | SELECT q_id, vec_id FROM (
+       |  SELECT q_id, vec_id,
+       |   ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc DESC, vec_id) AS rk
+       |  FROM scores) x WHERE rk <= $PqJoinRerank),
+       |rer AS (
+       | SELECT sh.q_id, sh.vec_id, ${sqlCos("e.v", "q.qv")} AS sim
+       | FROM short sh JOIN e ON e.vec_id = sh.vec_id JOIN q ON q.q_id = sh.q_id),
+       |rk AS (
+       | SELECT q_id, vec_id, sim,
+       |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+       | FROM rer)
+       |SELECT q_id, CAST(rnk AS INT) AS rnk, vec_id AS cand_id, ROUND(sim, 6) AS sim_r
+       |FROM rk WHERE rnk <= 5
+       |ORDER BY q_id, rnk""".stripMargin
   }
 
   /** Dir-bound oracle for C38b: trained centroids inlined (simIvfSql's
@@ -1450,10 +1510,12 @@ object Similarity {
     * per-query ADC tables from the same 0.0-seeded folds, fixed-order
     * CASE sum, shortlist rank, exact-cosine rerank under C38's rules —
     * every double the same IEEE op sequence as the plan. */
-  def knnJoinPqSql(sfDir: String): String = {
+  /** The PQ-book literal CTE shared by C38c's and C52b's oracles — trained
+    * books inlined when this dir's cache holds them, the labeled seed
+    * fallback otherwise. */
+  private def pqCentCteFor(sfDir: String): String = {
     val fp = if (sfDir.nonEmpty) graft.Tables.fingerprint(sfDir, "embeddings") else ""
-    val books = pqCache.get(sfDir).filter(_._1 == fp).map(_._2)
-    val pqCentCte = books match {
+    pqCache.get(sfDir).filter(_._1 == fp).map(_._2) match {
       case Some(b) =>
         val rows = (for (m <- 0 until PqM; c <- 0 until PqKs)
           yield s"($m, $c, ${b(m)(c).mkString("[", ", ", "]")})").mkString(",\n  ")
@@ -1464,10 +1526,21 @@ object Similarity {
            |  list_transform(range(1, ${PqDsub + 1}), i -> e.v[t.m * $PqDsub + i]) AS cv
            | FROM e, range($PqM) t(m) WHERE e.vec_id < $PqKs)""".stripMargin
     }
-    val coarseCte = centroidValuesCte(cachedCodebook(sfDir))
+  }
+
+  private def coarseCteFor(sfDir: String): String =
+    centroidValuesCte(cachedCodebook(sfDir))
       .getOrElse(s"c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $IvfK)")
-    def fold(body: String) =
-      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, ${PqDsub + 1}), i -> $body)), (a, b) -> a + b)"
+
+  /** The 0.0-seeded subspace fold both PQ oracles share — the exact IEEE
+    * sequence of the PqEncode/adcTable kernels. */
+  private def pqFold(body: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, ${PqDsub + 1}), i -> $body)), (a, b) -> a + b)"
+
+  def knnJoinPqSql(sfDir: String): String = {
+    val pqCentCte = pqCentCteFor(sfDir)
+    val coarseCte = coarseCteFor(sfDir)
+    def fold(body: String) = pqFold(body)
     val adcSum = (0 until PqM)
       .map(m => s"MAX(CASE WHEN s.m = $m THEN t.ip END)").mkString(" + ")
     s"""WITH e AS (
