@@ -290,7 +290,40 @@ object Similarity {
     * Tighter budgets swap the scoring leg for C38c's ADC codes; the probe
     * planning and rank machinery here are unchanged by that swap. */
   def knnGraph(spark: SparkSession, sfDir: String): DataFrame =
-    knnGraphEdges(spark, sfDir).orderBy(col("q_id"), col("rnk"))
+    spark.table(ensureGraphTable(spark, sfDir, "ivf",
+        knnGraphEdges(spark, sfDir)))
+      .orderBy(col("q_id"), col("rnk"))
+
+  // (dir, variant) -> (embeddings fingerprint, materialized graph table):
+  // the session memo over the persisted store, vecBucketedBuilt's pattern
+  private val graphBuilt =
+    scala.collection.concurrent.TrieMap.empty[(String, String), (String, String)]
+
+  /** The kNN graph as a PERSISTED derived store — the production contract:
+    * a corpus's neighbor graph is built ONCE per corpus generation (the
+    * quadratic-with-IVF-discount edge scoring is the corpus-generation
+    * cost, measured in ColdWarm's cold lane) and every consumer — the C52
+    * presentation query, C54's SemDeDup verdicts, hard-negative mining —
+    * READS it, exactly like the signature table, the trained codebooks and
+    * the bucketed index layouts. Fingerprint-keyed via StoreFp: a fresh
+    * JVM adopts a valid store from its sidecar instead of re-scoring the
+    * corpus; a regenerated corpus rebuilds loudly. The edge set itself is
+    * tiny (k rows per vector — 5N slim rows); it is the SCORING that the
+    * store amortizes. */
+  private def ensureGraphTable(spark: SparkSession, sfDir: String,
+    variant: String, edges: => DataFrame): String = this.synchronized {
+    val fp = graft.Tables.fingerprint(sfDir, "embeddings")
+    val tbl = s"knn_graph_$variant" + sfDir.replaceAll("[^A-Za-z0-9]+", "_")
+    graphBuilt.get((sfDir, variant)) match {
+      case Some((f, t)) if f == fp && spark.catalog.tableExists(t) => t
+      case _ =>
+        graft.StoreFp.ensureTable(spark, tbl, fp) {
+          edges.write.mode("overwrite").saveAsTable(tbl)
+        }
+        graphBuilt((sfDir, variant)) = (fp, tbl)
+        tbl
+    }
+  }
 
   /** C52's edge set before the presentation sort — the form downstream
     * graph consumers (C54's dedup verdicts) compose over, so they never
@@ -372,8 +405,16 @@ object Similarity {
     * vec_id-BUCKETED full-vector store — with Q = the corpus, the query
     * side IS the vector store, so no second query-side scan exists.
     * Restricted to the C38 query slice this is knnJoinPq row-for-row
-    * (spec-pinned), so C38c's measured recall-vs-exact transfers. */
-  def knnGraphPq(spark: SparkSession, sfDir: String): DataFrame = {
+    * (spec-pinned), so C38c's measured recall-vs-exact transfers. Like
+    * C52, the result is a PERSISTED graph store (its own variant — a
+    * budget-swapped BUILDER for the same artifact shape). */
+  def knnGraphPq(spark: SparkSession, sfDir: String): DataFrame =
+    spark.table(ensureGraphTable(spark, sfDir, "pq",
+        knnGraphPqEdges(spark, sfDir)))
+      .orderBy(col("q_id"), col("rnk"))
+
+  /** C52b's edge builder (the plan the gates pin). */
+  private[graft] def knnGraphPqEdges(spark: SparkSession, sfDir: String): DataFrame = {
     val nProbe = 4
     val (tbl, codebook, books) = ensurePqBucketedTable(spark, sfDir)
     val probes = Tables.load(spark, sfDir, "embeddings")
@@ -414,7 +455,6 @@ object Similarity {
       .filter(col("rnk") <= 5)
       .select(col("q_id"), col("rnk"), col("vec_id").as("cand_id"),
         round(col("sim"), 6).as("sim_r"))
-      .orderBy(col("q_id"), col("rnk"))
   }
 
   /** C54 — kNN-graph semantic dedup (`dedup_semantic_knn`): SemDeDup's
@@ -437,7 +477,10 @@ object Similarity {
     * edge set plus a left join back to corpus ids. τ compares the ROUNDED
     * sim on both engines, so the verdict is bit-stable at the boundary. */
   def dedupSemanticKnn(spark: SparkSession, sfDir: String): DataFrame = {
-    val dup = knnGraphEdges(spark, sfDir)
+    // the verdicts READ the persisted graph store (never re-score the
+    // corpus) — the consumer contract the store exists for
+    val dup = spark.table(ensureGraphTable(spark, sfDir, "ivf",
+        knnGraphEdges(spark, sfDir)))
       .filter(col("sim_r") >= SemanticTau && col("cand_id") < col("q_id"))
       .groupBy(col("q_id"))
       .agg(min(col("cand_id")).as("dup_of"), max(col("sim_r")).as("max_sim_r"))
@@ -684,6 +727,7 @@ object Similarity {
     pqCache.clear()
     pqBucketedBuilt.clear()
     vecBucketedBuilt.clear()
+    graphBuilt.clear()
     // the trained codebooks' executor broadcasts go with them — without this
     // every retrain (incl. Lloyd's per-iteration codebooks at K > the
     // broadcast threshold) would pin another codebook-sized block forever

@@ -90,6 +90,11 @@ object ColdWarm {
       // vec_id-bucketed rerank store — all built by the C38c query's cold run
       ("pq_coded_index", "knn_join_pq", () => run("knn_join_pq")),
       ("media_hashes", "dedup_media", () => run("dedup_media")),
+      // r14: the persisted kNN-graph stores — the full-corpus edge scoring
+      // (quadratic with the IVF discount) IS the corpus-generation cost
+      // these two lanes exist to surface; consumers (C52/C52b/C54) read
+      ("knn_graph_store", "knn_graph", () => run("knn_graph")),
+      ("knn_graph_pq_store", "knn_graph_pq", () => run("knn_graph_pq")),
       ("lm_model", "lm_store_probe", () => lmStoreProbe()),
       ("stream_ingest_store", "stream_dedup_semantic", () => run("stream_dedup_semantic")),
       ("ivf_append_store", "stream_ivf_append", () => run("stream_ivf_append")))

@@ -33,7 +33,12 @@ class PlanGateSpec extends SparkSpec {
     // range exchange — Spark's range partitioner SAMPLES its child with a
     // full extra evaluation, so a kernel BELOW the exchange runs twice
     // (Tables.loadSorted has the argument; measured ~40% of sf1 cost)
-    aboveSortMarker: Option[String] = None)
+    aboveSortMarker: Option[String] = None,
+    // plan provider override: ops whose registered query READS a persisted
+    // store (the kNN graph family) gate their BUILDER's plan here — the
+    // registered query's own plan is a table scan and would pass vacuously
+    via: Option[(org.apache.spark.sql.SparkSession, String) =>
+      org.apache.spark.sql.DataFrame] = None)
 
   private val gates = Seq(
     Gate("q1_pricing_summary", maxHashEx = 1, needPushdown = true),
@@ -88,10 +93,14 @@ class PlanGateSpec extends SparkSpec {
     // window rank; the dedicated test below pins the no-driver/no-broadcast
     // properties this Gate row can't express
     Gate("knn_join_ivf", maxHashEx = 2, maxSortMerge = 1),
-    // C52: the full-corpus graph keeps C38b's exact shape — the probe cid
-    // shuffle + the window rank are the ONLY hash exchanges even with
-    // Q = corpus (the corpus index side stays bucketed-scan exchange-free)
-    Gate("knn_graph", maxHashEx = 2, maxSortMerge = 1),
+    // C52: the full-corpus graph BUILDER keeps C38b's exact shape — the
+    // probe cid shuffle + the window rank are the ONLY hash exchanges even
+    // with Q = corpus (the corpus index side stays bucketed-scan
+    // exchange-free); gated via the edge builder since the registered
+    // query reads the persisted graph store. maxRangeEx 0: the builder
+    // feeds a store write, no presentation sort
+    Gate("knn_graph", maxHashEx = 2, maxSortMerge = 1, maxRangeEx = 0,
+      via = Some(operators.Similarity.knnGraphEdges _)),
     // C38c: five SLIM exchanges — probe cid shuffle, ADC-shortlist window,
     // the rerank's query-side join, the shortlist's vec_id shuffle, and the
     // final rank window; BOTH corpus-sized sides (coded index, full vector
@@ -101,10 +110,12 @@ class PlanGateSpec extends SparkSpec {
     // C52b: C38c's exchange budget holds with Q = corpus — the local
     // (cid, q_id) ADC pre-rank adds a sort, never an exchange (it runs on
     // the probe join's HashPartitioning(cid)), and both rerank legs are
-    // bucketed point-read scans
-    Gate("knn_graph_pq", maxHashEx = 5, maxSortMerge = 3),
-    // C54: C52's two graph exchanges + the verdict rollup (reuses the rank
-    // window's q_id partitioning) + the corpus-id left join — all slim
+    // bucketed point-read scans; gated via the edge builder (store rule)
+    Gate("knn_graph_pq", maxHashEx = 5, maxSortMerge = 3, maxRangeEx = 0,
+      via = Some(operators.Similarity.knnGraphPqEdges _)),
+    // C54: the verdict CONSUMER plan — reads the persisted graph store
+    // (never re-scores the corpus: no cosine kernel may appear), one
+    // rollup exchange + the corpus-id left join, all slim
     Gate("dedup_semantic_knn", maxHashEx = 4, maxSortMerge = 2),
     // C55: bench side broadcasts (C15's shape), per-vector max is a partial
     // HashAggregate — ONE slim hash exchange, never a |bench| fan-out shuffle
@@ -244,7 +255,11 @@ class PlanGateSpec extends SparkSpec {
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try for (key <- Seq("knn_join_pq", "knn_graph_pq")) {
-      val df = SparkEntry.queries(key)(spark, sfDir)
+      // C52b's registered query reads the persisted graph store; its
+      // BUILDER is the IVFADC plan these invariants pin
+      val df = if (key == "knn_graph_pq")
+        operators.Similarity.knnGraphPqEdges(spark, sfDir)
+      else SparkEntry.queries(key)(spark, sfDir)
       df.write.format("noop").mode("overwrite").save()
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("LocalTableScan"),
@@ -379,7 +394,9 @@ class PlanGateSpec extends SparkSpec {
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val df = SparkEntry.queries("knn_graph")(spark, sfDir)
+      // the registered query reads the persisted graph store; the BUILDER
+      // (knnGraphEdges) is the distributed plan this contract pins
+      val df = operators.Similarity.knnGraphEdges(spark, sfDir)
       df.write.format("noop").mode("overwrite").save()
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("LocalTableScan"),
@@ -462,7 +479,7 @@ class PlanGateSpec extends SparkSpec {
       val prev = spark.conf.get("spark.sql.adaptive.enabled")
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       try {
-        val df = SparkEntry.queries(g.name)(spark, sfDir)
+        val df = g.via.getOrElse(SparkEntry.queries(g.name))(spark, sfDir)
         df.write.format("noop").mode("overwrite").save()
         val plan = df.queryExecution.executedPlan.toString
       // a ReusedExchange line repeats its target's "Exchange hashpartitioning"
