@@ -108,6 +108,37 @@ class StoreFpSpec extends SparkSpec {
     }
   }
 
+  test("kNN graph store is adopted across memo eviction; consumers never re-score") {
+    // the r14 store doctrine applied to the graph: after every in-memory
+    // memo is evicted (what a brand-new JVM starts with), both the
+    // presentation query and the SemDeDup consumer must ADOPT the
+    // persisted edge table — same rows, not one parquet file rewritten
+    // (a rewrite would mean the ~N²·nProbe/K edge scoring ran again)
+    val out1 = operators.Similarity.knnGraph(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val dup1 = operators.Similarity.dedupSemanticKnn(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val dir = tableDir("knn_graph_ivf" + sfDir.replaceAll("[^A-Za-z0-9]+", "_"))
+    assert(new java.io.File(dir, "_graft_store_fp").isFile,
+      "graph store build did not commit its fingerprint sidecar")
+    val m1 = listing(dir)
+    assert(m1.nonEmpty, "graph store table dir is empty")
+    operators.Similarity.clearCaches()
+    operators.Dedup.clear()
+    val out2 = operators.Similarity.knnGraph(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(out2 == out1, "graph read over the adopted store drifted")
+    assert(listing(dir) == m1,
+      "a valid persisted graph store was rewritten after memo eviction")
+    operators.Similarity.clearCaches()
+    operators.Dedup.clear()
+    val dup2 = operators.Similarity.dedupSemanticKnn(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(dup2 == dup1, "SemDeDup verdicts over the adopted store drifted")
+    assert(listing(dir) == m1,
+      "the verdict consumer rebuilt a valid persisted graph store")
+  }
+
   test("IVF path layout is adopted across memo eviction (codebook retrains only)") {
     val out1 = operators.Similarity.simIvfPruned(spark, sfDir)
       .collect().map(_.toSeq).toSeq
