@@ -401,6 +401,35 @@ class OperatorsSpec extends SparkSpec {
       "fixture produced zero duplicate verdicts — threshold drifted?")
   }
 
+  test("text_tfidf: tf/df/score/top-3 equal a brute-force reference") {
+    // pins the whole C53 contract against an independent in-memory
+    // computation: literal-space tokenization (trailing empties kept —
+    // Spark's split defaults to limit -1), df over distinct (doc, term)
+    // pairs, the rational-idf score in the same IEEE op order, HALF_UP
+    // 6-digit rounding, (score desc, term asc) tie-break, top-3 per doc
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val tf = docs.flatMap { case (id, t) => t.split(" ", -1).map(id -> _) }
+      .groupBy(identity).map { case ((id, term), occ) => (id, term, occ.length.toLong) }
+    val df = tf.groupBy(_._2).map { case (term, rows) => term -> rows.size.toLong }
+    val n = docs.length.toDouble
+    val expected = tf.map { case (id, term, f) =>
+      val score = f.toDouble * (n - df(term).toDouble + 0.5) / (df(term).toDouble + 0.5)
+      (id, term, f, df(term),
+        BigDecimal(score).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.groupBy(_._1).flatMap { case (id, rows) =>
+      rows.toSeq.sortBy(r => (-r._5, r._2)).take(3).zipWithIndex
+        .map { case ((_, term, f, d, s), i) => (id, i + 1, term, f, d, s) }
+    }.toSeq.sortBy(r => (r._1, r._2))
+    val got = TextAnalysis.textTfidf(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    assert(got.size == docs.length * 3, s"want 3 keywords per doc, got ${got.size}")
+    assert(got == expected,
+      s"tfidf diverged from brute force:\n${got.take(6)}\nvs\n${expected.take(6)}")
+  }
+
   test("decontam_semantic: exact max-cosine vs brute force, bench slice excluded") {
     // C55 must be EXACT (a decontamination miss is silent poison): recompute
     // every training vector's max rounded cosine over the bench slice by
