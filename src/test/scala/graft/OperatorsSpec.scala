@@ -118,7 +118,8 @@ class OperatorsSpec extends SparkSpec {
         if (krank(id) > operators.Dedup.MaxBucket) Iterable.empty[(Long, Double)]
         else vecs.keys.filter(m => m < id && cid(m) == cid(id) &&
             krank(m) <= operators.Dedup.MaxBucket)
-          .map(m => (m, cos(vecs(m), vecs(id)))).filter(_._2 >= 0.45)
+          .map(m => (m, cos(vecs(m), vecs(id))))
+          .filter(_._2 >= operators.Similarity.SemanticTau)
       if (r.getBoolean(4)) {
         assert(mates.nonEmpty, s"vec $id flagged dup with no qualifying mate")
         assert(r.getLong(2) == mates.map(_._1).min,
@@ -380,7 +381,8 @@ class OperatorsSpec extends SparkSpec {
     // present, non-dups with max_sim_r = 0.0)
     val edges = Similarity.knnGraph(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
-    val expected = edges.filter { case (q, c, s) => s >= 0.45 && c < q }
+    val expected = edges.filter { case (q, c, s) =>
+      s >= operators.Similarity.SemanticTau && c < q }
       .groupBy(_._1)
       .map { case (q, es) => q -> (es.map(_._2).min, es.map(_._3).max) }
     val n = Tables.load(spark, sfDir, "embeddings").count()
@@ -455,7 +457,8 @@ class OperatorsSpec extends SparkSpec {
       assert(vid % 97 != 0, s"bench vector $vid leaked into the training report")
       assert(math.abs(r.getDouble(1) - expected(vid)) < 1e-9,
         s"vec $vid: max sim ${r.getDouble(1)} != brute-force ${expected(vid)}")
-      assert(r.getBoolean(2) == (r.getDouble(1) >= 0.45), s"vec $vid: verdict mismatch")
+      assert(r.getBoolean(2) == (r.getDouble(1) >= operators.Similarity.SemanticTau),
+        s"vec $vid: verdict mismatch")
     }
   }
 

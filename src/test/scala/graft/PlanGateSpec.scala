@@ -121,6 +121,15 @@ class PlanGateSpec extends SparkSpec {
     // HashAggregate — ONE slim hash exchange, never a |bench| fan-out shuffle
     Gate("decontam_semantic", maxHashEx = 1),
     Gate("sim_ivf_append", maxHashEx = 0, maxRangeEx = 0, needPartitionFilters = true),
+    // C53: tf and df are both pair-grain partial aggregates (the occurrence
+    // stream shuffles ONLY as (doc_id, term) pairs — the measured shape
+    // plans the tf subtree twice because each branch prunes different
+    // columns, so 2 pair exchanges + the tf side's term re-key + the df
+    // agg + the doc_id rank window = 5), the score join is the sort-merge
+    // against the unique-keyed df side, and the corpus count rides a
+    // broadcast nested-loop — a term-keyed shuffle of raw occurrences or a
+    // collect-side N would blow these caps
+    Gate("text_tfidf", maxHashEx = 5, maxSortMerge = 1),
     // C28: two count windows + the per-doc rollup — and NO join-back (the
     // n_docs>=2 test must stay a window, never a gram self-join)
     Gate("dedup_spans", maxHashEx = 3),

@@ -37,5 +37,10 @@ for r, k, a, b in sorted(movers, reverse=True):
 only_new = sorted(set(new) - set(old))
 if only_new:
     print("new keys (no prior reading):", ", ".join(only_new))
+# keys that disappeared between sweeps escape the isolation ritual unless
+# surfaced: removed bench surface is a change the scale doc must explain
+dropped = sorted(set(old) - set(new))
+if dropped:
+    print("dropped keys (present only in OLD sweep):", ", ".join(dropped))
 if not movers:
     print(f"no >={RATIO}x movers among {len(common)} common keys")
