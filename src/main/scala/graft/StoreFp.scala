@@ -174,6 +174,54 @@ object StoreFp {
       .split('\n').find(_.startsWith("fp=")).map(_.stripPrefix("fp="))
   }
 
+  // ---------- MODEL blobs ----------
+
+  /** TRAINED-MODEL stores (round-14 directive #2): Lloyd centroids, PQ
+    * books, the semantic codebook and the LM count blobs are tiny
+    * (K×dim / M×Ks×dsub doubles, vocab-sized count lines), bit-deterministic
+    * functions of a fingerprinted source — exactly what the sidecar
+    * contract covers. Previously only the DERIVED tables persisted while
+    * the models lived in session memos, so a fresh JVM re-trained them (and
+    * re-derived everything downstream) to get the broadcast literals the
+    * plans and oracles need — ColdWarm's jvmwarm lane re-paid most of the
+    * cold build for the pq/semantic/ivf families. Stored as text lines
+    * (`Double.toString` round-trips bit-exactly, so an adopted model is
+    * bit-identical to a retrain — StoreFpSpec pins it); same commit-marker
+    * semantics as the layouts: data file first, sidecar second, so a
+    * crashed write leaves no sidecar and the next session retrains. The
+    * sidecar reuses [[SidecarName]], so [[invalidateAll]] (the genuine-cold
+    * hook) forces retraining along with every other store rebuild. */
+  private def modelDir(name: String) =
+    new java.io.File(s"${GraftConf.localRoot}/graft_models/$name")
+
+  /** The model's data lines, iff a committed sidecar records exactly `fp`. */
+  def loadModel(name: String, fp: String): Option[Seq[String]] = {
+    val dir = modelDir(name)
+    val data = new java.io.File(dir, "model.txt")
+    if (data.isFile && dirFp(dir.getAbsolutePath).contains(fp)) {
+      import scala.jdk.CollectionConverters._
+      Some(java.nio.file.Files.readAllLines(data.toPath,
+        java.nio.charset.StandardCharsets.UTF_8).asScala.toSeq)
+    } else None
+  }
+
+  /** Persist a just-trained model (data, THEN the commit-marker sidecar). */
+  def commitModel(name: String, fp: String, lines: Seq[String]): Unit = {
+    val dir = modelDir(name)
+    dir.mkdirs()
+    java.nio.file.Files.write(new java.io.File(dir, "model.txt").toPath,
+      lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    commitDir(dir.getAbsolutePath, fp)
+  }
+
+  /** Load-or-train: the ensureTable contract for model blobs. */
+  def ensureModel(name: String, fp: String)(train: => Seq[String]): Seq[String] =
+    loadModel(name, fp).getOrElse {
+      val lines = train
+      commitModel(name, fp, lines)
+      lines
+    }
+
   // ---------- cold-path invalidation ----------
 
   /** Delete EVERY store fingerprint under the scratch root — the genuine

@@ -400,8 +400,19 @@ object TextAnalysis {
     lmModelCache.get(sfDir).filter(_._1 == fp).map(_._2)
       .getOrElse(this.synchronized {
         lmModelCache.get(sfDir).filter(_._1 == fp).map(_._2).getOrElse {
-          val blobs = lmModelFrom(Tables.load(spark, sfDir, "documents")
+          // disk-first (StoreFp model blob): the two count blobs are
+          // newline-joined `count<SP>gram` lines (newline-free by
+          // lmModelFrom's require), so the line codec is the identity —
+          // one persisted model per blob, adoption bit-equal to a retrain
+          val slug = sfDir.replaceAll("[^A-Za-z0-9]+", "_")
+          def ensure(kind: String)(train: => String): String =
+            graft.StoreFp.ensureModel(s"lm_$kind$slug", fp) {
+              train.split('\n').toSeq
+            }.mkString("\n")
+          // train ONCE when either blob is missing (lmModelFrom builds both)
+          lazy val trained = lmModelFrom(Tables.load(spark, sfDir, "documents")
             .filter(col("doc_id") % 97 === 0))
+          val blobs = (ensure("uni")(trained._1), ensure("bi")(trained._2))
           lmModelCache(sfDir) = (fp, blobs)
           blobs
         }

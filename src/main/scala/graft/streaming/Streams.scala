@@ -92,9 +92,13 @@ object Streams extends Serializable {
     * the dir verifiably stale and the next run self-heals instead of serving
     * a partial copy as fresh. Returns true when (re)staged. */
   private def withFingerprint(sfDir: String, table: String,
-    stageDir: java.io.File, freshData: Boolean)(restage: => Unit): Boolean = {
+    stageDir: java.io.File, freshData: Boolean, tag: String = "")(
+    restage: => Unit): Boolean = {
     val fpFile = new java.io.File(stageDir, s".$table.src_fp")
-    val fp = graft.Tables.fingerprint(sfDir, table)
+    // `tag` rides the fingerprint for staged copies whose CONTENT depends
+    // on a policy constant as well as the source bytes (D20's train slice
+    // moves when the bench cap does) — a changed tag restages loudly
+    val fp = graft.Tables.fingerprint(sfDir, table) + tag
     val fresh = freshData && fpFile.exists() &&
       new String(java.nio.file.Files.readAllBytes(fpFile.toPath)) == fp
     if (!fresh) {
@@ -1801,7 +1805,10 @@ object Streams extends Serializable {
     stageEmbeddingsBatch(spark, sfDir, stageDir)
     val cp = new java.io.File(checkpointDir(sfDir, "stream_ivf_append"))
     val appendDir = storeSibling(cp, "_appended")
-    val reuseKey = "ivfappend:" + graft.Tables.fingerprint(sfDir, "embeddings")
+    // the appended layout's cids come from the frozen corpus codebook, whose
+    // K is policy-sized — the reuse key must move when the sizing does
+    val reuseKey = "ivfappend:" +
+      graft.operators.Similarity.corpusIvfFpTag(spark, sfDir)
     reuseOrBuild(appendDir, Some(reuseKey)) {
       org.apache.commons.io.FileUtils.deleteQuietly(cp)
       org.apache.commons.io.FileUtils.deleteQuietly(appendDir)
@@ -1907,7 +1914,11 @@ object Streams extends Serializable {
     stageTrainVectors(spark, sfDir, stageDir)
     val cp = new java.io.File(checkpointDir(sfDir, "stream_decontam_semantic"))
     val outDir = storeSibling(cp, "_out")
-    val reuseKey = "streamdecontamsem:" + graft.Tables.fingerprint(sfDir, "embeddings")
+    // the verdicts depend on the bench-cap policy as well as the bytes —
+    // a retuned cap must replay, never reuse an old sink
+    val reuseKey = "streamdecontamsem:" +
+      graft.Tables.fingerprint(sfDir, "embeddings") +
+      ":benchcap" + graft.operators.Similarity.DecontamBenchCap
     reuseOrBuild(outDir, Some(reuseKey)) {
       org.apache.commons.io.FileUtils.deleteQuietly(cp)
       org.apache.commons.io.FileUtils.deleteQuietly(outDir)
@@ -1937,19 +1948,22 @@ object Streams extends Serializable {
   private def decontamVecStageDir(sfDir: String): java.io.File = new java.io.File(
     s"${graft.GraftConf.localRoot}/graft_stream/${sfDir.replaceAll("[^A-Za-z0-9]+", "_")}/dsem_in")
 
-  /** Stage the training-side vectors (vec_id % 97 != 0 — C55's split: the
-    * bench slice is the frozen eval suite, never an arrival) as 3 flat
-    * parquet files, fingerprint-committed like every staged copy. */
+  /** Stage the training-side vectors (everything outside the CAPPED bench
+    * slice — C55's split, single-sourced via Similarity.decontamBench: the
+    * bench is the frozen fixed-size eval suite, never an arrival) as 3
+    * flat parquet files, fingerprint-committed like every staged copy (the
+    * bench cap rides the fingerprint tag, so a cap retune restages). */
   private def stageTrainVectors(spark: SparkSession, sfDir: String,
     stageDir: java.io.File): Boolean = {
     def parts = Option(stageDir.listFiles()).getOrElse(Array.empty[java.io.File])
       .filter(f => f.getName.startsWith("dsem_") && f.getName.endsWith(".parquet"))
-    withFingerprint(sfDir, "embeddings", stageDir, freshData = parts.nonEmpty) {
+    withFingerprint(sfDir, "embeddings", stageDir, freshData = parts.nonEmpty,
+      tag = ":benchcap" + graft.operators.Similarity.DecontamBenchCap) {
       stageDir.mkdirs()
       parts.foreach(org.apache.commons.io.FileUtils.deleteQuietly)
       val tmp = new java.io.File(stageDir.getParentFile, "dsem_tmp")
       graft.Tables.load(spark, sfDir, "embeddings")
-        .filter(col("vec_id") % 97 =!= 0)
+        .filter(!graft.operators.Similarity.decontamBench(col("vec_id")))
         .repartitionByRange(3, col("vec_id"))
         .write.mode("overwrite").parquet(tmp.getAbsolutePath)
       moveStagedParts(tmp, stageDir, "dsem")

@@ -95,6 +95,9 @@ object ColdWarm {
       // these two lanes exist to surface; consumers (C52/C52b/C54) read
       ("knn_graph_store", "knn_graph", () => run("knn_graph")),
       ("knn_graph_pq_store", "knn_graph_pq", () => run("knn_graph_pq")),
+      // r15: the append-maintained graph — cold pays corpus codebook +
+      // merged bucketed index + base graph + the O(batch) append legs
+      ("knn_graph_append_store", "knn_graph_append", () => run("knn_graph_append")),
       ("lm_model", "lm_store_probe", () => lmStoreProbe()),
       ("stream_ingest_store", "stream_dedup_semantic", () => run("stream_dedup_semantic")),
       ("ivf_append_store", "stream_ivf_append", () => run("stream_ivf_append")))

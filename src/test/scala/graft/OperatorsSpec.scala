@@ -373,6 +373,34 @@ class OperatorsSpec extends SparkSpec {
       "knn_graph_pq's bounded slice diverged from knnJoinPq")
   }
 
+  test("knn_graph_append equals a full rebuild over the merged corpus, both sides populated") {
+    // the C56 exactness contract: merging the persisted base graph with the
+    // two O(batch) append legs must reproduce the from-scratch graph over
+    // corpus ∪ batch ROW-FOR-ROW (same frozen codebook, same probe lists,
+    // same rank/tie/round rules) — the argument is that every true top-5
+    // member survives in base / reverse-shortlist / new-query-shortlist,
+    // and this pins it against the rebuild reference on identical machinery
+    val appended = Similarity.knnGraphAppend(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val rebuilt = Similarity.knnGraphRebuildEdges(spark, sfDir)
+      .orderBy(org.apache.spark.sql.functions.col("q_id"),
+        org.apache.spark.sql.functions.col("rnk"))
+      .collect().map(_.toSeq).toSeq
+    assert(appended == rebuilt,
+      s"append-then-read diverged from the full rebuild:\n${appended.take(5)}\nvs\n${rebuilt.take(5)}")
+    val n = Tables.load(spark, sfDir, "embeddings").count()
+    assert(appended.length == n * 5, s"${appended.length} edges, want ${n * 5}")
+    // the merge is non-vacuous in BOTH directions: batch vectors appear as
+    // queries (forward leg) and as someone's neighbor (reverse leg)
+    assert(appended.exists(_.head.asInstanceOf[Long] % 10 == 9),
+      "no batch vector appears as a query")
+    assert(appended.exists(_(2).asInstanceOf[Long] % 10 == 9),
+      "no batch vector entered an existing row's top-5 — reverse leg vacuous")
+    assert(appended.exists(r => r.head.asInstanceOf[Long] % 10 != 9 &&
+        r(2).asInstanceOf[Long] % 10 == 9),
+      "no CORPUS query has a batch neighbor — reverse leg never fired")
+  }
+
   test("dedup_semantic_knn verdicts are exactly the graph's tau-edges, min-id keeper") {
     // C54 = a deterministic fold of C52's edge set: recompute the expected
     // verdict frame from the graph rows themselves and demand equality —
@@ -444,9 +472,12 @@ class OperatorsSpec extends SparkSpec {
       for (i <- a.indices) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
       dot / (math.sqrt(na) * math.sqrt(nb))
     }
-    val bench = all.filter(_._1 % 97 == 0)
+    // the bench slice is the CAPPED every-97th set (fixed-size eval suite)
+    def isBench(id: Long) =
+      id % 97 == 0 && id < Similarity.DecontamBenchCap
+    val bench = all.filter(r => isBench(r._1))
     assert(bench.nonEmpty, "fixture has no bench vectors")
-    val expected = all.filter(_._1 % 97 != 0).map { case (id, v) =>
+    val expected = all.filterNot(r => isBench(r._1)).map { case (id, v) =>
       id -> bench.map(b => BigDecimal(cos(v, b._2))
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).max
     }.toMap
@@ -454,7 +485,7 @@ class OperatorsSpec extends SparkSpec {
     assert(got.length == expected.size, s"row count ${got.length} != ${expected.size}")
     got.foreach { r =>
       val vid = r.getLong(0)
-      assert(vid % 97 != 0, s"bench vector $vid leaked into the training report")
+      assert(!isBench(vid), s"bench vector $vid leaked into the training report")
       assert(math.abs(r.getDouble(1) - expected(vid)) < 1e-9,
         s"vec $vid: max sim ${r.getDouble(1)} != brute-force ${expected(vid)}")
       assert(r.getBoolean(2) == (r.getDouble(1) >= operators.Similarity.SemanticTau),

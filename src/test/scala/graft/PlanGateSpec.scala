@@ -113,6 +113,18 @@ class PlanGateSpec extends SparkSpec {
     // bucketed point-read scans; gated via the edge builder (store rule)
     Gate("knn_graph_pq", maxHashEx = 5, maxSortMerge = 3, maxRangeEx = 0,
       via = Some(operators.Similarity.knnGraphPqEdges _)),
+    // C56 base BUILDER: C52's exact two-exchange shape (probe cid meet +
+    // rank) over the frozen-codebook merged index filtered to corpus rows —
+    // the filter must preserve the bucketed scan's partitioning
+    Gate("knn_graph_append_base", maxHashEx = 2, maxSortMerge = 1, maxRangeEx = 0,
+      via = Some(operators.Similarity.knnGraphBaseEdges _)),
+    // C56 APPEND step: two probe legs (new queries vs merged index, corpus
+    // queries vs the batch slice of the index — both corpus sides
+    // exchange-free bucketed scans) + ONE shared global rank over the
+    // merged shortlists; the persisted base graph enters as a plain store
+    // scan with no exchange of its own
+    Gate("knn_graph_append", maxHashEx = 3, maxSortMerge = 2, maxRangeEx = 0,
+      via = Some(operators.Similarity.knnGraphAppendEdges _)),
     // C54: the verdict CONSUMER plan — reads the persisted graph store
     // (never re-scores the corpus: no cosine kernel may appear), one
     // rollup exchange + the corpus-id left join, all slim

@@ -139,7 +139,50 @@ class StoreFpSpec extends SparkSpec {
       "the verdict consumer rebuilt a valid persisted graph store")
   }
 
-  test("IVF path layout is adopted across memo eviction (codebook retrains only)") {
+  test("trained models persist and adopt bit-for-bit (no retrain after memo eviction)") {
+    // the r14 directive-#2 pin: Lloyd centroids, PQ books, the semantic
+    // codebook and the LM blobs are persisted StoreFp model blobs — after
+    // every in-memory memo is evicted (a brand-new JVM's state), each
+    // trainer must ADOPT its model file (mtime unchanged — no rewrite)
+    // and the adopted values must equal the trained ones BIT-FOR-BIT
+    // (raw IEEE bits, not numeric ==), because those exact doubles are
+    // inlined into plans and oracles
+    def modelFile(name: String) = new java.io.File(
+      s"${GraftConf.localRoot}/graft_models/$name${sfDir.replaceAll("[^A-Za-z0-9]+", "_")}/model.txt")
+    def bits(v: Array[Double]): Seq[Long] =
+      v.map(java.lang.Double.doubleToRawLongBits).toSeq
+    def cbBits(cb: Array[(Int, Array[Double])]): Seq[(Int, Seq[Long])] =
+      cb.map { case (c, v) => (c, bits(v)) }.toSeq
+    val cb1 = cbBits(operators.Similarity.trainCodebook(spark, sfDir))
+    val corpus1 = cbBits(operators.Similarity.corpusCodebook(spark, sfDir))
+    val pq1 = operators.Similarity.trainPqCodebooks(spark, sfDir)
+      .map(_.map(bits).toSeq).toSeq
+    val sem1 = cbBits(operators.Similarity.trainSemanticCodebook(spark, sfDir))
+    val lm1 = operators.TextAnalysis.lmModel(spark, sfDir)
+    val names = Seq("ivf_codebook", "ivf_corpus_codebook", "pq_books",
+      "semantic_codebook", "lm_uni", "lm_bi")
+    names.foreach(n => assert(modelFile(n).isFile, s"model blob $n missing"))
+    val mtimes = names.map(n => n -> modelFile(n).lastModified).toMap
+    operators.Similarity.clearCaches()
+    operators.TextAnalysis.clearLmCache()
+    operators.Dedup.clear()
+    assert(cbBits(operators.Similarity.trainCodebook(spark, sfDir)) == cb1,
+      "adopted IVF codebook != trained bits")
+    assert(cbBits(operators.Similarity.corpusCodebook(spark, sfDir)) == corpus1,
+      "adopted corpus codebook != trained bits")
+    assert(operators.Similarity.trainPqCodebooks(spark, sfDir)
+        .map(_.map(bits).toSeq).toSeq == pq1,
+      "adopted PQ books != trained bits")
+    assert(cbBits(operators.Similarity.trainSemanticCodebook(spark, sfDir)) == sem1,
+      "adopted semantic codebook != trained bits")
+    assert(operators.TextAnalysis.lmModel(spark, sfDir) == lm1,
+      "adopted LM blobs != trained")
+    names.foreach(n => assert(modelFile(n).lastModified == mtimes(n),
+      s"model blob $n was rewritten after memo eviction — adoption should " +
+        "have served it"))
+  }
+
+  test("IVF path layout is adopted across memo eviction") {
     val out1 = operators.Similarity.simIvfPruned(spark, sfDir)
       .collect().map(_.toSeq).toSeq
     val dir = new java.io.File(
