@@ -470,36 +470,50 @@ object Dedup {
     * DedupSpec asserts the fixpoint (every edge's endpoints share a label). */
   def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents").select(col("doc_id"))
-    // both directions in ONE pass over the candidate pipeline (a union of two
-    // selects would recompute banding+est twice), cached for the iteration
     val est = nearDupEdges(spark, sfDir, 0.5)
-    val edges = est.select(explode(array(
-        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
-        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+    minLabelComponents(spark, docs.select(col("doc_id").as("id")),
+        est.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      .select(col("id").as("doc_id"), col("cluster_rep"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The bounded min-label-propagation component machinery behind C5b —
+    * shared with C57's semantic-tier clusters (`dedup_semantic_clusters`),
+    * which feeds it the persisted kNN graph's τ-edges. `ids` is the full
+    * (id) vertex universe (isolated vertices come back as singletons);
+    * `pairs` is one direction of the undirected candidate edge set. */
+  private[operators] def minLabelComponents(spark: SparkSession,
+    ids: DataFrame, pairs: DataFrame): DataFrame = {
+    // both directions in ONE pass over the candidate pipeline (a union of two
+    // selects would recompute the candidate derivation twice), cached for
+    // the iteration
+    val edges = pairs.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .cache()
-    // Active-vertex restriction: only documents that appear in an edge can
+    // Active-vertex restriction: only vertices that appear in an edge can
     // ever change label; the (typically vast) isolated majority keeps its
     // identity label and never enters the iteration — at 100 TB this is the
     // difference between iterating over the corpus and over the dup graph.
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("label"))
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
     // Min-label propagation strictly decreases sum(label) until the fixpoint,
     // so an unchanged sum is an exact convergence test (one cheap agg per
     // round); the round cap only bounds pathological chain-shaped components.
-    // DECIMAL(38,0) sum: with 64-bit ids over billions of documents a long
+    // DECIMAL(38,0) sum: with 64-bit ids over billions of rows a long
     // sum would overflow (and Spark's ANSI mode throws on it).
     var prevSum = ""
     var converged = false
     var round = 0
     while (!converged && round < ClusterRoundCap) {
       val msgs = edges
-        .join(labels.withColumnRenamed("doc_id", "src"), "src")
-        .select(col("dst").as("doc_id"), col("label"))
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("label"))
       // lazy checkpoint: the convergence-test action below materializes it,
       // so each round runs ONE job, not a checkpoint job plus a sum job
       labels = labels.union(msgs)
-        .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
         .localCheckpoint(false)
       val s = labels.agg(sum(col("label").cast("decimal(38,0)")))
         .head().getDecimal(0).toPlainString
@@ -514,19 +528,18 @@ object Dedup {
     // fail loudly at the source instead. Real near-dup graphs are
     // dense-cluster-shaped (diameter 2-3); a deeper corpus raises the cap.
     require(converged,
-      s"dedup_clusters: min-label propagation did not converge in $round " +
+      s"minLabelComponents: min-label propagation did not converge in $round " +
         "rounds — a dup-graph component has diameter > rounds; raise the " +
         s"cap (-Dgraft.cluster.rounds, currently $ClusterRoundCap)")
     // labels is localCheckpoint'd (materialized, lineage cut), so the edge
     // cache can be released before the final lazy joins run
     edges.unpersist(false)
-    // re-attach the isolated documents as singleton clusters
-    val allLabels = docs.join(labels, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("label"))
+    // re-attach the isolated vertices as singleton clusters
+    val allLabels = ids.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
     val sizes = allLabels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     allLabels.join(sizes, "label")
-      .select(col("doc_id"), col("label").as("cluster_rep"), col("cluster_size"))
-      .orderBy(col("doc_id"))
+      .select(col("id"), col("label").as("cluster_rep"), col("cluster_size"))
   }
 
   // ----- C3: SimHash -----

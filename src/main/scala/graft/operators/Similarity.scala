@@ -293,10 +293,18 @@ object Similarity {
     * stay linear in candidates with ~24-byte rows. Tighter budgets swap
     * the scoring leg for C38c's ADC codes; the probe planning and rank
     * machinery here are unchanged by that swap. */
-  def knnGraph(spark: SparkSession, sfDir: String): DataFrame =
+  def knnGraph(spark: SparkSession, sfDir: String): DataFrame = {
+    // bind the trained coarse codebook BEFORE the store read: adoption
+    // skips the edge builder, but the dir-bound oracle must interpolate
+    // the centroids the stored edges were scored with — with the model
+    // blob persisted this is a load, not a retrain (r15 targeted-verify
+    // lesson: an adopt-only JVM otherwise dumps the seed-fallback oracle
+    // against a trained store)
+    trainCodebook(spark, sfDir)
     spark.table(ensureGraphTable(spark, sfDir, "ivf",
         knnGraphEdges(spark, sfDir)))
       .orderBy(col("q_id"), col("rnk"))
+  }
 
   // (dir, variant) -> (embeddings fingerprint, materialized graph table):
   // the session memo over the persisted store, vecBucketedBuilt's pattern
@@ -453,10 +461,15 @@ object Similarity {
     * (spec-pinned), so C38c's measured recall-vs-exact transfers. Like
     * C52, the result is a PERSISTED graph store (its own variant — a
     * budget-swapped BUILDER for the same artifact shape). */
-  def knnGraphPq(spark: SparkSession, sfDir: String): DataFrame =
+  def knnGraphPq(spark: SparkSession, sfDir: String): DataFrame = {
+    // oracle-binding rule (see knnGraph): the PQ graph's oracle needs both
+    // the coarse centroids and the PQ books in the session caches
+    trainCodebook(spark, sfDir)
+    trainPqCodebooks(spark, sfDir)
     spark.table(ensureGraphTable(spark, sfDir, "pq",
         knnGraphPqEdges(spark, sfDir)))
       .orderBy(col("q_id"), col("rnk"))
+  }
 
   /** C52b's edge builder (the plan the gates pin). */
   private[graft] def knnGraphPqEdges(spark: SparkSession, sfDir: String): DataFrame = {
@@ -627,10 +640,13 @@ object Similarity {
   /** C56's registered query: READS the persisted appended-graph store (the
     * store doctrine — the append runs once per ingest batch; consumers
     * read). */
-  def knnGraphAppend(spark: SparkSession, sfDir: String): DataFrame =
+  def knnGraphAppend(spark: SparkSession, sfDir: String): DataFrame = {
+    // oracle-binding rule (see knnGraph): bind the FROZEN corpus codebook
+    corpusCodebook(spark, sfDir)
     spark.table(ensureGraphTable(spark, sfDir, "ivf_appended",
         corpusIvfFpTag(spark, sfDir), knnGraphAppendEdges(spark, sfDir)))
       .orderBy(col("q_id"), col("rnk"))
+  }
 
   /** C54 — kNN-graph semantic dedup (`dedup_semantic_knn`): SemDeDup's
     * verdict computed from the full-corpus neighbor graph instead of C29's
@@ -652,6 +668,9 @@ object Similarity {
     * edge set plus a left join back to corpus ids. τ compares the ROUNDED
     * sim on both engines, so the verdict is bit-stable at the boundary. */
   def dedupSemanticKnn(spark: SparkSession, sfDir: String): DataFrame = {
+    // oracle-binding rule (see knnGraph): the verdict oracle embeds C52's
+    // graph statement, so the coarse codebook must be bound here too
+    trainCodebook(spark, sfDir)
     // the verdicts READ the persisted graph store (never re-score the
     // corpus) — the consumer contract the store exists for
     val dup = spark.table(ensureGraphTable(spark, sfDir, "ivf",
@@ -684,6 +703,63 @@ object Similarity {
        | dup.dup_of IS NOT NULL AS is_duplicate
        |FROM embeddings e LEFT JOIN dup ON e.vec_id = dup.vec_id
        |ORDER BY e.vec_id""".stripMargin
+
+  /** C57 — semantic near-dup CLUSTERS (`dedup_semantic_clusters`): connected
+    * components over the persisted graph's τ-edges with a min-id
+    * representative and the component size — C5b's cluster extraction on
+    * the semantic tier, and the artifact SemDeDup-style curation consumes
+    * AFTER the pairwise verdicts: C54 says "x duplicates y"; this says
+    * "these 50 vectors are one redundancy group, keep K of them, rep is
+    * the smallest id" — the grouping a keep-K/diversity policy actually
+    * ranks within. Machinery is C5b's bounded min-label propagation
+    * (Dedup.minLabelComponents: active-vertex restriction, exact sum
+    * convergence test, loud diameter guard) over edges READ from the
+    * persisted graph store — the candidate derivation is one store scan +
+    * a τ filter, never a re-score (plan-pinned), and the iteration runs on
+    * the τ-edge subgraph (sparse: near-dup components), not the corpus. */
+  def dedupSemanticClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    // oracle-binding rule (see knnGraph): the cluster oracle embeds C52's
+    // graph statement — bind the coarse codebook before the store read
+    trainCodebook(spark, sfDir)
+    val ids = Tables.load(spark, sfDir, "embeddings").select(col("vec_id").as("id"))
+    Dedup.minLabelComponents(spark, ids, semanticClusterEdges(spark, sfDir))
+      .select(col("id").as("vec_id"), col("cluster_rep"), col("cluster_size"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** C57's τ-edge source — a persisted-store scan + filter (exposed so the
+    * consumer plan gate can pin the never-re-scores contract). */
+  private[graft] def semanticClusterEdges(spark: SparkSession, sfDir: String): DataFrame =
+    spark.table(ensureGraphTable(spark, sfDir, "ivf",
+        knnGraphEdges(spark, sfDir)))
+      .filter(col("sim_r") >= SemanticTau)
+      .select(col("q_id").as("src"), col("cand_id").as("dst"))
+
+  /** C57's oracle: C52's graph statement as a nested CTE, the same τ filter
+    * on the rounded sim, then the EXACT component fixpoint — recursive
+    * transitive closure + min-label (C5b's oracle pattern: the strongest
+    * possible check on the propagation loop, since an early-terminating or
+    * mis-converging iteration cannot match the mathematical fixpoint). */
+  def dedupSemanticClustersSql(sfDir: String): String =
+    s"""WITH RECURSIVE g AS (
+       |${knnGraphSql(sfDir)}),
+       |te AS (SELECT q_id, cand_id FROM g WHERE sim_r >= $SemanticTau),
+       |edges AS (
+       | SELECT q_id AS s, cand_id AS d FROM te
+       | UNION
+       | SELECT cand_id AS s, q_id AS d FROM te),
+       |reach(vec_id, n) AS (
+       | SELECT s, s FROM edges
+       | UNION
+       | SELECT r.vec_id, e.d FROM reach r JOIN edges e ON r.n = e.s),
+       |labels AS (SELECT vec_id, MIN(n) AS label FROM reach GROUP BY vec_id),
+       |all_labels AS (
+       | SELECT v.vec_id, COALESCE(l.label, v.vec_id) AS label
+       | FROM embeddings v LEFT JOIN labels l ON v.vec_id = l.vec_id),
+       |sizes AS (SELECT label, COUNT(*) AS cluster_size FROM all_labels GROUP BY label)
+       |SELECT a.vec_id, a.label AS cluster_rep, s.cluster_size
+       |FROM all_labels a JOIN sizes s ON a.label = s.label
+       |ORDER BY a.vec_id""".stripMargin
 
   /** C55 — SEMANTIC decontamination report (`decontam_semantic`): per
     * training vector, the max cosine to ANY benchmark vector and the
@@ -2320,6 +2396,7 @@ object Similarity {
     "knn_graph_pq" -> (knnGraphPq _),
     "knn_graph_append" -> (knnGraphAppend _),
     "dedup_semantic_knn" -> (dedupSemanticKnn _),
+    "dedup_semantic_clusters" -> (dedupSemanticClusters _),
     "decontam_semantic" -> (decontamSemantic _))
 
   /** Generated oracle for C7b — the TRAINED centroids are inlined as list
@@ -2406,6 +2483,7 @@ object Similarity {
     "knn_join_pq" -> knnJoinPqSql(sfDir),
     "knn_graph_pq" -> knnGraphPqSql(sfDir),
     "dedup_semantic_knn" -> dedupSemanticKnnSql(sfDir),
+    "dedup_semantic_clusters" -> dedupSemanticClustersSql(sfDir),
     "decontam_semantic" -> decontamSemanticSql,
     // D20 drains the same train slice against the same frozen bench set
     // with the same verdict core, statelessly → C55's oracle verbatim
@@ -2447,6 +2525,7 @@ object Similarity {
         ("knn_join_pq" -> (banner + knnJoinPqSql(""))) :+
         ("knn_graph_pq" -> (banner + knnGraphPqSql(""))) :+
         ("dedup_semantic_knn" -> (banner + dedupSemanticKnnSql(""))) :+
+        ("dedup_semantic_clusters" -> (banner + dedupSemanticClustersSql(""))) :+
         ("prepare_corpus_v3" -> (banner + PipelineOps.prepareCorpusV3Sql(""))) :+
         ("prepare_corpus_v4" -> (banner + PipelineOps.prepareCorpusV4Sql(""))))
   }

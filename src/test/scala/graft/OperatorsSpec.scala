@@ -431,6 +431,44 @@ class OperatorsSpec extends SparkSpec {
       "fixture produced zero duplicate verdicts — threshold drifted?")
   }
 
+  test("dedup_semantic_clusters equals brute-force components over the graph's tau-edges") {
+    // C57 = exact connected components of the persisted graph's τ-edge
+    // subgraph with min-id representative: recompute by union-find over the
+    // collected graph rows and demand equality — pins the τ-on-rounded-sim
+    // edge rule, the min-id rep, the size counts, and the singleton rule
+    // for isolated vectors
+    val tau = Similarity.SemanticTau
+    val edges = Similarity.knnGraph(spark, sfDir).collect()
+      .filter(_.getDouble(3) >= tau)
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(edges.nonEmpty, "fixture yields no tau-edges — threshold drifted?")
+    val ids = Tables.load(spark, sfDir, "embeddings").collect().map(_.getLong(0))
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = {
+      var r = x; while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val rep = ids.map(i => i -> find(i)).toMap
+    val size = rep.values.groupBy(identity).map { case (l, xs) => l -> xs.size.toLong }
+    val got = Similarity.dedupSemanticClusters(spark, sfDir).collect()
+    assert(got.length == ids.length, s"${got.length} rows, want ${ids.length}")
+    got.foreach { r =>
+      val vid = r.getLong(0)
+      assert(r.getLong(1) == rep(vid),
+        s"vec $vid: rep ${r.getLong(1)} != brute-force ${rep(vid)}")
+      assert(r.getLong(2) == size(rep(vid)),
+        s"vec $vid: size ${r.getLong(2)} != brute-force ${size(rep(vid))}")
+    }
+    assert(got.exists(_.getLong(2) > 1),
+      "fixture produced only singleton clusters — the dup branch never fired")
+  }
+
   test("text_tfidf: tf/df/score/top-3 equal a brute-force reference") {
     // pins the whole C53 contract against an independent in-memory
     // computation: literal-space tokenization (trailing empties kept —

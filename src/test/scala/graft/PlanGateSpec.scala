@@ -381,6 +381,26 @@ class PlanGateSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("plan gate: dedup_semantic_clusters edges come from the persisted graph store, never a re-score") {
+    // the C57 consumer contract: the τ-edge candidate derivation is ONE
+    // scan of the persisted graph table + a filter — if a cosine or
+    // probe-planning kernel appears, the components are re-scoring the
+    // corpus instead of reading the store the graph build already paid for
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = operators.Similarity.semanticClusterEdges(spark, sfDir)
+      df.write.format("noop").mode("overwrite").save()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("knn_graph_ivf"),
+        s"cluster edges left the persisted graph store:\n${plan.take(2000)}")
+      assert(!plan.contains("graft_cosine") && !plan.contains("graft_nearest_cids"),
+        s"cluster edges re-score the corpus:\n${plan.take(2000)}")
+      assert("Exchange hashpartitioning".r.findAllIn(plan).isEmpty,
+        s"the store-scan + filter edge source should take zero exchanges:\n${plan.take(2000)}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("plan gate: knn_join_ivf plans probes distributedly — nothing query-sized on the driver") {
     // the |Q| ∝ N contract: probe lists come from the row-local
     // graft_nearest_cids_bc kernel (codebook broadcast is O(K)), the query
