@@ -735,6 +735,52 @@ object Similarity {
       .filter(col("sim_r") >= SemanticTau)
       .select(col("q_id").as("src"), col("cand_id").as("dst"))
 
+  /** C58 — hard-negative mining (`knn_negatives`): per anchor, the top-m
+    * graph neighbors in the similarity band [τ_low, τ_dup) — similar
+    * enough to be informative contrastive negatives, below the near-dup
+    * threshold so they are genuinely different content (the standard
+    * ANN-mined hard-negative recipe contrastive training runs, and the
+    * third consumer of the persisted graph alongside the C52 presentation
+    * query and C54's verdicts). One store scan + a band filter + the
+    * per-anchor rank — no scoring, no probe planning, no exchange beyond
+    * the rank's q_id shuffle of already-slim edge rows (plan-pinned). The
+    * band's upper edge is [[SemanticTau]] (a retune of the dup threshold
+    * moves the negative band with it — above τ it's a duplicate, not a
+    * negative); the lower edge keeps uninformative easy negatives out. */
+  private[graft] val NegativeTauLow = 0.2
+  private[graft] val NegativeTopM = 3
+
+  def knnNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    // oracle-binding rule (see knnGraph)
+    trainCodebook(spark, sfDir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim_r").desc, col("cand_id"))
+    spark.table(ensureGraphTable(spark, sfDir, "ivf",
+        knnGraphEdges(spark, sfDir)))
+      .filter(col("sim_r") >= NegativeTauLow && col("sim_r") < SemanticTau)
+      .withColumn("neg_rank", row_number().over(w))
+      .filter(col("neg_rank") <= NegativeTopM)
+      .select(col("q_id"), col("neg_rank"), col("cand_id"), col("sim_r"))
+      .orderBy(col("q_id"), col("neg_rank"))
+  }
+
+  /** C58's oracle: C52's graph statement + the same band filter and
+    * per-anchor rank — the band compares the ROUNDED sim on both engines
+    * (bit-stable at both edges, the τ discipline). */
+  def knnNegativesSql(sfDir: String): String =
+    s"""WITH g AS (
+       |${knnGraphSql(sfDir)}),
+       |band AS (
+       | SELECT q_id, cand_id, sim_r FROM g
+       | WHERE sim_r >= $NegativeTauLow AND sim_r < $SemanticTau),
+       |rk AS (
+       | SELECT q_id, cand_id, sim_r,
+       |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim_r DESC, cand_id) AS neg_rank
+       | FROM band)
+       |SELECT q_id, CAST(neg_rank AS INT) AS neg_rank, cand_id, sim_r
+       |FROM rk WHERE neg_rank <= $NegativeTopM
+       |ORDER BY q_id, neg_rank""".stripMargin
+
   /** C57's oracle: C52's graph statement as a nested CTE, the same τ filter
     * on the rounded sim, then the EXACT component fixpoint — recursive
     * transitive closure + min-label (C5b's oracle pattern: the strongest
@@ -2397,6 +2443,7 @@ object Similarity {
     "knn_graph_append" -> (knnGraphAppend _),
     "dedup_semantic_knn" -> (dedupSemanticKnn _),
     "dedup_semantic_clusters" -> (dedupSemanticClusters _),
+    "knn_negatives" -> (knnNegatives _),
     "decontam_semantic" -> (decontamSemantic _))
 
   /** Generated oracle for C7b — the TRAINED centroids are inlined as list
@@ -2484,6 +2531,7 @@ object Similarity {
     "knn_graph_pq" -> knnGraphPqSql(sfDir),
     "dedup_semantic_knn" -> dedupSemanticKnnSql(sfDir),
     "dedup_semantic_clusters" -> dedupSemanticClustersSql(sfDir),
+    "knn_negatives" -> knnNegativesSql(sfDir),
     "decontam_semantic" -> decontamSemanticSql,
     // D20 drains the same train slice against the same frozen bench set
     // with the same verdict core, statelessly → C55's oracle verbatim
@@ -2526,6 +2574,7 @@ object Similarity {
         ("knn_graph_pq" -> (banner + knnGraphPqSql(""))) :+
         ("dedup_semantic_knn" -> (banner + dedupSemanticKnnSql(""))) :+
         ("dedup_semantic_clusters" -> (banner + dedupSemanticClustersSql(""))) :+
+        ("knn_negatives" -> (banner + knnNegativesSql(""))) :+
         ("prepare_corpus_v3" -> (banner + PipelineOps.prepareCorpusV3Sql(""))) :+
         ("prepare_corpus_v4" -> (banner + PipelineOps.prepareCorpusV4Sql(""))))
   }

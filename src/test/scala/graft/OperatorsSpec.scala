@@ -469,6 +469,33 @@ class OperatorsSpec extends SparkSpec {
       "fixture produced only singleton clusters — the dup branch never fired")
   }
 
+  test("knn_negatives: band edges, per-anchor rank, and rows equal a graph fold") {
+    // C58 = a deterministic fold of C52's edge set: recompute the expected
+    // banded top-m from the collected graph rows and demand equality — pins
+    // BOTH band edges (>= tau_low inclusive, < SemanticTau exclusive: a dup
+    // is never a negative), the (sim desc, cand asc) rank and the top-m cut
+    val lo = Similarity.NegativeTauLow
+    val hi = Similarity.SemanticTau
+    val m = Similarity.NegativeTopM
+    val edges = Similarity.knnGraph(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    val expected = edges.filter { case (_, _, s) => s >= lo && s < hi }
+      .groupBy(_._1).toSeq.flatMap { case (q, es) =>
+        es.sortBy { case (_, c, s) => (-s, c) }.take(m).zipWithIndex
+          .map { case ((_, c, s), i) => (q, i + 1, c, s) }
+      }.sortBy(r => (r._1, r._2))
+    val got = Similarity.knnNegatives(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == expected,
+      s"negatives diverged from the graph fold:\n${got.take(5)}\nvs\n${expected.take(5)}")
+    assert(got.nonEmpty, "fixture yields no hard negatives — band drifted?")
+    // both band edges are load-bearing on real data: something above the
+    // dup threshold AND something below the floor must have been excluded
+    assert(edges.exists(_._3 >= hi), "no edge above the dup threshold — upper edge vacuous")
+    assert(edges.exists(_._3 < lo), "no edge below the floor — lower edge vacuous")
+    got.foreach { case (_, _, _, s) => assert(s >= lo && s < hi, s"sim $s outside band") }
+  }
+
   test("text_tfidf: tf/df/score/top-3 equal a brute-force reference") {
     // pins the whole C53 contract against an independent in-memory
     // computation: literal-space tokenization (trailing empties kept —

@@ -132,6 +132,11 @@ class PlanGateSpec extends SparkSpec {
     // C55: bench side broadcasts (C15's shape), per-vector max is a partial
     // HashAggregate — ONE slim hash exchange, never a |bench| fan-out shuffle
     Gate("decontam_semantic", maxHashEx = 1),
+    // C58: a persisted-store scan + band filter + per-anchor rank — the
+    // only hash exchange is the rank's q_id shuffle of slim edge rows (no
+    // scoring, no probe planning, no join; the store-read contract itself
+    // is pinned in the dedicated dedup_semantic_clusters/knn_negatives test)
+    Gate("knn_negatives", maxHashEx = 1, maxSortMerge = 0),
     Gate("sim_ivf_append", maxHashEx = 0, maxRangeEx = 0, needPartitionFilters = true),
     // C53: tf and df are both pair-grain partial aggregates (the occurrence
     // stream shuffles ONLY as (doc_id, term) pairs — the measured shape
@@ -398,6 +403,14 @@ class PlanGateSpec extends SparkSpec {
         s"cluster edges re-score the corpus:\n${plan.take(2000)}")
       assert("Exchange hashpartitioning".r.findAllIn(plan).isEmpty,
         s"the store-scan + filter edge source should take zero exchanges:\n${plan.take(2000)}")
+      // C58 shares the consumer contract: store scan in, no kernel re-score
+      val neg = SparkEntry.queries("knn_negatives")(spark, sfDir)
+      neg.write.format("noop").mode("overwrite").save()
+      val negPlan = neg.queryExecution.executedPlan.toString
+      assert(negPlan.contains("knn_graph_ivf"),
+        s"knn_negatives left the persisted graph store:\n${negPlan.take(2000)}")
+      assert(!negPlan.contains("graft_cosine") && !negPlan.contains("graft_nearest_cids"),
+        s"knn_negatives re-scores the corpus:\n${negPlan.take(2000)}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
