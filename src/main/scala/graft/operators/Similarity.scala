@@ -1378,6 +1378,13 @@ object Similarity {
         Tables.load(spark, sfDir, "embeddings")
           .select(col("vec_id"), asDouble(col("embedding")).as("v"))
           .withColumn("cid", nearestCid(spark, codebook))
+          // co-locate each list before the dynamic-partition write: ONE
+          // file per cid instead of (tasks × cids) shards — with K ∝ N the
+          // un-repartitioned write exploded into K·32 small files (5k at
+          // sf1), the classic dynamic-partition file-count failure; the
+          // build pays one corpus shuffle (one-time cost), every probe
+          // thereafter lists and opens 32× fewer files
+          .repartition(col("cid"))
           .write.mode("overwrite").partitionBy("cid").parquet(path)
         graft.StoreFp.commitDir(path, fp) // commit marker: AFTER the write
         ivfIndexBuilt(sfDir) = (fp, codebook)
@@ -1490,6 +1497,7 @@ object Similarity {
       .filter(col("vec_id") % 10 =!= 9)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("cid", nearestCid(spark, codebook))
+      .repartition(col("cid")) // one file per list (see the C7c build)
       .write.mode("overwrite").partitionBy("cid").parquet(ivfAppendPath(sfDir))
     ivfAppendPath(sfDir)
   }
@@ -1505,6 +1513,7 @@ object Similarity {
       .filter(col("vec_id") % 10 === 9)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("cid", nearestCid(spark, codebook))
+      .repartition(col("cid")) // one NEW file per touched list
       .write.mode("append").partitionBy("cid").parquet(ivfAppendPath(sfDir))
   }
 
@@ -1571,6 +1580,7 @@ object Similarity {
           .filter(col("vec_id") % 10 =!= 9)
           .select(col("vec_id"), asDouble(col("embedding")).as("v"))
           .withColumn("cid", nearestCid(spark, codebook))
+          .repartition(col("cid")) // one file per list (see the C7c build)
           .write.mode("overwrite").partitionBy("cid").parquet(path)
         graft.StoreFp.commitDir(path, fp)
       }
