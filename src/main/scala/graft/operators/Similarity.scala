@@ -406,12 +406,15 @@ object Similarity {
   }
 
   /** The C38 bounded query slice's CTE text — the one fragment C38b's and
-    * C52's oracles differ by (C52 widens q to the whole corpus). */
+    * C52's oracles differ by (C52 widens q to the whole corpus). Carries
+    * the precomputed query norm (the template's `e` rows are
+    * norm-factored). */
   private val KnnQSliceCte =
-    "q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 97 = 7)"
+    "q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM e WHERE vec_id % 97 = 7)"
 
   /** The whole-corpus query CTE shared by the full-graph oracles. */
-  private val KnnQAllCte = "q AS (SELECT vec_id AS q_id, v AS qv FROM e)"
+  private val KnnQAllCte =
+    "q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM e)"
 
   /** C52's oracle: knnJoinIvfSql with the query CTE widened to the whole
     * corpus — same centroid literals, same assignment argmax, same
@@ -968,28 +971,43 @@ object Similarity {
     ivfGraphSqlTemplate(coarseCteFor(sfDir), KnnQSliceCte)
 
   /** ONE statement template behind C38b/C52/C56's oracles: centroid CTE and
-    * query CTE are the only two slots the variants differ by. */
+    * query CTE are the only two slots the variants differ by.
+    *
+    * NORM-FACTORED (knnJoinSql's convention): every vector's and
+    * centroid's norm is computed ONCE and the cosine is
+    * `dot / (nrm_a * nrm_b)` — the SAME IEEE multiply tree as
+    * `dot / (sqrt(sq_a) * sqrt(sq_b))` (and as the graft_cosine kernel),
+    * so every double is bit-identical to the un-factored form while the
+    * N×K assignment and the ~nProbe·128·N candidate CTEs run ONE
+    * list-fold per pair instead of three. At K ∝ N sizing the un-factored
+    * form cost the sf1 DuckDB pass ~35 minutes; this is the r15 watch
+    * item's fix, applied where the volume is. */
   private def ivfGraphSqlTemplate(centroidCte: String, qCte: String): String = {
-    s"""WITH e AS (
+    s"""WITH e0 AS (
        | SELECT vec_id, list_transform(embedding, z -> CAST(z AS DOUBLE)) AS v
        | FROM embeddings),
+       |e AS (SELECT vec_id, v, sqrt(${sqlSq("v")}) AS nrm FROM e0),
        |$centroidCte,
+       |cn AS (SELECT cid, cv, sqrt(${sqlSq("cv")}) AS cnrm FROM c),
        |asn AS (
-       | SELECT vec_id, v, cid,
+       | SELECT vec_id, v, nrm, cid,
        |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rk
-       | FROM (SELECT x.vec_id, x.v, c.cid, ${sqlCos("x.v", "c.cv")} AS csim FROM e x, c) t),
-       |assigned AS (SELECT vec_id, v, cid FROM asn WHERE rk = 1),
+       | FROM (SELECT x.vec_id, x.v, x.nrm, cn.cid,
+       |   ${sqlDot("x.v", "cn.cv")} / (x.nrm * cn.cnrm) AS csim FROM e x, cn) t),
+       |assigned AS (SELECT vec_id, v, nrm, cid FROM asn WHERE rk = 1),
        |$qCte,
        |pls AS (
-       | SELECT q.q_id, c.cid, q.qv, ${sqlCos("q.qv", "c.cv")} AS csim
-       | FROM q, c),
+       | SELECT q.q_id, cn.cid, q.qv, q.qnrm,
+       |  ${sqlDot("q.qv", "cn.cv")} / (q.qnrm * cn.cnrm) AS csim
+       | FROM q, cn),
        |pl AS (
-       | SELECT q_id, cid, qv FROM (
-       |  SELECT q_id, cid, qv,
+       | SELECT q_id, cid, qv, qnrm FROM (
+       |  SELECT q_id, cid, qv, qnrm,
        |   ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY csim DESC, cid) AS prk
        |  FROM pls) t WHERE prk <= 4),
        |cand AS (
-       | SELECT pl.q_id, a.vec_id, ${sqlCos("a.v", "pl.qv")} AS sim
+       | SELECT pl.q_id, a.vec_id,
+       |  ${sqlDot("a.v", "pl.qv")} / (a.nrm * pl.qnrm) AS sim
        | FROM assigned a JOIN pl ON a.cid = pl.cid
        | WHERE a.vec_id <> pl.q_id),
        |rk AS (
