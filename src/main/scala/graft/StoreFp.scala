@@ -209,6 +209,13 @@ object StoreFp {
   def commitModel(name: String, fp: String, lines: Seq[String]): Unit = {
     val dir = modelDir(name)
     dir.mkdirs()
+    // RETRAIN crash window: drop the OLD sidecar BEFORE touching model.txt —
+    // otherwise a crash between the data write and commitDir leaves the old
+    // fp paired with NEW data, and a later session asking for the old fp
+    // (e.g. a reverted K budget) would adopt the wrong centroids as
+    // bit-valid. With the delete first, every crash state fails safe to
+    // "no sidecar → retrain".
+    java.nio.file.Files.deleteIfExists(dirSidecar(dir.getAbsolutePath).toPath)
     java.nio.file.Files.write(new java.io.File(dir, "model.txt").toPath,
       lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     commitDir(dir.getAbsolutePath, fp)

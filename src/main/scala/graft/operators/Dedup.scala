@@ -482,7 +482,7 @@ object Dedup {
     * which feeds it the persisted kNN graph's τ-edges. `ids` is the full
     * (id) vertex universe (isolated vertices come back as singletons);
     * `pairs` is one direction of the undirected candidate edge set. */
-  private[operators] def minLabelComponents(spark: SparkSession,
+  private[graft] def minLabelComponents(spark: SparkSession,
     ids: DataFrame, pairs: DataFrame): DataFrame = {
     // both directions in ONE pass over the candidate pipeline (a union of two
     // selects would recompute the candidate derivation twice), cached for
@@ -515,12 +515,21 @@ object Dedup {
       labels = labels.union(msgs)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
         .localCheckpoint(false)
-      val s = labels.agg(sum(col("label").cast("decimal(38,0)")))
-        .head().getDecimal(0).toPlainString
+      // sum over ZERO labels is SQL NULL: an edge-free input (a corpus with
+      // no qualifying pairs — C57's τ can legitimately cut every edge) must
+      // come back as all-singletons, not an NPE; "0" is a safe stand-in
+      // because real label sums are positive and only CONSECUTIVE equality
+      // is ever compared
+      val s = Option(labels.agg(sum(col("label").cast("decimal(38,0)")))
+        .head().getDecimal(0)).map(_.toPlainString).getOrElse("0")
       converged = s == prevSum
       prevSum = s
       round += 1
     }
+    // convergence-round telemetry (the r15 dedup_clusters drift watch item:
+    // a cost move with MORE rounds is graph-shape growth; same rounds points
+    // at per-round plan cost) — one stderr line, no plan impact
+    System.err.println(s"[graft] minLabelComponents: converged in $round rounds")
     // the cap exists to bound pathological chain-shaped components (graph
     // diameter > rounds) — but exiting un-converged means WRONG cluster
     // labels (a chain's far end keeps an intermediate rep), which the exact

@@ -432,11 +432,10 @@ object Similarity {
   /** The corpus-codebook literal CTE (C7d's frozen centroids when trained
     * for this dir; the labeled corpus-seed fallback otherwise) — shared by
     * the C7d/D11 probe oracles and C56's graph oracle. */
-  private def corpusCoarseCteFor(sfDir: String): String = {
-    val fp = if (sfDir.nonEmpty) graft.Tables.fingerprint(sfDir, "embeddings") else ""
-    centroidValuesCte(ivfAppendState.get(sfDir).filter(_._1 == fp).map(_._2))
+  private def corpusCoarseCteFor(sfDir: String): String =
+    centroidValuesCte(ivfAppendState.get(sfDir)
+        .filter(e => cachedCorpusIvfTag(sfDir).contains(e._1)).map(_._2))
       .getOrElse(ivfCorpusSeedCte)
-  }
 
   /** C52b — the full-corpus kNN graph over the COMPRESSED index
     * (`knn_graph_pq`): C52's Q = corpus probe planning on C38c's IVFADC
@@ -1125,6 +1124,22 @@ object Similarity {
     graft.Tables.fingerprint(sfDir, "embeddings") + ":ivfk" +
       corpusIvfKFor(spark, sfDir)
 
+  /** The CURRENT K-tagged fingerprints recomputed from session state alone
+    * (no SparkSession — the oracle dumpers run without one): None when the
+    * counts were never memoized this session, in which case nothing trained
+    * either and None correctly reads as "stale". The in-memory codebook
+    * memos key on THESE, not the plain fingerprint, so an in-JVM
+    * `-Dgraft.ivf.k.budget` change can never serve an old-K codebook
+    * against stores and model blobs rebuilt under the new tag. */
+  private def cachedIvfTag(sfDir: String): Option[String] =
+    embCountCache.get(sfDir)
+      .filter(_._1 == graft.Tables.fingerprint(sfDir, "embeddings"))
+      .map { case (fp, (n, _)) => fp + ":ivfk" + ivfK(n) }
+  private def cachedCorpusIvfTag(sfDir: String): Option[String] =
+    embCountCache.get(sfDir)
+      .filter(_._1 == graft.Tables.fingerprint(sfDir, "embeddings"))
+      .map { case (fp, (_, nc)) => fp + ":ivfk" + ivfK(nc) }
+
   // ----- trained-model persistence (StoreFp model blobs, r14 dir. #2) -----
 
   private def dirSlug(sfDir: String): String =
@@ -1237,7 +1252,7 @@ object Similarity {
 
   private def cachedCodebook(sfDir: String): Option[Array[(Int, Array[Double])]] =
     codebookCache.get(sfDir)
-      .filter(_._1 == graft.Tables.fingerprint(sfDir, "embeddings"))
+      .filter(e => cachedIvfTag(sfDir).contains(e._1))
       .map(_._2)
 
   def trainCodebook(spark: SparkSession, sfDir: String): Array[(Int, Array[Double])] =
@@ -1248,17 +1263,20 @@ object Similarity {
     })
 
   private def trainCodebookLocked(spark: SparkSession, sfDir: String): Array[(Int, Array[Double])] = {
-    val fp = graft.Tables.fingerprint(sfDir, "embeddings")
     cachedCodebook(sfDir).getOrElse {
       // disk-first (StoreFp model blob): a fresh JVM ADOPTS the persisted
-      // codebook — bit-identical to a retrain — instead of re-running Lloyd
+      // codebook — bit-identical to a retrain — instead of re-running Lloyd.
+      // Memo key = the SAME K-tagged fingerprint as the blob and every
+      // derived store, so an in-JVM budget change invalidates all three
+      // layers together.
+      val tag = ivfFpTag(spark, sfDir)
       val codebook = cbFromLines(graft.StoreFp.ensureModel(
-        "ivf_codebook" + dirSlug(sfDir), ivfFpTag(spark, sfDir)) {
+        "ivf_codebook" + dirSlug(sfDir), tag) {
         cbToLines(lloyd(spark, Tables.load(spark, sfDir, "embeddings")
           .select(col("vec_id"), asDouble(col("embedding")).as("v")),
           ivfKFor(spark, sfDir)))
       })
-      codebookCache(sfDir) = (fp, codebook)
+      codebookCache(sfDir) = (tag, codebook)
       codebook
     }
   }
@@ -1494,16 +1512,20 @@ object Similarity {
     * centroids, or the stored lists and the probe lists could disagree. */
   private[graft] def corpusCodebook(spark: SparkSession,
     sfDir: String): Array[(Int, Array[Double])] = this.synchronized {
-    val fp = graft.Tables.fingerprint(sfDir, "embeddings")
-    ivfAppendState.get(sfDir).filter(_._1 == fp).map(_._2).getOrElse {
+    // memo key = the K-tagged corpus fingerprint (same as the model blob
+    // and the dependent stores) — see cachedIvfTag's in-JVM-budget rationale
+    ivfAppendState.get(sfDir)
+      .filter(e => cachedCorpusIvfTag(sfDir).contains(e._1))
+      .map(_._2).getOrElse {
+      val tag = corpusIvfFpTag(spark, sfDir)
       val cb = cbFromLines(graft.StoreFp.ensureModel(
-        "ivf_corpus_codebook" + dirSlug(sfDir), corpusIvfFpTag(spark, sfDir)) {
+        "ivf_corpus_codebook" + dirSlug(sfDir), tag) {
         cbToLines(lloyd(spark, Tables.load(spark, sfDir, "embeddings")
           .filter(col("vec_id") % 10 =!= 9)
           .select(col("vec_id"), asDouble(col("embedding")).as("v")),
           corpusIvfKFor(spark, sfDir)))
       })
-      ivfAppendState(sfDir) = (fp, cb)
+      ivfAppendState(sfDir) = (tag, cb)
       cb
     }
   }

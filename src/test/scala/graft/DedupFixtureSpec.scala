@@ -282,4 +282,18 @@ class DedupFixtureSpec extends SparkSpec {
       assert(out(id) == ((id, 1L)), s"doc $id should be a singleton: ${out(id)}")
     }
   }
+
+  test("component extraction over an EMPTY edge set returns all singletons") {
+    // the r15 advisory: an edge-free input (a corpus where the τ filter cuts
+    // every candidate — legitimate for C57) used to NPE on the null SUM of
+    // zero labels while the oracle correctly answered all-singletons; pin
+    // the crash-vs-result divergence closed
+    import spark.implicits._
+    val ids = Seq(3L, 7L, 11L).toDF("id")
+    val noPairs = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val out = Dedup.minLabelComponents(spark, ids, noPairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(3L -> ((3L, 1L)), 7L -> ((7L, 1L)), 11L -> ((11L, 1L))),
+      s"empty-edge components should be singletons: $out")
+  }
 }

@@ -394,11 +394,15 @@ class PlanGateSpec extends SparkSpec {
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
+      // the EXACT table ensureGraphTable builds for variant "ivf" + this
+      // dir: a bare "knn_graph_ivf" prefix would also match the C56 base /
+      // appended variants' tables, so a variant mix-up could pass silently
+      val graphTbl = "knn_graph_ivf" + sfDir.replaceAll("[^A-Za-z0-9]+", "_")
       val df = operators.Similarity.semanticClusterEdges(spark, sfDir)
       df.write.format("noop").mode("overwrite").save()
       val plan = df.queryExecution.executedPlan.toString
-      assert(plan.contains("knn_graph_ivf"),
-        s"cluster edges left the persisted graph store:\n${plan.take(2000)}")
+      assert(plan.contains(graphTbl),
+        s"cluster edges left the persisted C52 graph store ($graphTbl):\n${plan.take(2000)}")
       assert(!plan.contains("graft_cosine") && !plan.contains("graft_nearest_cids"),
         s"cluster edges re-score the corpus:\n${plan.take(2000)}")
       assert("Exchange hashpartitioning".r.findAllIn(plan).isEmpty,
@@ -407,8 +411,8 @@ class PlanGateSpec extends SparkSpec {
       val neg = SparkEntry.queries("knn_negatives")(spark, sfDir)
       neg.write.format("noop").mode("overwrite").save()
       val negPlan = neg.queryExecution.executedPlan.toString
-      assert(negPlan.contains("knn_graph_ivf"),
-        s"knn_negatives left the persisted graph store:\n${negPlan.take(2000)}")
+      assert(negPlan.contains(graphTbl),
+        s"knn_negatives left the persisted C52 graph store ($graphTbl):\n${negPlan.take(2000)}")
       assert(!negPlan.contains("graft_cosine") && !negPlan.contains("graft_nearest_cids"),
         s"knn_negatives re-scores the corpus:\n${negPlan.take(2000)}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
