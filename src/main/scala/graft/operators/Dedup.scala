@@ -162,15 +162,35 @@ object Dedup {
     digestFingerprint.clear()
   }
 
-  private def withSig(spark: SparkSession, sfDir: String): DataFrame =
-    memoize(spark, sfDir,
-      "minhash:" + graft.Tables.fingerprint(sfDir, "documents")) {
+  /** The signature table is a PERSISTED derived store (r15 verdict #3 — the
+    * last dedup-family artifact outside the store doctrine): the one
+    * md5+64-minhash pass over the corpus is the signature build cost a
+    * production ingest pipeline pays once per corpus generation, and a
+    * fresh JVM must ADOPT it from the StoreFp sidecar instead of re-paying
+    * it (ColdWarm's jvmwarm lane). Signatures are integer-exact (multiply-
+    * mod over md5-derived longs), so the parquet round-trip is bit-exact —
+    * StoreFpSpec pins adoption == build. The session memo (one cached scan)
+    * sits above the disk check, as everywhere. */
+  private def withSig(spark: SparkSession, sfDir: String): DataFrame = {
+    val fp = graft.Tables.fingerprint(sfDir, "documents")
+    memoize(spark, sfDir, "minhash:" + fp) {
+      spark.table(ensureSigTable(spark, sfDir, fp))
+    }
+  }
+
+  private[graft] def ensureSigTable(spark: SparkSession, sfDir: String,
+    fp: String): String = this.synchronized {
+    val tbl = "minhash_sigs" + sfDir.replaceAll("[^A-Za-z0-9]+", "_")
+    graft.StoreFp.ensureTable(spark, tbl, fp) {
       // 3-shingle rows come from the window-lead gram builder (explode once,
       // lead×2), NOT explode(shingles(...)): the array-lambda form re-splits
       // the text per element (interpreted HOF + CollapseProject inlining).
       // Same strings → same md5-derived base hash → identical signatures.
       sigsOf(PipelineOps.gramSet(Tables.load(spark, sfDir, "documents"), 3))
+        .write.mode("overwrite").saveAsTable(tbl)
     }
+    tbl
+  }
 
   /** grams(doc_id, g) → (doc_id, sig[64]): one md5 per gram, 64 multiply-mod
     * family members, map-side partial min aggregation (the shuffle carries 64
@@ -924,11 +944,14 @@ object Dedup {
     val bucket = planes.zipWithIndex.map { case (p, i) =>
       s"CASE WHEN ${dot("v", p)} > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
     }.mkString(" + ")
-    val cosine = Similarity.sqlCos("x.v", "y.v")
+    // NORM-FACTORED within-bucket pairs (ivfGraphSqlTemplate's convention:
+    // same IEEE multiply tree, one fold per pair instead of three)
+    val cosine = s"${Similarity.sqlDot("x.v", "y.v")} / (x.nrm * y.nrm)"
     s"""WITH e AS (
        | SELECT vec_id, list_transform(embedding, z -> CAST(z AS DOUBLE)) AS v
        | FROM embeddings),
-       |b AS (SELECT vec_id, v, $bucket AS bucket FROM e),
+       |b AS (SELECT vec_id, v, sqrt(${Similarity.sqlSq("v")}) AS nrm,
+       |  $bucket AS bucket FROM e),
        |pairs AS (
        | SELECT y.vec_id AS vec_id, x.vec_id AS va, $cosine AS cosine
        | FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),

@@ -481,22 +481,36 @@ object Multimodal {
     syntheticMediaTable(spark, sfDir, "image", gradPngBytes(gradClassCount(spark, sfDir)))
       .select(col("media_id"), col("media"))
 
-  /** The memoized (doc_id, dhash) store: ONE decode+hash pass over the media
-    * corpus, shared by the batch tier (C37 reads it on both band-join sides
-    * and in the final left join) and the streaming tier's resolve (D12 looks
+  /** The (doc_id, dhash) store: ONE decode+hash pass over the media corpus,
+    * shared by the batch tier (C37 reads it on both band-join sides and in
+    * the final left join) and the streaming tier's resolve (D12 looks
     * candidate hashes up here instead of carrying them through keyed state —
     * the hash is a deterministic row-local function of the bytes, so a
-    * lookup is bit-identical to having carried it). Same memo discipline as
-    * C2's signature store. */
+    * lookup is bit-identical to having carried it). PERSISTED under the
+    * StoreFp sidecar (r15 verdict #3): the decode+hash pass is the media
+    * corpus-generation cost, and a fresh JVM adopts the table instead of
+    * re-decoding — dhashes are 64-bit ints of deterministically-synthesized
+    * PNGs through a deterministic decode, so adoption is bit-exact
+    * (StoreFpSpec pins it). Session memo on top, C2's discipline. */
   private[graft] def mediaHashes(spark: SparkSession, sfDir: String): DataFrame = {
+    val fp = "mediahash:" + graft.Tables.fingerprint(sfDir, "documents")
+    Dedup.memoize(spark, sfDir, fp) {
+      spark.table(ensureMediaHashTable(spark, sfDir, fp))
+    }
+  }
+
+  private[graft] def ensureMediaHashTable(spark: SparkSession, sfDir: String,
+    fp: String): String = this.synchronized {
     import spark.implicits._
-    Dedup.memoize(spark, sfDir,
-      "mediahash:" + graft.Tables.fingerprint(sfDir, "documents")) {
+    val tbl = "media_hashes" + sfDir.replaceAll("[^A-Za-z0-9]+", "_")
+    graft.StoreFp.ensureTable(spark, tbl, fp) {
       syntheticMediaTable(spark, sfDir, "image",
           gradPngBytes(gradClassCount(spark, sfDir)))
         .mapPartitions(_.map(row => (row.media_id, dHashOfBytes(row.media))))
         .toDF("doc_id", "dhash")
+        .write.mode("overwrite").saveAsTable(tbl)
     }
+    tbl
   }
 
   def dedupMedia(spark: SparkSession, sfDir: String): DataFrame = {

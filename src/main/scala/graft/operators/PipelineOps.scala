@@ -773,20 +773,26 @@ object PipelineOps {
     * sdups, ONE text shared by the v3 and v4 oracles (mirrors
     * [[semanticTierSampled]] being shared on the Spark side). */
   private def semanticTierCtesSql(sfDir: String): String = {
-    def cos(a: String, b: String) = graft.operators.Similarity.sqlCos(a, b)
+    import graft.operators.Similarity.{sqlDot, sqlSq}
+    // NORM-FACTORED (streamDedupSemanticSql's convention): norms once per
+    // survivor vector / centroid, cosine = dot/(nrm·nrm) — the same IEEE
+    // multiply tree as the per-pair sqlCos, bit-identical doubles
     s"""sur AS (SELECT doc_id, lang, clf_score, lm_score, n_tokens, n_removed, kept_text
       |        FROM k WHERE doc_id = rep),
-      |e AS (SELECT vec_id, list_transform(embedding, z -> CAST(z AS DOUBLE)) AS v
+      |e0 AS (SELECT vec_id, list_transform(embedding, z -> CAST(z AS DOUBLE)) AS v
       |      FROM embeddings),
+      |e AS (SELECT vec_id, v, sqrt(${sqlSq("v")}) AS nrm FROM e0),
       |${graft.operators.Similarity.semanticCentroidCteFor(sfDir)},
+      |cn AS (SELECT cid, cv, sqrt(${sqlSq("cv")}) AS cnrm FROM c),
       |sasn AS (
-      | SELECT vec_id, v, cid,
+      | SELECT vec_id, v, nrm, cid,
       |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rk
-      | FROM (SELECT x.vec_id, x.v, c.cid, ${cos("x.v", "c.cv")} AS csim
-      |       FROM e x JOIN sur s ON x.vec_id = s.doc_id, c) t),
-      |sassigned AS (SELECT vec_id, v, cid FROM sasn WHERE rk = 1),
+      | FROM (SELECT x.vec_id, x.v, x.nrm, cn.cid,
+      |   ${sqlDot("x.v", "cn.cv")} / (x.nrm * cn.cnrm) AS csim
+      |       FROM e x JOIN sur s ON x.vec_id = s.doc_id, cn) t),
+      |sassigned AS (SELECT vec_id, v, nrm, cid FROM sasn WHERE rk = 1),
       |sranked AS (
-      | SELECT vec_id, v, cid,
+      | SELECT vec_id, v, nrm, cid,
       |  ROW_NUMBER() OVER (PARTITION BY cid ORDER BY vec_id) AS krank
       | FROM sassigned),
       |sdups AS (
@@ -794,7 +800,8 @@ object PipelineOps {
       | FROM sranked x JOIN sranked y
       |  ON x.cid = y.cid AND x.krank < y.krank
       |   AND y.krank <= ${graft.operators.Dedup.MaxBucket}
-      | WHERE ${cos("x.v", "y.v")} >= ${graft.operators.Similarity.SemanticTau})""".stripMargin
+      | WHERE ${sqlDot("x.v", "y.v")} / (x.nrm * y.nrm) >= ${
+          graft.operators.Similarity.SemanticTau})""".stripMargin
   }
 
   /** C49's oracle: the unsalted C47 rule CTEs gate the raw corpus, the C48

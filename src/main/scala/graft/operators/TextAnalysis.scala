@@ -704,7 +704,158 @@ object TextAnalysis {
       |FROM rk WHERE rnk <= 3
       |ORDER BY doc_id, rnk""".stripMargin
 
+  // ----- C59: distributed BPE tokenizer TRAINING (`bpe_train`) -----
+
+  /** Merge-round count — a small deterministic vocab for the graded gate; a
+    * production run raises it (`-Dgraft.bpe.train.rounds`). The oracle text
+    * and the model-blob fingerprint both derive from this value, so a
+    * retune regenerates the SQL and retrains loudly. */
+  private[graft] def bpeTrainRounds: Int =
+    sys.props.get("graft.bpe.train.rounds").map(_.toInt).getOrElse(8)
+
+  /** Wrapped symbol-sequence string form: every symbol rides between its OWN
+    * marker pair (\u0001 sym \u0002), so `replace` of a wrapped pair is
+    * exactly BPE's leftmost non-overlapping merge application — a single
+    * SHARED separator would consume the delimiter between back-to-back
+    * matches ("a a a a" would merge to "aa a a", not "aa aa"). The markers
+    * can never collide with symbol text: symbols are [a-z]+ by
+    * construction. Same encoding in the oracle (chr(1)/chr(2)). */
+  private val SymL = "\u0001"
+  private val SymR = "\u0002"
+
+  /** C59's training corpus: the distinct-WORD frequency table — the classic
+    * BPE-trainer reduction. ONE corpus-wide shuffle builds it; every merge
+    * round thereafter iterates over the vocabulary (bounded by language,
+    * not corpus size), which is what makes k rounds affordable at 100 TB. */
+  private def bpeWordFreqs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "documents")
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("f"))
+
+  /** The per-round pair-count frame over a (f, s) wrapped-vocab relation:
+    * unwrap to the symbol array, pair adjacent symbols row-locally, ONE
+    * partial-aggregating hash shuffle on (lhs, rhs) — the C53 de-skew
+    * discipline (map-side combine carries one slim row per pair per task).
+    * Exposed for the plan gate. */
+  private[graft] def bpePairCounts(vocab: DataFrame): DataFrame =
+    vocab
+      .select(col("f"), split(expr("substring(s, 2, length(s) - 2)"),
+        SymR + SymL).as("syms"))
+      .select(col("f"), explode(expr(
+        "transform(slice(syms, 1, size(syms) - 1), (x, i) -> struct(x AS l, syms[i + 1] AS r))")).as("p"))
+      .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
+      .agg(sum(col("f")).as("cnt"))
+
+  /** Round-1 pair counts for a dir (the plan-gate entry point). */
+  private[graft] def bpePairCountsFor(spark: SparkSession, sfDir: String): DataFrame =
+    bpePairCounts(bpeWordFreqs(spark, sfDir)
+      .select(col("f"), regexp_replace(col("word"), "(.)", SymL + "$1" + SymR).as("s")))
+
+  // dir -> (fingerprint:rounds tag, merges)
+  private val bpeMergesCache =
+    scala.collection.concurrent.TrieMap.empty[String, (String, Seq[(Int, String, String, Long)])]
+
+  def clearBpeCache(): Unit = bpeMergesCache.clear()
+
+  /** Train the merges table: `bpeTrainRounds` rounds of global top-pair
+    * counting — each round ONE groupBy over the wrapped vocabulary, argmax
+    * by (count DESC, lhs, rhs) — then apply the merge to the vocab as one
+    * row-local `replace` and localCheckpoint the result (flat plans, the
+    * Lloyd discipline: only ONE slim row reaches the driver per round).
+    * Persisted as a StoreFp model blob: the trained tokenizer is a corpus
+    * artifact, adopted bit-exactly by later sessions (counts and symbols
+    * are integers/ASCII — text lines round-trip exactly). */
+  def trainBpeMerges(spark: SparkSession, sfDir: String): Seq[(Int, String, String, Long)] = {
+    val tag = graft.Tables.fingerprint(sfDir, "documents") + ":r" + bpeTrainRounds
+    bpeMergesCache.get(sfDir).filter(_._1 == tag).map(_._2).getOrElse(this.synchronized {
+      bpeMergesCache.get(sfDir).filter(_._1 == tag).map(_._2).getOrElse {
+        val lines = graft.StoreFp.ensureModel(
+          "bpe_merges" + sfDir.replaceAll("[^A-Za-z0-9]+", "_"), tag) {
+          trainBpeUncached(spark, sfDir).map { case (rk, l, r, c) => s"$rk $l $r $c" }
+        }
+        val merges = lines.map { ln =>
+          val p = ln.split(' '); (p(0).toInt, p(1), p(2), p(3).toLong)
+        }
+        bpeMergesCache(sfDir) = (tag, merges)
+        merges
+      }
+    })
+  }
+
+  private def trainBpeUncached(spark: SparkSession,
+    sfDir: String): Seq[(Int, String, String, Long)] = {
+    var vocab = bpeWordFreqs(spark, sfDir)
+      .select(col("f"), regexp_replace(col("word"), "(.)", SymL + "$1" + SymR).as("s"))
+      .localCheckpoint()
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    for (rk <- 1 to bpeTrainRounds) {
+      val top = bpePairCounts(vocab)
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      require(top.nonEmpty,
+        s"bpe_train: vocabulary exhausted at round $rk/$bpeTrainRounds — " +
+          "corpus too small for the configured merge count " +
+          "(-Dgraft.bpe.train.rounds)")
+      val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      out += ((rk, l, r, c))
+      vocab = vocab.select(col("f"),
+        replace(col("s"), lit(SymL + l + SymR + SymL + r + SymR),
+          lit(SymL + l + r + SymR)).as("s"))
+        .localCheckpoint()
+    }
+    out.result()
+  }
+
+  /** C59 — the registered query: the rank-ordered merges table (what C10b's
+    * tokenizer consumes as its merges input). Tiny by contract — R rows. */
+  def bpeTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    trainBpeMerges(spark, sfDir)
+      .toDF("merge_rank", "lhs", "rhs", "pair_count")
+      .select(col("merge_rank"), col("lhs"), col("rhs"),
+        concat(col("lhs"), col("rhs")).as("merged"), col("pair_count"))
+      .orderBy(col("merge_rank"))
+  }
+
+  /** C59's oracle: the full trainer re-derived in SQL — word-frequency CTE,
+    * then per round a pair-count CTE (list pairing over the unwrapped
+    * symbol list), a LIMIT-1 argmax with the same (cnt DESC, lhs, rhs)
+    * tie-break, and the wrapped-string `replace` merge application —
+    * integer counts and ASCII symbols throughout, so the compare is exact.
+    * A def (init-order rule). */
+  def bpeTrainSql: String = {
+    val rounds = (1 to bpeTrainRounds).map { i =>
+      val prev = s"s${i - 1}"
+      s"""r$i AS MATERIALIZED (
+         | SELECT p.l AS lhs, p.r AS rhs, CAST(SUM(f) AS BIGINT) AS cnt
+         | FROM (
+         |  SELECT f, unnest(list_transform(range(1, len(syms)), j ->
+         |    struct_pack(l := syms[j], r := syms[j + 1]))) AS p
+         |  FROM (SELECT f, string_split(substring(s, 2, length(s) - 2),
+         |        chr(2) || chr(1)) AS syms FROM $prev))
+         | GROUP BY p.l, p.r),
+         |m$i AS MATERIALIZED (SELECT lhs, rhs, cnt FROM r$i ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+         |s$i AS MATERIALIZED (SELECT f, replace(s,
+         |   chr(1) || (SELECT lhs FROM m$i) || chr(2) || chr(1) || (SELECT rhs FROM m$i) || chr(2),
+         |   chr(1) || (SELECT lhs FROM m$i) || (SELECT rhs FROM m$i) || chr(2)) AS s
+         | FROM $prev)""".stripMargin
+    }.mkString(",\n")
+    val rows = (1 to bpeTrainRounds).map(i =>
+      s"SELECT $i AS merge_rank, lhs, rhs, lhs || rhs AS merged, cnt AS pair_count FROM m$i")
+      .mkString("\n UNION ALL ")
+    s"""WITH wx AS (
+       | SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+       | FROM documents),
+       |w AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS f FROM wx GROUP BY word),
+       |s0 AS MATERIALIZED (SELECT f, regexp_replace(word, '(.)', chr(1) || '\\1' || chr(2), 'g') AS s FROM w),
+       |$rounds
+       |SELECT CAST(merge_rank AS INT) AS merge_rank, lhs, rhs, merged, pair_count
+       |FROM ($rows)
+       |ORDER BY merge_rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bpe_train" -> (bpeTrain _),
     "text_tfidf" -> (textTfidf _),
     "text_tokens" -> (textTokens _),
     "text_tokens_bpe" -> (textTokensBpe _),
@@ -716,6 +867,7 @@ object TextAnalysis {
     "text_gopher" -> (textGopher _))
 
   val oracles: Map[String, String] = Map(
+    "bpe_train" -> bpeTrainSql,
     "text_tfidf" -> textTfidfSql,
     "text_tokens" -> textTokensSql,
     "text_tokens_bpe" -> textTokensBpeSql,

@@ -53,6 +53,7 @@ object ColdWarm {
       graft.operators.Dedup.clear()
       graft.operators.Similarity.clearCaches()
       graft.operators.TextAnalysis.clearLmCache()
+      graft.operators.TextAnalysis.clearBpeCache()
       graft.streaming.Streams.clearIngestStores()
     }
     // genuine cold: memos AND the persisted store fingerprints go — without
@@ -99,6 +100,9 @@ object ColdWarm {
       // merged bucketed index + base graph + the O(batch) append legs
       ("knn_graph_append_store", "knn_graph_append", () => run("knn_graph_append")),
       ("lm_model", "lm_store_probe", () => lmStoreProbe()),
+      // r16: the trained BPE merges blob — cold pays the word-frequency
+      // shuffle plus k top-pair rounds; warm/jvmwarm are a model-blob load
+      ("bpe_model", "bpe_train", () => run("bpe_train")),
       ("stream_ingest_store", "stream_dedup_semantic", () => run("stream_dedup_semantic")),
       ("ivf_append_store", "stream_ivf_append", () => run("stream_ivf_append")))
     def r3(v: Double) =

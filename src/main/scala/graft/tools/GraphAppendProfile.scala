@@ -34,6 +34,13 @@ object GraphAppendProfile {
       noop(graft.operators.Similarity.knnGraphAppendEdges(spark, sfDir)))
     timeMin("full_rebuild")(
       noop(graft.operators.Similarity.knnGraphRebuildEdges(spark, sfDir)))
+    // the O(batch) contract is per leg — split the append so the evidence
+    // names what scales with the batch (both legs) vs what is shared with
+    // the rebuild (the global merge rank over slim shortlist rows)
+    timeMin("leg_new_queries")(
+      noop(graft.operators.Similarity.knnGraphAppendLegNew(spark, sfDir)))
+    timeMin("leg_reverse")(
+      noop(graft.operators.Similarity.knnGraphAppendLegReverse(spark, sfDir)))
     spark.stop()
   }
 }

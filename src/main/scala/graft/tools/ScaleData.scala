@@ -33,6 +33,11 @@ object ScaleData {
     val dst = if (args.length > 1) args(1)
       else s"${GraftConf.localRoot}/testdata/sf1"
     val copies = if (args.length > 2) args(2).toInt else 10
+    // optional table filter (comma list), e.g. "embeddings" for the
+    // ANN-profile-only 100× corpus — the full-table default is the sf1 gen
+    val only: String => Boolean = args.lift(3)
+      .map(_.split(',').toSet).map(s => s.contains(_: String))
+      .getOrElse(_ => true)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftConf(SparkSession.builder().master(s"local[$cpus]"), cpus)
       .getOrCreate()
@@ -47,6 +52,7 @@ object ScaleData {
     /** Single-file output, mirroring the driver's one-parquet-per-table layout
       * (check.py and Tables.load read `<dir>/<name>.parquet` as one path). */
     def writeOne(df: DataFrame, name: String): Unit = {
+      if (!only(name)) return
       val tmp = new java.io.File(s"$dst/__tmp_$name")
       df.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
       val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head

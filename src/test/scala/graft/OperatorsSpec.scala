@@ -373,6 +373,46 @@ class OperatorsSpec extends SparkSpec {
       "knn_graph_pq's bounded slice diverged from knnJoinPq")
   }
 
+  test("bpe_train equals a brute-force in-memory BPE trainer") {
+    // C59's ground-truth pin: the distributed k-round top-pair trainer must
+    // reproduce a direct in-memory implementation of the classic algorithm
+    // — word-frequency weighting, overlapping adjacent-pair counts,
+    // (count DESC, lhs, rhs) argmax, leftmost non-overlapping merge
+    // application — on the real fixture corpus. This is the value-level
+    // check the oracle (which re-derives the same rounds in SQL) can't add.
+    val rounds = operators.TextAnalysis.bpeTrainRounds
+    val texts = Tables.load(spark, sfDir, "documents")
+      .select("text").collect().map(_.getString(0))
+    val freqs = texts.flatMap(t => "[a-z]+".r.findAllIn(t.toLowerCase))
+      .groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+    def applyMerge(syms: Vector[String], l: String, r: String): Vector[String] = {
+      val b = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          b += (syms(i) + syms(i + 1)); i += 2
+        } else { b += syms(i); i += 1 }
+      }
+      b.result()
+    }
+    var vocab: Map[String, (Vector[String], Long)] =
+      freqs.map { case (w, f) => w -> (w.map(_.toString).toVector, f) }
+    val expected = (1 to rounds).map { rk =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      vocab.values.foreach { case (syms, f) =>
+        syms.iterator.zip(syms.iterator.drop(1)).foreach(p => counts(p) += f)
+      }
+      val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+      vocab = vocab.map { case (w, (syms, f)) => w -> (applyMerge(syms, l, r), f) }
+      Seq[Any](rk, l, r, l + r, c)
+    }
+    val got = SparkEntry.queries("bpe_train")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(got == expected,
+      s"distributed BPE trainer diverged from brute force:\n$got\nvs\n$expected")
+  }
+
   test("knn_graph_append equals a full rebuild over the merged corpus, both sides populated") {
     // the C56 exactness contract: merging the persisted base graph with the
     // two O(batch) append legs must reproduce the from-scratch graph over

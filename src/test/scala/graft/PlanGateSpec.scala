@@ -118,12 +118,15 @@ class PlanGateSpec extends SparkSpec {
     // the filter must preserve the bucketed scan's partitioning
     Gate("knn_graph_append_base", maxHashEx = 2, maxSortMerge = 1, maxRangeEx = 0,
       via = Some(operators.Similarity.knnGraphBaseEdges _)),
-    // C56 APPEND step: two probe legs (new queries vs merged index, corpus
-    // queries vs the batch slice of the index — both corpus sides
-    // exchange-free bucketed scans) + ONE shared global rank over the
-    // merged shortlists; the persisted base graph enters as a plain store
-    // scan with no exchange of its own
-    Gate("knn_graph_append", maxHashEx = 3, maxSortMerge = 2, maxRangeEx = 0,
+    // C56 APPEND step: three hash exchanges — the batch leg's probe cid
+    // meet, the reverse leg's affected-probe cid meet, the shared global
+    // rank — and three SMJs (two scorings + the reverse leg's
+    // zero-exchange bucketed vector fetch). The persisted base graph and
+    // probe-list stores enter as plain scans; the batch cid set rides the
+    // bucketed index scan into a broadcast with no hash exchange. The
+    // dedicated reverse-leg test below pins the no-corpus-replanning
+    // property this row can't express.
+    Gate("knn_graph_append", maxHashEx = 3, maxSortMerge = 3, maxRangeEx = 0,
       via = Some(operators.Similarity.knnGraphAppendEdges _)),
     // C54: the verdict CONSUMER plan — reads the persisted graph store
     // (never re-scores the corpus: no cosine kernel may appear), one
@@ -138,6 +141,14 @@ class PlanGateSpec extends SparkSpec {
     // is pinned in the dedicated dedup_semantic_clusters/knn_negatives test)
     Gate("knn_negatives", maxHashEx = 1, maxSortMerge = 0),
     Gate("sim_ivf_append", maxHashEx = 0, maxRangeEx = 0, needPartitionFilters = true),
+    // C59's round-1 pair count from raw text: the word-frequency rollup's
+    // hash shuffle + ONE partial-aggregating (lhs, rhs) shuffle of slim
+    // count rows — the C53 de-skew discipline (later rounds reuse the
+    // checkpointed vocab, dropping to one exchange); gated via the round
+    // builder (the registered query is a model read)
+    Gate("bpe_train", maxHashEx = 2, maxRangeEx = 0,
+      via = Some((s: org.apache.spark.sql.SparkSession, d: String) =>
+        operators.TextAnalysis.bpePairCountsFor(s, d))),
     // C53: tf and df are both pair-grain partial aggregates (the occurrence
     // stream shuffles ONLY as (doc_id, term) pairs — the measured shape
     // plans the tf subtree twice because each branch prunes different
@@ -415,6 +426,36 @@ class PlanGateSpec extends SparkSpec {
         s"knn_negatives left the persisted C52 graph store ($graphTbl):\n${negPlan.take(2000)}")
       assert(!negPlan.contains("graft_cosine") && !negPlan.contains("graft_nearest_cids"),
         s"knn_negatives re-scores the corpus:\n${negPlan.take(2000)}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("plan gate: knn_graph_append's reverse leg is O(batch) — probe-list store join, no corpus-wide probe re-planning") {
+    // the r15 verdict's one weak, pinned closed: the append step may derive
+    // probe lists row-locally ONLY for the batch queries — the corpus side
+    // must come from the persisted probe-list store joined against the
+    // batch cid set, with affected vectors point-read from the
+    // vec_id-bucketed store. A second graft_nearest_cids site (or the
+    // probe/vector stores leaving the plan) means the append regressed to
+    // re-planning all N corpus rows per nightly batch.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val slug = sfDir.replaceAll("[^A-Za-z0-9]+", "_")
+      val df = operators.Similarity.knnGraphAppendEdges(spark, sfDir)
+      df.write.format("noop").mode("overwrite").save()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("knn_probes" + slug),
+        s"reverse leg left the persisted probe-list store:\n${plan.take(2000)}")
+      assert(plan.contains("vec_bkt" + slug),
+        s"reverse leg left the vec_id-bucketed point-read store:\n${plan.take(2000)}")
+      val planSites = plan.linesIterator.count(_.contains("graft_nearest_cids"))
+      assert(planSites == 1,
+        s"expected exactly ONE row-local probe-planning site (the batch " +
+          s"leg); found $planSites:\n${plan.take(3000)}")
+      // ...and that one site must sit under the batch filter, not a full
+      // corpus scan: the Generate's subtree carries the % 10 = 9 predicate
+      assert(plan.contains("% 10) = 9"),
+        s"the one probe-planning site lost its batch filter:\n${plan.take(3000)}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 

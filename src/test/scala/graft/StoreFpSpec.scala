@@ -39,6 +39,29 @@ class StoreFpSpec extends SparkSpec {
         "on-disk fingerprint should have validated it")
   }
 
+  test("minhash signature and media-hash stores persist and adopt bit-exactly (r15 #3)") {
+    // the last two memo-only derived stores joined the doctrine this round:
+    // one signature pass / one decode+hash pass per corpus generation,
+    // adopted as-is (no file rewritten) by a fresh-memo session, with
+    // bit-identical query results on top
+    val slug = sfDir.replaceAll("[^A-Za-z0-9]+", "_")
+    for ((tbl, q) <- Seq(
+        ("minhash_sigs" + slug, "dedup_minhash"),
+        ("media_hashes" + slug, "dedup_media"))) {
+      val r1 = SparkEntry.queries(q)(spark, sfDir).collect().map(_.toSeq).toSeq
+      val dir = tableDir(tbl)
+      assert(new java.io.File(dir, "_graft_store_fp").isFile,
+        s"$tbl build did not commit its fingerprint sidecar")
+      val l1 = listing(dir)
+      operators.Dedup.clear()
+      operators.Similarity.clearCaches()
+      val r2 = SparkEntry.queries(q)(spark, sfDir).collect().map(_.toSeq).toSeq
+      assert(r2 == r1, s"$q drifted after memo eviction")
+      assert(listing(dir) == l1,
+        s"a valid persisted $tbl store was rebuilt after memo eviction")
+    }
+  }
+
   test("a never-registered table with a matching sidecar is adopted, with its bucket spec") {
     // the true fresh-JVM path: the catalog has NEVER seen this name, only
     // the directory + sidecar exist (here: a byte-copy of the real store)
