@@ -51,10 +51,13 @@ object Bench {
     // the first timed rep, distorting dedup_incremental* sweep readings)
     // (r14: the persisted kNN-graph stores joined — the graph is built once
     // per corpus generation; C52/C52b/C54 consume it)
+    // (r16: bpe_train's merges blob and D21's stream-replayed graph store
+    // joined — both one-time builds their first timed rep must not absorb)
     Seq("dedup_semantic", "knn_join_ivf", "knn_join_pq", "dedup_media",
       "stream_dedup_semantic", "stream_ivf_append",
       "dedup_incremental", "dedup_incremental_near",
-      "knn_graph", "knn_graph_pq", "knn_graph_append").foreach { name =>
+      "knn_graph", "knn_graph_pq", "knn_graph_append",
+      "bpe_train", "stream_knn_graph_append").foreach { name =>
       warm(name)(SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save())
     }

@@ -1837,6 +1837,101 @@ object Streams extends Serializable {
       Seq(basePath, appendDir.getAbsolutePath), codebook)
   }
 
+  // ----- D21: streaming kNN-graph maintenance (C56 as continuous ingest) -----
+
+  /** D21 — continuous graph maintenance (`stream_knn_graph_append`): C56's
+    * O(batch) append run per micro-batch over D11's ingest backlog — the
+    * WRITE path that keeps both the serving index layout and the neighbor
+    * GRAPH store current as vectors arrive. Each micro-batch:
+    *
+    *  1. appends its frozen-codebook-assigned rows to the stream index
+    *     layout (new files only — D11's append pattern), so the batch is a
+    *     first-class ANN candidate the moment it commits;
+    *  2. derives its probe lists ONCE, row-locally (the only probe planning
+    *     in the batch — C56's plan-gate contract), and computes the two
+    *     shortlist legs: new-queries vs corpus (exchange-free bucketed
+    *     scan) + stream-so-far, and reverse-candidates from the PERSISTED
+    *     probe stores (the corpus store AND the stream-side store of prior
+    *     arrivals) joined to this batch's cid set — all ∝ batch/affected,
+    *     never a corpus re-plan or re-score;
+    *  3. merges the shortlists with the running FULL-PRECISION graph store
+    *     (C56's exact global rank) and swaps the store;
+    *  4. only then appends its own probe lists to the stream probe store —
+    *     the reverse legs of FUTURE batches join them there.
+    *
+    * By C56's exactness argument applied inductively per batch, the drained
+    * graph equals the appended-corpus rebuild ROW-FOR-ROW regardless of
+    * batch slicing (spec-pinned across maxFilesPerTrigger=1 multi-batch
+    * runs), so the query shares C56's oracle verbatim. Replay contract is
+    * D11's: fresh checkpoint into fresh store dirs per (re)build, reuse via
+    * the manifest sidecar under a corpus-K-tagged key. */
+  def streamKnnGraphAppend(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Similarity
+    // bind the frozen corpus codebook, base graph, probe-list and vector
+    // stores BEFORE streaming (store doctrine + oracle-binding rule)
+    val baseTbl = Similarity.ensureBaseGraphTable(spark, sfDir)
+    val stageDir = embBatchStageDir(sfDir)
+    stageEmbeddingsBatch(spark, sfDir, stageDir)
+    val cp = new java.io.File(checkpointDir(sfDir, "stream_knn_graph_append"))
+    val graphDir = storeSibling(cp, "_graph")
+    val idxDir = storeSibling(cp, "_idx")
+    val probesDir = storeSibling(cp, "_probes")
+    val reuseKey = "streamgraph:" + Similarity.corpusIvfFpTag(spark, sfDir)
+    reuseOrBuild(graphDir, Some(reuseKey)) {
+      Seq(cp, graphDir, idxDir, probesDir)
+        .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+      // seed the running graph with the corpus-only base, full precision
+      spark.table(baseTbl).write.mode("overwrite")
+        .parquet(graphDir.getAbsolutePath)
+      val src = spark.readStream.schema(EmbSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stageDir.getAbsolutePath)
+      withStreamShufflePartitions(spark) {
+        val q = src.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val s = batch.sparkSession
+            val batchQ = batch.select(col("vec_id").as("q_id"),
+              transform(col("embedding"), x => x.cast("double")).as("q"))
+            val batchProbes = Similarity.corpusProbesOf(s, sfDir, batchQ)
+            // (1) index append: new files in their cid partitions only
+            val assigned = batchQ
+              .select(col("q_id").as("vec_id"), col("q").as("v"))
+              .withColumn("cid", graft.functions.GraftFunctions
+                .nearestCidBroadcast(s, col("v"),
+                  Similarity.corpusCodebook(s, sfDir)).cast("bigint"))
+            assigned.write.mode("append").partitionBy("cid")
+              .parquet(idxDir.getAbsolutePath)
+            val streamIdx = s.read.parquet(idxDir.getAbsolutePath)
+              .select(col("vec_id"), col("v"), col("cid").cast("bigint").as("cid"))
+            // (2) the two legs — prior probes exclude THIS batch (step 4
+            // hasn't run yet, so the scan can't see them)
+            val prior =
+              if (probesDir.isDirectory) s.read.parquet(probesDir.getAbsolutePath)
+              else batchProbes.limit(0)
+            val shortlists = Similarity.streamGraphBatchShortlists(
+              s, sfDir, batchQ, streamIdx, assigned, prior)
+            // (3) exact merge with the running graph, then swap
+            val prev = s.read.parquet(graphDir.getAbsolutePath)
+            val tmp = storeSibling(cp, "_graph_tmp")
+            org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+            Similarity.graphMergeTop5Full(prev, shortlists)
+              .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+            org.apache.commons.io.FileUtils.deleteQuietly(graphDir)
+            org.apache.commons.io.FileUtils.moveDirectory(tmp, graphDir)
+            // (4) publish this batch's probe lists for future reverse legs
+            batchProbes.write.mode("append").parquet(probesDir.getAbsolutePath)
+            ()
+          }
+          .option("checkpointLocation", cp.getAbsolutePath)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+    }
+    Similarity.graphDisplay(spark.read.parquet(graphDir.getAbsolutePath))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   // ----- D19: continuous ANN query (C38b's kNN join as a stream) -----
 
   /** D19 — continuous similarity QUERY (`stream_knn`): C38b's kNN join run
@@ -2131,6 +2226,7 @@ object Streams extends Serializable {
     "stream_dedup_media" -> (streamDedupMedia _),
     "stream_ivf_append" -> (streamIvfAppend _),
     "stream_knn" -> (streamKnn _),
+    "stream_knn_graph_append" -> (streamKnnGraphAppend _),
     "stream_decontam_semantic" -> (streamDecontamSemantic _),
     "stream_quality_gate" -> (streamQualityGate _),
     "stream_classify" -> (streamClassify _),

@@ -459,6 +459,38 @@ class PlanGateSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("plan gate: D21's per-batch legs plan probes for the BATCH only and read both probe stores") {
+    // the streaming form of the C56 gate: with an in-memory micro-batch as
+    // input, the per-batch shortlist plan may contain row-local probe
+    // planning ONLY over that batch (two sites — the corpus piece and the
+    // stream piece of the new-queries leg share the batch probe frame), and
+    // the reverse leg must come from the persisted probe-list store joined
+    // to the batch cid set with point-reads from the vec_id-bucketed store.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      import spark.implicits._
+      val slug = sfDir.replaceAll("[^A-Za-z0-9]+", "_")
+      val batchQ = Seq((9L, Seq.fill(64)(0.1)), (19L, Seq.fill(64)(0.2)))
+        .toDF("q_id", "q")
+      val idx = Seq((9L, Seq.fill(64)(0.1), 0L)).toDF("vec_id", "v", "cid")
+      val prior = Seq.empty[(Long, Seq[Double], Long)].toDF("q_id", "q", "cid")
+      val df = operators.Similarity.streamGraphBatchShortlists(
+        spark, sfDir, batchQ, idx, idx, prior)
+      df.write.format("noop").mode("overwrite").save()
+      val plan = df.queryExecution.executedPlan.toString
+      val planSites = plan.linesIterator.count(_.contains("graft_nearest_cids"))
+      assert(planSites == 2,
+        s"expected exactly TWO batch-local probe-planning sites; found $planSites:\n${plan.take(3000)}")
+      assert(!plan.contains("embeddings.parquet"),
+        s"the per-batch legs scanned the raw corpus:\n${plan.take(3000)}")
+      assert(plan.contains("knn_probes" + slug),
+        s"reverse leg left the persisted corpus probe-list store:\n${plan.take(2000)}")
+      assert(plan.contains("vec_bkt" + slug),
+        s"reverse leg left the vec_id-bucketed point-read store:\n${plan.take(2000)}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("plan gate: knn_join_ivf plans probes distributedly — nothing query-sized on the driver") {
     // the |Q| ∝ N contract: probe lists come from the row-local
     // graft_nearest_cids_bc kernel (codebook broadcast is O(K)), the query

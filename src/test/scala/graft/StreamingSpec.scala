@@ -899,6 +899,27 @@ class StreamingSpec extends SparkSpec {
     assert(nBatches >= 3, s"expected >=3 committed micro-batches, got $nBatches")
   }
 
+  test("stream_knn_graph_append drains to exactly C56's appended graph, multi-batch") {
+    // D21's exactness contract: per-batch append legs merged into the
+    // running full-precision graph must reproduce C56's appended graph —
+    // itself spec-pinned equal to the full rebuild — ROW-FOR-ROW, and the
+    // result must be independent of batch slicing (the staged backlog is 3
+    // files at maxFilesPerTrigger=1, pinned via the committed batch count,
+    // so the reverse legs genuinely exercise BOTH probe stores: the corpus
+    // store and prior arrivals' stream store).
+    val want = operators.Similarity.knnGraphAppend(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val got = Streams.streamKnnGraphAppend(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(got == want,
+      s"streamed graph diverged from C56:\n${got.take(5)}\nvs\n${want.take(5)}")
+    val commits = new java.io.File(
+      Streams.checkpointDir(sfDir, "stream_knn_graph_append"), "commits")
+    val nBatches = Option(commits.listFiles()).getOrElse(Array.empty)
+      .count(_.getName.forall(_.isDigit))
+    assert(nBatches >= 3, s"expected >=3 committed micro-batches, got $nBatches")
+  }
+
   test("stream_decontam_semantic drains to exactly the batch C55 report, multi-batch") {
     // D20 is stateless per batch (frozen bench set; a vector's max reads
     // only the static bench side), so the drained backlog must equal C55
