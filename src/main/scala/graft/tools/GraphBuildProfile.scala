@@ -19,7 +19,8 @@ object GraphBuildProfile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // one warm-up query so JVM/codegen startup doesn't land in stage 1
-    graft.SparkEntry.queries("q1_pricing_summary")(spark, sfDir)
+    // (embeddings-only, so the profile also runs on ANN-only scale dirs)
+    graft.SparkEntry.queries("sim_topk")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     // genuine cold for the graph family: memos AND store sidecars go
     graft.operators.Similarity.clearCaches()

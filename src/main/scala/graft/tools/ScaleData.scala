@@ -38,6 +38,14 @@ object ScaleData {
     val only: String => Boolean = args.lift(3)
       .map(_.split(',').toSet).map(s => s.contains(_: String))
       .getOrElse(_ => true)
+    // optional part-file count (default 1 = the driver's one-file layout).
+    // A replicated corpus compresses so well (exact copies + dictionary)
+    // that a single 2 MiB file is ONE input split — every "distributed"
+    // profile stage would run on one task, which is the opposite of what a
+    // profile corpus exists to measure. parts>1 writes `<name>.parquet/`
+    // as a DIRECTORY of that many files (Tables.load and fingerprint both
+    // handle directories; check.py doesn't read aux profile dirs).
+    val parts = args.lift(4).map(_.toInt).getOrElse(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftConf(SparkSession.builder().master(s"local[$cpus]"), cpus)
       .getOrCreate()
@@ -53,6 +61,14 @@ object ScaleData {
       * (check.py and Tables.load read `<dir>/<name>.parquet` as one path). */
     def writeOne(df: DataFrame, name: String): Unit = {
       if (!only(name)) return
+      if (parts > 1) {
+        val dest = new java.io.File(s"$dst/$name.parquet")
+        org.apache.commons.io.FileUtils.deleteQuietly(dest)
+        df.repartition(parts).write.mode("overwrite").parquet(dest.getAbsolutePath)
+        println(s"[scale] $name -> dir of $parts files, " +
+          s"${org.apache.commons.io.FileUtils.sizeOfDirectory(dest) / 1024 / 1024} MiB")
+        return
+      }
       val tmp = new java.io.File(s"$dst/__tmp_$name")
       df.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
       val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
