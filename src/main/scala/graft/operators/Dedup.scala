@@ -785,8 +785,8 @@ object Dedup {
     * scale; the Spark side is the one that runs at 100 TB.) */
   def dedupClustersSql: String =
     s"""WITH RECURSIVE $minhashChain,
-       |e2 AS (SELECT doc_a, doc_b FROM est WHERE agree >= 32),
-       |edges AS (
+       |e2 AS MATERIALIZED (SELECT doc_a, doc_b FROM est WHERE agree >= 32),
+       |edges AS MATERIALIZED (
        | SELECT doc_a AS s, doc_b AS d FROM e2
        | UNION
        | SELECT doc_b AS s, doc_a AS d FROM e2),
@@ -950,7 +950,7 @@ object Dedup {
     s"""WITH e AS (
        | SELECT vec_id, list_transform(embedding, z -> CAST(z AS DOUBLE)) AS v
        | FROM embeddings),
-       |b AS (SELECT vec_id, v, sqrt(${Similarity.sqlSq("v")}) AS nrm,
+       |b AS MATERIALIZED (SELECT vec_id, v, sqrt(${Similarity.sqlSq("v")}) AS nrm,
        |  $bucket AS bucket FROM e),
        |pairs AS (
        | SELECT y.vec_id AS vec_id, x.vec_id AS va, $cosine AS cosine

@@ -836,7 +836,7 @@ object Similarity {
     * τ-on-rounded-sim filter, min-id/max-sim rollup and left join back to
     * the corpus ids. */
   def dedupSemanticKnnSql(sfDir: String): String =
-    s"""WITH g AS (
+    s"""WITH g AS MATERIALIZED (
        |${knnGraphSql(sfDir)}),
        |dup AS (
        | SELECT q_id AS vec_id, MIN(cand_id) AS dup_of, MAX(sim_r) AS max_sim_r
@@ -912,7 +912,7 @@ object Similarity {
     * per-anchor rank — the band compares the ROUNDED sim on both engines
     * (bit-stable at both edges, the τ discipline). */
   def knnNegativesSql(sfDir: String): String =
-    s"""WITH g AS (
+    s"""WITH g AS MATERIALIZED (
        |${knnGraphSql(sfDir)}),
        |band AS (
        | SELECT q_id, cand_id, sim_r FROM g
@@ -931,10 +931,10 @@ object Similarity {
     * possible check on the propagation loop, since an early-terminating or
     * mis-converging iteration cannot match the mathematical fixpoint). */
   def dedupSemanticClustersSql(sfDir: String): String =
-    s"""WITH RECURSIVE g AS (
+    s"""WITH RECURSIVE g AS MATERIALIZED (
        |${knnGraphSql(sfDir)}),
-       |te AS (SELECT q_id, cand_id FROM g WHERE sim_r >= $SemanticTau),
-       |edges AS (
+       |te AS MATERIALIZED (SELECT q_id, cand_id FROM g WHERE sim_r >= $SemanticTau),
+       |edges AS MATERIALIZED (
        | SELECT q_id AS s, cand_id AS d FROM te
        | UNION
        | SELECT cand_id AS s, q_id AS d FROM te),
@@ -1802,7 +1802,7 @@ object Similarity {
     s"""WITH e AS (
        | SELECT vec_id, list_transform(embedding, z -> CAST(z AS DOUBLE)) AS v
        | FROM embeddings),
-       |b AS (SELECT vec_id, v, $bucket AS bucket FROM e),
+       |b AS MATERIALIZED (SELECT vec_id, v, $bucket AS bucket FROM e),
        |p AS (SELECT v AS pv, bucket AS pb FROM b WHERE vec_id = 0),
        |cand AS (
        | SELECT c.vec_id, c.bucket, $cosine AS sim
