@@ -932,26 +932,48 @@ object Dedup {
       .orderBy(col("vec_id"))
   }
 
+  /** The HOISTED-hyperplane sign-bucket CTEs shared by the C5/C7 oracles
+    * (r16 directive: the old form embedded each 64-double plane as a list
+    * LITERAL inside the per-index lambda — `(…64 doubles…)[i]` — so DuckDB
+    * re-constructed the list per element access, O(dim²) per dot product;
+    * at sf1 those two statements were ~270 s of the full oracle pass).
+    * Planes live ONCE in a MATERIALIZED VALUES CTE; each (vector, plane)
+    * dot keeps the identical sequential fold (list_reduce over a prepended
+    * 0 — Spark's aggregate), and the 8 sign terms combine under an integer
+    * SUM, exact in any order, so buckets are bit-identical to the inlined
+    * form. `castTo` preserves each caller's historical bucket type. */
+  private[operators] def hoistedPlanesCtes(castTo: String): String = {
+    val planes = hyperplanes(8, 64)
+    val values = planes.zipWithIndex
+      .map { case (p, i) => s"($i, ${p.mkString("[", ", ", "]")})" }
+      .mkString(",\n  ")
+    val dot = "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      "list_transform(range(1, 65), i -> e.v[i] * pl.pv[i])), (a, b) -> a + b)"
+    s"""planes AS MATERIALIZED (
+       | SELECT * FROM (VALUES
+       |  $values) AS t(pid, pv)),
+       |sig AS MATERIALIZED (
+       | SELECT e.vec_id, CAST(SUM(CASE WHEN $dot > 0
+       |   THEN CAST(1 AS BIGINT) << pl.pid ELSE CAST(0 AS BIGINT) END) AS $castTo) AS bucket
+       | FROM e, planes pl GROUP BY e.vec_id)""".stripMargin
+  }
+
   /** Generated DuckDB oracle for C5: the hyperplane literals are inlined from
-    * the same seeded array the Spark side uses, and every float fold is
-    * sequential (list_reduce with a prepended 0 ≡ Spark's aggregate/native
+    * the same seeded array the Spark side uses (hoisted into a VALUES CTE —
+    * see [[hoistedPlanesCtes]]), and every float fold is sequential
+    * (list_reduce with a prepended 0 ≡ Spark's aggregate/native
     * single-pass), so buckets and cosines are bit-identical across engines. */
   def dedupEmbeddingSql: String = {
-    val planes = hyperplanes(8, 64)
-    def lst(p: Array[Double]) = p.mkString("[", ", ", "]")
-    def dot(vec: String, p: Array[Double]) =
-      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> $vec[i] * (${lst(p)})[i])), (a, b) -> a + b)"
-    val bucket = planes.zipWithIndex.map { case (p, i) =>
-      s"CASE WHEN ${dot("v", p)} > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
-    }.mkString(" + ")
     // NORM-FACTORED within-bucket pairs (ivfGraphSqlTemplate's convention:
     // same IEEE multiply tree, one fold per pair instead of three)
     val cosine = s"${Similarity.sqlDot("x.v", "y.v")} / (x.nrm * y.nrm)"
     s"""WITH e AS (
        | SELECT vec_id, list_transform(embedding, z -> CAST(z AS DOUBLE)) AS v
        | FROM embeddings),
-       |b AS MATERIALIZED (SELECT vec_id, v, sqrt(${Similarity.sqlSq("v")}) AS nrm,
-       |  $bucket AS bucket FROM e),
+       |${hoistedPlanesCtes("BIGINT")},
+       |b AS MATERIALIZED (SELECT e.vec_id, e.v AS v,
+       |  sqrt(${Similarity.sqlSq("e.v")}) AS nrm, s.bucket AS bucket
+       | FROM e JOIN sig s ON e.vec_id = s.vec_id),
        |pairs AS (
        | SELECT y.vec_id AS vec_id, x.vec_id AS va, $cosine AS cosine
        | FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),

@@ -617,7 +617,7 @@ object Similarity {
     * corpus codebook — what the corpus generation built before today's
     * batch existed (the batch rows are filtered off the index side; a
     * filter on a bucketed scan keeps HashPartitioning, so the plan shape
-    * is C52's exactly). Full-precision sims out ([[graphTop5Full]]): the
+    * is C52's exactly). Full-precision sims out ([[graphTop5FullRnk]]): the
     * append merge re-ranks against fresh candidates, and a rank over
     * display-rounded sims could disagree with a from-scratch build. */
   private[graft] def knnGraphBaseEdges(spark: SparkSession, sfDir: String): DataFrame = {
@@ -625,18 +625,21 @@ object Similarity {
     val corpusQ = Tables.load(spark, sfDir, "embeddings")
       .filter(col("vec_id") % 10 =!= 9)
       .select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("q"))
-    graphTop5Full(graphLocalTop5(graphProbeCandidates(spark, corpusQ,
+    graphTop5FullRnk(graphLocalTop5(graphProbeCandidates(spark, corpusQ,
       spark.table(tbl).filter(col("vec_id") % 10 =!= 9), codebook)))
   }
 
-  /** Full-precision global top-5 (q_id, vec_id, sim) — the stored form of
-    * the base graph, and the rebuild reference's pre-display stage. */
-  private def graphTop5Full(shortlist: DataFrame): DataFrame = {
+  /** Full-precision global top-5 (q_id, vec_id, sim, rnk) — the stored form
+    * of the bucketed graph stores ([[GraphStore]]): sims full precision so
+    * any later merge re-ranks exactly as a from-scratch build, the display
+    * rank STORED so consumers — and a merge's untouched q_ids — never pay a
+    * Θ(N) window again (the stored-rnk bypass). */
+  private[operators] def graphTop5FullRnk(shortlist: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
     shortlist.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
-      .select(col("q_id"), col("vec_id"), col("sim"))
+      .select(col("q_id"), col("vec_id"), col("sim"), col("rnk"))
   }
 
   /** C56 — the APPEND step (`knn_graph_append`): merge the persisted base
@@ -663,24 +666,27 @@ object Similarity {
     *    moves unless its probe list meets the batch (at a real nightly
     *    batch |affected| ≪ N; the r15 verdict's reverse-leg weak).
     *
-    * The final global rank merges base edges + both legs' per-probe
-    * shortlists: every true top-5 member is present (a corpus candidate
-    * still in the merged top-5 was in the base top-5; a batch candidate in
-    * the merged top-5 is in its probe's reverse shortlist — the persisted
-    * probe lists are bit-identical to row-local planning, same kernel,
-    * same frozen codebook), sims are full precision throughout, and the
-    * two row populations are disjoint — so the merge is EXACT, row-for-row
+    * The MERGE of base edges and both legs' per-probe shortlists is
+    * [[GraphStore.appendFrom]]'s ∝-affected bucket merge, NOT a global
+    * rank: only q_ids appearing in the shortlists can change, so only
+    * THEIR edges enter the rank window (a broadcast semi-join prunes the
+    * store side), every other q_id keeps its stored full-precision edges
+    * and rank verbatim, and buckets with no affected q_id are byte-
+    * identical file copies of the base store. Exactness is unchanged:
+    * every true top-5 member is present (a corpus candidate still in the
+    * merged top-5 was in the base top-5; a batch candidate in the merged
+    * top-5 is in its probe's reverse shortlist — the persisted probe
+    * lists are bit-identical to row-local planning, same kernel, same
+    * frozen codebook), sims are full precision throughout, and the two
+    * row populations are disjoint — so the merged store is row-for-row
     * equal to [[knnGraphRebuildEdges]] (spec-pinned), and the registered
     * query shares the full-rebuild oracle on the merged corpus. */
-  private[graft] def knnGraphAppendEdges(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = spark.table(ensureGraphTable(spark, sfDir, "ivf_base",
-      corpusIvfFpTag(spark, sfDir), knnGraphBaseEdges(spark, sfDir)))
+  private[graft] def knnGraphAppendShortlists(spark: SparkSession,
+    sfDir: String): DataFrame =
     // reverse leg: persisted probe lists ⋈ batch cid set ⋈ vector store —
     // never a corpus-wide nearest-cids pass (plan-gated)
-    graphGlobalTop5(base
-      .unionByName(knnGraphAppendLegReverse(spark, sfDir))
-      .unionByName(knnGraphAppendLegNew(spark, sfDir)))
-  }
+    knnGraphAppendLegReverse(spark, sfDir)
+      .unionByName(knnGraphAppendLegNew(spark, sfDir))
 
   /** The append step's two batch legs, exposed individually for the
     * assignment-vs-scoring-vs-merge cost split (tools.GraphAppendProfile):
@@ -752,22 +758,55 @@ object Similarity {
     legNewCorpus.unionByName(legNewStream).unionByName(legReverse)
   }
 
-  /** The corpus-only base graph store's table name (D21 seeds its running
-    * graph from it; C56's append reads the same store). */
-  private[graft] def ensureBaseGraphTable(spark: SparkSession, sfDir: String): String =
-    ensureGraphTable(spark, sfDir, "ivf_base",
-      corpusIvfFpTag(spark, sfDir), knnGraphBaseEdges(spark, sfDir))
+  // sfDir -> (fp, dir path): session memos over the bucketed graph dirs
+  private val baseGraphDirBuilt =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+  private val appendedGraphDirBuilt =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
 
-  /** Merge a running full-precision graph with a batch's shortlists —
-    * C56's global rank, kept full precision for the NEXT merge. */
-  private[graft] def graphMergeTop5Full(prev: DataFrame,
-    shortlists: DataFrame): DataFrame =
-    graphTop5Full(prev.unionByName(shortlists))
+  /** One build-or-adopt guard for the bucketed graph DIR stores (the
+    * StoreFp path-layout contract: sidecar inside the dir, commit AFTER the
+    * build, loud rebuild on a fingerprint mismatch). */
+  private def ensureGraphDir(spark: SparkSession, sfDir: String, name: String,
+    fp: String, memo: scala.collection.concurrent.TrieMap[String, (String, String)])(
+    build: java.io.File => Unit): java.io.File = this.synchronized {
+    val dir = new java.io.File(
+      s"${graft.GraftConf.localRoot}/graft_graph/${name}_${dirSlug(sfDir)}")
+    memo.get(sfDir) match {
+      case Some((f, p)) if f == fp && new java.io.File(p).isDirectory =>
+        new java.io.File(p)
+      case _ =>
+        if (!(dir.isDirectory && graft.StoreFp.dirFp(dir.getAbsolutePath).contains(fp))) {
+          if (dir.isDirectory)
+            System.err.println(s"[graft] graph store $name ($sfDir): source " +
+              "fingerprint changed — rebuilding from current data")
+          build(dir)
+          graft.StoreFp.commitDir(dir.getAbsolutePath, fp)
+        }
+        memo(sfDir) = (fp, dir.getAbsolutePath)
+        dir
+    }
+  }
 
-  /** The display form (q_id, rnk, cand_id, sim_r) over stored full-precision
-    * edges — C52/C56's presentation stage. */
-  private[graft] def graphDisplay(edges: DataFrame): DataFrame =
-    graphGlobalTop5(edges)
+  /** The corpus-only base graph store — a [[GraphStore]] bucketed layout
+    * (D21 seeds its running graph from a byte-identical copy of it; C56's
+    * append merges into it bucket-wise). */
+  private[graft] def ensureBaseGraphDir(spark: SparkSession, sfDir: String): java.io.File =
+    ensureGraphDir(spark, sfDir, "base", corpusIvfFpTag(spark, sfDir),
+      baseGraphDirBuilt) { dir =>
+      GraphStore.writeFull(knnGraphBaseEdges(spark, sfDir), dir)
+    }
+
+  /** The APPENDED graph store: base store + today's batch, merged
+    * ∝-affected ([[GraphStore.appendFrom]] — untouched buckets are byte-
+    * identical file copies of the base store, only shortlist q_ids'
+    * edges are re-ranked). */
+  private[graft] def ensureAppendedGraphDir(spark: SparkSession, sfDir: String): java.io.File =
+    ensureGraphDir(spark, sfDir, "appended", corpusIvfFpTag(spark, sfDir),
+      appendedGraphDirBuilt) { dir =>
+      GraphStore.appendFrom(spark, ensureBaseGraphDir(spark, sfDir),
+        knnGraphAppendShortlists(spark, sfDir), dir)
+    }
 
   /** The from-scratch reference: every vector probes the merged index —
     * what a full rebuild of the appended graph costs. Exposed (not
@@ -783,12 +822,11 @@ object Similarity {
 
   /** C56's registered query: READS the persisted appended-graph store (the
     * store doctrine — the append runs once per ingest batch; consumers
-    * read). */
+    * read), projecting the STORED rank (no window at read time). */
   def knnGraphAppend(spark: SparkSession, sfDir: String): DataFrame = {
     // oracle-binding rule (see knnGraph): bind the FROZEN corpus codebook
     corpusCodebook(spark, sfDir)
-    spark.table(ensureGraphTable(spark, sfDir, "ivf_appended",
-        corpusIvfFpTag(spark, sfDir), knnGraphAppendEdges(spark, sfDir)))
+    GraphStore.display(GraphStore.read(spark, ensureAppendedGraphDir(spark, sfDir)))
       .orderBy(col("q_id"), col("rnk"))
   }
 
@@ -1273,10 +1311,11 @@ object Similarity {
     * StoreFp fingerprint makes a policy/budget change a LOUD rebuild, the
     * same rule as [[semanticCacheTag]]. */
   private def ivfFpTag(spark: SparkSession, sfDir: String): String =
-    graft.Tables.fingerprint(sfDir, "embeddings") + ":ivfk" + ivfKFor(spark, sfDir)
+    graft.Tables.fingerprint(sfDir, "embeddings") + ":ivfk" +
+      ivfKFor(spark, sfDir) + trainPolicyTag
   private[graft] def corpusIvfFpTag(spark: SparkSession, sfDir: String): String =
     graft.Tables.fingerprint(sfDir, "embeddings") + ":ivfk" +
-      corpusIvfKFor(spark, sfDir)
+      corpusIvfKFor(spark, sfDir) + trainPolicyTag
 
   /** The CURRENT K-tagged fingerprints recomputed from session state alone
     * (no SparkSession — the oracle dumpers run without one): None when the
@@ -1288,11 +1327,11 @@ object Similarity {
   private def cachedIvfTag(sfDir: String): Option[String] =
     embCountCache.get(sfDir)
       .filter(_._1 == graft.Tables.fingerprint(sfDir, "embeddings"))
-      .map { case (fp, (n, _)) => fp + ":ivfk" + ivfK(n) }
+      .map { case (fp, (n, _)) => fp + ":ivfk" + ivfK(n) + trainPolicyTag }
   private def cachedCorpusIvfTag(sfDir: String): Option[String] =
     embCountCache.get(sfDir)
       .filter(_._1 == graft.Tables.fingerprint(sfDir, "embeddings"))
-      .map { case (fp, (_, nc)) => fp + ":ivfk" + ivfK(nc) }
+      .map { case (fp, (_, nc)) => fp + ":ivfk" + ivfK(nc) + trainPolicyTag }
 
   // ----- trained-model persistence (StoreFp model blobs, r14 dir. #2) -----
 
@@ -1350,6 +1389,8 @@ object Similarity {
     pqBucketedBuilt.clear()
     vecBucketedBuilt.clear()
     graphBuilt.clear()
+    baseGraphDirBuilt.clear()
+    appendedGraphDirBuilt.clear()
     appendGraphIndexBuilt.clear()
     corpusProbesBuilt.clear()
     // the trained codebooks' executor broadcasts go with them — without this
@@ -1436,12 +1477,44 @@ object Similarity {
     }
   }
 
+  /** Training-sample POINTS-PER-CENTROID — the dial that bounds Lloyd's
+    * per-iteration cost to O(ppc·K²·dim) regardless of corpus size (the r16
+    * verdict's What's-wrong #2: training was 70-75% of every graph/index
+    * build and grew ~quadratically, because the old fixed 1-in-3 sample is
+    * ∝ N while the assignment argmax is ∝ K ∝ N). faiss's convention caps
+    * at 256 points per centroid, but that constant is calibrated for
+    * K ≈ √N sizings — under this engine's K = N/128 policy any cap ≥ 43
+    * NEVER binds below the K budget ceiling (c·K vs N/3 with K = N/128
+    * binds iff c < 128/3), so the default is 8: training flops drop ~5×
+    * at every ∝-K scale while FULL-corpus assignment — the honest linear
+    * term — is untouched, and the measured IVF recall-vs-exact transfers
+    * are unchanged (spec-pinned). Centroids are a deterministic partition
+    * function, so ANY deterministic sample is correct — quality only moves
+    * probe recall. Rides every codebook fingerprint tag ([[trainPolicyTag]])
+    * so a retune rebuilds codebooks, stores and oracles loudly together. */
+  private[graft] def trainPpc: Int =
+    sys.props.get("graft.ivf.train.ppc").map(_.toInt).getOrElse(8)
+
+  /** The fingerprint suffix every Lloyd-trained artifact carries. */
+  private def trainPolicyTag: String = ":tppc" + trainPpc
+
+  /** The deterministic sample modulus: 1-in-m with m = max(3, N/(ppc·K)) —
+    * SQL-expressible (`vec_id % GREATEST(3, (COUNT(*) // ${ppc * K})) = 0`),
+    * so an oracle re-deriving training selects the identical rows; the
+    * floor of 3 preserves the historical 1-in-3 sample wherever the
+    * per-centroid cap doesn't bind (every sub-2048-vector dir). */
+  private[graft] def lloydSampleModulus(n: Long, k: Int): Long =
+    math.max(3L, n / math.max(1L, trainPpc.toLong * k))
+
   /** The Lloyd loop over an arbitrary (vec_id, v) set — shared by the
     * full-table codebook (C7b/C7c), the corpus-only codebook (C7d), and
     * C29's size-proportional semantic codebook (k parameter). */
   private def lloyd(spark: SparkSession, e: DataFrame,
     k: Int): Array[(Int, Array[Double])] = {
-    val sample = e.filter(pmod(col("vec_id"), lit(3)) === 0)
+    // bounded deterministic id-hash sample (see trainPpc): the count is a
+    // metadata-cheap parquet job and training is rare (model-blob cached)
+    val m = lloydSampleModulus(e.count(), k)
+    val sample = e.filter(pmod(col("vec_id"), lit(m)) === 0)
     var codebook: Array[(Int, Array[Double])] = e.filter(col("vec_id") < k)
       .collect().map { r =>
         (r.getAs[Number]("vec_id").intValue, r.getAs[Seq[Double]]("v").toArray)
@@ -1785,15 +1858,9 @@ object Similarity {
   }
 
   /** Generated DuckDB oracle for C7 (same technique as Dedup.dedupEmbeddingSql:
-    * seeded hyperplane literals inlined, sequential folds → bit parity). */
+    * seeded hyperplane literals hoisted into a VALUES CTE —
+    * [[Dedup.hoistedPlanesCtes]] — sequential folds → bit parity). */
   def simAnnSql: String = {
-    val planes = Dedup.hyperplanes(8, 64)
-    def lst(p: Array[Double]) = p.mkString("[", ", ", "]")
-    def dot(vec: String, p: Array[Double]) =
-      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> $vec[i] * (${lst(p)})[i])), (a, b) -> a + b)"
-    val bucket = planes.zipWithIndex.map { case (p, i) =>
-      s"CASE WHEN ${dot("v", p)} > 0 THEN ${1 << i} ELSE 0 END"
-    }.mkString(" + ")
     val cosine = sqlCos("c.v", "p.pv")
     val masks = (0 until 8).map(1 << _) ++
       (for (i <- 0 until 8; j <- i + 1 until 8) yield (1 << i) | (1 << j))
@@ -1802,7 +1869,9 @@ object Similarity {
     s"""WITH e AS (
        | SELECT vec_id, list_transform(embedding, z -> CAST(z AS DOUBLE)) AS v
        | FROM embeddings),
-       |b AS MATERIALIZED (SELECT vec_id, v, $bucket AS bucket FROM e),
+       |${Dedup.hoistedPlanesCtes("INT")},
+       |b AS MATERIALIZED (SELECT e.vec_id, e.v AS v, s.bucket AS bucket
+       | FROM e JOIN sig s ON e.vec_id = s.vec_id),
        |p AS (SELECT v AS pv, bucket AS pb FROM b WHERE vec_id = 0),
        |cand AS (
        | SELECT c.vec_id, c.bucket, $cosine AS sim
@@ -2363,7 +2432,8 @@ object Similarity {
     * under the old budget (the fallback-oracle CTE and fresh training read
     * the new budget immediately — the cache must move with them). */
   private[graft] def semanticCacheTag(sfDir: String): String =
-    graft.Tables.fingerprint(sfDir, "embeddings") + ":k" + semanticKBudget
+    graft.Tables.fingerprint(sfDir, "embeddings") + ":k" + semanticKBudget +
+      trainPolicyTag
 
   private def cachedSemanticCodebook(sfDir: String): Option[Array[(Int, Array[Double])]] =
     semanticCodebookCache.get(sfDir)

@@ -1854,8 +1854,15 @@ object Streams extends Serializable {
     *     probe stores (the corpus store AND the stream-side store of prior
     *     arrivals) joined to this batch's cid set — all ∝ batch/affected,
     *     never a corpus re-plan or re-score;
-    *  3. merges the shortlists with the running FULL-PRECISION graph store
-    *     (C56's exact global rank) and swaps the store;
+    *  3. merges the shortlists into the running q_id-BUCKETED full-precision
+    *     graph store ∝-AFFECTED ([[graft.operators.GraphStore.mergeInPlace]]):
+    *     only buckets holding shortlist q_ids are read, only those q_ids'
+    *     edges are re-ranked (broadcast semi-join prune — the rank exchange
+    *     carries batch-proportional slim rows, never 5N), and only the
+    *     touched `bkt=` directories are swapped (rename-aside, no
+    *     delete-then-move crash window); untouched buckets stay
+    *     byte-identical on disk, so a drained stream of B batches does
+    *     O(Σ affected_b) rank work, not Θ(B·N);
     *  4. only then appends its own probe lists to the stream probe store —
     *     the reverse legs of FUTURE batches join them there.
     *
@@ -1866,10 +1873,10 @@ object Streams extends Serializable {
     * D11's: fresh checkpoint into fresh store dirs per (re)build, reuse via
     * the manifest sidecar under a corpus-K-tagged key. */
   def streamKnnGraphAppend(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.operators.Similarity
+    import graft.operators.{GraphStore, Similarity}
     // bind the frozen corpus codebook, base graph, probe-list and vector
     // stores BEFORE streaming (store doctrine + oracle-binding rule)
-    val baseTbl = Similarity.ensureBaseGraphTable(spark, sfDir)
+    val baseDir = Similarity.ensureBaseGraphDir(spark, sfDir)
     val stageDir = embBatchStageDir(sfDir)
     stageEmbeddingsBatch(spark, sfDir, stageDir)
     val cp = new java.io.File(checkpointDir(sfDir, "stream_knn_graph_append"))
@@ -1880,9 +1887,13 @@ object Streams extends Serializable {
     reuseOrBuild(graphDir, Some(reuseKey)) {
       Seq(cp, graphDir, idxDir, probesDir)
         .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
-      // seed the running graph with the corpus-only base, full precision
-      spark.table(baseTbl).write.mode("overwrite")
-        .parquet(graphDir.getAbsolutePath)
+      // seed the running graph with a byte-identical copy of the corpus-only
+      // base store (same bucketed layout — the per-batch merge swaps only
+      // the buckets each batch touches)
+      org.apache.commons.io.FileUtils.copyDirectory(baseDir, graphDir)
+      // the copied fp sidecar belongs to the BASE store, not this replay
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(graphDir, graft.StoreFp.SidecarName))
       val src = spark.readStream.schema(EmbSchema)
         .option("maxFilesPerTrigger", "1")
         .parquet(stageDir.getAbsolutePath)
@@ -1910,14 +1921,9 @@ object Streams extends Serializable {
               else batchProbes.limit(0)
             val shortlists = Similarity.streamGraphBatchShortlists(
               s, sfDir, batchQ, streamIdx, assigned, prior)
-            // (3) exact merge with the running graph, then swap
-            val prev = s.read.parquet(graphDir.getAbsolutePath)
-            val tmp = storeSibling(cp, "_graph_tmp")
-            org.apache.commons.io.FileUtils.deleteQuietly(tmp)
-            Similarity.graphMergeTop5Full(prev, shortlists)
-              .write.mode("overwrite").parquet(tmp.getAbsolutePath)
-            org.apache.commons.io.FileUtils.deleteQuietly(graphDir)
-            org.apache.commons.io.FileUtils.moveDirectory(tmp, graphDir)
+            // (3) exact ∝-affected merge into the bucketed running graph:
+            // only shortlist q_ids re-rank, only touched buckets swap
+            GraphStore.mergeInPlace(s, graphDir, shortlists)
             // (4) publish this batch's probe lists for future reverse legs
             batchProbes.write.mode("append").parquet(probesDir.getAbsolutePath)
             ()
@@ -1928,7 +1934,7 @@ object Streams extends Serializable {
         q.awaitTermination()
       }
     }
-    Similarity.graphDisplay(spark.read.parquet(graphDir.getAbsolutePath))
+    GraphStore.display(GraphStore.read(spark, graphDir))
       .orderBy(col("q_id"), col("rnk"))
   }
 

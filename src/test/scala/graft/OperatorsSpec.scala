@@ -413,6 +413,65 @@ class OperatorsSpec extends SparkSpec {
       s"distributed BPE trainer diverged from brute force:\n$got\nvs\n$expected")
   }
 
+  test("graph-store merge rewrites ONLY touched buckets — untouched files byte-identical, content exact") {
+    import spark.implicits._
+    // a synthetic ranked store: 200 q_ids × 5 edges, sims strictly ordered
+    val edges = (for (q <- 0L until 200L; r <- 1 to 5)
+      yield (q, q * 10 + r, 1.0 - r * 0.01 - q * 1e-6, r))
+      .toDF("q_id", "vec_id", "sim", "rnk")
+    val root = new java.io.File(s"${GraftConf.localRoot}/graft_test")
+    val dir = new java.io.File(root, "graphstore_merge")
+    GraphStore.writeFull(edges.coalesce(2), dir)
+    def snapshot(d: java.io.File): Map[String, String] = {
+      def walk(f: java.io.File, p: String): Iterator[(String, String)] =
+        if (f.isFile) Iterator((p + f.getName) ->
+          java.util.Base64.getEncoder.encodeToString(
+            java.security.MessageDigest.getInstance("MD5")
+              .digest(java.nio.file.Files.readAllBytes(f.toPath))))
+        else Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+          .iterator.flatMap(c => walk(c, p + f.getName + "/"))
+      Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+        .iterator.flatMap(c => walk(c, "")).toMap
+    }
+    val before = snapshot(dir)
+    // both shortlist q_ids land in bucket 3 (3 % 64 = 67 % 64 = 3): the
+    // merge must open NOTHING else
+    val sl = Seq((3L, 999L, 0.999), (67L, 998L, 0.998)).toDF("q_id", "vec_id", "sim")
+    GraphStore.mergeInPlace(spark, dir, sl)
+    val after = snapshot(dir)
+    val untouchedBefore = before.filterNot(_._1.startsWith("bkt=3/"))
+    val untouchedAfter = after.filterNot(_._1.startsWith("bkt=3/"))
+    assert(untouchedAfter == untouchedBefore,
+      "a bucket without an affected q_id was rewritten (files or bytes changed)")
+    assert(after.keys.exists(_.startsWith("bkt=3/")) &&
+      after.filter(_._1.startsWith("bkt=3/")) != before.filter(_._1.startsWith("bkt=3/")),
+      "the touched bucket was not rewritten")
+    // content: exactly the full re-rank of (edges ∪ shortlists), incl. the
+    // pass-through rows of bucket 3's UNAFFECTED q_ids (131, 195)
+    val slRows = Seq((3L, 999L, 0.999), (67L, 998L, 0.998))
+    val want = (0L until 200L).flatMap { q =>
+      val all = (1 to 5).map(r => (q * 10 + r, 1.0 - r * 0.01 - q * 1e-6)) ++
+        slRows.filter(_._1 == q).map(t => (t._2, t._3))
+      all.sortBy { case (v, s) => (-s, v) }.take(5).zipWithIndex
+        .map { case ((v, s), i) => (q, v, s, i + 1) }
+    }
+    val got = GraphStore.read(spark, dir)
+      .orderBy(col("q_id"), col("rnk")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(got == want, s"merged store content diverged:\n${got.take(8)}\nvs\n${want.take(8)}")
+    // appendFrom: out-of-place build with untouched buckets as byte-
+    // identical COPIES of the source store
+    val out = new java.io.File(root, "graphstore_append_out")
+    GraphStore.appendFrom(spark, dir, sl.filter(col("q_id") === 3L), out)
+    val srcSnap = snapshot(dir).filterNot(_._1.startsWith("bkt=3/"))
+      .filterNot(_._1 == "_SUCCESS")
+    val outSnap = snapshot(out).filterNot(_._1.startsWith("bkt=3/"))
+      .filterNot(_._1 == "_SUCCESS")
+    assert(outSnap == srcSnap,
+      "appendFrom's untouched buckets are not byte-identical copies of the source")
+    org.apache.commons.io.FileUtils.deleteQuietly(root)
+  }
+
   test("knn_graph_append equals a full rebuild over the merged corpus, both sides populated") {
     // the C56 exactness contract: merging the persisted base graph with the
     // two O(batch) append legs must reproduce the from-scratch graph over
