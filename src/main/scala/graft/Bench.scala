@@ -17,6 +17,35 @@ object Bench {
     // minutes into catalog staging
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
+    // Host-noise probe (r16 directive #4): a FIXED ~5 s IO+CPU
+    // microbenchmark — write, read back and fully sort a constant 16M-row
+    // synthetic table — run before the sweep and reported as probe_sec in
+    // the JSON, so a noisy host epoch is flagged by DATA at sweep time
+    // (the r16 sf0.1 sweeps spread ±19% on identical code and the noise
+    // had to be inferred after the fact). Sweeps whose probe deviates
+    // >10% from the round's median are classified noisy in SCALE_rN and
+    // excluded from cross-round narratives. Constant workload, no SF
+    // dependence; the shuffle/sort mix mirrors the query fleet's.
+    val probeSec = {
+      import org.apache.spark.sql.functions._
+      val dir = new java.io.File("target/graft_bench_probe")
+      def lap(rows: Long): Double = {
+        org.apache.commons.io.FileUtils.deleteQuietly(dir)
+        val t0 = System.nanoTime()
+        spark.range(0L, rows, 1L, 32)
+          .select(col("id"), (col("id") * 2654435761L % 1000003L).as("h"),
+            concat(lit("probe-"), col("id") % 9973).as("s"))
+          .write.mode("overwrite").parquet(dir.getAbsolutePath)
+        spark.read.parquet(dir.getAbsolutePath).orderBy(col("h"), col("id"))
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      lap(2000000L) // untimed JIT/codegen lap: the probe measures the HOST,
+                    // not first-job compilation
+      val t = lap(16000000L)
+      org.apache.commons.io.FileUtils.deleteQuietly(dir)
+      t
+    }
     // Warm-up: materialize catalog tables, the memoized store families and
     // JIT/codegen caches BEFORE the timed loop, and report its cost as its
     // own field (warmup_sec). Store builds are one-time corpus-generation
@@ -126,7 +155,8 @@ object Bench {
     // fixed path is last-writer-wins across bench invocations)
     val fullLine =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},""" +
-        s""""warmup_sec":${r3(warmupSec)},"queries":$qs,"sf":"$sfDir"}"""
+        s""""warmup_sec":${r3(warmupSec)},"probe_sec":${r3(probeSec)},""" +
+        s""""queries":$qs,"sf":"$sfDir"}"""
     // "queries" stays in the compact line for schema compatibility but
     // carries only the FAILED entries (normally empty — the success map is
     // what blew the capture window)
@@ -152,7 +182,7 @@ object Bench {
       if (sidecarOk) "\"target/bench_last.json\"" else "null"
     val compactLine =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},""" +
-        s""""warmup_sec":${r3(warmupSec)},""" +
+        s""""warmup_sec":${r3(warmupSec)},"probe_sec":${r3(probeSec)},""" +
         s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""queries":$failedQs,"queries_file":$sidecarField,"sf":"$sfDir"}"""
     operators.Dedup.clear()

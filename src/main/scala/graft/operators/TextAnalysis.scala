@@ -826,6 +826,12 @@ object TextAnalysis {
   def bpeTrainSql: String = {
     val rounds = (1 to bpeTrainRounds).map { i =>
       val prev = s"s${i - 1}"
+      // LOUD vocabulary-exhaustion guard, mirroring the Spark trainer's
+      // require(): an empty m$i makes its scalar subqueries NULL, and
+      // replace(s, NULL, …) would silently NULL the whole vocab — the
+      // oracle must fail the same way the trainer does, not degrade
+      def g(c: String) = s"COALESCE((SELECT $c FROM m$i), " +
+        s"error('bpe_train oracle: vocabulary exhausted at round $i'))"
       s"""r$i AS MATERIALIZED (
          | SELECT p.l AS lhs, p.r AS rhs, CAST(SUM(f) AS BIGINT) AS cnt
          | FROM (
@@ -836,8 +842,8 @@ object TextAnalysis {
          | GROUP BY p.l, p.r),
          |m$i AS MATERIALIZED (SELECT lhs, rhs, cnt FROM r$i ORDER BY cnt DESC, lhs, rhs LIMIT 1),
          |s$i AS MATERIALIZED (SELECT f, replace(s,
-         |   chr(1) || (SELECT lhs FROM m$i) || chr(2) || chr(1) || (SELECT rhs FROM m$i) || chr(2),
-         |   chr(1) || (SELECT lhs FROM m$i) || (SELECT rhs FROM m$i) || chr(2)) AS s
+         |   chr(1) || ${g("lhs")} || chr(2) || chr(1) || ${g("rhs")} || chr(2),
+         |   chr(1) || ${g("lhs")} || ${g("rhs")} || chr(2)) AS s
          | FROM $prev)""".stripMargin
     }.mkString(",\n")
     val rows = (1 to bpeTrainRounds).map(i =>

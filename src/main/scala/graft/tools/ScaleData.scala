@@ -62,9 +62,15 @@ object ScaleData {
     def writeOne(df: DataFrame, name: String): Unit = {
       if (!only(name)) return
       if (parts > 1) {
+        // tmp + rename like the single-file path: a crashed run must leave
+        // the old corpus (or nothing), never a half-written directory a
+        // later profile run's Tables.load would consume
+        val tmp = new java.io.File(s"$dst/__tmp_$name")
+        org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+        df.repartition(parts).write.mode("overwrite").parquet(tmp.getAbsolutePath)
         val dest = new java.io.File(s"$dst/$name.parquet")
         org.apache.commons.io.FileUtils.deleteQuietly(dest)
-        df.repartition(parts).write.mode("overwrite").parquet(dest.getAbsolutePath)
+        org.apache.commons.io.FileUtils.moveDirectory(tmp, dest)
         println(s"[scale] $name -> dir of $parts files, " +
           s"${org.apache.commons.io.FileUtils.sizeOfDirectory(dest) / 1024 / 1024} MiB")
         return
