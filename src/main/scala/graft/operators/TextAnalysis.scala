@@ -860,8 +860,155 @@ object TextAnalysis {
        |ORDER BY merge_rank""".stripMargin
   }
 
+  // ----- C60: distributed classifier TRAINING (`classifier_train`) -----
+
+  /** Hashing-trick bucket count / training-round count for C60 — small
+    * deterministic defaults for the graded gate; a production run raises
+    * them (`-Dgraft.clf.buckets` / `-Dgraft.clf.rounds`). Both ride the
+    * model-blob fingerprint tag, so a retune regenerates the oracle text
+    * and retrains loudly (the C59/:ivfk discipline). */
+  private[graft] def clfBuckets: Int =
+    sys.props.get("graft.clf.buckets").map(_.toInt).getOrElse(256)
+  private[graft] def clfRounds: Int =
+    sys.props.get("graft.clf.rounds").map(_.toInt).getOrElse(5)
+
+  /** C60's feature frame: (doc_id, label, bucket list) — label +1 for the
+    * planted English documents, −1 otherwise (the is-English quality gate
+    * fastText-style classifiers train for), bucket per TOKEN OCCURRENCE via
+    * the same md5 hashing trick C34 scores with. Entirely ROW-LOCAL: no
+    * explode, no per-doc aggregation, no shuffle — the one corpus pass a
+    * 100 TB training sweep can afford, localCheckpointed once and reused
+    * by every round. */
+  private[graft] def clfFeatures(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        when(col("lang") === "en", lit(1L)).otherwise(lit(-1L)).as("y"),
+        transform(split(col("text"), " "),
+          t => pmod(hexHash(t), lit(clfBuckets.toLong)).cast("int")).as("bks"))
+
+  /** One training round's gradient frame under the CURRENT weights: score
+    * every document row-locally against the BROADCAST weight vector (a
+    * B-element array literal — element_at per token occurrence, no weight-
+    * table join), keep the misclassified rows (batch perceptron rule:
+    * y·score ≤ 0), and partially aggregate slim (bucket, y) pairs — the
+    * round's ONE hash shuffle, ≤ B rows out. Integer weights, counts and
+    * updates throughout keep every engine bit-exact (the C26 fixed-point
+    * discipline); perceptron loss instead of a logistic sigmoid keeps the
+    * update inside +,−,× (transcendentals are not cross-engine stable). */
+  private[graft] def clfGrad(feats: DataFrame, w: Array[Long]): DataFrame = {
+    val wArr = array(w.map(lit(_)): _*)
+    feats
+      .select(col("y"), col("bks"),
+        aggregate(col("bks"), lit(0L),
+          (acc, b) => acc + element_at(wArr, b + 1)).as("score"))
+      .filter(col("y") * col("score") <= 0)
+      .select(explode(col("bks")).as("bucket"), col("y"))
+      .groupBy(col("bucket")).agg(sum(col("y")).as("g"))
+  }
+
+  /** The round-1 gradient frame for a dir (the plan-gate entry point:
+    * feature build + scoring are one row-local map, the (bucket, y) rollup
+    * is the round's single exchange, and there is NO join anywhere). */
+  private[graft] def clfGradFor(spark: SparkSession, sfDir: String): DataFrame =
+    clfGrad(clfFeatures(spark, sfDir), Array.fill(clfBuckets)(0L))
+
+  // dir -> (fingerprint:buckets:rounds tag, weights)
+  private val clfCache =
+    scala.collection.concurrent.TrieMap.empty[String, (String, Array[Long])]
+
+  def clearClfCache(): Unit = clfCache.clear()
+
+  /** Train the bucket weights: `clfRounds` batch-perceptron rounds — each
+    * round one broadcast-scored misclassification pass, ONE partial-
+    * aggregating (bucket, grad) shuffle, and a ≤ B-row collect feeding the
+    * next round's broadcast (the Lloyd/C59 round discipline: only slim
+    * aggregates ever reach the driver). Weights persist as a StoreFp model
+    * blob — integers round-trip text exactly, so later sessions adopt the
+    * trained classifier bit-for-bit instead of retraining. */
+  def trainClassifier(spark: SparkSession, sfDir: String): Array[Long] = {
+    val tag = graft.Tables.fingerprint(sfDir, "documents") +
+      s":b$clfBuckets:r$clfRounds"
+    clfCache.get(sfDir).filter(_._1 == tag).map(_._2).getOrElse(this.synchronized {
+      clfCache.get(sfDir).filter(_._1 == tag).map(_._2).getOrElse {
+        val lines = graft.StoreFp.ensureModel(
+          "clf_weights" + sfDir.replaceAll("[^A-Za-z0-9]+", "_"), tag) {
+          trainClfUncached(spark, sfDir).zipWithIndex
+            .map { case (wt, b) => s"$b $wt" }
+        }
+        val w = Array.fill(clfBuckets)(0L)
+        lines.foreach { ln =>
+          val p = ln.split(' '); w(p(0).toInt) = p(1).toLong
+        }
+        clfCache(sfDir) = (tag, w)
+        w
+      }
+    })
+  }
+
+  private def trainClfUncached(spark: SparkSession, sfDir: String): Array[Long] = {
+    val feats = clfFeatures(spark, sfDir).localCheckpoint()
+    val w = Array.fill(clfBuckets)(0L)
+    for (_ <- 1 to clfRounds)
+      clfGrad(feats, w).collect()
+        .foreach(r => w(r.getInt(0)) += r.getLong(1))
+    w
+  }
+
+  /** C60 — the registered query: the trained nonzero bucket weights (what a
+    * re-pointed C34 gate would broadcast in place of its md5-derived
+    * stand-in). Tiny by contract — ≤ B rows. */
+  def classifierTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    trainClassifier(spark, sfDir).zipWithIndex
+      .collect { case (wt, b) if wt != 0L => (b, wt) }
+      .toSeq.toDF("bucket", "weight")
+      .select(col("bucket").cast("int"), col("weight"))
+      .orderBy(col("bucket"))
+  }
+
+  /** C60's oracle: the full trainer re-derived in SQL — the (doc, bucket)
+    * occurrence table once, then per round a LEFT-JOIN score CTE against
+    * the previous round's weight table, the misclassified-docs gradient
+    * rollup, and a FULL OUTER JOIN weight update. Integer sums everywhere
+    * (order-independent), so the compare is exact. Every multiply-
+    * referenced CTE is MATERIALIZED (DuckDB re-inlines otherwise). A def
+    * (init-order rule). */
+  def classifierTrainSql: String = {
+    val b = clfBuckets
+    val rounds = (1 to clfRounds).map { i =>
+      val pw = s"w${i - 1}"
+      s"""s$i AS MATERIALIZED (
+         | SELECT f.doc_id, f.y, COALESCE(SUM(w.wt), 0) AS score
+         | FROM f LEFT JOIN $pw w ON f.bucket = w.bucket
+         | GROUP BY f.doc_id, f.y),
+         |g$i AS MATERIALIZED (
+         | SELECT f.bucket, CAST(SUM(f.y) AS BIGINT) AS g
+         | FROM f JOIN s$i s ON f.doc_id = s.doc_id
+         | WHERE s.y * s.score <= 0
+         | GROUP BY f.bucket),
+         |w$i AS MATERIALIZED (
+         | SELECT COALESCE(w.bucket, g.bucket) AS bucket,
+         |        COALESCE(w.wt, 0) + COALESCE(g.g, 0) AS wt
+         | FROM $pw w FULL OUTER JOIN g$i g ON w.bucket = g.bucket)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH d AS MATERIALIZED (
+       | SELECT doc_id,
+       |  CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS y,
+       |  string_split(text, ' ') AS toks
+       | FROM documents),
+       |f AS MATERIALIZED (
+       | SELECT doc_id, y,
+       |  CAST(((CAST(CAST(('0x' || substr(md5(tok), 1, 8)) AS INT64) AS BIGINT) % $b) + $b) % $b AS INT) AS bucket
+       | FROM (SELECT doc_id, y, unnest(toks) AS tok FROM d)),
+       |w0 AS (SELECT CAST(NULL AS INT) AS bucket, CAST(NULL AS BIGINT) AS wt WHERE FALSE),
+       |$rounds
+       |SELECT bucket, CAST(wt AS BIGINT) AS weight
+       |FROM w${clfRounds} WHERE wt != 0 ORDER BY bucket""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bpe_train" -> (bpeTrain _),
+    "classifier_train" -> (classifierTrain _),
     "text_tfidf" -> (textTfidf _),
     "text_tokens" -> (textTokens _),
     "text_tokens_bpe" -> (textTokensBpe _),
@@ -874,6 +1021,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "bpe_train" -> bpeTrainSql,
+    "classifier_train" -> classifierTrainSql,
     "text_tfidf" -> textTfidfSql,
     "text_tokens" -> textTokensSql,
     "text_tokens_bpe" -> textTokensBpeSql,

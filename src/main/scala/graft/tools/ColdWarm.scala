@@ -54,6 +54,7 @@ object ColdWarm {
       graft.operators.Similarity.clearCaches()
       graft.operators.TextAnalysis.clearLmCache()
       graft.operators.TextAnalysis.clearBpeCache()
+      graft.operators.TextAnalysis.clearClfCache()
       graft.streaming.Streams.clearIngestStores()
     }
     // genuine cold: memos AND the persisted store fingerprints go — without
@@ -103,6 +104,9 @@ object ColdWarm {
       // r16: the trained BPE merges blob — cold pays the word-frequency
       // shuffle plus k top-pair rounds; warm/jvmwarm are a model-blob load
       ("bpe_model", "bpe_train", () => run("bpe_train")),
+      // r17: the trained classifier weight blob — cold pays the broadcast-
+      // scored perceptron rounds; warm/jvmwarm are a model-blob load
+      ("clf_model", "classifier_train", () => run("classifier_train")),
       ("stream_ingest_store", "stream_dedup_semantic", () => run("stream_dedup_semantic")),
       ("ivf_append_store", "stream_ivf_append", () => run("stream_ivf_append")))
     def r3(v: Double) =

@@ -413,6 +413,46 @@ class OperatorsSpec extends SparkSpec {
       s"distributed BPE trainer diverged from brute force:\n$got\nvs\n$expected")
   }
 
+  test("classifier_train equals a brute-force in-memory perceptron trainer") {
+    // C60's ground-truth pin: the distributed broadcast-scored batch
+    // perceptron must reproduce a direct in-memory implementation — md5
+    // hashing-trick buckets per token OCCURRENCE, y·score ≤ 0
+    // misclassification rule, integer batch update — on the real fixture
+    // corpus (the value-level check the SQL oracle re-derivation can't add).
+    val nb = operators.TextAnalysis.clfBuckets
+    val rounds = operators.TextAnalysis.clfRounds
+    def bucketOf(t: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(t.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      (java.lang.Long.parseLong(hex, 16) % nb).toInt
+    }
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("lang", "text").collect()
+      .map(r => (if (r.getString(0) == "en") 1L else -1L,
+        r.getString(1).split(" ", -1).map(bucketOf)))
+    val w = Array.fill(nb)(0L)
+    def misCount(): Int =
+      docs.count { case (y, bks) => y * bks.map(w(_)).sum <= 0L }
+    for (_ <- 1 to rounds) {
+      val g = Array.fill(nb)(0L)
+      docs.foreach { case (y, bks) =>
+        if (y * bks.map(w(_)).sum <= 0L) bks.foreach(k => g(k) += y)
+      }
+      for (i <- 0 until nb) w(i) += g(i)
+    }
+    val expected = w.zipWithIndex
+      .collect { case (wt, i) if wt != 0L => Seq[Any](i, wt) }.toSeq
+    val got = SparkEntry.queries("classifier_train")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(got == expected,
+      s"distributed perceptron diverged from brute force:\n$got\nvs\n$expected")
+    // the trained gate must beat the all-zero state it started from (which
+    // misclassifies EVERY doc under the y·score ≤ 0 rule) — training moved
+    assert(misCount() < docs.length,
+      "trained classifier no better than the zero-weight state")
+  }
+
   test("graph-store merge rewrites ONLY touched buckets — untouched files byte-identical, content exact") {
     import spark.implicits._
     // a synthetic ranked store: 200 q_ids × 5 edges, sims strictly ordered

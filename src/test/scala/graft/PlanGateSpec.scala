@@ -149,6 +149,14 @@ class PlanGateSpec extends SparkSpec {
     Gate("bpe_train", maxHashEx = 2, maxRangeEx = 0,
       via = Some((s: org.apache.spark.sql.SparkSession, d: String) =>
         operators.TextAnalysis.bpePairCountsFor(s, d))),
+    // C60's training round: feature build + broadcast-literal scoring are
+    // ONE row-local map over the scan (no weight-table join, no explode
+    // before the misclassification filter), the slim (bucket, y) rollup is
+    // the round's single partial-aggregating exchange — a join against a
+    // weight TABLE or a pre-aggregation doc_id shuffle would blow the caps
+    Gate("classifier_train", maxHashEx = 1, maxRangeEx = 0, maxSortMerge = 0,
+      via = Some((s: org.apache.spark.sql.SparkSession, d: String) =>
+        operators.TextAnalysis.clfGradFor(s, d))),
     // C53: tf and df are both pair-grain partial aggregates (the occurrence
     // stream shuffles ONLY as (doc_id, term) pairs — the measured shape
     // plans the tf subtree twice because each branch prunes different
