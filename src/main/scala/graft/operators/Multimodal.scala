@@ -644,8 +644,219 @@ object Multimodal {
        |FROM hh h LEFT JOIN dup ON h.doc_id = dup.doc_id
        |ORDER BY h.doc_id""".stripMargin
 
+  // ----- C61: audio perceptual near-dedup (`dedup_media_wav`) -----
+
+  /** Synthesized constant-per-window PCM WAV for C61 — the audio analog of
+    * gradPngBytes: 65 windows × 8 frames of mono 8 kHz 16-bit LE PCM, each
+    * window a CONSTANT amplitude md5-derived from the document's audio
+    * CLASS (`doc_id % nClasses` — several docs share one recording, the
+    * planted duplicates), with every third doc carrying a one-window +16
+    * gain bump (the planted NEAR-duplicate: it flips at most the two
+    * delta-sign comparisons that touch that window). The hand-rolled RIFF
+    * layout is byte-deterministic (wavBytes' rule), and constant windows
+    * make every decoded window sum exact integer arithmetic — the hash
+    * collapses to the md5 closed form the DuckDB oracle reproduces. */
+  private def wavGradBytes(nClasses: Long)(id: Long): Array[Byte] = {
+    val key = id % nClasses
+    val pert = id % 3 == 0
+    val nWin = 65
+    val framesPerWin = 8
+    val dataLen = nWin * framesPerWin * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(8000 * 2).putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var w = 0
+    while (w < nWin) {
+      val hex = md5Hex(s"$key:w:${w / 16}")
+      var v = Integer.parseInt(hex.substring(2 * (w % 16), 2 * (w % 16) + 2), 16)
+      if (pert && w == (key % nWin).toInt) v = math.min(v + 16, 255)
+      var i = 0
+      while (i < framesPerWin) { bb.putShort(v.toShort); i += 1 }
+      w += 1
+    }
+    bb.array()
+  }
+
+  /** Real decode + acoustic delta hash in ONE row-local step (the audio
+    * analog of dHashOfBytes, chromaprint's shape at miniature scale): parse
+    * the container with javax.sound.sampled, slice the PCM stream into 65
+    * equal windows, sum each window's samples as exact integers, and set
+    * bit w when window w's energy is below window w+1's — a 64-bit
+    * delta-sign fingerprint robust to uniform gain shifts, exactly as
+    * dHash is to uniform brightness. Unparseable / non-PCM16 / too-short
+    * payloads degrade to hash 0 (the codec-tolerance contract). */
+  private[graft] def wavDhashOfBytes(bytes: Array[Byte]): Long = {
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val pcm16 =
+          fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+            fmt.getSampleSizeInBits == 16
+        if (!pcm16) 0L
+        else {
+          val b = org.apache.commons.io.IOUtils.toByteArray(in)
+          val n = b.length / 2
+          val win = n / 65
+          if (win == 0) 0L
+          else {
+            val sums = new Array[Long](65)
+            var i = 0
+            while (i < 65 * win) {
+              val s =
+                if (fmt.isBigEndian) ((b(2 * i) << 8) | (b(2 * i + 1) & 0xFF)).toShort
+                else ((b(2 * i + 1) << 8) | (b(2 * i) & 0xFF)).toShort
+              sums(i / win) += s
+              i += 1
+            }
+            var h = 0L
+            var w = 0
+            while (w < 64) {
+              if (sums(w) < sums(w + 1)) h |= 1L << w
+              w += 1
+            }
+            h
+          }
+        }
+      } finally in.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => 0L
+      case _: java.io.IOException => 0L
+    }
+  }
+
+  /** The (doc_id, dhash) audio-fingerprint store — C37's media-hash store
+    * family applied to the WAV corpus: ONE decode+hash pass, persisted
+    * under the StoreFp sidecar (fingerprints are 64-bit ints of
+    * deterministically-synthesized WAVs through a deterministic decode, so
+    * adoption is bit-exact), session memo on top. */
+  private[graft] def wavHashes(spark: SparkSession, sfDir: String): DataFrame = {
+    val fp = "wavhash:" + graft.Tables.fingerprint(sfDir, "documents")
+    Dedup.memoize(spark, sfDir, fp) {
+      spark.table(ensureWavHashTable(spark, sfDir, fp))
+    }
+  }
+
+  private[graft] def ensureWavHashTable(spark: SparkSession, sfDir: String,
+    fp: String): String = this.synchronized {
+    import spark.implicits._
+    val tbl = "wav_hashes" + sfDir.replaceAll("[^A-Za-z0-9]+", "_")
+    graft.StoreFp.ensureTable(spark, tbl, fp) {
+      syntheticMediaTable(spark, sfDir, "audio",
+          wavGradBytes(gradClassCount(spark, sfDir)))
+        .mapPartitions(_.map(row => (row.media_id, wavDhashOfBytes(row.media))))
+        .toDF("doc_id", "dhash")
+        .write.mode("overwrite").saveAsTable(tbl)
+    }
+    tbl
+  }
+
+  /** C61 — audio near-dedup: C37's banding tier over the acoustic delta
+    * hash (4 × 16-bit band keys, candidates only from band-key equality,
+    * MaxBucket guard, Hamming ≤ 3 verify, keeper = min doc_id). 100 TB
+    * shape identical to C37's: the decode+hash pass is a zero-shuffle pure
+    * map whose output is the slim hash store — audio bytes never shuffle —
+    * and pairwise work is bounded per band bucket. */
+  def dedupMediaWav(spark: SparkSession, sfDir: String): DataFrame = {
+    val hashes = wavHashes(spark, sfDir)
+    val chunks = array((0 until 4).map { j =>
+      shiftrightunsigned(col("dhash"), 16 * j).bitwiseAND(lit(0xFFFFL))
+    }: _*)
+    val chunkedRaw = hashes.select(col("doc_id"), col("dhash"), posexplode(chunks))
+      .toDF("doc_id", "dhash", "chunk_id", "chunk_key")
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("chunk_id"), col("chunk_key"))
+    val chunked = chunkedRaw
+      .withColumn("bucket_n", count(lit(1)).over(wc))
+      .filter(col("bucket_n") <= Dedup.MaxBucket)
+      .drop("bucket_n")
+    val pairs = chunked.as("x").join(chunked.as("y"),
+        col("x.chunk_id") === col("y.chunk_id") &&
+        col("x.chunk_key") === col("y.chunk_key") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.dhash").bitwiseXOR(col("y.dhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+    val dupOf = pairs.groupBy(col("doc_b").as("doc_id"))
+      .agg(min(col("doc_a")).as("dup_of"))
+    hashes.join(dupOf, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dhash"), col("dup_of"),
+        col("dup_of").isNotNull.as("is_duplicate"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The per-window amplitude CTE chain (dw → mw → aw) for the C61 oracle:
+    * audio class + perturbation flag, the md5 window-amplitude strings, and
+    * the 65 constant window levels as BIGINT columns — the SQL mirror of
+    * wavGradBytes followed by a perfect WAV roundtrip (constant windows
+    * make each decoded window SUM exactly 8·amp, so the delta comparisons
+    * collapse to amplitude comparisons). */
+  private def wavAmpCtes: String = {
+    val mCols = (0 until 5)
+      .map(g => s"md5(CAST(key AS VARCHAR) || ':w:$g') AS m$g").mkString(",\n  ")
+    val aCols = (0 until 65).map { w =>
+      val base = s"CAST(('0x' || substr(m${w / 16}, ${2 * (w % 16) + 1}, 2)) AS BIGINT)"
+      s"CASE WHEN pert AND key % 65 = $w " +
+        s"THEN LEAST($base + 16, 255) ELSE $base END AS a_$w"
+    }.mkString(",\n  ")
+    s"""dw AS (
+       | SELECT doc_id,
+       |  CAST(doc_id % GREATEST(41, (SELECT COUNT(*) FROM documents) // 12) AS BIGINT) AS key,
+       |  (doc_id % 3 = 0) AS pert
+       | FROM documents),
+       |mw AS (
+       | SELECT doc_id, key, pert,
+       |  $mCols
+       | FROM dw),
+       |aw AS (
+       | SELECT doc_id,
+       |  $aCols
+       | FROM mw)""".stripMargin
+  }
+
+  /** The 64 delta-sign bits over the aw window columns (bit 63 via the
+    * subtraction form signed BIGINT requires — dhashBitsSql's rule). */
+  private def wavBitsSql: String = (0 until 64).map { w =>
+    val cond = s"a_$w < a_${w + 1}"
+    if (w == 63)
+      s"CASE WHEN $cond THEN CAST(-9223372036854775807 - 1 AS BIGINT) ELSE 0 END"
+    else s"CASE WHEN $cond THEN CAST(${1L << w} AS BIGINT) ELSE 0 END"
+  }.mkString("\n   + ")
+
+  /** Generated oracle for C61: window amplitudes from the same md5 formula,
+    * the delta-sign bit closed form, C3/C37's banding/guard/Hamming SQL. */
+  def dedupMediaWavSql: String =
+    s"""WITH ${wavAmpCtes},
+       |hh AS (
+       | SELECT doc_id,
+       |  $wavBitsSql AS dhash
+       | FROM aw),
+       |chunked_all AS (
+       | $dhashChunksSql),
+       |chunked AS (
+       | SELECT * FROM chunked_all
+       | QUALIFY COUNT(*) OVER (PARTITION BY chunk_id, chunk_key) <= ${Dedup.MaxBucket}),
+       |pairs AS (
+       | SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |  bit_count(xor(x.dhash, y.dhash)) AS hamming
+       | FROM chunked x JOIN chunked y
+       |  ON x.chunk_id = y.chunk_id AND x.chunk_key = y.chunk_key AND x.doc_id < y.doc_id),
+       |dup AS (
+       | SELECT doc_b AS doc_id, MIN(doc_a) AS dup_of
+       | FROM pairs WHERE hamming <= 3 GROUP BY doc_b)
+       |SELECT h.doc_id, h.dhash, dup.dup_of, dup.dup_of IS NOT NULL AS is_duplicate
+       |FROM hh h LEFT JOIN dup ON h.doc_id = dup.doc_id
+       |ORDER BY h.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_pipeline" -> (mmPipeline _),
+    "dedup_media_wav" -> (dedupMediaWav _),
     "mm_frame_sample" -> (mmFrameSample _),
     "mm_decode_png" -> (mmDecodePng _),
     "mm_decode_wav" -> (mmDecodeWav _),
@@ -711,6 +922,7 @@ object Multimodal {
 
   val oracles: Map[String, String] = Map(
     "mm_pipeline" -> mmPipelineSql,
+    "dedup_media_wav" -> dedupMediaWavSql,
     "mm_frame_sample" -> mmFrameSampleSql,
     "mm_decode_png" -> mmDecodePngSql,
     "mm_decode_wav" -> mmDecodeWavSql,

@@ -92,6 +92,9 @@ object ColdWarm {
       // vec_id-bucketed rerank store — all built by the C38c query's cold run
       ("pq_coded_index", "knn_join_pq", () => run("knn_join_pq")),
       ("media_hashes", "dedup_media", () => run("dedup_media")),
+      // r17: the audio-fingerprint store — cold pays the WAV decode +
+      // delta-hash pass; warm/jvmwarm serve the persisted hash table
+      ("wav_hashes", "dedup_media_wav", () => run("dedup_media_wav")),
       // r14: the persisted kNN-graph stores — the full-corpus edge scoring
       // (quadratic with the IVF discount) IS the corpus-generation cost
       // these two lanes exist to surface; consumers (C52/C52b/C54) read

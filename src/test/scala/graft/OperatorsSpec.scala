@@ -453,6 +453,41 @@ class OperatorsSpec extends SparkSpec {
       "trained classifier no better than the zero-weight state")
   }
 
+  test("dedup_media_wav: real WAV decode+hash equals the md5 closed form; planted near-dups found") {
+    // C61's end-to-end pin: synthesize → RIFF container → javax.sound.sampled
+    // parse → window sums → delta-sign hash must land exactly on the md5
+    // closed form the oracle uses (re-derived here independently), and the
+    // planted structure must resolve — exact class copies dedup, and at
+    // least one PERTURBED doc is caught by banding + Hamming against a
+    // keeper whose hash differs (a genuine near-match, not an exact one).
+    val nc = math.max(41L, Tables.load(spark, sfDir, "documents").count() / 12L)
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    def expectedHash(id: Long): Long = {
+      val key = id % nc
+      val pert = id % 3 == 0
+      val amps = (0 until 65).map { w =>
+        val v = Integer.parseInt(
+          md5Hex(s"$key:w:${w / 16}").substring(2 * (w % 16), 2 * (w % 16) + 2), 16)
+        if (pert && w == (key % 65).toInt) math.min(v + 16, 255) else v
+      }
+      (0 until 64).foldLeft(0L) { (h, w) =>
+        if (amps(w) < amps(w + 1)) h | (1L << w) else h
+      }
+    }
+    val rows = SparkEntry.queries("dedup_media_wav")(spark, sfDir).collect()
+    rows.foreach(r => assert(r.getLong(1) == expectedHash(r.getLong(0)),
+      s"decode+hash diverged from the closed form for doc ${r.getLong(0)}"))
+    val hashOf = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.exists(r => !r.isNullAt(2) &&
+        hashOf(r.getLong(0)) != hashOf(r.getLong(2))),
+      "no near-duplicate with a DIFFERING hash was caught (banding+hamming leg untested)")
+    // ~12 copies per audio class → most docs must resolve as duplicates
+    assert(rows.count(_.getBoolean(3)) > rows.length / 2,
+      "planted duplicate density missing from the resolve")
+  }
+
   test("graph-store merge rewrites ONLY touched buckets — untouched files byte-identical, content exact") {
     import spark.implicits._
     // a synthetic ranked store: 200 q_ids × 5 edges, sims strictly ordered

@@ -271,7 +271,7 @@ class PlanGateSpec extends SparkSpec {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       Seq("dedup_minhash", "dedup_minhash_local", "dedup_simhash",
-        "dedup_jaccard", "dedup_media").foreach { name =>
+        "dedup_jaccard", "dedup_media", "dedup_media_wav").foreach { name =>
         val df = SparkEntry.queries(name)(spark, sfDir)
         df.write.format("noop").mode("overwrite").save()
         val plan = df.queryExecution.executedPlan.toString

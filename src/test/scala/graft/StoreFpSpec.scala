@@ -47,7 +47,8 @@ class StoreFpSpec extends SparkSpec {
     val slug = sfDir.replaceAll("[^A-Za-z0-9]+", "_")
     for ((tbl, q) <- Seq(
         ("minhash_sigs" + slug, "dedup_minhash"),
-        ("media_hashes" + slug, "dedup_media"))) {
+        ("media_hashes" + slug, "dedup_media"),
+        ("wav_hashes" + slug, "dedup_media_wav"))) {
       val r1 = SparkEntry.queries(q)(spark, sfDir).collect().map(_.toSeq).toSeq
       val dir = tableDir(tbl)
       assert(new java.io.File(dir, "_graft_store_fp").isFile,
