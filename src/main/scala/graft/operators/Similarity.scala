@@ -1269,11 +1269,16 @@ object Similarity {
     * silently wrong K. The corpus form counts — and seeds from — the
     * C7d ingest slice (vec_id % 10 <> 9), matching the frozen corpus
     * codebook's training set. */
+  /** The SQL mirror of the Scala q12 seed quantization (DuckDB's decimal
+    * cast resolves ties HALF_EVEN — same as the Scala side by construction). */
+  private def sqlSeedQ12(vec: String): String =
+    s"list_transform($vec, z -> CAST(CAST(z AS DECIMAL(30,12)) AS DOUBLE))"
+
   private def ivfSeedCte: String =
-    s"""c AS (SELECT vec_id AS cid, v AS cv FROM e  -- UNTRAINED SEED FALLBACK: IVF codebook cache cold for this dir
+    s"""c AS (SELECT vec_id AS cid, ${sqlSeedQ12("v")} AS cv FROM e  -- UNTRAINED SEED FALLBACK: IVF codebook cache cold for this dir
        | WHERE vec_id < ${ivfKSql("SELECT COUNT(*) FROM e")})""".stripMargin
   private def ivfCorpusSeedCte: String =
-    s"""c AS (SELECT vec_id AS cid, v AS cv FROM e  -- UNTRAINED SEED FALLBACK: corpus codebook cache cold for this dir
+    s"""c AS (SELECT vec_id AS cid, ${sqlSeedQ12("v")} AS cv FROM e  -- UNTRAINED SEED FALLBACK: corpus codebook cache cold for this dir
        | WHERE vec_id % 10 <> 9 AND vec_id < ${ivfKSql(
            "SELECT COUNT(*) FROM e WHERE vec_id % 10 <> 9")})""".stripMargin
 
@@ -1496,7 +1501,7 @@ object Similarity {
     sys.props.get("graft.ivf.train.ppc").map(_.toInt).getOrElse(8)
 
   /** The fingerprint suffix every Lloyd-trained artifact carries. */
-  private def trainPolicyTag: String = ":tppc" + trainPpc
+  private def trainPolicyTag: String = ":tppc" + trainPpc + "s12"
 
   /** The deterministic sample modulus: 1-in-m with m = max(3, N/(ppc·K)) —
     * SQL-expressible (`vec_id % GREATEST(3, (COUNT(*) // ${ppc * K})) = 0`),
@@ -1509,6 +1514,22 @@ object Similarity {
   /** The Lloyd loop over an arbitrary (vec_id, v) set — shared by the
     * full-table codebook (C7b/C7c), the corpus-only codebook (C7d), and
     * C29's size-proportional semantic codebook (k parameter). */
+  /** Quantize a seed coordinate onto the decimal(30,12) grid with
+    * HALF_EVEN ties — the grid every UPDATED centroid already lives on
+    * (the mean aggregate sums decimal(30,12)). Why seeds must join it: a
+    * cluster the bounded training sample never populates KEEPS its seed,
+    * and a raw float-upcast double's 17-digit literal hits a one-ulp
+    * DuckDB 1.0 decimal-parse defect (observed at sf1 under the 1-in-16
+    * sample: singleton/empty clusters surfaced raw seeds whose inlined
+    * literals parsed one ulp high, shifting every cosine against them).
+    * 12-decimal values round-trip exactly through VALUES literals in both
+    * engines; HALF_EVEN (not Java's HALF_UP default) because DuckDB's
+    * CAST(DOUBLE AS DECIMAL) resolves exact ties to even — parity probed
+    * exhaustively over every corpus coordinate. */
+  private def q12(x: Double): Double =
+    new java.math.BigDecimal(x)
+      .setScale(12, java.math.RoundingMode.HALF_EVEN).doubleValue()
+
   private def lloyd(spark: SparkSession, e: DataFrame,
     k: Int): Array[(Int, Array[Double])] = {
     // bounded deterministic id-hash sample (see trainPpc): the count is a
@@ -1517,7 +1538,8 @@ object Similarity {
     val sample = e.filter(pmod(col("vec_id"), lit(m)) === 0)
     var codebook: Array[(Int, Array[Double])] = e.filter(col("vec_id") < k)
       .collect().map { r =>
-        (r.getAs[Number]("vec_id").intValue, r.getAs[Seq[Double]]("v").toArray)
+        (r.getAs[Number]("vec_id").intValue,
+          r.getAs[Seq[Double]]("v").toArray.map(q12))
       }.sortBy(_._1)
     for (_ <- 1 to IvfLloydIters) {
       val means = sample
@@ -1941,9 +1963,14 @@ object Similarity {
   private val pqCache =
     scala.collection.concurrent.TrieMap.empty[String, (String, Array[Array[Array[Double]]])]
 
+  /** PQ model tag: corpus fingerprint + :s12 (PQ seeds on the q12 grid —
+    * the policy switch retrains loudly, the lloyd-tier rule). */
+  private def pqTag(sfDir: String): String =
+    graft.Tables.fingerprint(sfDir, "embeddings") + ":s12"
+
   private def cachedPq(sfDir: String): Option[Array[Array[Array[Double]]]] =
     pqCache.get(sfDir)
-      .filter(_._1 == graft.Tables.fingerprint(sfDir, "embeddings"))
+      .filter(_._1 == pqTag(sfDir))
       .map(_._2)
 
   /** The L2-argmin PQ code of subspace `m` as one projected least() over
@@ -1983,7 +2010,7 @@ object Similarity {
   def trainPqCodebooks(spark: SparkSession, sfDir: String): Array[Array[Array[Double]]] =
     cachedPq(sfDir).getOrElse(this.synchronized {
       cachedPq(sfDir).getOrElse {
-        val fp = graft.Tables.fingerprint(sfDir, "embeddings")
+        val fp = pqTag(sfDir)
         // disk-first (StoreFp model blob): adoption is bit-equal to a retrain
         val books = pqFromLines(graft.StoreFp.ensureModel(
           "pq_books" + dirSlug(sfDir), fp) {
@@ -2000,7 +2027,7 @@ object Similarity {
           .select(col("vec_id"), asDouble(col("embedding")).as("v"))
         val seeds = e.filter(col("vec_id") < PqKs).collect()
           .sortBy(_.getAs[Number]("vec_id").intValue)
-          .map(_.getAs[Seq[Double]]("v").toArray)
+          .map(_.getAs[Seq[Double]]("v").toArray.map(q12))
         var books = Array.tabulate(PqM, PqKs) { (m, c) =>
           seeds(c).slice(m * PqDsub, (m + 1) * PqDsub)
         }
@@ -2584,7 +2611,7 @@ object Similarity {
     * (first semanticK(n) vectors — NOT the IVF K=16) so the mismatch mode is
     * "untrained vs trained centroids", never a silently wrong K. */
   private def semanticSeedCte: String =
-    s"""c AS (SELECT vec_id AS cid, v AS cv FROM e  -- UNTRAINED SEED FALLBACK: codebook cache cold for this dir
+    s"""c AS (SELECT vec_id AS cid, ${sqlSeedQ12("v")} AS cv FROM e  -- UNTRAINED SEED FALLBACK: codebook cache cold for this dir
        | WHERE vec_id < GREATEST(16, LEAST((SELECT COUNT(*) FROM e) // 128, $semanticKBudget)))""".stripMargin
 
   /** The dir-bound semantic-centroid CTE (trained literals, or the labeled
