@@ -2126,19 +2126,7 @@ object Similarity {
     * fixed-order CASE sum — every double produced by the same IEEE op
     * sequence as the Spark plan. */
   def simPqSql(sfDir: String): String = {
-    val fp = if (sfDir.nonEmpty) graft.Tables.fingerprint(sfDir, "embeddings") else ""
-    val books = pqCache.get(sfDir).filter(_._1 == fp).map(_._2)
-    val centCte = books match {
-      case Some(b) =>
-        val rows = (for (m <- 0 until PqM; c <- 0 until PqKs)
-          yield s"($m, $c, ${b(m)(c).mkString("[", ", ", "]")})").mkString(",\n  ")
-        s"cent AS (SELECT m, c, cv FROM (VALUES\n  $rows) t(m, c, cv))"
-      case None => // untrained: the seed codebooks, derived in SQL
-        s"""cent AS (
-           | SELECT t.m, CAST(e.vec_id AS INT) AS c,
-           |  list_transform(range(1, ${PqDsub + 1}), i -> e.v[t.m * $PqDsub + i]) AS cv
-           | FROM e, range($PqM) t(m) WHERE e.vec_id < $PqKs)""".stripMargin
-    }
+    val centCte = pqCentCteFor(sfDir)
     def fold(body: String) =
       s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, ${PqDsub + 1}), i -> $body)), (a, b) -> a + b)"
     val scoreSum = (0 until PqM)
@@ -2328,16 +2316,18 @@ object Similarity {
     * books inlined when this dir's cache holds them, the labeled seed
     * fallback otherwise. */
   private def pqCentCteFor(sfDir: String): String = {
-    val fp = if (sfDir.nonEmpty) graft.Tables.fingerprint(sfDir, "embeddings") else ""
-    pqCache.get(sfDir).filter(_._1 == fp).map(_._2) match {
+    // bind against the POLICY-TAGGED cache key (pqTag) — a raw-fingerprint
+    // compare here would silently fall back to the seed CTE against a
+    // trained store after any policy retune (the r15 unbound-literal trap)
+    (if (sfDir.nonEmpty) cachedPq(sfDir) else None) match {
       case Some(b) =>
         val rows = (for (m <- 0 until PqM; c <- 0 until PqKs)
           yield s"($m, $c, ${b(m)(c).mkString("[", ", ", "]")})").mkString(",\n  ")
         s"cent AS (SELECT m, c, cv FROM (VALUES\n  $rows) t(m, c, cv))"
-      case None =>
+      case None => // untrained seeds, on the q12 grid like the Scala side
         s"""cent AS (
            | SELECT t.m, CAST(e.vec_id AS INT) AS c,
-           |  list_transform(range(1, ${PqDsub + 1}), i -> e.v[t.m * $PqDsub + i]) AS cv
+           |  ${sqlSeedQ12(s"list_transform(range(1, ${PqDsub + 1}), i -> e.v[t.m * $PqDsub + i])")} AS cv
            | FROM e, range($PqM) t(m) WHERE e.vec_id < $PqKs)""".stripMargin
     }
   }
