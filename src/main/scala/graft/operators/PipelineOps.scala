@@ -574,9 +574,11 @@ object PipelineOps {
     * plant a corpus whose gates, cut, exact dedup AND semantic tier all
     * fire non-vacuously. `assigned` must carry (vec_id, v, cid). */
   private[graft] def prepareCorpusV3On(spark: SparkSession, d: DataFrame,
-    assigned: DataFrame, uniBlob: String, biBlob: String): DataFrame =
+    assigned: DataFrame, uniBlob: String, biBlob: String,
+    materialize: Boolean = true): DataFrame =
     semanticTierSampled(spark,
-      gateLadderSurvivors(spark, d, uniBlob, biBlob), assigned)
+      gateLadderSurvivors(spark, d, uniBlob, biBlob), assigned,
+      materialize = materialize)
 
   /** C49 — composed corpus-prep v4 (`prepare_corpus_v4`): the COMPLETE
     * RefinedWeb-shaped run — the heuristic tiers that v3 still left
@@ -618,6 +620,23 @@ object PipelineOps {
       uniBlob, biBlob)
   }
 
+  /** Materialize a pipeline tier once per run (r17 guide §3.3: "materialising
+    * an intermediate result truncates the plan"). Spark plans sibling
+    * DataFrame references as INDEPENDENT subtrees (no cross-branch CSE), so
+    * a composed pipeline whose tiers each read their input 2-3× multiplies
+    * the whole upstream cone per reference — the measured v4 plan evaluated
+    * the gopher+line front end 4× (44 exchanges, 20 corpus scans at sf0.1).
+    * Checkpointing the shared tier makes every re-reference a block-manager
+    * read; at 100 TB the same boundary is a write+read-back of the admitted
+    * tier to storage — exactly the production trade the v2 scaladoc has
+    * always documented. The tier is recomputed from the parquet inputs on
+    * EVERY invocation (construction happens inside the timed region; nothing
+    * persists across runs), so results and per-run work stay honest.
+    * `materialize = false` preserves the pure declarative plan for the gates
+    * that audit cross-tier pushdown (PlanGateSpec reads the full cone). */
+  private def tierCk(df: DataFrame, materialize: Boolean): DataFrame =
+    if (materialize) df.localCheckpoint() else df
+
   /** The C49 pipeline over explicit frames — separated so the spec can
     * plant a corpus driving BOTH new tiers (gopher reject + line cut) and
     * every v3 stage non-vacuously. */
@@ -633,17 +652,25 @@ object PipelineOps {
   private[graft] val V4SampleWindow = 90
 
   private[graft] def prepareCorpusV4On(spark: SparkSession, d: DataFrame,
-    assigned: DataFrame, uniBlob: String, biBlob: String): DataFrame = {
+    assigned: DataFrame, uniBlob: String, biBlob: String,
+    materialize: Boolean = true): DataFrame = {
     val admitted = TextAnalysis.gopherAdmittedDocs(spark, d)
-    val lineCut = dedupLinesOn(linedDocs(admitted, keep = Seq("lang")),
+    // the line tier is the boundary every downstream branch re-reads (the
+    // ladder's gram/token branches × the semantic tier's pair/anti-join
+    // references) — materialized once, the corpus cone above it runs ONCE
+    // instead of 4× (tierCk scaladoc; the gopher gate still rides every
+    // corpus scan of this one evaluation — plan-gated via materialize=false)
+    val lineCut = tierCk(
+      dedupLinesOn(linedDocs(admitted, keep = Seq("lang")),
         keep = Seq("lang"))
       .filter(col("n_removed") < col("n_lines"))
       .select(col("doc_id"), col("lang"),
-        col("n_removed").as("n_lines_removed"), col("kept_text").as("text"))
+        col("n_removed").as("n_lines_removed"), col("kept_text").as("text")),
+      materialize)
     val surv = gateLadderSurvivors(spark, lineCut, uniBlob, biBlob,
       extra = Seq("n_lines_removed"))
     semanticTierSampled(spark, surv, assigned, extra = Seq("n_lines_removed"),
-      sampleWindow = V4SampleWindow)
+      sampleWindow = V4SampleWindow, materialize = materialize)
   }
 
   /** The shared tail of the v3/v4 composed pipelines: C29's survivor-scoped
@@ -653,10 +680,13 @@ object PipelineOps {
     * (v4's n_lines_removed) into the output. */
   private def semanticTierSampled(spark: SparkSession, surv: DataFrame,
     assigned: DataFrame, extra: Seq[String] = Nil,
-    sampleWindow: Int = 50): DataFrame = {
-    val withAsn = surv.join(
+    sampleWindow: Int = 50, materialize: Boolean = true): DataFrame = {
+    // the survivor⋈assignment frame feeds BOTH sides of the semantic pair
+    // self-join AND the final anti-join — three references, each of which
+    // would otherwise re-run the whole gate ladder above it (tierCk scaladoc)
+    val withAsn = tierCk(surv.join(
       assigned.select(col("vec_id"), col("v"), col("cid")),
-      surv("doc_id") === col("vec_id"))
+      surv("doc_id") === col("vec_id")), materialize)
     val dups = graft.operators.Similarity.semanticPairs(spark, withAsn)
       .filter(col("cosine") >= graft.operators.Similarity.SemanticTau)
       .select(col("vec_id")).distinct()

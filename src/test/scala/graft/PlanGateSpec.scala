@@ -209,14 +209,33 @@ class PlanGateSpec extends SparkSpec {
     // merge-hinted pair self-join REUSES (one shipment for both sides,
     // C29's discipline), and the slim dup anti-join; gates still reach
     // both scan branches
+    // r17: the registered queries materialize the shared tiers once per run
+    // (tierCk — localCheckpoint at the tier boundary, the production
+    // write+read-back trade), which truncates the visible plan; the gates
+    // audit the FULL declarative cone via materialize=false so cross-tier
+    // pushdown and exchange caps stay pinned on the un-truncated shape
     Gate("prepare_corpus_v3", maxHashEx = 7, needPushdown = true,
-      maxSortMerge = 4),
+      maxSortMerge = 4,
+      via = Some((s: org.apache.spark.sql.SparkSession, d: String) => {
+        val (uni, bi) = operators.TextAnalysis.lmModel(s, d)
+        operators.PipelineOps.prepareCorpusV3On(s,
+          graft.Tables.load(s, d, "documents"),
+          operators.Similarity.semanticAssigned(s, d), uni, bi,
+          materialize = false)
+      })),
     // C49: v3's ladder exchanges + the line tier's three (keeper agg, the
     // occurrence probe's lh shuffle, the line-mark doc rollup) — the
     // gopher tier adds ZERO (it's a scan-stage kernel filter; the
     // dedicated test below pins it into every corpus scan branch)
     Gate("prepare_corpus_v4", maxHashEx = 10, needPushdown = true,
-      maxSortMerge = 4),
+      maxSortMerge = 4,
+      via = Some((s: org.apache.spark.sql.SparkSession, d: String) => {
+        val (uni, bi) = operators.TextAnalysis.lmModel(s, d)
+        operators.PipelineOps.prepareCorpusV4On(s,
+          graft.Tables.load(s, d, "documents"),
+          operators.Similarity.semanticAssigned(s, d), uni, bi,
+          materialize = false)
+      })),
     // the chunker is a pure per-row fan-out: one Generate, zero shuffles
     Gate("seq_slice", maxHashEx = 0, aboveSortMarker = Some("Generate")),
     // C29: pairwise stays confined to the cid SMJ; the dup rollup broadcasts
@@ -390,7 +409,14 @@ class PlanGateSpec extends SparkSpec {
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val df = SparkEntry.queries("prepare_corpus_v4")(spark, sfDir)
+      // materialize=false: the registered query checkpoints the line tier
+      // (truncating the corpus scans out of the final plan); the pushdown
+      // property lives in the full declarative cone, audited here
+      val (uni, bi) = operators.TextAnalysis.lmModel(spark, sfDir)
+      val df = operators.PipelineOps.prepareCorpusV4On(spark,
+        graft.Tables.load(spark, sfDir, "documents"),
+        operators.Similarity.semanticAssigned(spark, sfDir), uni, bi,
+        materialize = false)
       df.write.format("noop").mode("overwrite").save()
       val plan = df.queryExecution.executedPlan.toString
       val corpusScans = plan.linesIterator
