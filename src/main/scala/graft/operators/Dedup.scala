@@ -96,8 +96,20 @@ object Dedup {
   /** docs(doc_id, sig) → candidate pairs (doc_a < doc_b) that collide in ≥1
     * LSH band. The self-join is on (band_id, band_key) — bucket-confined, with
     * oversized buckets excluded by the skew guard above. */
-  private def bandCandidates(sigs: DataFrame): DataFrame = {
-    val bounded = boundedBands(bandKeys(sigs))
+  private def bandCandidates(sigs: DataFrame): DataFrame =
+    bandCandidates(sigs, materialize = true)
+
+  /** r17: the guarded band relation feeds BOTH sides of the self-join, and
+    * Spark plans sibling references as independent subtrees — the band
+    * Generate + MaxBucket window ran twice per call. localCheckpoint
+    * materializes the slim (doc_id, band_key) relation once (recomputed
+    * from the signature store on every invocation); `materialize = false`
+    * keeps the declarative plan for the gate that pins the MaxBucket
+    * guard (PlanGateSpec's LSH-candidates test). */
+  private[graft] def bandCandidates(sigs: DataFrame,
+    materialize: Boolean): DataFrame = {
+    val bounded0 = boundedBands(bandKeys(sigs))
+    val bounded = if (materialize) bounded0.localCheckpoint() else bounded0
     bounded.as("x").join(bounded.as("y"),
         col("x.band_key") === col("y.band_key") &&
         col("x.doc_id") < col("y.doc_id"))
@@ -146,6 +158,11 @@ object Dedup {
   def warmSignatures(spark: SparkSession, sfDir: String): Unit = {
     withSig(spark, sfDir); ()
   }
+
+  /** Test hook: the memoized signature table (PlanGateSpec audits the
+    * un-materialized candidate builder over it). */
+  private[graft] def sigTableFor(spark: SparkSession, sfDir: String): DataFrame =
+    withSig(spark, sfDir)
 
   /** Evict every cached table. Long-lived applications that touch many scale
     * dirs call this between corpora (Bench/Verify call it at end of run) so
@@ -603,7 +620,15 @@ object Dedup {
   /** C3 — SimHash near-dedup: 4×16-bit chunk blocking (a ≤3-bit-different pair
     * must agree on ≥1 chunk), Hamming-distance verify via bit_count(xor). One
     * row per doc. */
-  def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
+  def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
+    dedupSimhash(spark, sfDir, materialize = true)
+
+  /** r17: same double-evaluated-self-join-side fix as [[bandCandidates]] —
+    * the guarded chunk relation is localCheckpoint'd once per run instead
+    * of running the chunk explode + MaxBucket window on both join sides;
+    * `materialize = false` preserves the declarative plan for the gate. */
+  private[graft] def dedupSimhash(spark: SparkSession, sfDir: String,
+    materialize: Boolean): DataFrame = {
     val sigs = memoize(spark, sfDir,
       "simhash:" + graft.Tables.fingerprint(sfDir, "documents")) {
       simhashSigs(Tables.load(spark, sfDir, "documents"))
@@ -615,10 +640,11 @@ object Dedup {
       .toDF("doc_id", "simhash", "chunk_id", "chunk_key")
     val wc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("chunk_id"), col("chunk_key"))
-    val chunked = chunkedRaw // same skew guard as the minhash bands
+    val chunked0 = chunkedRaw // same skew guard as the minhash bands
       .withColumn("bucket_n", count(lit(1)).over(wc))
       .filter(col("bucket_n") <= MaxBucket)
       .drop("bucket_n")
+    val chunked = if (materialize) chunked0.localCheckpoint() else chunked0
     val pairs = chunked.as("x").join(chunked.as("y"),
         col("x.chunk_id") === col("y.chunk_id") &&
         col("x.chunk_key") === col("y.chunk_key") &&

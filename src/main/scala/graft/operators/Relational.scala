@@ -484,7 +484,13 @@ object Relational {
     * This is the EXACT routing of the exact/sketch pair: B13b2's
     * approx_percentile (bounded sketch, ≤1% pinned error) remains the path
     * when even the distinct-value set is unbounded. */
-  def qPercentiles(spark: SparkSession, sfDir: String): DataFrame = {
+  def qPercentiles(spark: SparkSession, sfDir: String): DataFrame =
+    qPercentiles(spark, sfDir, materialize = true)
+
+  /** `materialize = false` skips the pre-sort checkpoint so the plan spec
+    * can see the window form (r17 — the checkpoint truncates it away). */
+  private[graft] def qPercentiles(spark: SparkSession, sfDir: String,
+    materialize: Boolean): DataFrame = {
     val l = Tables.load(spark, sfDir, "lineitem")
     // percentile() ignores NULLs; drop them before the counts aggregate or
     // they'd sort first in the window and shift every rank on nullable cols
@@ -493,10 +499,16 @@ object Relational {
       .groupBy(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))
       .agg(count(lit(1)).as("cnt"))
     val byG = Window.partitionBy(col("g"))
+    // r17: n (the group total) was a second unbounded-frame Window pass —
+    // WindowExec re-buffers the whole partition per pass, so the 600k-row
+    // distinct-value stream was buffered twice. A |groups|-row partial-
+    // aggregated rollup broadcast back is the same value for a slim
+    // exchange instead of a second full-partition buffer pass.
+    val ns = counts.groupBy(col("g")).agg(sum(col("cnt")).as("n"))
     val cum = counts
       .withColumn("ccnt", sum(col("cnt")).over(byG.orderBy(col("v"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("n", sum(col("cnt")).over(byG))
+      .join(broadcast(ns), "g")
     // for percentile p: target rank h = 1 + (n-1)p; a (value, cnt) row covers
     // ranks (ccnt-cnt, ccnt], so exactly one row matches each integer rank
     def rankVal(k: Column): Column =
@@ -518,6 +530,14 @@ object Relational {
       .agg(aggs.head, aggs.tail: _*)
       .select(col("g").as("l_returnflag"),
         interp("25").as("p25"), interp("50").as("p50"), interp("75").as("p75"))
+      // r17: the output sort's range sampler re-evaluates everything above
+      // the last exchange — here the two window passes + both rank
+      // aggregates (measured: the whole cum/agg stage ran TWICE, ~0.6 s of
+      // 2.4 at sf0.1). The pre-sort result is |groups| rows; materializing
+      // it makes the sampling pass read those rows instead of re-running
+      // the window chain (the aggregate-topped complement of the
+      // Tables.loadSorted discipline, which this output shape can't use).
+      .transform(d => if (materialize) d.localCheckpoint() else d)
       .orderBy(col("l_returnflag"))
   }
 

@@ -869,7 +869,10 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("exact percentiles use the spillable rank form, not the value buffer") {
-    val df = Relational.qPercentiles(spark, sfDir)
+    // materialize=false: the registered query checkpoints before the output
+    // sort (r17 — kills the range-sampler double-eval), which truncates the
+    // window out of the visible plan; the form is audited un-materialized
+    val df = Relational.qPercentiles(spark, sfDir, materialize = false)
     val plan = df.queryExecution.executedPlan.toString
     // the percentile() aggregate holds an unspillable per-group value map;
     // the distributed form must not appear anywhere in the plan

@@ -298,13 +298,33 @@ class PlanGateSpec extends SparkSpec {
           s"$name: candidate generation degraded to a cross join:\n${plan.take(2000)}")
         assert(!plan.contains("BroadcastNestedLoopJoin"),
           s"$name: candidate generation degraded to a nested-loop join:\n${plan.take(2000)}")
-        // dedup_jaccard's shortlist localCheckpoint truncates the visible
-        // plan above the exact-verify stage; its candidate generation is the
-        // same bandCandidates call dedup_minhash pins here
-        if (name != "dedup_jaccard")
+        // r17: the minhash/simhash candidate relations localCheckpoint the
+        // guarded band/chunk side (it fed BOTH sides of the self-join),
+        // which truncates the guard out of the final executed plan — the
+        // MaxBucket pin moves to the un-materialized builder plans below
+        // (dedup_jaccard's shortlist checkpoint had the same effect since
+        // r12; media keys still show the guard inline)
+        if (Set("dedup_media", "dedup_media_wav")(name))
           assert(plan.linesIterator.exists(l =>
               l.contains("Filter") && l.contains(s"<= ${operators.Dedup.MaxBucket}")),
             s"$name: MaxBucket degenerate-bucket guard missing from plan:\n${plan.take(2000)}")
+      }
+      // the MaxBucket guard + key-equality shape of the checkpointed
+      // candidate builders, audited on the SAME code path the queries run
+      // (materialize=false only skips the checkpoint truncation)
+      Seq(
+        "minhash bands" -> operators.Dedup.bandCandidates(
+          operators.Dedup.sigTableFor(spark, sfDir), materialize = false),
+        "simhash chunks" -> operators.Dedup.dedupSimhash(spark, sfDir,
+          materialize = false)).foreach { case (label, df) =>
+        df.write.format("noop").mode("overwrite").save()
+        val plan = df.queryExecution.executedPlan.toString
+        assert(plan.linesIterator.exists(l =>
+            l.contains("Filter") && l.contains(s"<= ${operators.Dedup.MaxBucket}")),
+          s"$label: MaxBucket degenerate-bucket guard missing from plan:\n${plan.take(2000)}")
+        assert(!plan.contains("CartesianProduct") &&
+            !plan.contains("BroadcastNestedLoopJoin"),
+          s"$label: candidate generation degraded to an unbounded join:\n${plan.take(2000)}")
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
