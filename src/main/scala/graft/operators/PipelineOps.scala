@@ -1762,6 +1762,13 @@ object PipelineOps {
   private[graft] def dedupLinesOn(d: DataFrame,
     sortBeforeCut: Boolean = false, keep: Seq[String] = Nil,
     sep: String = " ", skipEmpty: Boolean = false): DataFrame = {
+    // r17 note: the occurrence stream feeds the keeper aggregate AND the
+    // mark join (two sibling references) — a tierCk here was MEASURED
+    // NEUTRAL-to-WORSE (dedup_lines_nl 1.44 → 2.54 s at sf0.1): the two
+    // derivations are exchange-free scan branches that run CONCURRENTLY on
+    // idle cores, while a checkpoint serializes them behind a job barrier.
+    // C50 keeps its checkpoint because its second reference feeds a
+    // two-exchange df chain (a real serial stage cost).
     val occ = lineOccs(d, skipEmpty)
     // keeper per line hash as a two-phase aggregate (see scaladoc: hot
     // boilerplate lines MUST combine map-side, so no Window over lh). The
@@ -1887,7 +1894,9 @@ object PipelineOps {
     * for the spec's planted fixtures, [[dedupLinesOn]]'s discipline. */
   private[graft] def dedupLinesDfOn(d: DataFrame,
     sortBeforeCut: Boolean = false, keep: Seq[String] = Nil): DataFrame = {
-    val occ = lineOccs(d)
+    // r17: same two-reference occurrence stream as dedupLinesOn (df chain +
+    // mark join) — materialized once per run
+    val occ = lineOccs(d).localCheckpoint()
     val hot = occ.select(col("lh"), col("doc_id")).distinct()
       .groupBy(col("lh")).agg(count(lit(1)).as("df"))
       .filter(col("df") > LineDfMax)
