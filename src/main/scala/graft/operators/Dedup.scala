@@ -148,9 +148,27 @@ object Dedup {
   private[operators] def memoize(spark: SparkSession, sfDir: String, tag: String)
     (build: => DataFrame): DataFrame =
     memo.computeIfAbsent(s"${spark.sparkContext.applicationId}:$sfDir:$tag", { _ =>
-      val df = build.cache()
-      df.count()
-      df
+      // r17 (guide §6 file sizing, applied to the in-memory layout): a
+      // store table written as one file caches as ONE partition, so every
+      // timed consumer's first stage (band explode, chunk window, pair
+      // join fronts) ran single-task on idle cores. Fan the cached frame
+      // out toward the session's parallelism when the build came back
+      // under-split — but only to ≥2k rows per partition (a 500-row media
+      // hash table gains nothing from 32 near-empty partitions, and the
+      // extra task launches measurably cost). A frame that already carries
+      // enough partitions (any real-scale build) is left untouched, so
+      // nothing shrinks at scale.
+      val built = build.cache()
+      val n = built.count()
+      val target = math.min(
+        math.min(spark.sparkContext.defaultParallelism.toLong, 64L),
+        math.max(1L, n / 2000L)).toInt
+      if (built.rdd.getNumPartitions < target) {
+        val sized = built.repartition(target).cache()
+        sized.count()
+        built.unpersist(false)
+        sized
+      } else built
     })
 
   /** Pre-materialize the signature store (Bench warmup — the production analog
