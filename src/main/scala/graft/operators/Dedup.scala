@@ -598,9 +598,14 @@ object Dedup {
     // labels is localCheckpoint'd (materialized, lineage cut), so the edge
     // cache can be released before the final lazy joins run
     edges.unpersist(false)
-    // re-attach the isolated vertices as singleton clusters
+    // re-attach the isolated vertices as singleton clusters. The labeled
+    // vertex frame feeds BOTH the size rollup and the final join; as sibling
+    // subtrees each would re-run the ids⋈labels outer join (scan + two
+    // exchanges). Materialize it once — exchange-bearing cone, so the
+    // checkpoint wins over concurrent re-evaluation (r17 A/B discipline).
     val allLabels = ids.join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+      .localCheckpoint(true)
     val sizes = allLabels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     allLabels.join(sizes, "label")
       .select(col("id"), col("label").as("cluster_rep"), col("cluster_size"))

@@ -661,7 +661,13 @@ object TextAnalysis {
   def textTfidf(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.load(spark, sfDir, "documents")
     val toks = d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    // The (doc_id, term) tf relation feeds BOTH the df count and the score
+    // join; as sibling subtrees each would re-run the scan+explode+aggregate
+    // cone (no cross-branch CSE in Catalyst). Materialize it once per
+    // invocation — the in-run analog of persisting the tf tier between the
+    // two consumers at scale. Recomputed from parquet on every call.
     val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = d.select(count(lit(1)).cast("double").as("n_docs"))
     val scored = tf.join(dfc.hint("merge"), "term")

@@ -1378,12 +1378,16 @@ object Streams extends Serializable {
             .groupBy(col("lh")).agg(sum(col("bdf")).as("odf"))
           // dfNew per line; hot = over ceiling now, newly = crossed it in
           // THIS batch (retro marks fire exactly once per line)
+          // (lh, df, odf) feeds BOTH the hot and newly-hot filters; as
+          // sibling subtrees each would re-run the bdf aggregate + dfOld
+          // scan + full-outer join per batch. One per-line row per lh —
+          // tiny — so materialize the verdict table once per batch.
           val joined = bdf.join(dfOld, Seq("lh"), "full_outer")
             .select(col("lh"),
               (coalesce(col("bdf"), lit(0L)) + coalesce(col("odf"), lit(0L))).as("df"),
               coalesce(col("odf"), lit(0L)).as("odf"))
+            .localCheckpoint()
           val hot = joined.filter(col("df") > dfMax).select(col("lh"))
-            .localCheckpoint() // two mark joins below; one derivation
           val newlyHot = joined
             .filter(col("df") > dfMax && col("odf") <= dfMax).select(col("lh"))
           val retro = readOtherBatches(spark, occStore,
